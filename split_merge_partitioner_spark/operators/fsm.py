@@ -1,0 +1,367 @@
+"""FSM dual-balanced split-merge partitioning as a DataFrame-level planner.
+
+Reference parity (/root/reference/src/fsm_partitioner.{hpp,cpp}):
+- split with k*p fine-grained buckets:      fsm_partitioner.cpp:33-38,266
+- merge: sort sub-buckets desc by replicas: fsm_partitioner.cpp:82-85
+- fast_merge (min-PQ on (mirrors, inside)): fsm_partitioner.cpp:128-160
+- precise_merge (min union-popcount scan):  fsm_partitioner.cpp:162-217
+- merge_bucket (bitset OR + popcount):      fsm_partitioner.cpp:239-255
+- rearrange_edge (old->final remap):        fsm_partitioner.hpp:114-129
+- k*p < 255 default check:                  fsm_partitioner.cpp:31 (we allow more)
+
+Spark-first architecture (NOT a port of the sequential NE/HEP expansion):
+
+SPLIT  — distributed.  Two strategies:
+  * "dbh"      sub_bucket = lower-degree endpoint hashed into k*p buckets —
+               a pure Catalyst expression, embarrassingly parallel, perfectly
+               edge-balanced (the reference's DBH baseline at k*p granularity).
+  * "ne_local" locality-grouped greedy neighbor expansion: edges grouped into
+               p locality groups (hash of the lower-degree anchor endpoint),
+               each group's applyInPandas task runs a sequential NE-lite
+               (min-degree frontier expansion over a local NumPy CSR,
+               mirroring src/ne_partitioner.hpp:68-161's contract) producing
+               k capacity-bounded sub-buckets -> k*p global sub-buckets.
+  High-degree hubs (degree > hdf*avg, src/hep_graph.cpp:17) are handled like
+  HEP's h2h spill: edges between two hubs are salted uniformly across all
+  k*p sub-buckets (the north-star "fine-grained splitting of high-degree
+  vertices into sub-vertices": each hub's edge set is sharded by a seeded
+  hash, every shard assigned independently).
+
+MERGE  — small-data greedy planning on the driver, faithful to the reference:
+  per-sub-bucket replica bitmaps are collected (k*p <= 255 bitmaps of n bits;
+  at test scale this is KBs; beyond ~1e8 vertices switch to the incremental
+  |A|+|B|-|A and B| overlap-join formulation per SURVEY.md §2.2 P11), then the
+  exact fast/precise greedy runs in plain Python, and the old->final map
+  (<= k*p rows) is broadcast-joined back onto the edges.
+
+All bookkeeping is broadcast/driver state — no row-wise mutable grafts.
+"""
+
+from __future__ import annotations
+
+import heapq
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from ..sources.edges import degrees as degrees_of
+from .stats import replica_sets
+
+DEFAULT_HDF = 100.0  # HEP high-degree factor default (src/main.cpp:29)
+
+
+# ---------------------------------------------------------------------------
+# driver-side greedy merge (faithful to fsm_partitioner.cpp:128-217)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class _SubBucket:
+    old_id: int
+    replicas: int
+    occupied: int
+    bitmap: np.ndarray  # bool[n_dense]
+    chosen: bool = False
+
+
+@dataclass
+class FsmResult:
+    assigned: DataFrame              # (src, dst, bucket) final, bucket in [0, p)
+    sub_assigned: DataFrame          # (src, dst, bucket) split phase, [0, k*p)
+    merge_map: dict[int, int]        # old sub-bucket -> final bucket
+    p: int
+    k: int
+    subbuckets_per_final: dict[int, int] = field(default_factory=dict)
+
+
+class _FinalIds:
+    """Sequential final-bucket id assignment (get_final_bucket,
+    fsm_partitioner.hpp:231-238)."""
+
+    def __init__(self) -> None:
+        self._ids: dict[int, int] = {}
+
+    def get(self, old_id: int) -> int:
+        if old_id not in self._ids:
+            self._ids[old_id] = len(self._ids)
+        return self._ids[old_id]
+
+
+def fast_merge(subs: list[_SubBucket], p: int, k: int) -> dict[int, int]:
+    """Greedy pack into the min-replica final bucket (fsm_partitioner.cpp:128-160).
+
+    subs must be sorted desc by replicas (fsm_partitioner.cpp:82-85).  A final
+    bucket is retired after absorbing k sub-buckets.  Mutates subs in place
+    (parents accumulate bitmaps/edges, mirroring merge_bucket :239-255).
+    """
+    finals = _FinalIds()
+    valid: dict[int, int] = {}
+    # (mirror_cnt, partitions_inside, index_into_subs, final_id)
+    pq: list[tuple[int, int, int, int]] = [(0, 0, b, b) for b in range(p)]
+    heapq.heapify(pq)
+    for b, sub in enumerate(subs):
+        mirror_cnt, inside, parent_idx, parent_final = heapq.heappop(pq)
+        if inside == 0:
+            parent_final = finals.get(sub.old_id)
+            heapq.heappush(pq, (sub.replicas, 1, b, parent_final))
+            sub.chosen = True
+        else:
+            parent = subs[parent_idx]
+            np.logical_or(parent.bitmap, sub.bitmap, out=parent.bitmap)
+            parent.replicas = int(parent.bitmap.sum())
+            parent.occupied += sub.occupied
+            if inside + 1 < k:
+                heapq.heappush(pq, (parent.replicas, inside + 1, parent_idx, parent_final))
+        valid[sub.old_id] = parent_final
+    return valid
+
+
+def precise_merge(subs: list[_SubBucket], p: int, k: int) -> dict[int, int]:
+    """For each sub-bucket (desc by replicas) scan every non-full final bucket
+    and pick the min union-popcount; first empty slot short-circuits
+    (fsm_partitioner.cpp:162-217)."""
+    finals = _FinalIds()
+    valid: dict[int, int] = {}
+    # slots: [mirror_cnt, inside, parent_idx, final_id]
+    slots: list[list[int]] = [[0, 0, b, b] for b in range(p)]
+    for b, sub in enumerate(subs):
+        best_fb = -1
+        best_size = None
+        for fb, (mirror_cnt, inside, parent_idx, parent_final) in enumerate(slots):
+            if inside == k:
+                continue
+            if inside == 0:
+                best_fb = fb
+                break
+            new_size = int(np.logical_or(subs[parent_idx].bitmap, sub.bitmap).sum())
+            if best_size is None or new_size < best_size:
+                best_size = new_size
+                best_fb = fb
+        assert best_fb >= 0, "no non-full final bucket (k*p capacity exhausted)"
+        mirror_cnt, inside, parent_idx, parent_final = slots[best_fb]
+        if inside == 0:
+            parent_final = finals.get(sub.old_id)
+            slots[best_fb] = [sub.replicas, 1, b, parent_final]
+            sub.chosen = True
+        else:
+            parent = subs[parent_idx]
+            np.logical_or(parent.bitmap, sub.bitmap, out=parent.bitmap)
+            parent.replicas = int(parent.bitmap.sum())
+            parent.occupied += sub.occupied
+            slots[best_fb] = [parent.replicas, inside + 1, parent_idx, parent_final]
+        valid[sub.old_id] = parent_final
+    return valid
+
+
+# ---------------------------------------------------------------------------
+# split phase
+# ---------------------------------------------------------------------------
+
+def _split_dbh(edges_dd: DataFrame, n_sub: int) -> DataFrame:
+    """DBH at k*p granularity: hash the lower-degree endpoint (ties -> src),
+    matching src/dbh_partitioner.cpp:80-83 but with a seeded 64-bit hash so
+    sub-bucket contents are locality-free yet deterministic."""
+    w = F.when(F.col("deg_src") <= F.col("deg_dst"), F.col("src")).otherwise(F.col("dst"))
+    return edges_dd.select(
+        "src", "dst", F.pmod(F.xxhash64(w, F.lit(42)), F.lit(n_sub)).cast("long").alias("bucket")
+    )
+
+
+_NE_SCHEMA = StructType(
+    [
+        StructField("src", LongType()),
+        StructField("dst", LongType()),
+        StructField("bucket", LongType()),
+    ]
+)
+
+
+def _ne_lite_group(k: int):
+    """Factory for the per-group NE-lite kernel (runs inside applyInPandas).
+
+    Sequential min-degree frontier expansion over a local CSR — the contract
+    of NE's add_boundary/occupy_vertex (src/ne_partitioner.hpp:68-130): grow
+    bucket b from the lowest-degree boundary vertex, assign every incident
+    unassigned edge, until capacity m_local/k + 1; leftovers go to the last
+    bucket (assign_remaining, src/ne_partitioner.cpp:88-112).  NumPy CSR +
+    heapq; no per-row Python in the Spark plan — this is one Arrow batch in,
+    one out, per locality group.
+    """
+
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        g = int(key[0])
+        src = pdf["src"].to_numpy(np.int64)
+        dst = pdf["dst"].to_numpy(np.int64)
+        m_local = len(src)
+        if m_local == 0:
+            return pd.DataFrame({"src": src, "dst": dst, "bucket": src})
+        verts, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+        ls, ld = inv[:m_local], inv[m_local:]
+        nloc = len(verts)
+        # local CSR over undirected incidence: vertex -> incident edge ids
+        deg = np.bincount(ls, minlength=nloc) + np.bincount(ld, minlength=nloc)
+        offs = np.zeros(nloc + 1, dtype=np.int64)
+        np.cumsum(deg, out=offs[1:])
+        fill = offs[:-1].copy()
+        inc = np.empty(2 * m_local, dtype=np.int64)
+        for arr in (ls, ld):
+            for e in range(m_local):
+                v = arr[e]
+                inc[fill[v]] = e
+                fill[v] += 1
+        assigned = np.full(m_local, -1, dtype=np.int64)
+        visited = np.zeros(nloc, dtype=bool)
+        cap = m_local // k + 1
+        order = np.argsort(deg, kind="stable")  # free-vertex scan order
+        free_ptr = 0
+        for b in range(k - 1):
+            count = 0
+            heap: list[tuple[int, int]] = []
+            while count < cap:
+                if not heap:
+                    while free_ptr < nloc and visited[order[free_ptr]]:
+                        free_ptr += 1
+                    if free_ptr >= nloc:
+                        break
+                    v = int(order[free_ptr])
+                else:
+                    _, v = heapq.heappop(heap)
+                    if visited[v]:
+                        continue
+                visited[v] = True
+                for ii in range(offs[v], offs[v + 1]):
+                    e = int(inc[ii])
+                    if assigned[e] >= 0:
+                        continue
+                    assigned[e] = b
+                    count += 1
+                    u = int(ls[e]) if ld[e] == v else int(ld[e])
+                    if not visited[u]:
+                        heapq.heappush(heap, (int(deg[u]), u))
+                    if count >= cap:
+                        break
+        assigned[assigned < 0] = k - 1
+        return pd.DataFrame(
+            {"src": src, "dst": dst, "bucket": np.int64(g) * k + assigned}
+        )
+
+    return kernel
+
+
+def _split_ne_local(edges_dd: DataFrame, p: int, k: int) -> DataFrame:
+    """Locality grouping (hash of the lower-degree anchor) into p groups, then
+    per-group NE-lite into k sub-buckets each."""
+    anchor = F.when(
+        (F.col("deg_src") < F.col("deg_dst"))
+        | ((F.col("deg_src") == F.col("deg_dst")) & (F.col("src") <= F.col("dst"))),
+        F.col("src"),
+    ).otherwise(F.col("dst"))
+    grouped = edges_dd.withColumn("grp", F.pmod(F.xxhash64(anchor, F.lit(7)), F.lit(p)))
+    return (
+        grouped.select("grp", "src", "dst")
+        .groupBy("grp")
+        .applyInPandas(_ne_lite_group(k), schema=_NE_SCHEMA)
+    )
+
+
+def fsm_partition(
+    edges: DataFrame,
+    p: int,
+    k: int = 2,
+    merge: str = "precise",
+    splitter: str = "ne_local",
+    hdf: float = DEFAULT_HDF,
+    deg: DataFrame | None = None,
+) -> FsmResult:
+    """Full FSM pipeline: split into k*p sub-buckets -> driver greedy merge ->
+    broadcast remap.  edges: (src, dst) long, canonical, deduped."""
+    spark = edges.sparkSession
+    n_sub = p * k
+    if deg is None:
+        deg = degrees_of(edges)
+    avg_deg_row = deg.agg(F.avg("degree").alias("a")).collect()[0]
+    high_threshold = hdf * float(avg_deg_row["a"])
+    degb = F.broadcast(deg)
+    e = (
+        edges.join(
+            degb.withColumnRenamed("vertex", "src").withColumnRenamed("degree", "deg_src"), "src"
+        ).join(
+            degb.withColumnRenamed("vertex", "dst").withColumnRenamed("degree", "deg_dst"), "dst"
+        )
+    )
+    is_h2h = (F.col("deg_src") > high_threshold) & (F.col("deg_dst") > high_threshold)
+    low = e.where(~is_h2h)
+    h2h = e.where(is_h2h)
+
+    if splitter == "dbh":
+        low_assigned = _split_dbh(low, n_sub)
+    elif splitter == "ne_local":
+        low_assigned = _split_ne_local(low, p, k)
+    else:
+        raise ValueError(f"unknown splitter {splitter!r}")
+    # hub-hub edges: salt uniformly across all sub-buckets (HEP h2h analog,
+    # src/hep_graph.cpp:136-140 + north-star hub sub-vertex splitting)
+    h2h_assigned = h2h.select(
+        "src", "dst",
+        F.pmod(F.xxhash64("src", "dst", F.lit(11)), F.lit(n_sub)).cast("long").alias("bucket"),
+    )
+    sub_assigned = low_assigned.unionAll(h2h_assigned)
+    sub_assigned = sub_assigned.persist()
+
+    # --- collect per-sub-bucket replica bitmaps (driver planning state) ---
+    reps = replica_sets(sub_assigned)
+    rep_pdf = reps.toPandas()
+    occ_pdf = sub_assigned.groupBy("bucket").agg(F.count(F.lit(1)).alias("m")).toPandas()
+    verts = np.unique(rep_pdf["vertex"].to_numpy(np.int64))
+    vidx = {int(v): i for i, v in enumerate(verts)}
+    n_dense = len(verts)
+    occ_map = dict(zip(occ_pdf["bucket"].astype(int), occ_pdf["m"].astype(int)))
+    subs: list[_SubBucket] = []
+    grouped = rep_pdf.groupby("bucket")["vertex"]
+    members: dict[int, np.ndarray] = {int(b): v.to_numpy(np.int64) for b, v in grouped}
+    for old_id in range(n_sub):
+        bm = np.zeros(n_dense, dtype=bool)
+        mem = members.get(old_id)
+        if mem is not None:
+            bm[[vidx[int(v)] for v in mem]] = True
+        subs.append(
+            _SubBucket(
+                old_id=old_id,
+                replicas=int(bm.sum()),
+                occupied=int(occ_map.get(old_id, 0)),
+                bitmap=bm,
+            )
+        )
+    subs.sort(key=lambda s: -s.replicas)  # fsm_partitioner.cpp:82-85
+
+    if merge == "fast":
+        valid = fast_merge(subs, p, k)
+    elif merge == "precise":
+        valid = precise_merge(subs, p, k)
+    else:
+        raise ValueError(f"unknown merge {merge!r}")
+
+    # --- rearrange: broadcast old->final map (fsm_partitioner.hpp:114-129) ---
+    map_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(o), int(nb)) for o, nb in valid.items()], "bucket long, final long"
+        )
+    )
+    assigned = (
+        sub_assigned.join(map_df, "bucket")
+        .select("src", "dst", F.col("final").alias("bucket"))
+    )
+    per_final: dict[int, int] = {}
+    for _, nb in valid.items():
+        per_final[nb] = per_final.get(nb, 0) + 1
+    return FsmResult(
+        assigned=assigned,
+        sub_assigned=sub_assigned,
+        merge_map=valid,
+        p=p,
+        k=k,
+        subbuckets_per_final=per_final,
+    )

@@ -1,0 +1,127 @@
+"""Partition statistics + validation — the reference's "query" outputs.
+
+Reference parity:
+- calculate_stats (RF, balance, CV):  /root/reference/src/partitioner.hpp:35-92
+  replication factor = sum(|V_b|)/n at :91; CHECK_EQ(sum |E_b|, m) at :89.
+- Jain's fairness index:              /root/reference/src/util.hpp:88-103
+- degree-decade RF histogram:         /root/reference/src/hep_partitioner.cpp:79-147
+- check_edge validation:              /root/reference/src/fsm_partitioner.hpp:194-227
+- edge conservation CHECKs:           /root/reference/src/ne_partitioner.cpp:179 etc.
+
+All metrics are exact (countDistinct, not approx) — RF must match the
+reference's formula to tolerance.  Everything is expressed as DataFrame aggs
+so Catalyst does map-side partial aggregation; the final metrics row is a
+handful of scalars.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def replica_sets(assigned: DataFrame) -> DataFrame:
+    """The replica-set relation (bucket, vertex) — reference per-bucket
+    dense_bitset is_boundarys (src/partitioner.hpp:30).  Distinct rows."""
+    return (
+        assigned.select("bucket", F.col("src").alias("vertex"))
+        .unionAll(assigned.select("bucket", F.col("dst").alias("vertex")))
+        .distinct()
+    )
+
+
+def bucket_sizes(assigned: DataFrame) -> DataFrame:
+    """Per-bucket |V_b| (exact distinct replicas) and |E_b|."""
+    verts = replica_sets(assigned).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_replicas")
+    )
+    edges = assigned.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_edges"))
+    return edges.join(verts, "bucket", "left").na.fill(0)
+
+
+def partition_stats(assigned: DataFrame, p: int, n: int | None = None, m: int | None = None) -> DataFrame:
+    """One-row metrics table (FIXTURES.md F6):
+    rf, s_v, s_e, sigma_v, sigma_e, jains_v — formulas per
+    src/partitioner.hpp:35-92 and src/util.hpp:88-103."""
+    if n is None:
+        n = (
+            assigned.select(F.col("src").alias("v"))
+            .unionAll(assigned.select(F.col("dst").alias("v")))
+            .distinct()
+            .count()
+        )
+    if m is None:
+        m = assigned.count()
+    sizes = bucket_sizes(assigned)
+    return sizes.agg(
+        (F.sum("n_replicas") / F.lit(float(n))).alias("rf"),
+        (F.max("n_replicas") / F.lit(n / p)).alias("s_v"),
+        (F.max("n_edges") / F.lit(m / p)).alias("s_e"),
+        (F.stddev_pop("n_replicas") / F.avg("n_replicas")).alias("sigma_v"),
+        (F.stddev_pop("n_edges") / F.avg("n_edges")).alias("sigma_e"),
+        (
+            (F.sum("n_replicas") * F.sum("n_replicas"))
+            / (F.count(F.lit(1)) * F.sum(F.col("n_replicas") * F.col("n_replicas")))
+        ).alias("jains_v"),
+    )
+
+
+def degree_decade_histogram(deg: DataFrame) -> DataFrame:
+    """Vertices per degree decade (1-10, 11-100, ...) —
+    src/hep_partitioner.cpp:79-147's extended-metrics histogram axis."""
+    return (
+        deg.select(
+            F.floor(F.log10(F.col("degree").cast("double"))).cast("long").alias("decade")
+        )
+        .groupBy("decade")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+        .orderBy("decade")
+    )
+
+
+def validate_partition(
+    edges: DataFrame,
+    assigned: DataFrame,
+    p: int,
+    k: int | None = None,
+    subbuckets_per_final: DataFrame | None = None,
+) -> dict:
+    """The reference CHECK suite as anti-join emptiness checks (SURVEY.md §5):
+
+    - every edge assigned exactly once (CHECK_EQ(assigned_edges, num_edges),
+      ne_partitioner.cpp:179 / fsm_partitioner.cpp:317)
+    - no null / out-of-range bucket
+    - every vertex replicated somewhere (check_edge, fsm_partitioner.hpp:194-227)
+
+    Returns a dict of violation counts (all 0 == valid); raises nothing —
+    callers assert.
+    """
+    m = edges.count()
+    m_assigned = assigned.count()
+    null_or_oob = assigned.where(
+        F.col("bucket").isNull() | (F.col("bucket") < 0) | (F.col("bucket") >= p)
+    ).count()
+    missing_edges = edges.join(assigned, ["src", "dst"], "left_anti").count()
+    dup_assigned = (
+        assigned.groupBy("src", "dst").count().where(F.col("count") > 1).count()
+    )
+    verts = (
+        edges.select(F.col("src").alias("vertex"))
+        .unionAll(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    uncovered = verts.join(replica_sets(assigned), "vertex", "left_anti").count()
+    out = {
+        "edge_count_delta": m_assigned - m,
+        "null_or_out_of_range_bucket": null_or_oob,
+        "missing_edges": missing_edges,
+        "duplicate_assignments": dup_assigned,
+        "uncovered_vertices": uncovered,
+    }
+    if k is not None and subbuckets_per_final is not None:
+        # fast/precise merge caps k sub-buckets per final bucket
+        # (fsm_partitioner.cpp:153,186)
+        out["overfull_final_buckets"] = subbuckets_per_final.where(
+            F.col("n_subbuckets") > k
+        ).count()
+    return out

@@ -1,0 +1,10 @@
+from .edges import (  # noqa: F401
+    canonicalize_edges,
+    degrees,
+    edges_from_lineitem,
+    edges_from_repos,
+    renumber_edges,
+    vertices_of,
+)
+from .repos import make_repos_df, repos_pandas  # noqa: F401
+from .synthetic import powerlaw_edges_pdf, tiny_graph_pdf  # noqa: F401

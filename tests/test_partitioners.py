@@ -1,0 +1,111 @@
+"""Partitioner invariants — the reference's CHECK suite (SURVEY.md §5) on
+deterministic synthetic graphs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from split_merge_partitioner_spark.operators import (
+    dbh_partition,
+    fsm_partition,
+    hdrf_partition,
+    hybrid_partition,
+    partition_stats,
+    validate_partition,
+)
+from split_merge_partitioner_spark.sources import powerlaw_edges_pdf, tiny_graph_pdf
+
+
+@pytest.fixture(scope="module")
+def powerlaw(spark):
+    e = spark.createDataFrame(powerlaw_edges_pdf(n=800, m_per_node=6)).persist()
+    e.count()
+    return e
+
+
+def _assert_valid(edges, assigned, p, **kw):
+    v = validate_partition(edges, assigned, p, **kw)
+    assert all(x == 0 for x in v.values()), v
+
+
+def test_dbh_invariants(spark, powerlaw):
+    p = 8
+    a = dbh_partition(powerlaw, p).persist()
+    _assert_valid(powerlaw, a, p)
+    # DBH is perfectly deterministic: same input -> same assignment
+    a2 = dbh_partition(powerlaw, p)
+    assert a.exceptAll(a2).count() == 0
+
+
+def test_dbh_matches_reference_rule(spark):
+    """bucket = (deg_u <= deg_v ? u : v) % p — src/dbh_partitioner.cpp:80-83."""
+    e = spark.createDataFrame(tiny_graph_pdf())
+    got = dbh_partition(e, 3).toPandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    t = tiny_graph_pdf()
+    deg = pd.concat([t.src, t.dst]).value_counts()
+    t = t.assign(
+        bucket=np.where(deg[t.src].values <= deg[t.dst].values, t.src, t.dst) % 3
+    ).sort_values(["src", "dst"]).reset_index(drop=True)
+    assert got["bucket"].tolist() == t["bucket"].astype("int64").tolist()
+
+
+def test_hybrid_invariants(spark, powerlaw):
+    p = 8
+    a = hybrid_partition(powerlaw, p, threshold=10)
+    _assert_valid(powerlaw, a, p)
+
+
+def test_hdrf_invariants(spark, powerlaw):
+    p = 8
+    a = hdrf_partition(powerlaw, p).persist()
+    _assert_valid(powerlaw, a, p)
+    # balance term keeps edge counts sane
+    sizes = a.groupBy("bucket").count().toPandas()["count"]
+    assert sizes.max() / sizes.mean() < 2.0
+
+
+@pytest.mark.parametrize("merge", ["fast", "precise"])
+@pytest.mark.parametrize("splitter", ["dbh", "ne_local"])
+def test_fsm_invariants(spark, powerlaw, merge, splitter):
+    p, k = 8, 2
+    res = fsm_partition(powerlaw, p=p, k=k, merge=merge, splitter=splitter)
+    a = res.assigned.persist()
+    _assert_valid(powerlaw, a, p)
+    # merge respects the k-per-final-bucket cap (fsm_partitioner.cpp:153,186)
+    assert max(res.subbuckets_per_final.values()) <= k
+    assert set(res.merge_map.keys()) == set(range(p * k))
+    assert set(res.merge_map.values()) <= set(range(p))
+    a.unpersist()
+
+
+def test_fsm_improves_or_matches_split_balance(spark, powerlaw):
+    """The point of FSM: dual balance. Final vertex balance should beat the
+    raw k*p sub-buckets' worst-case scaled balance and edges stay balanced."""
+    p, k = 8, 2
+    res = fsm_partition(powerlaw, p=p, k=k, merge="precise", splitter="ne_local")
+    st = partition_stats(res.assigned, p=p).toPandas().iloc[0]
+    # dual balance: both max/avg ratios tight.  s_v is max|V_b|/(n/p) per the
+    # reference (partitioner.hpp:71-72) so it carries the RF factor; balance
+    # proper is s_v/rf (= max/avg replicas).
+    assert st.s_e <= 1.3
+    assert st.s_v / st.rf <= 1.3
+    assert st.sigma_v <= 0.15 and st.sigma_e <= 0.15
+    assert st.rf >= 1.0
+
+
+def test_stats_formulas(spark):
+    """Hand-check F6 formulas on a fixed assignment."""
+    pdf = pd.DataFrame(
+        {"src": [0, 0, 1, 2], "dst": [1, 2, 2, 3], "bucket": [0, 0, 1, 1]}
+    )
+    a = spark.createDataFrame(pdf)
+    st = partition_stats(a, p=2).toPandas().iloc[0]
+    # bucket0 replicas {0,1,2}=3, bucket1 {1,2,3}=3; n=4, m=4
+    assert st.rf == pytest.approx(6 / 4)
+    assert st.s_v == pytest.approx(3 / (4 / 2))
+    assert st.s_e == pytest.approx(2 / (4 / 2))
+    assert st.sigma_v == pytest.approx(0.0)
+    assert st.sigma_e == pytest.approx(0.0)
+    assert st.jains_v == pytest.approx(1.0)
