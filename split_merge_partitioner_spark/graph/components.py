@@ -1,0 +1,92 @@
+"""Connected components: min-label propagation to exact fixpoint.
+
+component(v) = min vertex id reachable from v (FIXTURES.md F7).  Same GAS
+machinery as PageRank with a MIN combiner; converges in O(diameter) supersteps
+on the small-diameter power-law graphs the reference targets.  Exact-match
+oracle: NumPy union-find (tests/oracles.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .gas import truncate
+
+
+def _min_label_kernel(key: tuple, state: pd.DataFrame, edges: pd.DataFrame) -> pd.DataFrame:
+    if len(edges) == 0 or len(state) == 0:
+        return pd.DataFrame({"vertex": np.empty(0, np.int64), "partial": np.empty(0, np.int64)})
+    verts = state["vertex"].to_numpy(np.int64)
+    order = np.argsort(verts, kind="stable")
+    verts = verts[order]
+    lab = state["label"].to_numpy(np.int64)[order]
+    s = np.searchsorted(verts, edges["src"].to_numpy(np.int64))
+    d = np.searchsorted(verts, edges["dst"].to_numpy(np.int64))
+    partial = lab.copy()
+    np.minimum.at(partial, d, lab[s])
+    np.minimum.at(partial, s, lab[d])
+    return pd.DataFrame({"vertex": verts, "partial": partial})
+
+
+def connected_components(
+    edges: DataFrame,
+    assigned: DataFrame | None = None,
+    replicas: DataFrame | None = None,
+    mode: str = "gas",
+    max_iter: int = 200,
+) -> tuple[DataFrame, dict]:
+    """Returns ((vertex, component), info).  Exact fixpoint."""
+    from ..sources.edges import vertices_of
+
+    state = vertices_of(edges).select("vertex", F.col("vertex").alias("label")).persist()
+    state.count()
+    if mode == "gas":
+        assert assigned is not None
+        if replicas is None:
+            from ..operators.stats import replica_sets
+
+            replicas = replica_sets(assigned)
+        replicas = replicas.persist()
+        # aliased key: avoids ambiguous-attribute cogroup (shared lineage)
+        edges_by_bucket = assigned.select(F.col("bucket").alias("ebkt"), "src", "dst").persist()
+        edges_by_bucket.count()
+
+    info = {"iterations": 0, "converged": False}
+    for it in range(max_iter):
+        if mode == "gas":
+            mirror = replicas.join(state, "vertex").select("bucket", "vertex", "label")
+            partials = (
+                mirror.groupby("bucket")
+                .cogroup(edges_by_bucket.groupby("ebkt"))
+                .applyInPandas(_min_label_kernel, schema="vertex long, partial long")
+            )
+            gathered = partials.groupBy("vertex").agg(F.min("partial").alias("new_label"))
+        else:
+            lab_s = state.withColumnRenamed("vertex", "src").withColumnRenamed("label", "ls")
+            lab_d = state.withColumnRenamed("vertex", "dst").withColumnRenamed("label", "ld")
+            both = edges.join(lab_s, "src").join(lab_d, "dst")
+            gathered = (
+                both.select(F.col("src").alias("vertex"), F.least("ls", "ld").alias("new_label"))
+                .unionAll(both.select(F.col("dst").alias("vertex"), F.least("ls", "ld").alias("new_label")))
+                .groupBy("vertex")
+                .agg(F.min("new_label").alias("new_label"))
+            )
+        new_state = state.join(gathered, "vertex", "left").select(
+            "vertex", F.least(F.col("label"), F.coalesce("new_label", "label")).alias("label")
+        )
+        prev = state
+        state = truncate(new_state, None)
+        changed = (
+            state.join(prev.select("vertex", F.col("label").alias("old")), "vertex")
+            .where(F.col("label") != F.col("old"))
+            .count()
+        )
+        prev.unpersist()
+        info["iterations"] = it + 1
+        if changed == 0:
+            info["converged"] = True
+            break
+    return state.select("vertex", F.col("label").alias("component")), info

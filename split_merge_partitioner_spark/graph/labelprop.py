@@ -1,0 +1,96 @@
+"""Synchronous label propagation (community detection flavor).
+
+Each superstep every vertex adopts the most frequent label among its
+neighbors, ties broken by MIN label; labels init to vertex id; fixed number of
+supersteps (synchronous LP can oscillate, so the contract is
+iteration-count-exact, matching the NumPy oracle step for step).
+
+The mode/count aggregation is two-level: per-bucket partial (vertex, label,
+cnt) from the CSR kernel, then global groupBy(vertex, label).sum ->
+argmax-with-min-tie via a single max(struct(cnt, -label)) aggregation — no
+window, one shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .gas import at_boundary, truncate
+
+
+def _label_count_kernel(key: tuple, state: pd.DataFrame, edges: pd.DataFrame) -> pd.DataFrame:
+    if len(edges) == 0 or len(state) == 0:
+        return pd.DataFrame(
+            {"vertex": np.empty(0, np.int64), "label": np.empty(0, np.int64), "cnt": np.empty(0, np.int64)}
+        )
+    verts = state["vertex"].to_numpy(np.int64)
+    order = np.argsort(verts, kind="stable")
+    verts = verts[order]
+    lab = state["label"].to_numpy(np.int64)[order]
+    s = np.searchsorted(verts, edges["src"].to_numpy(np.int64))
+    d = np.searchsorted(verts, edges["dst"].to_numpy(np.int64))
+    # neighbor-label multiset per vertex: (receiver, neighbor_label) pairs
+    recv = np.concatenate([d, s])
+    nlab = np.concatenate([lab[s], lab[d]])
+    df = pd.DataFrame({"vertex": verts[recv], "label": nlab})
+    out = df.groupby(["vertex", "label"], sort=False).size().reset_index(name="cnt")
+    return out.astype({"vertex": np.int64, "label": np.int64, "cnt": np.int64})
+
+
+def label_propagation(
+    edges: DataFrame,
+    assigned: DataFrame | None = None,
+    replicas: DataFrame | None = None,
+    n_iter: int = 5,
+    mode: str = "gas",
+) -> DataFrame:
+    """Returns (vertex, label) after exactly n_iter synchronous supersteps."""
+    from ..sources.edges import vertices_of
+
+    state = vertices_of(edges).select("vertex", F.col("vertex").alias("label")).persist()
+    state.count()
+    if mode == "gas":
+        assert assigned is not None
+        if replicas is None:
+            from ..operators.stats import replica_sets
+
+            replicas = replica_sets(assigned)
+        replicas = replicas.persist()
+        # aliased key: avoids ambiguous-attribute cogroup (shared lineage)
+        edges_by_bucket = assigned.select(F.col("bucket").alias("ebkt"), "src", "dst").persist()
+        edges_by_bucket.count()
+
+    for it in range(n_iter):
+        if mode == "gas":
+            mirror = replicas.join(state, "vertex").select("bucket", "vertex", "label")
+            partials = (
+                mirror.groupby("bucket")
+                .cogroup(edges_by_bucket.groupby("ebkt"))
+                .applyInPandas(_label_count_kernel, schema="vertex long, label long, cnt long")
+            )
+        else:
+            lab_s = state.withColumnRenamed("vertex", "src").withColumnRenamed("label", "ls")
+            lab_d = state.withColumnRenamed("vertex", "dst").withColumnRenamed("label", "ld")
+            both = edges.join(lab_s, "src").join(lab_d, "dst")
+            partials = (
+                both.select(F.col("src").alias("vertex"), F.col("ld").alias("label"))
+                .unionAll(both.select(F.col("dst").alias("vertex"), F.col("ls").alias("label")))
+                .groupBy("vertex", "label")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+        # argmax count, tie -> min label: max(struct(cnt, -label))
+        best = (
+            partials.groupBy("vertex", "label")
+            .agg(F.sum("cnt").alias("cnt"))
+            .groupBy("vertex")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("m"))
+            .select("vertex", (-F.col("m.neg")).alias("new_label"))
+        )
+        new_state = state.join(best, "vertex", "left").select(
+            "vertex", F.coalesce("new_label", "label").alias("label")
+        )
+        state = truncate(new_state, state) if at_boundary(it, 3) else new_state
+    return state.select("vertex", "label")

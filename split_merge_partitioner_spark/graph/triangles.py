@@ -1,0 +1,56 @@
+"""Exact triangle counting.
+
+Canonical oriented edges (src < dst, deduped) make every triangle a<b<c appear
+exactly once as the wedge (a,b),(b,c) closed by (a,c) — two self-joins, fully
+Catalyst-planned (and SQL-expressible, so the DuckDB oracle covers it).
+
+For skew (hub wedge explosion) at scale: orient by DEGREE instead of id
+(lower-degree vertex first) before the wedge join — the standard
+wedge-count-minimizing trick; exposed via orient="degree".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.edges import degrees as degrees_of
+
+
+def _oriented(edges: DataFrame, orient: str) -> DataFrame:
+    if orient == "id":
+        return edges.select("src", "dst")  # already canonical src<dst
+    deg = F.broadcast(degrees_of(edges))
+    e = (
+        edges.join(deg.withColumnRenamed("vertex", "src").withColumnRenamed("degree", "ds"), "src")
+        .join(deg.withColumnRenamed("vertex", "dst").withColumnRenamed("degree", "dd"), "dst")
+    )
+    first = (F.col("ds") < F.col("dd")) | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst")))
+    return e.select(
+        F.when(first, F.col("src")).otherwise(F.col("dst")).alias("src"),
+        F.when(first, F.col("dst")).otherwise(F.col("src")).alias("dst"),
+    )
+
+
+def triangle_count(edges: DataFrame, orient: str = "id") -> int:
+    e = _oriented(edges, orient)
+    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    wedges = ab.join(bc, "b")
+    return wedges.join(ac, ["a", "c"]).count()
+
+
+def triangles_per_vertex(edges: DataFrame) -> DataFrame:
+    """(vertex, triangles) — each closed triangle credited to all 3 corners."""
+    e = _oriented(edges, "id")
+    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])  # rows (a, b, c), a<b<c
+    corners = (
+        tri.select(F.col("a").alias("vertex"))
+        .unionAll(tri.select(F.col("b").alias("vertex")))
+        .unionAll(tri.select(F.col("c").alias("vertex")))
+    )
+    return corners.groupBy("vertex").agg(F.count(F.lit(1)).alias("triangles"))

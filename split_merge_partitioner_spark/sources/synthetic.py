@@ -11,8 +11,8 @@ import pandas as pd
 
 # F2.1 tiny-handmade: n=8, m=12 — two squares joined by a bridge, plus chords.
 _TINY = [
-    (0, 1), (1, 2), (2, 3), (3, 0), (0, 2),          # square A + chord
-    (4, 5), (5, 6), (6, 7), (7, 4), (5, 7),          # square B + chord
+    (0, 1), (1, 2), (2, 3), (0, 3), (0, 2),          # square A + chord
+    (4, 5), (5, 6), (6, 7), (4, 7), (5, 7),          # square B + chord
     (3, 4),                                          # bridge
     (1, 3),                                          # extra chord in A
 ]

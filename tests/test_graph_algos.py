@@ -1,0 +1,117 @@
+"""Iterative analytics vs NumPy oracles (north_rule correctness targets):
+PageRank allclose 1e-6, CC/LP exact, triangles exact — and invariance of the
+results across partitioner choice."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from split_merge_partitioner_spark.graph import (
+    connected_components,
+    label_propagation,
+    pagerank,
+    triangle_count,
+    triangles_per_vertex,
+)
+from split_merge_partitioner_spark.operators import dbh_partition, fsm_partition
+from split_merge_partitioner_spark.sources import powerlaw_edges_pdf, tiny_graph_pdf
+from tests.oracles import (
+    components_oracle,
+    label_propagation_oracle,
+    pagerank_oracle,
+    triangle_count_oracle,
+)
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    pdf = powerlaw_edges_pdf(n=300, m_per_node=4)
+    # add a second small component to exercise CC properly
+    extra = pd.DataFrame({"src": [1000, 1001, 1000], "dst": [1001, 1002, 1002]})
+    pdf = pd.concat([pdf, extra], ignore_index=True)
+    edges = spark.createDataFrame(pdf).persist()
+    edges.count()
+    assigned = fsm_partition(edges, p=4, k=2, merge="fast", splitter="ne_local").assigned.persist()
+    assigned.count()
+    return pdf, edges, assigned
+
+
+def _ranks_np(df):
+    p = df.toPandas().sort_values("vertex")
+    return p["vertex"].to_numpy(), p.iloc[:, 1].to_numpy()
+
+
+def test_pagerank_converged_allclose_1e6(spark, graph):
+    """north_rule: PageRank allclose 1e-6 at convergence (GAS over FSM parts).
+
+    Spark converges at block-delta 1e-7; remaining distance to the fixpoint is
+    bounded by delta/(1-d) ~ 6.7e-7 < 1e-6 vs the tightly-converged oracle."""
+    pdf, edges, assigned = graph
+    ranks, info = pagerank(edges, assigned=assigned, mode="gas", tol=1e-7, max_iter=300)
+    v_got, r_got = _ranks_np(ranks)
+    oracle = pagerank_oracle(pdf, tol=1e-13)
+    assert info["converged"]
+    np.testing.assert_array_equal(v_got, oracle.vertex.to_numpy())
+    np.testing.assert_allclose(r_got, oracle["rank"].to_numpy(), atol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["gas", "join"])
+def test_pagerank_fixed_iterations_exact(spark, graph, mode):
+    """Step-for-step computational equivalence with the oracle (20 supersteps,
+    no convergence short-circuit) — catches any semantic drift."""
+    pdf, edges, assigned = graph
+    ranks, _ = pagerank(edges, assigned=assigned, mode=mode, tol=0.0, max_iter=20)
+    v_got, r_got = _ranks_np(ranks)
+    oracle = pagerank_oracle(pdf, tol=-1.0, max_iter=20)
+    np.testing.assert_allclose(r_got, oracle["rank"].to_numpy(), atol=1e-12)
+
+
+def test_pagerank_invariant_to_partitioner(spark, graph):
+    pdf, edges, _ = graph
+    a_dbh = dbh_partition(edges, 4)
+    ranks, _ = pagerank(edges, assigned=a_dbh, mode="gas", tol=0.0, max_iter=20)
+    v_got, r_got = _ranks_np(ranks)
+    oracle = pagerank_oracle(pdf, tol=-1.0, max_iter=20)
+    np.testing.assert_allclose(r_got, oracle["rank"].to_numpy(), atol=1e-12)
+
+
+@pytest.mark.parametrize("mode", ["gas", "join"])
+def test_connected_components_exact(spark, graph, mode):
+    pdf, edges, assigned = graph
+    comps, info = connected_components(edges, assigned=assigned, mode=mode)
+    assert info["converged"]
+    got = comps.toPandas().sort_values("vertex").reset_index(drop=True)
+    exp = components_oracle(pdf).sort_values("vertex").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # the planted extra component is found
+    assert got.set_index("vertex").loc[1002, "component"] == 1000
+
+
+@pytest.mark.parametrize("mode", ["gas", "join"])
+def test_label_propagation_exact(spark, graph, mode):
+    pdf, edges, assigned = graph
+    got = (
+        label_propagation(edges, assigned=assigned, n_iter=4, mode=mode)
+        .toPandas()
+        .sort_values("vertex")
+        .reset_index(drop=True)
+    )
+    exp = label_propagation_oracle(pdf, n_iter=4).sort_values("vertex").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_triangles_exact(spark, graph):
+    pdf, edges, _ = graph
+    assert triangle_count(edges) == triangle_count_oracle(pdf)
+    assert triangle_count(edges, orient="degree") == triangle_count_oracle(pdf)
+    per_v = triangles_per_vertex(edges).agg({"triangles": "sum"}).collect()[0][0]
+    assert per_v == 3 * triangle_count_oracle(pdf)
+
+
+def test_triangles_tiny_by_hand(spark):
+    # tiny graph: square A (0,1,2,3 + chords 0-2, 1-3) has 4 triangles;
+    # square B (4,5,6,7 + chord 5-7) has 2; bridge adds none.
+    e = spark.createDataFrame(tiny_graph_pdf())
+    assert triangle_count(e) == 6
