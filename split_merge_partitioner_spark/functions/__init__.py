@@ -1,0 +1,9 @@
+from .dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from .hashing import rolling_fingerprint, sha256_udf, verify_content_sha256  # noqa: F401
+from .similarity import brute_force_knn, lsh_knn  # noqa: F401
+from .text import language_id, text_quality, token_stats  # noqa: F401

@@ -1,0 +1,133 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute_force_knn: exact cosine top-k via a blocked cross join — the baseline
+  and oracle.  The dot product is JVM-side (zip_with + aggregate), no UDF.
+- lsh_knn: random-hyperplane LSH bucketing (SimHash for vectors): only pairs
+  sharing a bucket are scored — the scale path; recall < 1 by design, tested
+  against the brute-force baseline.
+
+Embeddings are L2-normalized once up front so cosine == dot.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _dot(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def normalize(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(vec_col, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+    return emb.withColumn(
+        vec_col,
+        F.transform(vec_col, lambda x: x / F.greatest(norm, F.lit(1e-12))),
+    )
+
+
+def brute_force_knn(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank) — exact top-k for every query
+    (defaults: all vectors as queries, excluding self).  Ties broken by
+    neighbor id.  At scale: broadcast the (smaller) query side and let the
+    corpus stream; the per-row cost is the JVM dot product."""
+    corpus = normalize(emb, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    q = normalize(queries if queries is not None else emb, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(corpus, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot("qvec", "cvec"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _hyperplane_udf(dim: int, n_planes: int, seed: int):
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+
+    @pandas_udf("long")
+    def bucket(vec: pd.Series) -> pd.Series:
+        m = np.vstack(vec.to_numpy())
+        bits = (m @ planes.T) > 0
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        return pd.Series((bits @ weights).astype(np.int64))
+
+    return bucket
+
+
+def lsh_knn(
+    emb: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: union of n_tables random-hyperplane bucketings;
+    score only same-bucket pairs.  Shuffle volume ~ n_docs * n_tables."""
+    normed = normalize(emb, vec_col).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    ).persist()
+    dim = len(normed.first()["vec"])
+    tables = []
+    for t in range(n_tables):
+        budf = _hyperplane_udf(dim, n_planes, seed + 1000 * t)
+        tables.append(
+            normed.select("vid", "vec", budf("vec").alias("bk"), F.lit(t).alias("tbl"))
+        )
+    buckets = tables[0]
+    for tbl in tables[1:]:
+        buckets = buckets.unionAll(tbl)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.vid") != F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("query_id"),
+            F.col("b.vid").alias("neighbor_id"),
+            F.col("a.vec").alias("qvec"),
+            F.col("b.vec").alias("cvec"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id", F.round(_dot("qvec", "cvec"), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )

@@ -1,0 +1,94 @@
+"""Text analysis over the documents table: token stats, quality scoring,
+language identification.  Everything here is built from JVM-side
+pyspark.sql.functions (whole-stage codegen, no UDF) and designed to be
+SQL-portable so the DuckDB oracle can replicate it exactly."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker lists for the n-gram-free heuristic;
+# chosen to be unambiguous across the four langs.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " nicht "],
+    "fr": [" le ", " et ", " les "],
+    "es": [" el ", " los ", " de la "],
+}
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, n_tokens, avg_token_len).
+
+    n_tokens = whitespace-delimited words, computed portably as
+    (#spaces + 1) on the squeezed string — identical semantics in ANSI SQL.
+    """
+    t = F.trim(F.col(text_col))
+    squeezed = F.regexp_replace(t, " +", " ")
+    n_tokens = (
+        F.when(F.length(squeezed) == 0, F.lit(0)).otherwise(
+            F.length(squeezed) - F.length(F.replace(squeezed, F.lit(" "), F.lit(""))) + 1
+        )
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(
+            (F.length(F.replace(squeezed, F.lit(" "), F.lit(""))) / F.greatest(n_tokens, F.lit(1))),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def text_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, punct_ratio, upper_ratio, digit_ratio, quality_score).
+
+    A length/punctuation/character-class heuristic in the spirit of
+    C4/Gopher-style quality filters, restricted to SQL-portable primitives:
+    character-class counts via regexp_replace deletion.
+    """
+    t = F.col(text_col)
+    n = F.greatest(F.length(t), F.lit(1)).cast("double")
+    punct = (F.length(t) - F.length(F.regexp_replace(t, r"[.,;:!?]", ""))).cast("double")
+    upper = (F.length(t) - F.length(F.regexp_replace(t, r"[A-Z]", ""))).cast("double")
+    digit = (F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))).cast("double")
+    quality = (
+        F.lit(1.0)
+        - F.least(F.lit(1.0), punct / n * 10.0) * 0.3
+        - F.least(F.lit(1.0), digit / n * 10.0) * 0.3
+        - F.when(F.length(t) < 100, 0.4).otherwise(0.0)
+    )
+    return docs.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars"),
+        F.round(punct / n, 6).alias("punct_ratio"),
+        F.round(upper / n, 6).alias("upper_ratio"),
+        F.round(digit / n, 6).alias("digit_ratio"),
+        F.round(quality, 6).alias("quality_score"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, lang_pred) — stopword-marker voting; 'unk' when no marker hits.
+    Deterministic ties: language order en > de > fr > es (first max wins)."""
+    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+
+    def score(lang: str):
+        cols = [
+            (F.length(padded) - F.length(F.replace(padded, F.lit(m), F.lit("")))) / F.lit(len(m))
+            for m in LANG_MARKERS[lang]
+        ]
+        s = cols[0]
+        for c in cols[1:]:
+            s = s + c
+        return s.cast("long").alias(f"score_{lang}")
+
+    scored = docs.select("doc_id", *[score(lang) for lang in LANG_MARKERS])
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.when(best <= 0, F.lit("unk"))
+    for lang in langs:
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return scored.select("doc_id", pred.alias("lang_pred"))

@@ -1,0 +1,187 @@
+"""Training-data pipeline functions vs pandas/NumPy oracles on the driver's
+documents/embeddings tables."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from split_merge_partitioner_spark.functions import (
+    brute_force_knn,
+    exact_dedup,
+    language_id,
+    lsh_knn,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    rolling_fingerprint,
+    sha256_udf,
+    simhash_near_duplicates,
+    text_quality,
+    token_stats,
+    verify_content_sha256,
+)
+from split_merge_partitioner_spark.functions.hashing import polynomial_fingerprint
+from split_merge_partitioner_spark.functions.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    make_media_df,
+)
+from split_merge_partitioner_spark.sources import make_repos_df
+from tests.conftest import SF_DIR_CORRECTNESS
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = spark.read.parquet(f"{SF_DIR_CORRECTNESS}/documents.parquet").persist()
+    d.count()
+    return d
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    e = spark.read.parquet(f"{SF_DIR_CORRECTNESS}/embeddings.parquet").persist()
+    e.count()
+    return e
+
+
+def test_sha256_invariant(spark):
+    repos = make_repos_df(spark, n_repos=40)
+    assert verify_content_sha256(repos).count() == 0
+    one = repos.select("content", sha256_udf("content").alias("h")).first()
+    assert one["h"] == hashlib.sha256(one["content"].encode()).hexdigest()
+
+
+def test_rolling_fingerprint_deterministic(spark, docs):
+    f1 = docs.select("doc_id", rolling_fingerprint("text").alias("fp")).toPandas()
+    sample = docs.select("doc_id", "text").limit(20).toPandas()
+    for _, row in sample.iterrows():
+        assert polynomial_fingerprint(row.text) == int(
+            f1.set_index("doc_id").loc[row.doc_id, "fp"]
+        )
+    # identical texts -> identical fingerprints
+    assert f1.fp.notna().all()
+
+
+def test_exact_dedup_vs_pandas(spark, docs):
+    got = exact_dedup(docs).toPandas()
+    pdf = docs.toPandas()
+    exp = pdf.groupby("text").agg(keeper_id=("doc_id", "min"), n=("doc_id", "size"))
+    assert len(got) == len(exp)
+    assert got.n_copies.sum() == len(pdf)
+    assert set(got.keeper_id) == set(exp.keeper_id)
+
+
+def test_token_stats_vs_pandas(spark, docs):
+    got = token_stats(docs).toPandas().set_index("doc_id").sort_index()
+    pdf = docs.toPandas().set_index("doc_id").sort_index()
+    exp_tokens = pdf.text.map(lambda s: len(s.split(" ")) if s.strip() else 0)
+    # engine counts whitespace-squeezed space-delimited tokens
+    exp_tokens = pdf.text.map(lambda s: len([t for t in s.strip().split(" ") if t]) if s.strip() else 0)
+    assert (got.n_chars == pdf.text.str.len()).all()
+    assert (got.n_tokens == exp_tokens).all()
+
+
+def test_text_quality_ranges(spark, docs):
+    q = text_quality(docs).toPandas()
+    assert ((q.punct_ratio >= 0) & (q.punct_ratio <= 1)).all()
+    assert ((q.digit_ratio >= 0) & (q.digit_ratio <= 1)).all()
+    assert q.quality_score.between(-1.0, 1.0).all()
+
+
+def test_language_id_schema(spark, docs):
+    out = language_id(docs).toPandas()
+    assert set(out.lang_pred.unique()) <= {"en", "de", "fr", "es", "unk"}
+    assert len(out) == docs.count()
+
+
+def test_ngram_jaccard_vs_pandas(spark, docs):
+    small = docs.limit(60).persist()
+    got = ngram_jaccard_pairs(small, n=5, threshold=0.3).toPandas()
+    pdf = small.toPandas()
+    sh = {
+        r.doc_id: {r.text[i : i + 5] for i in range(max(len(r.text) - 4, 0))}
+        for r in pdf.itertuples()
+    }
+    ids = sorted(sh)
+    exp = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            if inter == 0:
+                continue
+            j = inter / len(sh[a] | sh[b])
+            if round(j, 6) >= 0.3:
+                exp.append((a, b, round(j, 6)))
+    got_set = {(r.doc_a, r.doc_b, r.jaccard) for r in got.itertuples()}
+    assert got_set == set(exp)
+
+
+def test_minhash_finds_near_dups(spark):
+    # planted near-duplicates: same base text with small edits
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    rows = [(0, base), (1, base[:-6] + "cat"), (2, "completely different text " * 12), (3, base)]
+    d = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = minhash_near_duplicates(d, threshold=0.5).toPandas()
+    pairs = {tuple(sorted((r.doc_a, r.doc_b))) for r in got.itertuples()}
+    assert (0, 3) in pairs  # identical
+    assert (0, 1) in pairs or (1, 3) in pairs  # near-dup
+    assert not any(2 in p for p in pairs)
+
+
+def test_simhash_finds_near_dups(spark):
+    # many distinct tokens so a 1-token edit flips few simhash bits
+    base = " ".join(f"tok{i}" for i in range(80))
+    rows = [(0, base), (1, base + " extra"), (2, " ".join(f"other{i}" for i in range(80)))]
+    d = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = simhash_near_duplicates(d, max_hamming=8).toPandas()
+    pairs = {tuple(sorted((r.doc_a, r.doc_b))) for r in got.itertuples()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs
+
+
+def test_brute_force_knn_vs_numpy(spark, emb):
+    sub = emb.limit(80).persist()
+    got = brute_force_knn(sub, k=3).toPandas()
+    pdf = sub.toPandas()
+    M = np.vstack(pdf.embedding.to_numpy()).astype(np.float64)
+    M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    S = M @ M.T
+    ids = pdf.vec_id.to_numpy()
+    for qi, qid in enumerate(ids):
+        sims = [(round(S[qi, j], 6), -int(ids[j])) for j in range(len(ids)) if j != qi]
+        sims.sort(key=lambda t: (-t[0], -t[1]))
+        exp_neighbors = [-t[1] for t in sims[:3]]
+        got_n = got[got.query_id == qid].sort_values("rank").neighbor_id.tolist()
+        assert got_n == exp_neighbors, f"query {qid}"
+
+
+def test_lsh_knn_recall(spark, emb):
+    sub = emb.limit(120).persist()
+    exact = brute_force_knn(sub, k=3).toPandas()
+    approx = lsh_knn(sub, k=3, n_planes=3, n_tables=10).toPandas()
+    e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    assert recall > 0.5, recall
+
+
+def test_multimodal_plumbing(spark):
+    media = make_media_df(spark, n=24)
+    feats = extract_features(media, fake_decode=True).toPandas()
+    assert len(feats) == 24
+    assert (feats.n_bytes > 0).all()
+    assert feats.feature.str.len().eq(16).all()
+    # deterministic across runs
+    feats2 = extract_features(make_media_df(spark, n=24), fake_decode=True).toPandas()
+    pd.testing.assert_frame_equal(
+        feats.sort_values("media_id").reset_index(drop=True),
+        feats2.sort_values("media_id").reset_index(drop=True),
+    )
+    plan = frame_sample_plan(media, every_ms=5000).toPandas()
+    assert (plan.frame_ts_ms % 5000 == 0).all()
+    with pytest.raises(Exception):
+        extract_features(media, fake_decode=False).collect()
