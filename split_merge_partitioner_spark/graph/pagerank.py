@@ -52,16 +52,36 @@ def pagerank(
     damping: float = DAMPING,
     mode: str = "gas",
     check_every: int = 5,
+    ckpt=None,
+    resume: bool = False,
 ) -> tuple[DataFrame, dict]:
     """Returns (ranks DataFrame (vertex, rank), run info dict).
 
     For mode="gas", pass ``assigned`` (src, dst, bucket); replicas is derived
     if not given.  Ranks sum to ~1 (uniform init 1/n).
+
+    ckpt: optional CheckpointManager — per-boundary state + F8 metric rows are
+    written and the run resumes from the last complete superstep when
+    resume=True.
     """
+    import time as _time
+
     spark = edges.sparkSession
     deg = degrees_of(edges).persist()
     n = deg.count()
-    state = deg.select("vertex", "degree", (F.lit(1.0) / F.lit(float(n))).alias("rank")).persist()
+    start_it = 0
+    if ckpt is not None and resume and ckpt.latest_superstep() is not None:
+        start_it = ckpt.latest_superstep() + 1
+        state = (
+            ckpt.load_state(spark, start_it - 1)
+            .join(deg, "vertex")
+            .select("vertex", "degree", "rank")
+            .persist()
+        )
+    else:
+        state = deg.select(
+            "vertex", "degree", (F.lit(1.0) / F.lit(float(n))).alias("rank")
+        ).persist()
     state.count()
 
     if mode == "gas":
@@ -78,9 +98,17 @@ def pagerank(
         edges_by_bucket.count()
 
     base = (1.0 - damping) / n
-    info = {"iterations": 0, "converged": False, "n": n}
+    info = {"iterations": start_it, "converged": False, "n": n}
     last_checkpoint = state  # state at the previous boundary (for block delta)
-    for it in range(max_iter):
+    m_edges = None
+    per_partition = None
+    if ckpt is not None and mode == "gas":
+        from ..operators.stats import bucket_sizes
+
+        m_edges = assigned.count()
+        per_partition = bucket_sizes(assigned).persist()
+    block_t0 = _time.monotonic()
+    for it in range(start_it, max_iter):
         if mode == "gas":
             mirror = replicas.join(state, "vertex").select("bucket", "vertex", "rank", "degree")
             partials = (
@@ -113,6 +141,7 @@ def pagerank(
             prev = last_checkpoint
             state = truncate(state, None)
             last_checkpoint = state
+            delta = None
             if tol > 0:
                 # block delta over check_every supersteps — conservative
                 delta = (
@@ -120,12 +149,21 @@ def pagerank(
                     .agg(F.max(F.abs(F.col("rank") - F.col("old"))).alias("d"))
                     .collect()[0]["d"]
                 )
-                prev.unpersist()
-                if delta is not None and delta <= tol:
-                    info["converged"] = True
-                    info["delta"] = float(delta)
-                    break
-            else:
-                prev.unpersist()
+            prev.unpersist()
+            if ckpt is not None:
+                elapsed = max(_time.monotonic() - block_t0, 1e-9)
+                eps = (m_edges or 0) * check_every / elapsed
+                ckpt.save_superstep(
+                    it,
+                    state.select("vertex", "rank"),
+                    per_partition,
+                    None if delta is None else float(delta),
+                    eps,
+                )
+                block_t0 = _time.monotonic()
+            if delta is not None and delta <= tol:
+                info["converged"] = True
+                info["delta"] = float(delta)
+                break
     deg.unpersist()
     return state.select("vertex", "rank"), info
