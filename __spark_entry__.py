@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship: derive the co-occurrence edge table from sf0.001,
+                run the FSM split-merge partitioner, return the dual-balance
+                metrics joined with per-partition sizes.
+queries()     — one entry per implemented operator (SURVEY.md §2 + the
+                training-data pipeline ops); each callable(spark, sf_dir).
+oracle_sql()  — DuckDB-equivalent ANSI SQL per query (omitted only for the
+                genuinely non-SQL-expressible iterative/approx operators,
+                which are covered by NumPy-oracle pytest instead).
+
+Column names AND dtypes are aligned between both sides; every aggregate is
+aliased identically; all doubles are rounded to 6 decimals on both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +18,500 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+P_DEFAULT = 8
+
+# shared SQL fragment: the co-occurrence edge table over the TPC-H-ish tables
+# (customer--supplier pairs co-occurring in lineitem x orders; disjoint id
+# spaces via +1000000 on the supplier side; src<dst canonical by construction)
+_EDGES_CTE = """
+edges AS (
+    SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS src,
+                    CAST(l.l_suppkey + 1000000 AS BIGINT) AS dst
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+"""
+
+_DEGREES_CTE = (
+    _EDGES_CTE
+    + """,
+verts AS (SELECT src AS vertex FROM edges UNION ALL SELECT dst FROM edges),
+degrees AS (SELECT vertex, CAST(COUNT(*) AS BIGINT) AS degree FROM verts GROUP BY vertex)
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# Spark-side helpers
+# ---------------------------------------------------------------------------
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from split_merge_partitioner_spark.sources import edges_from_lineitem
+
+    return edges_from_lineitem(spark, sf_dir)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from split_merge_partitioner_spark.operators import fsm_partition, partition_stats
+    from split_merge_partitioner_spark.operators.stats import bucket_sizes
 
+    edges = _edges(spark, "/root/testdata/sf0.001").persist()
+    res = fsm_partition(edges, p=P_DEFAULT, k=2, merge="precise", splitter="ne_local")
+    sizes = bucket_sizes(res.assigned)
+    stats = partition_stats(res.assigned, p=P_DEFAULT)
+    return sizes.crossJoin(stats.select(
+        F.round("rf", 6).alias("rf"),
+        F.round("s_v", 6).alias("s_v"),
+        F.round("s_e", 6).alias("s_e"),
+    )).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from split_merge_partitioner_spark.functions import (
+        brute_force_knn,
+        exact_dedup,
+        language_id,
+        minhash_near_duplicates,
+        ngram_jaccard_pairs,
+        rolling_fingerprint,
+        simhash_near_duplicates,
+        text_quality,
+        token_stats,
+    )
+    from split_merge_partitioner_spark.graph import (
+        connected_components,
+        pagerank,
+        triangle_count,
+        triangles_per_vertex,
+    )
+    from split_merge_partitioner_spark.operators import (
+        dbh_partition,
+        degree_decade_histogram,
+        fsm_partition,
+        hdrf_partition,
+        hybrid_partition,
+        partition_stats,
+    )
+    from split_merge_partitioner_spark.operators.stats import bucket_sizes, replica_sets
+    from split_merge_partitioner_spark.sources import degrees
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q_edges(spark, sf):
+        return _edges(spark, sf)
 
+    def q_degrees(spark, sf):
+        return degrees(_edges(spark, sf))
+
+    def q_degree_histogram(spark, sf):
+        return degree_decade_histogram(degrees(_edges(spark, sf)))
+
+    def q_dbh_assign(spark, sf):
+        return dbh_partition(_edges(spark, sf), P_DEFAULT)
+
+    def q_hybrid_assign(spark, sf):
+        return hybrid_partition(_edges(spark, sf), P_DEFAULT)
+
+    def q_dbh_replicas(spark, sf):
+        return replica_sets(dbh_partition(_edges(spark, sf), P_DEFAULT))
+
+    def q_dbh_stats(spark, sf):
+        st = partition_stats(dbh_partition(_edges(spark, sf), P_DEFAULT), p=P_DEFAULT)
+        return st.select(*[F.round(c, 6).alias(c) for c in st.columns])
+
+    def q_dbh_bucket_sizes(spark, sf):
+        return bucket_sizes(dbh_partition(_edges(spark, sf), P_DEFAULT))
+
+    def q_fsm_assign(spark, sf):
+        e = _edges(spark, sf).persist()
+        res = fsm_partition(e, p=P_DEFAULT, k=2, merge="precise", splitter="ne_local")
+        return res.assigned
+
+    def q_fsm_stats(spark, sf):
+        e = _edges(spark, sf).persist()
+        res = fsm_partition(e, p=P_DEFAULT, k=2, merge="precise", splitter="ne_local")
+        st = partition_stats(res.assigned, p=P_DEFAULT)
+        return st.select(*[F.round(c, 6).alias(c) for c in st.columns])
+
+    def q_hdrf_bucket_sizes(spark, sf):
+        # per-stream state => assignment is partition-dependent; sizes are the
+        # stable contract (rows-only driver check)
+        return bucket_sizes(hdrf_partition(_edges(spark, sf), P_DEFAULT))
+
+    def q_triangles(spark, sf):
+        cnt = triangle_count(_edges(spark, sf))
+        return spark.createDataFrame([(cnt,)], "n_triangles bigint")
+
+    def q_triangles_per_vertex(spark, sf):
+        return triangles_per_vertex(_edges(spark, sf))
+
+    def q_components(spark, sf):
+        e = _edges(spark, sf).persist()
+        from split_merge_partitioner_spark.operators import dbh_partition as dbh
+
+        comps, _ = connected_components(e, assigned=dbh(e, P_DEFAULT), mode="gas")
+        return comps
+
+    def q_pagerank(spark, sf):
+        e = _edges(spark, sf).persist()
+        from split_merge_partitioner_spark.operators import dbh_partition as dbh
+
+        ranks, _ = pagerank(e, assigned=dbh(e, P_DEFAULT), mode="gas", tol=1e-7, max_iter=100)
+        return ranks.select("vertex", F.round("rank", 9).alias("rank"))
+
+    def q_exact_dedup(spark, sf):
+        return exact_dedup(_docs(spark, sf))
+
+    def q_token_stats(spark, sf):
+        return token_stats(_docs(spark, sf))
+
+    def q_text_quality(spark, sf):
+        return text_quality(_docs(spark, sf))
+
+    def q_language_id(spark, sf):
+        return language_id(_docs(spark, sf))
+
+    def q_ngram_jaccard(spark, sf):
+        return ngram_jaccard_pairs(_docs(spark, sf), n=5, threshold=0.4)
+
+    def q_minhash_pairs(spark, sf):
+        return minhash_near_duplicates(_docs(spark, sf), threshold=0.4)
+
+    def q_simhash_pairs(spark, sf):
+        return simhash_near_duplicates(_docs(spark, sf), max_hamming=6)
+
+    def q_fingerprints(spark, sf):
+        return _docs(spark, sf).select("doc_id", rolling_fingerprint("text").alias("fingerprint"))
+
+    def q_knn(spark, sf):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        return brute_force_knn(emb, k=5)
+
+    def q_events_by_type(spark, sf):
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+
+    def q_user_top_events(spark, sf):
+        from pyspark.sql import Window
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+        return (
+            ev.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select("user_id", "event_id", "event_type", F.round("value", 4).alias("value"),
+                    F.col("rn").cast("long").alias("rn"))
+        )
+
+    return {
+        "edges_cooccur": q_edges,
+        "degrees": q_degrees,
+        "degree_histogram": q_degree_histogram,
+        "dbh_assign": q_dbh_assign,
+        "hybrid_assign": q_hybrid_assign,
+        "dbh_replicas": q_dbh_replicas,
+        "dbh_stats": q_dbh_stats,
+        "dbh_bucket_sizes": q_dbh_bucket_sizes,
+        "fsm_assign": q_fsm_assign,
+        "fsm_stats": q_fsm_stats,
+        "hdrf_bucket_sizes": q_hdrf_bucket_sizes,
+        "triangle_count": q_triangles,
+        "triangles_per_vertex": q_triangles_per_vertex,
+        "connected_components": q_components,
+        "pagerank": q_pagerank,
+        "exact_dedup": q_exact_dedup,
+        "token_stats": q_token_stats,
+        "text_quality": q_text_quality,
+        "language_id": q_language_id,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "fingerprints": q_fingerprints,
+        "knn_bruteforce": q_knn,
+        "events_by_type": q_events_by_type,
+        "user_top_events": q_user_top_events,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect-compatible ANSI SQL)
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    edges_sql = f"WITH {_EDGES_CTE} SELECT src, dst FROM edges"
+
+    degrees_sql = f"WITH {_DEGREES_CTE} SELECT vertex, degree FROM degrees"
+
+    degree_histogram_sql = f"""
+WITH {_DEGREES_CTE}
+SELECT CAST(FLOOR(LOG10(CAST(degree AS DOUBLE))) AS BIGINT) AS decade,
+       CAST(COUNT(*) AS BIGINT) AS n_vertices
+FROM degrees GROUP BY 1 ORDER BY 1
+"""
+
+    dbh_assign_core = f"""
+WITH {_DEGREES_CTE},
+assign AS (
+    SELECT e.src, e.dst,
+           CAST((CASE WHEN ds.degree <= dd.degree THEN e.src ELSE e.dst END) % {P_DEFAULT} AS BIGINT) AS bucket
+    FROM edges e
+    JOIN degrees ds ON ds.vertex = e.src
+    JOIN degrees dd ON dd.vertex = e.dst
+)
+"""
+
+    hybrid_assign_sql = f"""
+WITH {_DEGREES_CTE}
+SELECT e.src, e.dst,
+       CAST((CASE WHEN dd.degree < 100 THEN e.dst ELSE e.src END) % {P_DEFAULT} AS BIGINT) AS bucket
+FROM edges e
+JOIN degrees ds ON ds.vertex = e.src
+JOIN degrees dd ON dd.vertex = e.dst
+"""
+
+    dbh_replicas_sql = dbh_assign_core + """
+SELECT DISTINCT bucket, vertex FROM (
+    SELECT bucket, src AS vertex FROM assign
+    UNION ALL
+    SELECT bucket, dst AS vertex FROM assign
+)
+"""
+
+    dbh_bucket_sizes_sql = dbh_assign_core + """
+, reps AS (
+    SELECT DISTINCT bucket, vertex FROM (
+        SELECT bucket, src AS vertex FROM assign
+        UNION ALL SELECT bucket, dst AS vertex FROM assign
+    )
+)
+SELECT a.bucket, a.n_edges, r.n_replicas FROM
+  (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_edges FROM assign GROUP BY bucket) a
+  JOIN (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_replicas FROM reps GROUP BY bucket) r
+  USING (bucket)
+"""
+
+    dbh_stats_sql = dbh_assign_core + f"""
+, reps AS (
+    SELECT DISTINCT bucket, vertex FROM (
+        SELECT bucket, src AS vertex FROM assign
+        UNION ALL SELECT bucket, dst AS vertex FROM assign
+    )
+),
+sizes AS (
+    SELECT a.bucket, a.n_edges, r.n_replicas FROM
+      (SELECT bucket, COUNT(*) AS n_edges FROM assign GROUP BY bucket) a
+      JOIN (SELECT bucket, COUNT(*) AS n_replicas FROM reps GROUP BY bucket) r USING (bucket)
+),
+tot AS (
+    SELECT (SELECT COUNT(*) FROM (SELECT DISTINCT vertex FROM (
+                SELECT src AS vertex FROM edges UNION ALL SELECT dst FROM edges))) AS n,
+           (SELECT COUNT(*) FROM edges) AS m
+)
+SELECT
+  ROUND(SUM(n_replicas) / (SELECT n FROM tot), 6) AS rf,
+  ROUND(MAX(n_replicas) / ((SELECT n FROM tot) / {P_DEFAULT}.0), 6) AS s_v,
+  ROUND(MAX(n_edges) / ((SELECT m FROM tot) / {P_DEFAULT}.0), 6) AS s_e,
+  ROUND(STDDEV_POP(n_replicas) / AVG(n_replicas), 6) AS sigma_v,
+  ROUND(STDDEV_POP(n_edges) / AVG(n_edges), 6) AS sigma_e,
+  ROUND(POWER(SUM(n_replicas), 2) / (COUNT(*) * SUM(n_replicas * n_replicas)), 6) AS jains_v
+FROM sizes
+"""
+
+    triangle_count_sql = f"""
+WITH {_EDGES_CTE}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM edges ab JOIN edges bc ON ab.dst = bc.src JOIN edges ac
+     ON ac.src = ab.src AND ac.dst = bc.dst
+"""
+
+    triangles_per_vertex_sql = f"""
+WITH {_EDGES_CTE},
+tri AS (
+    SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+    FROM edges ab JOIN edges bc ON ab.dst = bc.src JOIN edges ac
+         ON ac.src = ab.src AND ac.dst = bc.dst
+)
+SELECT vertex, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+    SELECT a AS vertex FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+) GROUP BY vertex
+"""
+
+    components_sql = f"""
+WITH RECURSIVE {_EDGES_CTE},
+und AS (
+    SELECT src AS a, dst AS b FROM edges UNION ALL SELECT dst, src FROM edges
+),
+verts AS (SELECT DISTINCT a AS vertex FROM und),
+reach(v, r) AS (
+    SELECT vertex, vertex FROM verts
+    UNION
+    SELECT reach.v, und.b FROM reach JOIN und ON reach.r = und.a
+)
+SELECT v AS vertex, CAST(MIN(r) AS BIGINT) AS component FROM reach GROUP BY v
+"""
+
+    exact_dedup_sql = """
+SELECT md5(text) AS text_md5,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+    token_stats_sql = """
+WITH base AS (
+    SELECT doc_id, text,
+           regexp_replace(trim(text), ' +', ' ', 'g') AS squeezed
+    FROM documents
+)
+SELECT doc_id,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars,
+       CAST(CASE WHEN LENGTH(squeezed) = 0 THEN 0
+            ELSE LENGTH(squeezed) - LENGTH(REPLACE(squeezed, ' ', '')) + 1 END AS BIGINT) AS n_tokens,
+       ROUND(LENGTH(REPLACE(squeezed, ' ', '')) /
+             GREATEST(CASE WHEN LENGTH(squeezed) = 0 THEN 0
+                      ELSE LENGTH(squeezed) - LENGTH(REPLACE(squeezed, ' ', '')) + 1 END, 1), 6)
+           AS avg_token_len
+FROM base
+"""
+
+    text_quality_sql = """
+WITH base AS (
+    SELECT doc_id, text,
+           GREATEST(LENGTH(text), 1) * 1.0 AS n,
+           LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct,
+           LENGTH(text) - LENGTH(regexp_replace(text, '[A-Z]', '', 'g')) AS upper_cnt,
+           LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS digit
+    FROM documents
+)
+SELECT doc_id,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars,
+       ROUND(punct / n, 6) AS punct_ratio,
+       ROUND(upper_cnt / n, 6) AS upper_ratio,
+       ROUND(digit / n, 6) AS digit_ratio,
+       ROUND(1.0 - LEAST(1.0, punct / n * 10.0) * 0.3
+                 - LEAST(1.0, digit / n * 10.0) * 0.3
+                 - CASE WHEN LENGTH(text) < 100 THEN 0.4 ELSE 0.0 END, 6) AS quality_score
+FROM base
+"""
+
+    marker_counts = []
+    from split_merge_partitioner_spark.functions.text import LANG_MARKERS
+
+    for lang, markers in LANG_MARKERS.items():
+        terms = " + ".join(
+            f"(LENGTH(padded) - LENGTH(REPLACE(padded, '{m}', ''))) / {len(m)}"
+            for m in markers
+        )
+        marker_counts.append(f"CAST({terms} AS BIGINT) AS score_{lang}")
+    langs = list(LANG_MARKERS)
+    best = f"GREATEST({', '.join('score_' + lang for lang in langs)})"
+    whens = " ".join(f"WHEN score_{lang} = best THEN '{lang}'" for lang in langs)
+    language_id_sql = f"""
+WITH padded_docs AS (
+    SELECT doc_id, ' ' || LOWER(text) || ' ' AS padded FROM documents
+),
+scored AS (
+    SELECT doc_id, {', '.join(marker_counts)} FROM padded_docs
+),
+with_best AS (
+    SELECT doc_id, {best} AS best, * FROM scored
+)
+SELECT doc_id, CASE WHEN best <= 0 THEN 'unk' {whens} END AS lang_pred FROM with_best
+"""
+
+    ngram_jaccard_sql = """
+WITH sh AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(generate_series(1, GREATEST(LENGTH(text) - 4, 0)),
+                                 i -> substr(text, CAST(i AS INTEGER), 5))) AS shingle
+    FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6) >= 0.4
+"""
+
+    knn_sql = """
+WITH normed AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> x / GREATEST(sqrt(list_sum(list_transform(embedding, y -> y * y))), 1e-12)
+           ) AS v
+    FROM embeddings
+),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROUND(list_sum(list_transform(generate_series(1, len(q.v)),
+                 i -> q.v[i] * c.v[i])), 6) AS cosine
+    FROM normed q JOIN normed c ON q.vec_id <> c.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+    events_by_type_sql = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+    user_top_events_sql = """
+SELECT user_id, event_id, event_type, ROUND(value, 4) AS value,
+       CAST(rn AS BIGINT) AS rn
+FROM (
+    SELECT user_id, event_id, event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+    FROM events
+) WHERE rn <= 3
+"""
+
+    return {
+        "edges_cooccur": edges_sql,
+        "degrees": degrees_sql,
+        "degree_histogram": degree_histogram_sql,
+        "dbh_assign": dbh_assign_core + "SELECT src, dst, bucket FROM assign",
+        "hybrid_assign": hybrid_assign_sql,
+        "dbh_replicas": dbh_replicas_sql,
+        "dbh_stats": dbh_stats_sql,
+        "dbh_bucket_sizes": dbh_bucket_sizes_sql,
+        "triangle_count": triangle_count_sql,
+        "triangles_per_vertex": triangles_per_vertex_sql,
+        "connected_components": components_sql,
+        "exact_dedup": exact_dedup_sql,
+        "token_stats": token_stats_sql,
+        "text_quality": text_quality_sql,
+        "language_id": language_id_sql,
+        "ngram_jaccard": ngram_jaccard_sql,
+        "knn_bruteforce": knn_sql,
+        "events_by_type": events_by_type_sql,
+        "user_top_events": user_top_events_sql,
+        # intentionally no oracle (non-SQL-expressible / nondeterministic
+        # across engines): fsm_assign, fsm_stats, hdrf_bucket_sizes, pagerank,
+        # minhash_pairs, simhash_pairs, fingerprints — covered by NumPy-oracle
+        # pytest (tests/) and rows-only driver checks.
+    }
