@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric (BASELINE.json): edges/sec per PageRank superstep over
+FSM-assigned partitions.  `value` is total wall-clock of the headline suite.
+
+Usage:  python bench.py            # the driver's per-round run
+        python bench.py --scaling  # local[8] vs local[32] scaling run
+                                   # (writes BENCH/BASELINE.md evidence rows)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def run_suite(cpus: str, sf_dir: str, scaling_mode: bool = False) -> dict:
+    os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+    from pyspark.sql import functions as F
+
+    from split_merge_partitioner_spark.graph import (
+        connected_components,
+        pagerank,
+        triangle_count,
+    )
+    from split_merge_partitioner_spark.operators import fsm_partition, partition_stats
+    from split_merge_partitioner_spark.session import get_spark
+    from split_merge_partitioner_spark.sources import edges_from_lineitem
+
+    spark = get_spark(app_name=f"smp-bench-{cpus}", master=f"local[{cpus}]")
+    times: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    t0 = time.monotonic()
+    edges = edges_from_lineitem(spark, sf_dir).persist()
+    m = edges.count()
+    times["edge_derivation"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    res = fsm_partition(edges, p=32, k=2, merge="fast", splitter="ne_local")
+    assigned = res.assigned.persist()
+    assigned.count()
+    times["fsm_partition"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    st = partition_stats(assigned, p=32).toPandas().iloc[0]
+    times["partition_stats"] = round(time.monotonic() - t0, 3)
+    extras["rf"] = round(float(st.rf), 4)
+    extras["s_v"] = round(float(st.s_v), 4)
+    extras["s_e"] = round(float(st.s_e), 4)
+
+    n_pr_iter = 20
+    t0 = time.monotonic()
+    _, info = pagerank(edges, assigned=assigned, mode="gas", tol=0.0, max_iter=n_pr_iter)
+    pr_time = time.monotonic() - t0
+    times["pagerank_20_supersteps"] = round(pr_time, 3)
+    extras["edges_per_sec_per_superstep"] = round(m * n_pr_iter / pr_time, 1)
+    extras["m_edges"] = m
+
+    if not scaling_mode:
+        t0 = time.monotonic()
+        _, cinfo = connected_components(edges, assigned=assigned, mode="gas")
+        times["connected_components"] = round(time.monotonic() - t0, 3)
+
+        t0 = time.monotonic()
+        triangle_count(edges)
+        times["triangle_count"] = round(time.monotonic() - t0, 3)
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        t0 = time.monotonic()
+        from split_merge_partitioner_spark.functions import minhash_near_duplicates
+
+        minhash_near_duplicates(docs, threshold=0.4).count()
+        times["minhash_dedup"] = round(time.monotonic() - t0, 3)
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        t0 = time.monotonic()
+        from split_merge_partitioner_spark.functions import brute_force_knn
+
+        brute_force_knn(emb, k=5).count()
+        times["knn_bruteforce"] = round(time.monotonic() - t0, 3)
+
+    spark.stop()
+    return {"times": times, "extras": extras}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    if "--scaling" in sys.argv:
+        out = {}
+        for cpus in ("8", "32"):
+            r = run_suite(cpus, sf_dir, scaling_mode=True)
+            out[cpus] = r
+            print(f"local[{cpus}]: {json.dumps(r)}", file=sys.stderr)
+        tp8 = out["8"]["extras"]["edges_per_sec_per_superstep"]
+        tp32 = out["32"]["extras"]["edges_per_sec_per_superstep"]
+        eff = tp32 / (4 * tp8)
+        print(json.dumps({
+            "metric": "pagerank_scaling_efficiency_local8_to_local32",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "throughput_local8": tp8,
+            "throughput_local32": tp32,
+            "sf": sf,
+        }))
+        return
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    r = run_suite(cpus, sf_dir)
+    total = round(sum(r["times"].values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": r["times"],
+        "pagerank_edges_per_sec_per_superstep": r["extras"]["edges_per_sec_per_superstep"],
+        "fsm_rf": r["extras"]["rf"],
+        "fsm_s_v": r["extras"]["s_v"],
+        "fsm_s_e": r["extras"]["s_e"],
+        "m_edges": r["extras"]["m_edges"],
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()
