@@ -41,23 +41,36 @@ def connected_components(
     """Returns ((vertex, component), info).  Exact fixpoint."""
     from ..sources.edges import vertices_of
 
-    state = vertices_of(edges).select("vertex", F.col("vertex").alias("label")).persist()
-    state.count()
+    state = (
+        vertices_of(edges)
+        .select("vertex", F.col("vertex").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    n = state.count()
+    broadcast_state = n <= 5_000_000
     if mode == "gas":
         assert assigned is not None
         if replicas is None:
             from ..operators.stats import replica_sets
 
             replicas = replica_sets(assigned)
-        replicas = replicas.persist()
-        # aliased key: avoids ambiguous-attribute cogroup (shared lineage)
-        edges_by_bucket = assigned.select(F.col("bucket").alias("ebkt"), "src", "dst").persist()
-        edges_by_bucket.count()
+        # lineage-free static inputs: constant-size superstep plans (see
+        # pagerank.py for the rationale); aliased cogroup key avoids the
+        # ambiguous-attribute self-join
+        replicas = replicas.repartition("vertex").localCheckpoint(eager=True)
+        shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        edges_by_bucket = (
+            assigned.select(F.col("bucket").alias("ebkt"), "src", "dst")
+            .repartition(shuffle_n, "ebkt")
+            .localCheckpoint(eager=True)
+        )
 
     info = {"iterations": 0, "converged": False}
     for it in range(max_iter):
         if mode == "gas":
-            mirror = replicas.join(state, "vertex").select("bucket", "vertex", "label")
+            st = F.broadcast(state) if broadcast_state else state
+            mirror = replicas.join(st, "vertex").select("bucket", "vertex", "label")
             partials = (
                 mirror.groupby("bucket")
                 .cogroup(edges_by_bucket.groupby("ebkt"))
@@ -74,7 +87,9 @@ def connected_components(
                 .groupBy("vertex")
                 .agg(F.min("new_label").alias("new_label"))
             )
-        new_state = state.join(gathered, "vertex", "left").select(
+        new_state = (F.broadcast(state) if broadcast_state else state).join(
+            gathered, "vertex", "right"
+        ).select(
             "vertex", F.least(F.col("label"), F.coalesce("new_label", "label")).alias("label")
         )
         prev = state

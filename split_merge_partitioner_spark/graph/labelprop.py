@@ -50,22 +50,34 @@ def label_propagation(
     """Returns (vertex, label) after exactly n_iter synchronous supersteps."""
     from ..sources.edges import vertices_of
 
-    state = vertices_of(edges).select("vertex", F.col("vertex").alias("label")).persist()
-    state.count()
+    state = (
+        vertices_of(edges)
+        .select("vertex", F.col("vertex").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    n = state.count()
+    broadcast_state = n <= 5_000_000
     if mode == "gas":
         assert assigned is not None
         if replicas is None:
             from ..operators.stats import replica_sets
 
             replicas = replica_sets(assigned)
-        replicas = replicas.persist()
-        # aliased key: avoids ambiguous-attribute cogroup (shared lineage)
-        edges_by_bucket = assigned.select(F.col("bucket").alias("ebkt"), "src", "dst").persist()
-        edges_by_bucket.count()
+        # lineage-free static inputs: constant-size superstep plans (see
+        # pagerank.py); aliased cogroup key avoids the ambiguous self-join
+        replicas = replicas.repartition("vertex").localCheckpoint(eager=True)
+        shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        edges_by_bucket = (
+            assigned.select(F.col("bucket").alias("ebkt"), "src", "dst")
+            .repartition(shuffle_n, "ebkt")
+            .localCheckpoint(eager=True)
+        )
 
     for it in range(n_iter):
         if mode == "gas":
-            mirror = replicas.join(state, "vertex").select("bucket", "vertex", "label")
+            st = F.broadcast(state) if broadcast_state else state
+            mirror = replicas.join(st, "vertex").select("bucket", "vertex", "label")
             partials = (
                 mirror.groupby("bucket")
                 .cogroup(edges_by_bucket.groupby("ebkt"))
@@ -89,8 +101,13 @@ def label_propagation(
             .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("m"))
             .select("vertex", (-F.col("m.neg")).alias("new_label"))
         )
-        new_state = state.join(best, "vertex", "left").select(
-            "vertex", F.coalesce("new_label", "label").alias("label")
-        )
-        state = truncate(new_state, state) if at_boundary(it, 3) else new_state
+        new_state = (F.broadcast(state) if broadcast_state else state).join(
+            best, "vertex", "right"
+        ).select("vertex", F.coalesce("new_label", "label").alias("label"))
+        # broadcasting a lazy chain re-executes it per use -> materialize each
+        # superstep when broadcasting; otherwise every 3rd is enough
+        if broadcast_state or at_boundary(it, 3):
+            state = truncate(new_state, state)
+        else:
+            state = new_state
     return state.select("vertex", "label")

@@ -67,7 +67,7 @@ def pagerank(
     import time as _time
 
     spark = edges.sparkSession
-    deg = degrees_of(edges).persist()
+    deg = degrees_of(edges).localCheckpoint(eager=True)
     n = deg.count()
     start_it = 0
     if ckpt is not None and resume and ckpt.latest_superstep() is not None:
@@ -76,13 +76,17 @@ def pagerank(
             ckpt.load_state(spark, start_it - 1)
             .join(deg, "vertex")
             .select("vertex", "degree", "rank")
-            .persist()
+            .localCheckpoint(eager=True)
         )
     else:
         state = deg.select(
             "vertex", "degree", (F.lit(1.0) / F.lit(float(n))).alias("rank")
-        ).persist()
-    state.count()
+        ).localCheckpoint(eager=True)
+
+    # broadcast the per-superstep vertex state when it's small enough; at
+    # larger n fall back to the shuffle join (the PowerGraph mirror-update
+    # cost, O(RF*n) rows) — this threshold is the only sandbox-vs-cluster knob
+    broadcast_state = n <= 5_000_000
 
     if mode == "gas":
         assert assigned is not None, "gas mode needs the partition assignment"
@@ -90,12 +94,20 @@ def pagerank(
             from ..operators.stats import replica_sets
 
             replicas = replica_sets(assigned)
-        replicas = replicas.persist()
-        replicas.count()
-        # alias the grouping key: replicas and edges share lineage (both derive
-        # from `assigned`), and cogroup would see an ambiguous attribute
-        edges_by_bucket = assigned.select(F.col("bucket").alias("ebkt"), "src", "dst").persist()
-        edges_by_bucket.count()
+        # localCheckpoint (NOT just persist): the static inputs carry the whole
+        # partitioner lineage; keeping it makes every superstep's plan hundreds
+        # of nodes deep and driver-side planning dominates wall clock.  A
+        # lineage-free LogicalRDD keeps the per-superstep plan constant-size.
+        # Pre-partitioning by the join/cogroup keys keeps the exchanges cheap.
+        replicas = replicas.repartition("vertex").localCheckpoint(eager=True)
+        shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # aliased key: replicas and edges share lineage (both derive from
+        # `assigned`) and cogroup would see an ambiguous attribute otherwise
+        edges_by_bucket = (
+            assigned.select(F.col("bucket").alias("ebkt"), "src", "dst")
+            .repartition(shuffle_n, "ebkt")
+            .localCheckpoint(eager=True)
+        )
 
     base = (1.0 - damping) / n
     info = {"iterations": start_it, "converged": False, "n": n}
@@ -110,7 +122,8 @@ def pagerank(
     block_t0 = _time.monotonic()
     for it in range(start_it, max_iter):
         if mode == "gas":
-            mirror = replicas.join(state, "vertex").select("bucket", "vertex", "rank", "degree")
+            st = F.broadcast(state) if broadcast_state else state
+            mirror = replicas.join(st, "vertex").select("bucket", "vertex", "rank", "degree")
             partials = (
                 mirror.groupby("bucket")
                 .cogroup(edges_by_bucket.groupby("ebkt"))
@@ -127,19 +140,31 @@ def pagerank(
             ).select(F.col("src").alias("vertex"), "c")
             gathered = out.unionAll(back).groupBy("vertex").agg(F.sum("c").alias("gathered"))
 
-        new_state = (
-            deg.join(gathered, "vertex", "left")
-            .select(
-                "vertex",
-                "degree",
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("gathered"), F.lit(0.0))).alias("rank"),
-            )
+        # inner join is lossless: every vertex has degree >= 1 (ids come from
+        # the edge list) so each one receives a scatter row (possibly 0.0)
+        new_state = gathered.join(
+            F.broadcast(deg) if broadcast_state else deg, "vertex"
+        ).select(
+            "vertex",
+            "degree",
+            (F.lit(base) + F.lit(damping) * F.coalesce(F.col("gathered"), F.lit(0.0))).alias("rank"),
         )
-        state = new_state  # lazy chain between boundaries
+        # With broadcast joins the state MUST be materialized every superstep:
+        # a broadcast of a lazy chain re-executes the whole chain per use
+        # (exponential recompute).  With shuffle joins (large n) the chain is
+        # linear, so materialize only at boundaries.
+        if broadcast_state:
+            prior = state
+            state = truncate(new_state, None)
+            if prior is not last_checkpoint:
+                prior.unpersist()
+        else:
+            state = new_state  # lazy chain between boundaries
         info["iterations"] = it + 1
         if at_boundary(it, check_every) or it == max_iter - 1:
             prev = last_checkpoint
-            state = truncate(state, None)
+            if not broadcast_state:
+                state = truncate(state, None)
             last_checkpoint = state
             delta = None
             if tol > 0:

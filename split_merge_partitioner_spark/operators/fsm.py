@@ -309,7 +309,9 @@ def fsm_partition(
         F.pmod(F.xxhash64("src", "dst", F.lit(11)), F.lit(n_sub)).cast("long").alias("bucket"),
     )
     sub_assigned = low_assigned.unionAll(h2h_assigned)
-    sub_assigned = sub_assigned.persist()
+    # lineage-free materialization: the split phase's plan (degree joins +
+    # applyInPandas) would otherwise be re-planned by every downstream job
+    sub_assigned = sub_assigned.localCheckpoint(eager=True)
 
     # --- collect per-sub-bucket replica bitmaps (driver planning state) ---
     reps = replica_sets(sub_assigned)
