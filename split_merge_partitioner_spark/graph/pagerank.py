@@ -28,13 +28,14 @@ DAMPING = 0.85
 
 
 def _scatter_kernel(key: tuple, state: pd.DataFrame, edges: pd.DataFrame) -> pd.DataFrame:
-    """Per-bucket CSR gather-scatter: emit (vertex, partial rank mass)."""
+    """Per-bucket CSR gather-scatter: emit (vertex, partial rank mass).
+    state carries precomputed contrib = rank/degree (slim mirror rows)."""
     if len(edges) == 0 or len(state) == 0:
         return pd.DataFrame({"vertex": np.empty(0, np.int64), "partial": np.empty(0, np.float64)})
     verts = state["vertex"].to_numpy(np.int64)
     order = np.argsort(verts, kind="stable")
     verts = verts[order]
-    contrib = (state["rank"].to_numpy(np.float64) / state["degree"].to_numpy(np.float64))[order]
+    contrib = state["contrib"].to_numpy(np.float64)[order]
     s = np.searchsorted(verts, edges["src"].to_numpy(np.int64))
     d = np.searchsorted(verts, edges["dst"].to_numpy(np.int64))
     partial = np.zeros(len(verts), dtype=np.float64)
@@ -54,6 +55,7 @@ def pagerank(
     check_every: int = 5,
     ckpt=None,
     resume: bool = False,
+    broadcast_threshold: int = 5_000_000,
 ) -> tuple[DataFrame, dict]:
     """Returns (ranks DataFrame (vertex, rank), run info dict).
 
@@ -86,7 +88,7 @@ def pagerank(
     # broadcast the per-superstep vertex state when it's small enough; at
     # larger n fall back to the shuffle join (the PowerGraph mirror-update
     # cost, O(RF*n) rows) — this threshold is the only sandbox-vs-cluster knob
-    broadcast_state = n <= 5_000_000
+    broadcast_state = n <= broadcast_threshold
 
     if mode == "gas":
         assert assigned is not None, "gas mode needs the partition assignment"
@@ -122,8 +124,12 @@ def pagerank(
     block_t0 = _time.monotonic()
     for it in range(start_it, max_iter):
         if mode == "gas":
-            st = F.broadcast(state) if broadcast_state else state
-            mirror = replicas.join(st, "vertex").select("bucket", "vertex", "rank", "degree")
+            # slim mirror payload: contrib = rank/degree is all the kernel needs
+            contrib_df = state.select(
+                "vertex", (F.col("rank") / F.col("degree")).alias("contrib")
+            )
+            st = F.broadcast(contrib_df) if broadcast_state else contrib_df
+            mirror = replicas.join(st, "vertex").select("bucket", "vertex", "contrib")
             partials = (
                 mirror.groupby("bucket")
                 .cogroup(edges_by_bucket.groupby("ebkt"))
@@ -149,22 +155,15 @@ def pagerank(
             "degree",
             (F.lit(base) + F.lit(damping) * F.coalesce(F.col("gathered"), F.lit(0.0))).alias("rank"),
         )
-        # With broadcast joins the state MUST be materialized every superstep:
-        # a broadcast of a lazy chain re-executes the whole chain per use
-        # (exponential recompute).  With shuffle joins (large n) the chain is
-        # linear, so materialize only at boundaries.
-        if broadcast_state:
-            prior = state
-            state = truncate(new_state, None)
-            if prior is not last_checkpoint:
-                prior.unpersist()
-        else:
-            state = new_state  # lazy chain between boundaries
+        # lazy chain between boundaries: each check_every-block executes as ONE
+        # job at the boundary truncate (broadcast exchanges inside the block
+        # run once each within that job); delta/ckpt actions read only
+        # checkpointed states, so the block is never re-executed
+        state = new_state
         info["iterations"] = it + 1
         if at_boundary(it, check_every) or it == max_iter - 1:
             prev = last_checkpoint
-            if not broadcast_state:
-                state = truncate(state, None)
+            state = truncate(state, None)
             last_checkpoint = state
             delta = None
             if tol > 0:

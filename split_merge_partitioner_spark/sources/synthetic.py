@@ -34,23 +34,34 @@ def powerlaw_edges_pdf(n: int = 2_000, m_per_node: int = 10, seed: int = 42) -> 
     m = m_per_node
     # seed clique on m+1 nodes
     seeds = [(i, j) for i in range(m + 1) for j in range(i + 1, m + 1)]
-    src = [e[0] for e in seeds]
-    dst = [e[1] for e in seeds]
-    pool = np.array(src + dst, dtype=np.int64)
-    pool_list = [pool]
-    pool_size = pool.size
-    for v in range(m + 1, n):
-        flat = np.concatenate(pool_list) if len(pool_list) > 1 else pool_list[0]
-        pool_list = [flat]
-        targets = np.unique(flat[rng.integers(0, pool_size, size=m * 2)])[:m]
-        src.extend([v] * targets.size)
-        dst.extend(targets.tolist())
-        add = np.concatenate([np.full(targets.size, v, dtype=np.int64), targets])
-        pool_list.append(add)
-        pool_size += add.size
-    pdf = pd.DataFrame({"src": src, "dst": dst}).astype("int64")
-    lo = np.minimum(pdf["src"], pdf["dst"])
-    hi = np.maximum(pdf["src"], pdf["dst"])
+    src0 = np.array([e[0] for e in seeds], dtype=np.int64)
+    dst0 = np.array([e[1] for e in seeds], dtype=np.int64)
+    # preallocated endpoint pool; sampling uniformly from it IS
+    # degree-proportional sampling.  Nodes are added in batches (each batch
+    # samples from the pool as of batch start) — vectorized O(n*m) instead of
+    # a per-node Python loop.
+    pool = np.empty(2 * (len(seeds) + (n * m)), dtype=np.int64)
+    pos = 2 * len(seeds)
+    pool[: len(seeds)] = src0
+    pool[len(seeds) : pos] = dst0
+    srcs = [src0]
+    dsts = [dst0]
+    v = m + 1
+    while v < n:
+        batch = min(8192, n - v)
+        vs = np.repeat(np.arange(v, v + batch, dtype=np.int64), m)
+        ts = pool[rng.integers(0, pos, size=batch * m)]
+        srcs.append(vs)
+        dsts.append(ts)
+        k = batch * m
+        pool[pos : pos + k] = vs
+        pool[pos + k : pos + 2 * k] = ts
+        pos += 2 * k
+        v += batch
+    s = np.concatenate(srcs)
+    d = np.concatenate(dsts)
+    lo = np.minimum(s, d)
+    hi = np.maximum(s, d)
     out = pd.DataFrame({"src": lo, "dst": hi})
     out = out[out.src != out.dst].drop_duplicates().reset_index(drop=True)
     return out
