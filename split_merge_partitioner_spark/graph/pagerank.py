@@ -44,6 +44,113 @@ def _scatter_kernel(key: tuple, state: pd.DataFrame, edges: pd.DataFrame) -> pd.
     return pd.DataFrame({"vertex": verts, "partial": partial})
 
 
+def _pagerank_gas_broadcast(
+    spark,
+    deg,
+    n: int,
+    assigned: DataFrame,
+    tol: float,
+    max_iter: int,
+    damping: float,
+    check_every: int,
+    ckpt,
+    start_it: int,
+    init_rank: np.ndarray | None,
+) -> tuple[DataFrame, dict]:
+    """PowerGraph-style broadcast execution under the state-size threshold:
+    edge blocks are dense-encoded ONCE and cached partition-aligned; each
+    superstep ships only the contrib vector via sc.broadcast, scatters over
+    the static Arrow blocks (mapInPandas, zero input shuffle), and combines
+    with one groupBy — 2 stages per superstep.  The apply step runs on the
+    driver in NumPy (n is bounded by the broadcast threshold by definition);
+    beyond the threshold the caller uses the fully-distributed path."""
+    import time as _time
+
+    from pyspark.sql import functions as F  # local alias for clarity
+
+    deg_pdf = deg.toPandas().sort_values("vertex")
+    verts = deg_pdf["vertex"].to_numpy(np.int64)
+    degv = deg_pdf["degree"].to_numpy(np.float64)
+    bc_verts = spark.sparkContext.broadcast(verts)
+
+    def encode(batches):
+        vv = bc_verts.value
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "s": np.searchsorted(vv, pdf["src"].to_numpy(np.int64)).astype(np.int64),
+                    "d": np.searchsorted(vv, pdf["dst"].to_numpy(np.int64)).astype(np.int64),
+                }
+            )
+
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    enc = (
+        assigned.select("bucket", "src", "dst")
+        .repartition(shuffle_n, "bucket")
+        .mapInPandas(encode, schema="s long, d long")
+        .localCheckpoint(eager=True)
+    )
+
+    base = (1.0 - damping) / n
+    rank = np.full(n, 1.0 / n) if init_rank is None else init_rank
+    info = {"iterations": start_it, "converged": False, "n": n}
+    m_edges = None
+    per_partition = None
+    if ckpt is not None:
+        from ..operators.stats import bucket_sizes
+
+        m_edges = assigned.count()
+        per_partition = bucket_sizes(assigned).persist()
+
+    def state_df():
+        pdf = pd.DataFrame({"vertex": verts, "rank": rank})
+        return spark.createDataFrame(pdf)
+
+    block_t0 = _time.monotonic()
+    nn = n
+    for it in range(start_it, max_iter):
+        contrib = rank / degv
+        bc = spark.sparkContext.broadcast(contrib)
+
+        def scatter(batches, _bc=bc, _n=nn):
+            c = _bc.value
+            for pdf in batches:
+                s = pdf["s"].to_numpy(np.int64)
+                d = pdf["d"].to_numpy(np.int64)
+                partial = np.zeros(_n, dtype=np.float64)
+                np.add.at(partial, d, c[s])
+                np.add.at(partial, s, c[d])
+                nz = np.flatnonzero(partial)
+                yield pd.DataFrame({"vid": nz, "partial": partial[nz]})
+
+        gathered = (
+            enc.mapInPandas(scatter, schema="vid long, partial double")
+            .groupBy("vid")
+            .agg(F.sum("partial").alias("g"))
+            .toPandas()
+        )
+        bc.destroy()
+        g = np.zeros(n)
+        g[gathered["vid"].to_numpy(np.int64)] = gathered["g"].to_numpy(np.float64)
+        new_rank = base + damping * g
+        delta = float(np.max(np.abs(new_rank - rank)))
+        rank = new_rank
+        info["iterations"] = it + 1
+        if at_boundary(it, check_every) or it == max_iter - 1 or (tol > 0 and delta <= tol):
+            if ckpt is not None:
+                elapsed = max(_time.monotonic() - block_t0, 1e-9)
+                steps = (it % check_every) + 1
+                ckpt.save_superstep(
+                    it, state_df(), per_partition, delta, (m_edges or 0) * steps / elapsed
+                )
+                block_t0 = _time.monotonic()
+        if tol > 0 and delta <= tol:
+            info["converged"] = True
+            info["delta"] = delta
+            break
+    return state_df(), info
+
+
 def pagerank(
     edges: DataFrame,
     assigned: DataFrame | None = None,
@@ -89,6 +196,18 @@ def pagerank(
     # larger n fall back to the shuffle join (the PowerGraph mirror-update
     # cost, O(RF*n) rows) — this threshold is the only sandbox-vs-cluster knob
     broadcast_state = n <= broadcast_threshold
+
+    if mode == "gas" and broadcast_state:
+        assert assigned is not None, "gas mode needs the partition assignment"
+        init_rank = None
+        if start_it > 0:
+            pdf = state.select("vertex", "rank").toPandas().sort_values("vertex")
+            init_rank = pdf["rank"].to_numpy(np.float64)
+        state.unpersist()
+        return _pagerank_gas_broadcast(
+            spark, deg, n, assigned, tol, max_iter, damping, check_every,
+            ckpt, start_it, init_rank,
+        )
 
     if mode == "gas":
         assert assigned is not None, "gas mode needs the partition assignment"

@@ -1,3 +1,4 @@
+from .ebv import ebv_partition  # noqa: F401
 from .expr_partitioners import dbh_partition, hybrid_partition  # noqa: F401
 from .fsm import FsmResult, fsm_partition  # noqa: F401
 from .hdrf import hdrf_partition  # noqa: F401
@@ -5,5 +6,11 @@ from .stats import (  # noqa: F401
     degree_decade_histogram,
     partition_stats,
     replica_sets,
+    replication_by_degree_decade,
     validate_partition,
+)
+from .vertex_cut import (  # noqa: F401
+    vertex2edge_partition,
+    vertex_partition_by_hash,
+    vertex_partition_stats,
 )

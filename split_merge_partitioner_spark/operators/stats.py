@@ -66,6 +66,30 @@ def partition_stats(assigned: DataFrame, p: int, n: int | None = None, m: int | 
     )
 
 
+def replication_by_degree_decade(assigned: DataFrame, deg: DataFrame) -> DataFrame:
+    """Extended metrics (HEP -extended_metrics analog,
+    src/hep_partitioner.cpp:79-147): average replication factor per degree
+    decade (1-10, 11-100, ...) — shows how hub replication drives RF."""
+    per_vertex = (
+        replica_sets(assigned)
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("n_replicas"))
+    )
+    return (
+        per_vertex.join(F.broadcast(deg), "vertex")
+        .select(
+            F.floor(F.log10(F.col("degree").cast("double"))).cast("long").alias("decade"),
+            "n_replicas",
+        )
+        .groupBy("decade")
+        .agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.round(F.avg("n_replicas"), 6).alias("avg_replication"),
+        )
+        .orderBy("decade")
+    )
+
+
 def degree_decade_histogram(deg: DataFrame) -> DataFrame:
     """Vertices per degree decade (1-10, 11-100, ...) —
     src/hep_partitioner.cpp:79-147's extended-metrics histogram axis."""

@@ -57,12 +57,19 @@ def test_pagerank_converged_allclose_1e6(spark, graph):
     np.testing.assert_allclose(r_got, oracle["rank"].to_numpy(), atol=1e-6)
 
 
-@pytest.mark.parametrize("mode", ["gas", "join"])
-def test_pagerank_fixed_iterations_exact(spark, graph, mode):
+@pytest.mark.parametrize(
+    "mode,thr",
+    [("gas", 5_000_000), ("gas", 0), ("join", 5_000_000)],
+    ids=["gas-broadcast", "gas-shuffle", "join"],
+)
+def test_pagerank_fixed_iterations_exact(spark, graph, mode, thr):
     """Step-for-step computational equivalence with the oracle (20 supersteps,
-    no convergence short-circuit) — catches any semantic drift."""
+    no convergence short-circuit) — catches any semantic drift.  Covers all
+    three execution paths: broadcast-GAS, shuffle-GAS (cogroup), join."""
     pdf, edges, assigned = graph
-    ranks, _ = pagerank(edges, assigned=assigned, mode=mode, tol=0.0, max_iter=20)
+    ranks, _ = pagerank(
+        edges, assigned=assigned, mode=mode, tol=0.0, max_iter=20, broadcast_threshold=thr
+    )
     v_got, r_got = _ranks_np(ranks)
     oracle = pagerank_oracle(pdf, tol=-1.0, max_iter=20)
     np.testing.assert_allclose(r_got, oracle["rank"].to_numpy(), atol=1e-12)
