@@ -195,6 +195,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         return brute_force_knn(emb, k=5)
 
+    def q_ebv_bucket_sizes(spark, sf):
+        from split_merge_partitioner_spark.operators import ebv_partition
+
+        return bucket_sizes(ebv_partition(_edges(spark, sf), P_DEFAULT))
+
+    def q_v2e_assign(spark, sf):
+        from split_merge_partitioner_spark.operators import (
+            vertex2edge_partition,
+            vertex_partition_by_hash,
+        )
+
+        e = _edges(spark, sf)
+        return vertex2edge_partition(e, vertex_partition_by_hash(e, P_DEFAULT))
+
+    def q_vertex_partition_stats(spark, sf):
+        from split_merge_partitioner_spark.operators import (
+            vertex_partition_by_hash,
+            vertex_partition_stats,
+        )
+
+        e = _edges(spark, sf)
+        st = vertex_partition_stats(e, vertex_partition_by_hash(e, P_DEFAULT), P_DEFAULT)
+        return st.select(*[F.round(c, 6).alias(c) for c in st.columns])
+
+    def q_replication_by_decade(spark, sf):
+        from split_merge_partitioner_spark.operators import (
+            replication_by_degree_decade,
+        )
+        from split_merge_partitioner_spark.sources import degrees as degrees_of
+
+        e = _edges(spark, sf)
+        return replication_by_degree_decade(dbh_partition(e, P_DEFAULT), degrees_of(e))
+
+    def q_lsh_knn(spark, sf):
+        from split_merge_partitioner_spark.functions import lsh_knn
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        return lsh_knn(emb, k=5, n_planes=4, n_tables=6)
+
     def q_events_by_type(spark, sf):
         ev = spark.read.parquet(f"{sf}/events.parquet")
         return ev.groupBy("event_type").agg(
@@ -239,6 +278,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "fingerprints": q_fingerprints,
         "knn_bruteforce": q_knn,
+        "lsh_knn": q_lsh_knn,
+        "ebv_bucket_sizes": q_ebv_bucket_sizes,
+        "v2e_assign": q_v2e_assign,
+        "vertex_partition_stats": q_vertex_partition_stats,
+        "replication_by_degree_decade": q_replication_by_decade,
         "events_by_type": q_events_by_type,
         "user_top_events": q_user_top_events,
     }
@@ -474,6 +518,21 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 5
 """
 
+    replication_by_decade_sql = dbh_assign_core + """
+, reps AS (
+    SELECT DISTINCT bucket, vertex FROM (
+        SELECT bucket, src AS vertex FROM assign
+        UNION ALL SELECT bucket, dst AS vertex FROM assign
+    )
+),
+per_vertex AS (SELECT vertex, COUNT(*) AS n_replicas FROM reps GROUP BY vertex)
+SELECT CAST(FLOOR(LOG10(CAST(d.degree AS DOUBLE))) AS BIGINT) AS decade,
+       CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       ROUND(AVG(pv.n_replicas), 6) AS avg_replication
+FROM per_vertex pv JOIN degrees d ON d.vertex = pv.vertex
+GROUP BY 1 ORDER BY 1
+"""
+
     events_by_type_sql = """
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
        ROUND(SUM(value), 4) AS sum_value
@@ -508,6 +567,7 @@ FROM (
         "language_id": language_id_sql,
         "ngram_jaccard": ngram_jaccard_sql,
         "knn_bruteforce": knn_sql,
+        "replication_by_degree_decade": replication_by_decade_sql,
         "events_by_type": events_by_type_sql,
         "user_top_events": user_top_events_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic

@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""spark-submit entry point: partition an edge table and write the sink.
+
+Knob names mirror the reference CLI (gflags surface, src/main.cpp:20-35):
+  --p            number of final partitions        (-p)
+  --k            split multiplier for FSM          (-k)
+  --method       fsm | dbh | hybrid | hdrf | ebv | v2e  (-method)
+  --fastmerge    use fast_merge instead of precise (-fastmerge)
+  --hdf          high-degree factor                (-hdf)
+  --lambda_      HDRF balance lambda               (-lambda)
+  --write        none | onefile | multifile        (-write)
+  --splitter     FSM split strategy: ne_local | dbh
+
+Usage:
+  spark-submit --py-files engine.zip jobs/run_partition.py \
+      --input /data/edges.parquet --output /data/parts --method fsm --p 32 --k 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="edge parquet (src, dst)")
+    ap.add_argument("--output", default=None)
+    ap.add_argument("--p", type=int, default=32)
+    ap.add_argument("--k", type=int, default=2)
+    ap.add_argument("--method", default="fsm",
+                    choices=["fsm", "dbh", "hybrid", "hdrf", "ebv", "v2e"])
+    ap.add_argument("--fastmerge", action="store_true")
+    ap.add_argument("--hdf", type=float, default=100.0)
+    ap.add_argument("--lambda_", "--lambda", type=float, default=1.1, dest="lambda_")
+    ap.add_argument("--write", default="none", choices=["none", "onefile", "multifile"])
+    ap.add_argument("--splitter", default="ne_local", choices=["ne_local", "dbh"])
+    args = ap.parse_args(argv)
+
+    from split_merge_partitioner_spark.operators import (
+        dbh_partition,
+        ebv_partition,
+        fsm_partition,
+        hdrf_partition,
+        hybrid_partition,
+        partition_stats,
+        validate_partition,
+        vertex2edge_partition,
+        vertex_partition_by_hash,
+    )
+    from split_merge_partitioner_spark.session import get_spark
+    from split_merge_partitioner_spark.sources.writers import (
+        write_edgepart_multifile,
+        write_edgepart_onefile,
+    )
+
+    spark = get_spark(app_name=f"smp-{args.method}-p{args.p}")
+    edges = spark.read.parquet(args.input).localCheckpoint(eager=True)
+
+    if args.method == "fsm":
+        res = fsm_partition(
+            edges, p=args.p, k=args.k,
+            merge="fast" if args.fastmerge else "precise",
+            splitter=args.splitter, hdf=args.hdf,
+        )
+        assigned = res.assigned
+    elif args.method == "dbh":
+        assigned = dbh_partition(edges, args.p)
+    elif args.method == "hybrid":
+        assigned = hybrid_partition(edges, args.p)
+    elif args.method == "hdrf":
+        assigned = hdrf_partition(edges, args.p, lam=args.lambda_)
+    elif args.method == "ebv":
+        assigned = ebv_partition(edges, args.p)
+    else:  # v2e
+        assigned = vertex2edge_partition(edges, vertex_partition_by_hash(edges, args.p))
+
+    assigned = assigned.localCheckpoint(eager=True)
+    violations = validate_partition(edges, assigned, args.p)
+    stats = partition_stats(assigned, p=args.p).toPandas().iloc[0].to_dict()
+    print(json.dumps({"method": args.method, "p": args.p,
+                      "violations": violations,
+                      "stats": {k: round(float(v), 6) for k, v in stats.items()}}))
+    if any(violations.values()):
+        sys.exit(2)
+    if args.write != "none":
+        assert args.output, "--output required with --write"
+        if args.write == "multifile":
+            write_edgepart_multifile(assigned, args.output)
+        else:
+            write_edgepart_onefile(assigned, args.output)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

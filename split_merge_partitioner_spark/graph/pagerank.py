@@ -38,9 +38,8 @@ def _scatter_kernel(key: tuple, state: pd.DataFrame, edges: pd.DataFrame) -> pd.
     contrib = state["contrib"].to_numpy(np.float64)[order]
     s = np.searchsorted(verts, edges["src"].to_numpy(np.int64))
     d = np.searchsorted(verts, edges["dst"].to_numpy(np.int64))
-    partial = np.zeros(len(verts), dtype=np.float64)
-    np.add.at(partial, d, contrib[s])
-    np.add.at(partial, s, contrib[d])
+    partial = np.bincount(d, weights=contrib[s], minlength=len(verts))
+    partial += np.bincount(s, weights=contrib[d], minlength=len(verts))
     return pd.DataFrame({"vertex": verts, "partial": partial})
 
 
@@ -91,6 +90,11 @@ def _pagerank_gas_broadcast(
         .localCheckpoint(eager=True)
     )
 
+    # AQE re-plans every query stage (~100-200 ms each); in a fixed-shape
+    # superstep loop that adaptivity buys nothing — turn it off for the loop
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
     base = (1.0 - damping) / n
     rank = np.full(n, 1.0 / n) if init_rank is None else init_rank
     info = {"iterations": start_it, "converged": False, "n": n}
@@ -117,9 +121,9 @@ def _pagerank_gas_broadcast(
             for pdf in batches:
                 s = pdf["s"].to_numpy(np.int64)
                 d = pdf["d"].to_numpy(np.int64)
-                partial = np.zeros(_n, dtype=np.float64)
-                np.add.at(partial, d, c[s])
-                np.add.at(partial, s, c[d])
+                # bincount is ~5-10x faster than np.add.at for scatter-add
+                partial = np.bincount(d, weights=c[s], minlength=_n)
+                partial += np.bincount(s, weights=c[d], minlength=_n)
                 nz = np.flatnonzero(partial)
                 yield pd.DataFrame({"vid": nz, "partial": partial[nz]})
 
@@ -148,6 +152,7 @@ def _pagerank_gas_broadcast(
             info["converged"] = True
             info["delta"] = delta
             break
+    spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
     return state_df(), info
 
 
@@ -230,6 +235,10 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
 
+    # fixed-shape loop: AQE re-planning per stage is pure overhead here
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
     base = (1.0 - damping) / n
     info = {"iterations": start_it, "converged": False, "n": n}
     last_checkpoint = state  # state at the previous boundary (for block delta)
@@ -308,5 +317,6 @@ def pagerank(
                 info["converged"] = True
                 info["delta"] = float(delta)
                 break
+    spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
     deg.unpersist()
     return state.select("vertex", "rank"), info

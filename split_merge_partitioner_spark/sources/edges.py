@@ -86,6 +86,53 @@ def edges_from_repos(repos: DataFrame) -> DataFrame:
     return canonicalize_edges(pairs)
 
 
+def edges_from_text(spark, path: str, sep: str = "\t") -> DataFrame:
+    """SNAP-style text edge list ingest (reference convert_edgelist,
+    src/conversions.cpp:12-59): delimiter-separated vertex pairs, '#'/'%'
+    comment lines skipped, self-loops dropped.  NOT canonicalized/deduped
+    (matches reference semantics); pipe through canonicalize_edges for the
+    engine's canonical relation."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("src", LongType()), StructField("dst", LongType())])
+    df = spark.read.csv(path, sep=sep, comment="#", schema=schema)
+    # '%' comments (conversions.cpp:33) survive the csv comment option only
+    # for '#'; null rows from malformed lines are dropped with them
+    return df.where(
+        F.col("src").isNotNull() & F.col("dst").isNotNull() & (F.col("src") != F.col("dst"))
+    )
+
+
+def edges_from_adjlist_text(spark, path: str) -> DataFrame:
+    """Adjacency-list text ingest (reference convert_adjlist,
+    src/conversions.cpp:61-114): each line "v n nbr1 ... nbrn"; the declared
+    neighbor count is validated (rows violating it are surfaced by
+    ``adjlist_count_violations``)."""
+    raw = spark.read.text(path).where(F.length(F.trim("value")) > 0)
+    toks = F.split(F.trim("value"), r"\s+")
+    parsed = raw.select(
+        F.element_at(toks, 1).cast("long").alias("v"),
+        F.element_at(toks, 2).cast("long").alias("declared_n"),
+        F.slice(toks, 3, 1_000_000).cast("array<long>").alias("nbrs"),
+    )
+    return parsed.select(
+        F.col("v").alias("src"), F.explode("nbrs").alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+
+
+def adjlist_count_violations(spark, path: str) -> DataFrame:
+    """Rows whose declared neighbor count mismatches the actual list length —
+    the reference CHECKs this at parse time (conversions.cpp:79-106)."""
+    raw = spark.read.text(path).where(F.length(F.trim("value")) > 0)
+    toks = F.split(F.trim("value"), r"\s+")
+    parsed = raw.select(
+        F.element_at(toks, 1).cast("long").alias("v"),
+        F.element_at(toks, 2).cast("long").alias("declared_n"),
+        (F.size(toks) - 2).alias("actual_n"),
+    )
+    return parsed.where(F.col("declared_n") != F.col("actual_n"))
+
+
 def vertices_of(edges: DataFrame) -> DataFrame:
     """Distinct vertices appearing as either endpoint."""
     return (
