@@ -118,12 +118,20 @@ def _pagerank_gas_broadcast(
 
         def scatter(batches, _bc=bc, _n=nn):
             c = _bc.value
+            # accumulate across ALL batches of the partition and emit ONCE:
+            # per-batch emission would produce ~one row per edge instead of
+            # one row per locally-touched vertex (the whole point of the
+            # partition-aligned layout is that this is ~|V_b| rows)
+            partial = np.zeros(_n, dtype=np.float64)
+            touched = False
             for pdf in batches:
                 s = pdf["s"].to_numpy(np.int64)
                 d = pdf["d"].to_numpy(np.int64)
                 # bincount is ~5-10x faster than np.add.at for scatter-add
-                partial = np.bincount(d, weights=c[s], minlength=_n)
+                partial += np.bincount(d, weights=c[s], minlength=_n)
                 partial += np.bincount(s, weights=c[d], minlength=_n)
+                touched = True
+            if touched:
                 nz = np.flatnonzero(partial)
                 yield pd.DataFrame({"vid": nz, "partial": partial[nz]})
 
@@ -266,6 +274,8 @@ def pagerank(
             gathered = partials.groupBy("vertex").agg(F.sum("partial").alias("gathered"))
         else:
             contrib = state.select("vertex", (F.col("rank") / F.col("degree")).alias("c"))
+            if broadcast_state:
+                contrib = F.broadcast(contrib)
             out = edges.join(
                 contrib.withColumnRenamed("vertex", "src"), "src"
             ).select(F.col("dst").alias("vertex"), "c")
