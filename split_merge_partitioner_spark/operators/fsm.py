@@ -251,15 +251,35 @@ def _ne_lite_group(k: int):
     return kernel
 
 
-def _split_ne_local(edges_dd: DataFrame, p: int, k: int) -> DataFrame:
-    """Locality grouping (hash of the lower-degree anchor) into p groups, then
-    per-group NE-lite into k sub-buckets each."""
+def _split_ne_local(
+    edges_dd: DataFrame, p: int, k: int, grouping: str = "range"
+) -> DataFrame:
+    """Locality grouping into p groups, then per-group NE-lite into k
+    sub-buckets each.
+
+    grouping="range": edge-count-balanced ranges of the anchor id (cut points
+    from approxQuantile) — preserves whatever id locality the graph has
+    (generation order, crawl order, community renumbering), which is how web
+    graph ids usually arrive; grouping="hash": seeded hash of the anchor —
+    locality-free but robust to adversarial id layouts.
+    """
     anchor = F.when(
         (F.col("deg_src") < F.col("deg_dst"))
         | ((F.col("deg_src") == F.col("deg_dst")) & (F.col("src") <= F.col("dst"))),
         F.col("src"),
     ).otherwise(F.col("dst"))
-    grouped = edges_dd.withColumn("grp", F.pmod(F.xxhash64(anchor, F.lit(7)), F.lit(p)))
+    anchored = edges_dd.withColumn("anchor", anchor)
+    if grouping == "range":
+        cuts = anchored.approxQuantile("anchor", [i / p for i in range(1, p)], 0.001)
+        uniq = sorted(set(cuts))
+        grp = F.lit(0).cast("long")
+        for c in uniq:  # comparison-sum bucketizer: grp = #cuts below anchor
+            grp = grp + (F.col("anchor") > F.lit(float(c))).cast("long")
+        grouped = anchored.withColumn("grp", grp)
+    else:
+        grouped = anchored.withColumn(
+            "grp", F.pmod(F.xxhash64("anchor", F.lit(7)), F.lit(p))
+        )
     return (
         grouped.select("grp", "src", "dst")
         .groupBy("grp")
@@ -275,6 +295,7 @@ def fsm_partition(
     splitter: str = "ne_local",
     hdf: float = DEFAULT_HDF,
     deg: DataFrame | None = None,
+    grouping: str = "range",
 ) -> FsmResult:
     """Full FSM pipeline: split into k*p sub-buckets -> driver greedy merge ->
     broadcast remap.  edges: (src, dst) long, canonical, deduped."""
@@ -299,7 +320,7 @@ def fsm_partition(
     if splitter == "dbh":
         low_assigned = _split_dbh(low, n_sub)
     elif splitter == "ne_local":
-        low_assigned = _split_ne_local(low, p, k)
+        low_assigned = _split_ne_local(low, p, k, grouping=grouping)
     else:
         raise ValueError(f"unknown splitter {splitter!r}")
     # hub-hub edges: salt uniformly across all sub-buckets (HEP h2h analog,
