@@ -1,0 +1,69 @@
+"""Fennel single-pass vertex partitioner.
+
+Reference parity (/root/reference/src/fennel_partitioner.cpp):
+- stream vertices 0..n-1; assign to argmax_b |N(v) ∩ V_b| − α·γ·|V_b|^(γ−1)
+  with γ = 1.5, α = sqrt(p)·m/n^1.5 (:39,61-132; score fennel_partitioner.hpp:47-49)
+- capacity 1.1·n/p (:49)
+
+Distribution note (same family as HDRF/EBV): vertex stream state is
+partition-local per task; the adjacency is delivered as a grouped
+neighbor-list DataFrame so each task streams its vertex block with NumPy-set
+membership tests.  Returns a VERTEX partition (vertex, bucket) — feed
+``vertex2edge_partition`` for an edge-cut.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+GAMMA = 1.5
+
+
+def _fennel_task(p: int, alpha: float):
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sizes = np.zeros(p, dtype=np.int64)
+        members: list[set[int]] = [set() for _ in range(p)]
+        seen = 0
+        for pdf in batches:
+            verts = pdf["vertex"].to_numpy(np.int64)
+            out = np.empty(len(verts), dtype=np.int64)
+            for i, (v, nbrs) in enumerate(zip(verts, pdf["nbrs"])):
+                # self-normalizing capacity: 1.1 * (stream position)/p, so the
+                # reference's 1.1*n/p bound holds per task whatever the task
+                # count (fennel_partitioner.cpp:49)
+                capacity = 1.1 * max(seen, p) / p + 1
+                best_b, best_s = 0, -np.inf
+                for b in range(p):
+                    if sizes[b] >= capacity:
+                        continue
+                    inter = sum(1 for u in nbrs if u in members[b])
+                    s = inter - alpha * GAMMA * (sizes[b] ** (GAMMA - 1.0))
+                    if s > best_s:
+                        best_s, best_b = s, b
+                out[i] = best_b
+                sizes[best_b] += 1
+                members[best_b].add(int(v))
+                seen += 1
+            yield pd.DataFrame({"vertex": verts, "bucket": out})
+
+    return run
+
+
+def fennel_partition(edges: DataFrame, p: int) -> DataFrame:
+    """(vertex, bucket) Fennel vertex partition (partition-local stream state)."""
+    m = edges.count()
+    und = edges.select(F.col("src").alias("v"), F.col("dst").alias("w")).unionAll(
+        edges.select(F.col("dst").alias("v"), F.col("src").alias("w"))
+    )
+    adj = und.groupBy(F.col("v").alias("vertex")).agg(F.collect_list("w").alias("nbrs"))
+    n = adj.count()
+    alpha = math.sqrt(p) * m / (n**1.5)
+    return adj.orderBy("vertex").mapInPandas(
+        _fennel_task(p, alpha), schema="vertex long, bucket long"
+    )

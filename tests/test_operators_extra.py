@@ -147,3 +147,37 @@ def test_streaming_degree_counts(spark, tmp_path):
     got = dict(zip(w0.vertex, w0.degree))
     # canonicalized edges at t0: (1,2) x2 [dup kept: stream doesn't dedup], self-loop (2,2) dropped
     assert got.get(1) == 2 and got.get(2) == 2
+
+
+def test_fennel_vertex_partition(spark, graph):
+    from split_merge_partitioner_spark.operators import fennel_partition
+
+    p = 6
+    vp = fennel_partition(graph, p).persist()
+    n = vp.count()
+    # every vertex assigned exactly once, capacity respected
+    from split_merge_partitioner_spark.sources import vertices_of
+
+    assert n == vertices_of(graph).count()
+    sizes = vp.groupBy("bucket").count().toPandas()["count"]
+    # per-task self-normalizing capacity: global bound 1.1*n/p plus one slack
+    # row per task (task count is an execution detail)
+    assert sizes.max() <= 1.1 * n / p + 8
+    st = vertex_partition_stats(graph, vp, p).toPandas().iloc[0]
+    # locality-aware: should beat a random hash partition's cut ratio
+    hash_cut = (
+        vertex_partition_stats(graph, vertex_partition_by_hash(graph, p), p)
+        .toPandas().iloc[0].cut_ratio
+    )
+    assert st.cut_ratio <= hash_cut
+
+
+def test_fsm_hub_salting_path(spark, graph):
+    """hdf small enough that hub-hub edges exist -> the h2h salted branch is
+    exercised and invariants still hold."""
+    from split_merge_partitioner_spark.operators import fsm_partition
+
+    res = fsm_partition(graph, p=4, k=2, merge="fast", splitter="ne_local", hdf=2.0)
+    v = validate_partition(graph, res.assigned, 4)
+    assert all(x == 0 for x in v.values()), v
+    assert max(res.subbuckets_per_final.values()) <= 2
