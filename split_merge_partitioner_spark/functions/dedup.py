@@ -223,26 +223,43 @@ def _simhash_udf(seed: int):
     return simhash
 
 
-def simhash_near_duplicates(
-    docs: DataFrame,
-    max_hamming: int = 3,
-    seed: int = 42,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """(doc_a, doc_b, hamming) pairs with Hamming(simhash) <= max_hamming.
+_SIMHASH_BITS = 61
 
-    Candidate generation: 4 rotations of 16-bit blocks as bucket keys (any
-    pair within Hamming 3 of a 61-bit hash shares at least one of 4 blocks by
-    pigeonhole); verification via bit_count(xor).
+
+def _simhash_blocks(max_hamming: int) -> list[tuple[int, int]]:
+    """(shift, width) per block: max_hamming+1 disjoint blocks covering all 61
+    bits.  Pigeonhole: two hashes within Hamming max_hamming must agree on at
+    least one of max_hamming+1 disjoint blocks, so bucketing on every block is
+    a complete candidate generator at ANY threshold value."""
+    nb = max_hamming + 1
+    assert 1 <= nb <= _SIMHASH_BITS, "max_hamming must be in [0, 60]"
+    base, rem = divmod(_SIMHASH_BITS, nb)
+    blocks, shift = [], 0
+    for i in range(nb):
+        w = base + (1 if i < rem else 0)
+        blocks.append((shift, w))
+        shift += w
+    return blocks
+
+
+def simhash_pairs_from_hashes(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(doc_a, doc_b, hamming) from a (doc_id, sh) table of 61-bit simhashes.
+
+    Candidate generation: bucket on each of max_hamming+1 disjoint bit blocks
+    (block count derived from the threshold so the pigeonhole recall guarantee
+    holds for every requested max_hamming); verification via bit_count(xor).
+    Shuffle volume is #docs * (max_hamming+1) bucket rows, never the n^2 pair
+    space.
     """
-    sh = docs.select(F.col(id_col).alias("doc_id"), _simhash_udf(seed)(F.col(text_col)).alias("sh"))
-    blocks = [(F.shiftright("sh", i * 16).bitwiseAND(F.lit(0xFFFF))).alias(f"b{i}") for i in range(4)]
-    keyed = sh.select("doc_id", "sh", *blocks)
-    pieces = []
-    for i in range(4):
-        k = keyed.select("doc_id", "sh", F.col(f"b{i}").alias("bk"), F.lit(i).alias("blk"))
-        pieces.append(k)
+    pieces = [
+        hashes.select(
+            "doc_id",
+            "sh",
+            (F.shiftright("sh", shift).bitwiseAND(F.lit((1 << width) - 1))).alias("bk"),
+            F.lit(i).alias("blk"),
+        )
+        for i, (shift, width) in enumerate(_simhash_blocks(max_hamming))
+    ]
     buckets = pieces[0]
     for piece in pieces[1:]:
         buckets = buckets.unionAll(piece)
@@ -263,3 +280,18 @@ def simhash_near_duplicates(
         .where(F.col("hamming") <= max_hamming)
     )
     return cand
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs with Hamming(simhash) <= max_hamming over
+    64-bit-family SimHash of whitespace tokens (61 effective bits)."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), _simhash_udf(seed)(F.col(text_col)).alias("sh")
+    )
+    return simhash_pairs_from_hashes(sh, max_hamming=max_hamming)

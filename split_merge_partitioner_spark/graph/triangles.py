@@ -32,7 +32,11 @@ def _oriented(edges: DataFrame, orient: str) -> DataFrame:
     )
 
 
-def triangle_count(edges: DataFrame, orient: str = "id") -> int:
+def triangle_count(edges: DataFrame, orient: str = "degree") -> int:
+    """Degree orientation is the default: the wedge count is sum of squared
+    OUT-degrees, and orienting low-degree -> high-degree caps out-degree at
+    O(sqrt(m)) even on power-law hubs — the skew-killer at scale.  The count
+    itself is orientation-invariant (oracle stays on id orientation)."""
     e = _oriented(edges, orient)
     ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
@@ -41,9 +45,11 @@ def triangle_count(edges: DataFrame, orient: str = "id") -> int:
     return wedges.join(ac, ["a", "c"]).count()
 
 
-def triangles_per_vertex(edges: DataFrame) -> DataFrame:
-    """(vertex, triangles) — each closed triangle credited to all 3 corners."""
-    e = _oriented(edges, "id")
+def triangles_per_vertex(edges: DataFrame, orient: str = "degree") -> DataFrame:
+    """(vertex, triangles) — each closed triangle credited to all 3 corners
+    (corner credits are orientation-invariant: every triangle appears exactly
+    once under any acyclic orientation)."""
+    e = _oriented(edges, orient)
     ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))

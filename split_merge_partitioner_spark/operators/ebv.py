@@ -3,13 +3,24 @@
 Reference parity (/root/reference/src/ebv_partitioner.cpp):
 - edges sorted by deg(u)+deg(v) ascending before streaming (:69-73)
 - per edge: argmin_b (s_u + s_v) + |b|_e/avg_e + |b|_v/avg_v where s_x = 1
-  iff x NOT yet replicated in b (:91-125); per-bucket edge and vertex counts
-  updated per assignment (ebv_partitioner.hpp:25-40)
+  iff x NOT yet replicated in b (:91-125); avg_v is DYNAMIC — the running
+  replica total across all buckets divided by p (num_vertices_all_buckets,
+  ebv_partitioner.hpp:25-40 assign_edge increments it per new replica)
+- per-bucket edge and vertex counts updated per assignment
+  (ebv_partitioner.hpp:25-40)
 
 Distribution note (same as HDRF): the greedy stream carries global state, so
 our distributed variant keeps PARTITION-LOCAL state per task after a global
 degree-sum sort (range partitions preserve the ascending order within tasks).
-RF is modestly higher than the single-threaded reference; balance holds.
+Documented deviations: replica sets are per-task (RF modestly higher than the
+single-threaded reference; balance holds), and avg_e normalizes by the
+task-local running edge count (seen/p) rather than the global m/p the
+single-process reference knows upfront — the reference's avg_e is constant
+ONLY because it sees the whole stream; per task the running average is the
+faithful analog and keeps the balance term at the same magnitude as s_u+s_v.
+
+Scoring is vectorized over the p buckets (bool[p] membership rows + one NumPy
+expression per edge) — no Python loop over p.
 """
 
 from __future__ import annotations
@@ -24,33 +35,43 @@ from pyspark.sql import functions as F
 from ..sources.edges import degrees as degrees_of
 
 
-def _ebv_task(p: int, m_total: int, n_total: int):
+def _ebv_task(p: int):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         e_cnt = np.zeros(p, dtype=np.int64)
         v_cnt = np.zeros(p, dtype=np.int64)
-        replicas: list[set[int]] = [set() for _ in range(p)]
-        avg_e = m_total / p
-        avg_v = 2.0 * n_total / p
+        rep: dict[int, np.ndarray] = {}  # vertex -> bool[p]
+        no_rep = np.zeros(p, dtype=bool)
+        seen = 0
+        total_replicas = 0  # num_vertices_all_buckets (ebv_partitioner.hpp:23)
         for pdf in batches:
             src = pdf["src"].to_numpy(np.int64)
             dst = pdf["dst"].to_numpy(np.int64)
             out = np.empty(len(src), dtype=np.int64)
             for i in range(len(src)):
                 u, v = int(src[i]), int(dst[i])
-                best_b, best_s = 0, np.inf
-                for b in range(p):
-                    s = (u not in replicas[b]) + (v not in replicas[b])
-                    s += e_cnt[b] / avg_e + v_cnt[b] / avg_v
-                    if s < best_s:
-                        best_s, best_b = s, b
+                mu = rep.get(u, no_rep)
+                mv = rep.get(v, no_rep)
+                avg_e = max(seen, 1) / p
+                avg_v = max(total_replicas, 1) / p
+                s = 2.0 - mu - mv
+                s += e_cnt / avg_e
+                s += v_cnt / avg_v
+                best_b = int(s.argmin())
                 out[i] = best_b
                 e_cnt[best_b] += 1
-                if u not in replicas[best_b]:
-                    replicas[best_b].add(u)
+                seen += 1
+                if not mu[best_b]:
+                    if u not in rep:
+                        rep[u] = mu = no_rep.copy()
+                    mu[best_b] = True
                     v_cnt[best_b] += 1
-                if v not in replicas[best_b]:
-                    replicas[best_b].add(v)
+                    total_replicas += 1
+                if not mv[best_b]:
+                    if v not in rep:
+                        rep[v] = mv = no_rep.copy()
+                    mv[best_b] = True
                     v_cnt[best_b] += 1
+                    total_replicas += 1
             yield pd.DataFrame({"src": src, "dst": dst, "bucket": out})
 
     return run
@@ -60,8 +81,6 @@ def ebv_partition(edges: DataFrame, p: int, deg: DataFrame | None = None) -> Dat
     """(src, dst, bucket) — EBV with degree-sum-ordered streaming."""
     if deg is None:
         deg = degrees_of(edges)
-    m = edges.count()
-    n = deg.count()
     degb = F.broadcast(deg)
     e = (
         edges.join(degb.withColumnRenamed("vertex", "src").withColumnRenamed("degree", "deg_src"), "src")
@@ -69,4 +88,4 @@ def ebv_partition(edges: DataFrame, p: int, deg: DataFrame | None = None) -> Dat
         .orderBy((F.col("deg_src") + F.col("deg_dst")).asc(), "src", "dst")
         .select("src", "dst")
     )
-    return e.mapInPandas(_ebv_task(p, m, n), schema="src long, dst long, bucket long")
+    return e.mapInPandas(_ebv_task(p), schema="src long, dst long, bucket long")

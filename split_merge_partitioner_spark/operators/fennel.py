@@ -38,7 +38,7 @@ def _fennel_task(p: int, alpha: float):
                 # reference's 1.1*n/p bound holds per task whatever the task
                 # count (fennel_partitioner.cpp:49)
                 capacity = 1.1 * max(seen, p) / p + 1
-                best_b, best_s = 0, -np.inf
+                best_b, best_s = -1, -np.inf
                 for b in range(p):
                     if sizes[b] >= capacity:
                         continue
@@ -46,6 +46,11 @@ def _fennel_task(p: int, alpha: float):
                     s = inter - alpha * GAMMA * (sizes[b] ** (GAMMA - 1.0))
                     if s > best_s:
                         best_s, best_b = s, b
+                if best_b < 0:
+                    # every bucket at capacity: spill to the current smallest
+                    # (keeps the 1.1n/p invariant tight instead of piling
+                    # overflow onto bucket 0)
+                    best_b = int(np.argmin(sizes))
                 out[i] = best_b
                 sizes[best_b] += 1
                 members[best_b].add(int(v))

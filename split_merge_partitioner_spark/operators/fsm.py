@@ -201,17 +201,17 @@ def _ne_lite_group(k: int):
         verts, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
         ls, ld = inv[:m_local], inv[m_local:]
         nloc = len(verts)
-        # local CSR over undirected incidence: vertex -> incident edge ids
-        deg = np.bincount(ls, minlength=nloc) + np.bincount(ld, minlength=nloc)
+        # local CSR over undirected incidence: vertex -> incident edge ids,
+        # built fully vectorized (stable argsort of the 2m endpoint column =
+        # counting-sort fill, graph.cpp:3-29's prefix-sum build without the
+        # per-edge loop)
+        ends = np.concatenate([ls, ld])
+        deg = np.bincount(ends, minlength=nloc)
         offs = np.zeros(nloc + 1, dtype=np.int64)
         np.cumsum(deg, out=offs[1:])
-        fill = offs[:-1].copy()
-        inc = np.empty(2 * m_local, dtype=np.int64)
-        for arr in (ls, ld):
-            for e in range(m_local):
-                v = arr[e]
-                inc[fill[v]] = e
-                fill[v] += 1
+        inc = np.tile(np.arange(m_local, dtype=np.int64), 2)[
+            np.argsort(ends, kind="stable")
+        ]
         assigned = np.full(m_local, -1, dtype=np.int64)
         visited = np.zeros(nloc, dtype=bool)
         cap = m_local // k + 1

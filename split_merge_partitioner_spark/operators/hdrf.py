@@ -4,15 +4,26 @@ Reference parity (/root/reference/src/hdrf_partitioner.cpp):
 - score(u,v,b) = g_u + g_v + lambda * (max_size - |b|)/(1 + max_size - min_size)
   where g_x = 1 + (1 - deg_x/(deg_u+deg_v)) if x already replicated in b else 0
   (compute_partition_score :150-174; best_scored_partition :136-148)
+- hard capacity cut-off: a bucket at capacity scores -1 and is never chosen
+  (hdrf_partitioner.cpp:152-154; capacity = 1.05*m/p + 1)
 - lambda default 1.1 (src/main.cpp:32, hdrf_partitioner.hpp:22)
 
 HDRF is inherently sequential (global replica-set + size state).  The standard
 distributed practice — and ours — is PARTITION-LOCAL state: each Spark task
 streams its edge batch through an independent HDRF state machine writing into
-the same global bucket space [0, p).  Documented deviation: replica sets are
-per-task, so RF is slightly higher than single-threaded HDRF; balance is
-preserved because every task balances its own stream.  Runs as mapInPandas
-(Arrow batches, NumPy state), no per-row Python in the plan.
+the same global bucket space [0, p).  Documented deviations:
+- replica sets are per-task, so RF is slightly higher than single-threaded
+  HDRF; balance is preserved because every task balances its own stream.
+- the capacity bound is self-normalizing (1.05 * stream_position / p + 1, vs
+  the reference's fixed 1.05*m/p + 1 which needs m upfront) so the same
+  relative bound holds per task whatever the task count.
+- when every bucket is at capacity the reference picks a random bucket
+  (best_scored_partition :145-147); we pick the current min-size bucket
+  (deterministic — reproducibility requirement, SURVEY.md §7).
+
+The scoring kernel is fully vectorized over the p buckets: per-vertex
+replica membership is a bool[p] row in a dict, and the score for all p
+buckets is one NumPy expression — no Python loop over p per edge.
 """
 
 from __future__ import annotations
@@ -26,6 +37,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 DEFAULT_LAMBDA = 1.1
+# the reference's hard cap is num_edges * 1.0 / p + 1 (hdrf_partitioner.cpp:49),
+# binding only at stream end; our running-position analog needs slack or it
+# degenerates to round-robin, so we allow 5% over the running average
+CAP_RATIO = 1.05
 
 _SCHEMA = StructType(
     [
@@ -39,7 +54,9 @@ _SCHEMA = StructType(
 def _hdrf_task(p: int, lam: float):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sizes = np.zeros(p, dtype=np.int64)
-        replicas: list[set[int]] = [set() for _ in range(p)]
+        rep: dict[int, np.ndarray] = {}  # vertex -> bool[p] membership row
+        no_rep = np.zeros(p, dtype=bool)
+        seen = 0
         for pdf in batches:
             src = pdf["src"].to_numpy(np.int64)
             dst = pdf["dst"].to_numpy(np.int64)
@@ -49,23 +66,31 @@ def _hdrf_task(p: int, lam: float):
             for i in range(len(src)):
                 u, v = int(src[i]), int(dst[i])
                 degsum = du[i] + dv[i]
-                gu_in = 1.0 + (1.0 - du[i] / degsum)
-                gv_in = 1.0 + (1.0 - dv[i] / degsum)
-                mx, mn = sizes.max(), sizes.min()
-                denom = 1.0 + mx - mn
-                best_b, best_s = 0, -1.0
-                for b in range(p):
-                    s = lam * (mx - sizes[b]) / denom
-                    if u in replicas[b]:
-                        s += gu_in
-                    if v in replicas[b]:
-                        s += gv_in
-                    if s > best_s:
-                        best_s, best_b = s, b
+                gu_in = 2.0 - du[i] / degsum
+                gv_in = 2.0 - dv[i] / degsum
+                mu = rep.get(u, no_rep)
+                mv = rep.get(v, no_rep)
+                mx = sizes.max()
+                s = lam * (mx - sizes) / (1.0 + mx - sizes.min())
+                s += gu_in * mu
+                s += gv_in * mv
+                cap = CAP_RATIO * max(seen, p) / p + 1.0
+                s[sizes >= cap] = -1.0
+                if s.max() < 0.0:
+                    best_b = int(sizes.argmin())
+                else:
+                    best_b = int(s.argmax())
                 out[i] = best_b
                 sizes[best_b] += 1
-                replicas[best_b].add(u)
-                replicas[best_b].add(v)
+                seen += 1
+                if not mu[best_b]:
+                    if u not in rep:
+                        rep[u] = mu = no_rep.copy()
+                    mu[best_b] = True
+                if not mv[best_b]:
+                    if v not in rep:
+                        rep[v] = mv = no_rep.copy()
+                    mv[best_b] = True
             yield pd.DataFrame({"src": src, "dst": dst, "bucket": out})
 
     return run

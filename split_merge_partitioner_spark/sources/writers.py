@@ -37,19 +37,39 @@ def write_vertexpart(vertex_parts: DataFrame, path: str) -> None:
 
 
 def write_metis_adjlist(edges: DataFrame, path: str) -> None:
-    """METIS .adjlist export (1-based, header "n m"), for external vertex
-    partitioner interop (edgelist2adjlist.hpp:74-89).  Test-scale only:
-    coalesce(1) text."""
+    """METIS .adjlist export (1-based, header line "n m"), for external vertex
+    partitioner interop (edgelist2adjlist.hpp:74-89).  Requires DENSE vertex
+    ids 0..n-1 (run sources.edges.renumber_edges first) because METIS maps
+    line number i to vertex i; raises ValueError otherwise.  Isolated-id rows
+    cannot occur once ids are dense.  Test-scale only: coalesce(1) text."""
+    spark = edges.sparkSession
+    bounds = edges.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.greatest(F.max("src"), F.max("dst")).alias("vmax"),
+        F.least(F.min("src"), F.min("dst")).alias("vmin"),
+    ).collect()[0]
+    m, vmax, vmin = int(bounds["m"]), int(bounds["vmax"]), int(bounds["vmin"])
     und = edges.select(F.col("src").alias("v"), F.col("dst").alias("w")).unionAll(
         edges.select(F.col("dst").alias("v"), F.col("src").alias("w"))
     )
+    n = und.select("v").distinct().count()
+    if vmin != 0 or vmax != n - 1:
+        raise ValueError(
+            f"METIS export needs dense 0-based vertex ids (got min={vmin}, "
+            f"max={vmax}, n={n}); apply renumber_edges first"
+        )
     adj = (
         und.groupBy("v")
         .agg(F.sort_array(F.collect_list(F.col("w") + 1)).alias("nbrs"))
-        .orderBy("v")
-        .select(F.concat_ws(" ", F.col("nbrs").cast("array<string>")).alias("line"))
+        .select(
+            F.col("v").alias("sort_key"),
+            F.concat_ws(" ", F.col("nbrs").cast("array<string>")).alias("line"),
+        )
     )
-    adj.coalesce(1).write.mode("overwrite").text(path)
+    header = spark.createDataFrame([(-1, f"{n} {m}")], "sort_key long, line string")
+    header.unionAll(adj).coalesce(1).sortWithinPartitions("sort_key").select(
+        "line"
+    ).write.mode("overwrite").text(path)
 
 
 def read_edgepart(spark: SparkSession, path: str) -> DataFrame:

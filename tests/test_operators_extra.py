@@ -94,8 +94,13 @@ def test_metis_adjlist_export(spark, tmp_path):
 
     files = glob.glob(f"{path}/part-*.txt") + glob.glob(f"{path}/part-*")
     lines = open(sorted(files)[0]).read().strip().split("\n")
-    # vertex 0 -> neighbors 1,2 (1-based: 2 3); vertex 1 -> 1 3; vertex 2 -> 1 2
-    assert lines == ["2 3", "1 3", "1 2"]
+    # METIS header "n m", then vertex 0 -> neighbors 1,2 (1-based: 2 3);
+    # vertex 1 -> 1 3; vertex 2 -> 1 2
+    assert lines == ["3 3", "2 3", "1 3", "1 2"]
+    # non-dense ids must be rejected (line number == vertex id contract)
+    bad = spark.createDataFrame(pd.DataFrame({"src": [5, 5], "dst": [7, 9]}))
+    with pytest.raises(ValueError):
+        write_metis_adjlist(bad, str(tmp_path / "adj_bad"))
 
 
 def test_replication_by_degree_decade(spark, graph):

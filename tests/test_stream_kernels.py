@@ -1,0 +1,131 @@
+"""Vectorized streaming-kernel equivalence: the NumPy p-vector scoring in
+hdrf.py / ebv.py must produce IDENTICAL assignments to a straightforward
+scalar transcription of the reference formulas on a fixed seeded stream
+(VERDICT round-1 item 5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from split_merge_partitioner_spark.operators.ebv import _ebv_task
+from split_merge_partitioner_spark.operators.hdrf import CAP_RATIO, _hdrf_task
+
+
+def _stream(n_edges=3000, n_vertices=300, seed=7):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n_vertices, n_edges)
+    dst = rng.integers(0, n_vertices, n_edges)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    deg = np.bincount(np.concatenate([src, dst]), minlength=n_vertices)
+    return pd.DataFrame(
+        {
+            "src": src,
+            "dst": dst,
+            "deg_src": deg[src].astype(np.float64),
+            "deg_dst": deg[dst].astype(np.float64),
+        }
+    )
+
+
+def _scalar_hdrf(pdf: pd.DataFrame, p: int, lam: float) -> np.ndarray:
+    """Per-edge, per-bucket Python loops — compute_partition_score
+    (hdrf_partitioner.cpp:150-174) with the module's documented deviations
+    (self-normalizing cap, min-size fallback)."""
+    sizes = [0] * p
+    replicas = [set() for _ in range(p)]
+    out = []
+    seen = 0
+    for r in pdf.itertuples():
+        degsum = r.deg_src + r.deg_dst
+        cap = CAP_RATIO * max(seen, p) / p + 1.0
+        mx, mn = max(sizes), min(sizes)
+        best_b, best_s = -1, -1.0
+        for b in range(p):
+            if sizes[b] >= cap:
+                continue
+            s = lam * (mx - sizes[b]) / (1.0 + mx - mn)
+            if r.src in replicas[b]:
+                s += 1.0 + (1.0 - r.deg_src / degsum)
+            if r.dst in replicas[b]:
+                s += 1.0 + (1.0 - r.deg_dst / degsum)
+            if s > best_s:
+                best_s, best_b = s, b
+        if best_b < 0:
+            best_b = int(np.argmin(sizes))
+        out.append(best_b)
+        sizes[best_b] += 1
+        seen += 1
+        replicas[best_b].add(r.src)
+        replicas[best_b].add(r.dst)
+    return np.array(out)
+
+
+def _scalar_ebv(pdf: pd.DataFrame, p: int) -> np.ndarray:
+    """compute_partition_score (ebv_partitioner.cpp:108-125) with running
+    avg_e and the reference's dynamic avg_v (num_vertices_all_buckets/p)."""
+    e_cnt = [0] * p
+    v_cnt = [0] * p
+    replicas = [set() for _ in range(p)]
+    out = []
+    seen = total = 0
+    for r in pdf.itertuples():
+        avg_e = max(seen, 1) / p
+        avg_v = max(total, 1) / p
+        best_b, best_s = -1, float("inf")
+        for b in range(p):
+            s = float((r.src not in replicas[b]) + (r.dst not in replicas[b]))
+            s += e_cnt[b] / avg_e
+            s += v_cnt[b] / avg_v
+            if s < best_s:
+                best_s, best_b = s, b
+        out.append(best_b)
+        e_cnt[best_b] += 1
+        seen += 1
+        for v in (r.src, r.dst):
+            if v not in replicas[best_b]:
+                replicas[best_b].add(v)
+                v_cnt[best_b] += 1
+                total += 1
+    return np.array(out)
+
+
+def test_hdrf_vectorized_matches_scalar():
+    p, lam = 8, 1.1
+    pdf = _stream()
+    got = pd.concat(list(_hdrf_task(p, lam)(iter([pdf]))))["bucket"].to_numpy()
+    exp = _scalar_hdrf(pdf, p, lam)
+    assert (got == exp).all()
+
+
+def test_hdrf_capacity_is_enforced():
+    p = 4
+    pdf = _stream(n_edges=4000, n_vertices=40, seed=3)
+    got = pd.concat(list(_hdrf_task(p, 1.1)(iter([pdf]))))["bucket"].to_numpy()
+    sizes = np.bincount(got, minlength=p)
+    m = len(pdf)
+    assert sizes.max() <= CAP_RATIO * m / p + 2  # hard cap (hdrf:152-154 analog)
+
+
+def test_ebv_vectorized_matches_scalar():
+    p = 8
+    pdf = _stream(seed=11)
+    # ebv streams in degree-sum order (ebv_partitioner.cpp:69-73)
+    pdf = pdf.assign(ds=pdf.deg_src + pdf.deg_dst).sort_values(
+        ["ds", "src", "dst"]
+    ).drop(columns="ds").reset_index(drop=True)
+    got = pd.concat(list(_ebv_task(p)(iter([pdf]))))["bucket"].to_numpy()
+    exp = _scalar_ebv(pdf, p)
+    assert (got == exp).all()
+
+
+def test_kernels_batch_invariant():
+    """Splitting the stream into Arrow-batch-sized chunks must not change
+    assignments (state carries across batches within a task)."""
+    p = 6
+    pdf = _stream(seed=13)
+    whole = pd.concat(list(_hdrf_task(p, 1.1)(iter([pdf]))))["bucket"].to_numpy()
+    chunks = [pdf.iloc[i : i + 500] for i in range(0, len(pdf), 500)]
+    split = pd.concat(list(_hdrf_task(p, 1.1)(iter(chunks))))["bucket"].to_numpy()
+    assert (whole == split).all()
