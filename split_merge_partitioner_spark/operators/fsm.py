@@ -27,12 +27,19 @@ SPLIT  — distributed.  Two strategies:
   vertices into sub-vertices": each hub's edge set is sharded by a seeded
   hash, every shard assigned independently).
 
-MERGE  — small-data greedy planning on the driver, faithful to the reference:
-  per-sub-bucket replica bitmaps are collected (k*p <= 255 bitmaps of n bits;
-  at test scale this is KBs; beyond ~1e8 vertices switch to the incremental
-  |A|+|B|-|A and B| overlap-join formulation per SURVEY.md §2.2 P11), then the
-  exact fast/precise greedy runs in plain Python, and the old->final map
-  (<= k*p rows) is broadcast-joined back onto the edges.
+MERGE  — small-data greedy planning on the driver, faithful to the reference.
+  The greedy consumes union popcounts through a stats oracle with two
+  implementations (merge_stats knob, default "auto"):
+  * "driver": per-sub-bucket replica bitmaps collected to the driver (k*p
+    bitmaps of n bits — exact and job-free at test scale);
+  * "joins":  the 100-TB path — only (k·p) replica counts plus the (k·p)²
+    pairwise-intersection matrix are collected (one self-join aggregation);
+    running union sizes come from |A|+|B|-|A∩B|, exact with zero extra jobs
+    for every step at k=2, and from one batched count-distinct join per step
+    for parents that already hold >=2 sub-buckets (k>2).  Driver memory is
+    O((k·p)²) scalars — never O(n).
+  Either way the exact fast/precise greedy runs in plain Python and the
+  old->final map (<= k*p rows) is broadcast-joined back onto the edges.
 
 All bookkeeping is broadcast/driver state — no row-wise mutable grafts.
 """
@@ -55,17 +62,138 @@ DEFAULT_HDF = 100.0  # HEP high-degree factor default (src/main.cpp:29)
 
 
 # ---------------------------------------------------------------------------
+# merge-stat oracles: where union popcounts come from
+# ---------------------------------------------------------------------------
+#
+# The greedy merge (fsm_partitioner.cpp:128-217) consumes three statistics:
+# per-sub-bucket |V_b|, per-sub-bucket |E_b|, and union sizes |U ∪ V_b| where
+# U is the running replica union of a final bucket.  The reference gets them
+# from driver-resident dense bitsets; we abstract the source so the SAME
+# greedy runs against either
+#   * _BitmapMergeStats — collected NumPy bool bitmaps (test scale; exact,
+#     zero extra Spark jobs), or
+#   * _OverlapJoinMergeStats — the scale path (SURVEY.md §2.2 P11/P12): only
+#     (k·p) replica counts + the (k·p)² pairwise-intersection matrix are
+#     collected (one self-join aggregation); union sizes come from
+#     |A|+|B|−|A∩B| (exact for single-member parents — i.e. for ALL steps at
+#     k=2), and for parents that already absorbed ≥2 sub-buckets from one
+#     batched count-distinct join per merge step.  Driver memory is O((k·p)²)
+#     scalars, never O(n).
+
+
+class _BitmapMergeStats:
+    """Union popcounts from driver-side bool bitmaps (merge_bucket,
+    fsm_partitioner.cpp:239-255)."""
+
+    def __init__(self, replicas: dict[int, int], occupied: dict[int, int],
+                 bitmaps: dict[int, np.ndarray]):
+        self._replicas = replicas
+        self._occupied = occupied
+        self._bitmaps = bitmaps
+        self._parents: dict[int, np.ndarray] = {}
+
+    def replicas(self, sub: int) -> int:
+        return self._replicas[sub]
+
+    def occupied(self, sub: int) -> int:
+        return self._occupied[sub]
+
+    def new_parent(self, key: int, sub: int) -> int:
+        self._parents[key] = self._bitmaps[sub].copy()
+        return self._replicas[sub]
+
+    def absorb(self, key: int, sub: int) -> int:
+        bm = self._parents[key]
+        np.logical_or(bm, self._bitmaps[sub], out=bm)
+        return int(bm.sum())
+
+    def peek_all(self, sub: int, keys: list[int]) -> dict[int, int]:
+        sb = self._bitmaps[sub]
+        return {
+            key: int(np.logical_or(self._parents[key], sb).sum()) for key in keys
+        }
+
+
+class _OverlapJoinMergeStats:
+    """Union popcounts from the pairwise overlap matrix + incremental
+    count-distinct joins — no O(n) driver state (SURVEY.md §2.2 P11/P12;
+    union semantics match merge_bucket, fsm_partitioner.cpp:239-255)."""
+
+    def __init__(self, reps: DataFrame, replicas: dict[int, int],
+                 occupied: dict[int, int], overlap: np.ndarray):
+        self._reps = reps  # persisted (bucket, vertex) distinct relation
+        self._replicas = replicas
+        self._occupied = occupied
+        self._overlap = overlap  # [n_sub, n_sub] pairwise |A ∩ B|
+        # parent key -> (member sub ids, current union size)
+        self._parents: dict[int, tuple[list[int], int]] = {}
+        self.jobs = 0  # instrumentation: Spark jobs issued for multi-member unions
+
+    def replicas(self, sub: int) -> int:
+        return self._replicas[sub]
+
+    def occupied(self, sub: int) -> int:
+        return self._occupied[sub]
+
+    def new_parent(self, key: int, sub: int) -> int:
+        size = self._replicas[sub]
+        self._parents[key] = ([sub], size)
+        return size
+
+    def _multi_intersections(self, sub: int, keys: list[int]) -> dict[int, int]:
+        """|(∪ members) ∩ V_sub| for every key, in ONE aggregated join job:
+        tag member replica rows with their parent key, dedup (key, vertex),
+        semi-join the sub's replica vertices, count per key."""
+        spark = self._reps.sparkSession
+        rows = [
+            (int(b), int(key))
+            for key in keys
+            for b in self._parents[key][0]
+        ]
+        mm = F.broadcast(
+            spark.createDataFrame(rows, "bucket long, parent long")
+        )
+        sub_v = self._reps.where(F.col("bucket") == sub).select("vertex")
+        inter = (
+            self._reps.join(mm, "bucket")
+            .select("parent", "vertex")
+            .distinct()
+            .join(sub_v, "vertex")
+            .groupBy("parent")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        self.jobs += 1
+        got = {int(r["parent"]): int(r["c"]) for r in inter}
+        return {key: got.get(key, 0) for key in keys}
+
+    def peek_all(self, sub: int, keys: list[int]) -> dict[int, int]:
+        out: dict[int, int] = {}
+        multi: list[int] = []
+        for key in keys:
+            members, size = self._parents[key]
+            if len(members) == 1:
+                out[key] = (
+                    size + self._replicas[sub] - int(self._overlap[members[0], sub])
+                )
+            else:
+                multi.append(key)
+        if multi:
+            inters = self._multi_intersections(sub, multi)
+            for key in multi:
+                out[key] = self._parents[key][1] + self._replicas[sub] - inters[key]
+        return out
+
+    def absorb(self, key: int, sub: int) -> int:
+        new_size = self.peek_all(sub, [key])[key]
+        members, _ = self._parents[key]
+        self._parents[key] = (members + [sub], new_size)
+        return new_size
+
+
+# ---------------------------------------------------------------------------
 # driver-side greedy merge (faithful to fsm_partitioner.cpp:128-217)
 # ---------------------------------------------------------------------------
-
-@dataclass
-class _SubBucket:
-    old_id: int
-    replicas: int
-    occupied: int
-    bitmap: np.ndarray  # bool[n_dense]
-    chosen: bool = False
-
 
 @dataclass
 class FsmResult:
@@ -90,69 +218,66 @@ class _FinalIds:
         return self._ids[old_id]
 
 
-def fast_merge(subs: list[_SubBucket], p: int, k: int) -> dict[int, int]:
+def fast_merge(order: list[int], stats, p: int, k: int) -> dict[int, int]:
     """Greedy pack into the min-replica final bucket (fsm_partitioner.cpp:128-160).
 
-    subs must be sorted desc by replicas (fsm_partitioner.cpp:82-85).  A final
-    bucket is retired after absorbing k sub-buckets.  Mutates subs in place
-    (parents accumulate bitmaps/edges, mirroring merge_bucket :239-255).
+    order: sub-bucket ids sorted desc by replicas (fsm_partitioner.cpp:82-85).
+    stats: a merge-stat oracle (_BitmapMergeStats or _OverlapJoinMergeStats).
+    A final bucket is retired after absorbing k sub-buckets; the PQ key is
+    (running union size, sub-buckets inside), mirroring merge_bucket :239-255.
     """
     finals = _FinalIds()
     valid: dict[int, int] = {}
-    # (mirror_cnt, partitions_inside, index_into_subs, final_id)
+    # (mirror_cnt, partitions_inside, parent_key, final_id)
     pq: list[tuple[int, int, int, int]] = [(0, 0, b, b) for b in range(p)]
     heapq.heapify(pq)
-    for b, sub in enumerate(subs):
-        mirror_cnt, inside, parent_idx, parent_final = heapq.heappop(pq)
+    for b, sub in enumerate(order):
+        mirror_cnt, inside, parent_key, parent_final = heapq.heappop(pq)
         if inside == 0:
-            parent_final = finals.get(sub.old_id)
-            heapq.heappush(pq, (sub.replicas, 1, b, parent_final))
-            sub.chosen = True
+            parent_final = finals.get(sub)
+            size = stats.new_parent(b, sub)
+            heapq.heappush(pq, (size, 1, b, parent_final))
         else:
-            parent = subs[parent_idx]
-            np.logical_or(parent.bitmap, sub.bitmap, out=parent.bitmap)
-            parent.replicas = int(parent.bitmap.sum())
-            parent.occupied += sub.occupied
+            size = stats.absorb(parent_key, sub)
             if inside + 1 < k:
-                heapq.heappush(pq, (parent.replicas, inside + 1, parent_idx, parent_final))
-        valid[sub.old_id] = parent_final
+                heapq.heappush(pq, (size, inside + 1, parent_key, parent_final))
+        valid[sub] = parent_final
     return valid
 
 
-def precise_merge(subs: list[_SubBucket], p: int, k: int) -> dict[int, int]:
+def precise_merge(order: list[int], stats, p: int, k: int) -> dict[int, int]:
     """For each sub-bucket (desc by replicas) scan every non-full final bucket
     and pick the min union-popcount; first empty slot short-circuits
     (fsm_partitioner.cpp:162-217)."""
     finals = _FinalIds()
     valid: dict[int, int] = {}
-    # slots: [mirror_cnt, inside, parent_idx, final_id]
-    slots: list[list[int]] = [[0, 0, b, b] for b in range(p)]
-    for b, sub in enumerate(subs):
+    # slots: [inside, parent_key, final_id]
+    slots: list[list[int]] = [[0, b, b] for b in range(p)]
+    for b, sub in enumerate(order):
+        open_slots = [fb for fb, (inside, _, _) in enumerate(slots) if 0 < inside < k]
+        empty = next((fb for fb, (inside, _, _) in enumerate(slots) if inside == 0), -1)
         best_fb = -1
-        best_size = None
-        for fb, (mirror_cnt, inside, parent_idx, parent_final) in enumerate(slots):
-            if inside == k:
-                continue
-            if inside == 0:
-                best_fb = fb
-                break
-            new_size = int(np.logical_or(subs[parent_idx].bitmap, sub.bitmap).sum())
-            if best_size is None or new_size < best_size:
-                best_size = new_size
-                best_fb = fb
-        assert best_fb >= 0, "no non-full final bucket (k*p capacity exhausted)"
-        mirror_cnt, inside, parent_idx, parent_final = slots[best_fb]
-        if inside == 0:
-            parent_final = finals.get(sub.old_id)
-            slots[best_fb] = [sub.replicas, 1, b, parent_final]
-            sub.chosen = True
+        if empty >= 0:
+            # empty final bucket short-circuits (fsm_partitioner.cpp:178-183)
+            best_fb = empty
         else:
-            parent = subs[parent_idx]
-            np.logical_or(parent.bitmap, sub.bitmap, out=parent.bitmap)
-            parent.replicas = int(parent.bitmap.sum())
-            parent.occupied += sub.occupied
-            slots[best_fb] = [parent.replicas, inside + 1, parent_idx, parent_final]
-        valid[sub.old_id] = parent_final
+            assert open_slots, "no non-full final bucket (k*p capacity exhausted)"
+            sizes = stats.peek_all(sub, [slots[fb][1] for fb in open_slots])
+            best_size = None
+            for fb in open_slots:
+                new_size = sizes[slots[fb][1]]
+                if best_size is None or new_size < best_size:
+                    best_size = new_size
+                    best_fb = fb
+        inside, parent_key, parent_final = slots[best_fb]
+        if inside == 0:
+            parent_final = finals.get(sub)
+            stats.new_parent(b, sub)
+            slots[best_fb] = [1, b, parent_final]
+        else:
+            stats.absorb(parent_key, sub)
+            slots[best_fb] = [inside + 1, parent_key, parent_final]
+        valid[sub] = parent_final
     return valid
 
 
@@ -287,6 +412,9 @@ def _split_ne_local(
     )
 
 
+DRIVER_BITMAP_THRESHOLD = 5_000_000  # replica rows; above this, overlap joins
+
+
 def fsm_partition(
     edges: DataFrame,
     p: int,
@@ -296,9 +424,16 @@ def fsm_partition(
     hdf: float = DEFAULT_HDF,
     deg: DataFrame | None = None,
     grouping: str = "range",
+    merge_stats: str = "auto",
 ) -> FsmResult:
     """Full FSM pipeline: split into k*p sub-buckets -> driver greedy merge ->
-    broadcast remap.  edges: (src, dst) long, canonical, deduped."""
+    broadcast remap.  edges: (src, dst) long, canonical, deduped.
+
+    merge_stats: where union popcounts come from — "driver" collects per-sub
+    replica bitmaps (exact, test scale), "joins" keeps all O(n) state
+    distributed and feeds the greedy from the pairwise overlap matrix +
+    incremental count-distinct joins (the 100-TB path), "auto" switches on
+    replica-relation size (DRIVER_BITMAP_THRESHOLD rows)."""
     spark = edges.sparkSession
     n_sub = p * k
     if deg is None:
@@ -334,38 +469,61 @@ def fsm_partition(
     # applyInPandas) would otherwise be re-planned by every downstream job
     sub_assigned = sub_assigned.localCheckpoint(eager=True)
 
-    # --- collect per-sub-bucket replica bitmaps (driver planning state) ---
-    reps = replica_sets(sub_assigned)
-    rep_pdf = reps.toPandas()
-    occ_pdf = sub_assigned.groupBy("bucket").agg(F.count(F.lit(1)).alias("m")).toPandas()
-    verts = np.unique(rep_pdf["vertex"].to_numpy(np.int64))
-    vidx = {int(v): i for i, v in enumerate(verts)}
-    n_dense = len(verts)
-    occ_map = dict(zip(occ_pdf["bucket"].astype(int), occ_pdf["m"].astype(int)))
-    subs: list[_SubBucket] = []
-    grouped = rep_pdf.groupby("bucket")["vertex"]
-    members: dict[int, np.ndarray] = {int(b): v.to_numpy(np.int64) for b, v in grouped}
-    for old_id in range(n_sub):
-        bm = np.zeros(n_dense, dtype=bool)
-        mem = members.get(old_id)
-        if mem is not None:
-            bm[[vidx[int(v)] for v in mem]] = True
-        subs.append(
-            _SubBucket(
-                old_id=old_id,
-                replicas=int(bm.sum()),
-                occupied=int(occ_map.get(old_id, 0)),
-                bitmap=bm,
-            )
+    # --- merge planning stats: only (k·p)-sized aggregates reach the driver
+    # unless the bitmap path is explicitly chosen / small enough ---
+    reps = replica_sets(sub_assigned).persist()
+    r_rows = reps.groupBy("bucket").agg(F.count(F.lit(1)).alias("r")).collect()
+    occ_rows = sub_assigned.groupBy("bucket").agg(F.count(F.lit(1)).alias("m")).collect()
+    replicas = {old_id: 0 for old_id in range(n_sub)}
+    replicas.update({int(r["bucket"]): int(r["r"]) for r in r_rows})
+    occupied = {old_id: 0 for old_id in range(n_sub)}
+    occupied.update({int(r["bucket"]): int(r["m"]) for r in occ_rows})
+    n_replica_rows = sum(replicas.values())
+
+    if merge_stats == "auto":
+        merge_stats = "driver" if n_replica_rows <= DRIVER_BITMAP_THRESHOLD else "joins"
+    if merge_stats == "driver":
+        rep_pdf = reps.toPandas()
+        verts = np.unique(rep_pdf["vertex"].to_numpy(np.int64))
+        vidx = {int(v): i for i, v in enumerate(verts)}
+        n_dense = len(verts)
+        bitmaps: dict[int, np.ndarray] = {}
+        grouped = rep_pdf.groupby("bucket")["vertex"]
+        members = {int(b): v.to_numpy(np.int64) for b, v in grouped}
+        for old_id in range(n_sub):
+            bm = np.zeros(n_dense, dtype=bool)
+            mem = members.get(old_id)
+            if mem is not None:
+                bm[[vidx[int(v)] for v in mem]] = True
+            bitmaps[old_id] = bm
+        stats = _BitmapMergeStats(replicas, occupied, bitmaps)
+    elif merge_stats == "joins":
+        # (k·p)² pairwise intersections from ONE self-join aggregation —
+        # the |A|+|B|−|A∩B| formulation (SURVEY.md §2.2 P11/P12)
+        pair_rows = (
+            reps.alias("a")
+            .join(reps.alias("b"), "vertex")
+            .groupBy(F.col("a.bucket").alias("ba"), F.col("b.bucket").alias("bb"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
         )
-    subs.sort(key=lambda s: -s.replicas)  # fsm_partitioner.cpp:82-85
+        overlap = np.zeros((n_sub, n_sub), dtype=np.int64)
+        for r in pair_rows:
+            overlap[int(r["ba"]), int(r["bb"])] = int(r["c"])
+        stats = _OverlapJoinMergeStats(reps, replicas, occupied, overlap)
+    else:
+        raise ValueError(f"unknown merge_stats {merge_stats!r}")
+
+    # sort desc by replicas, stable (ties by old_id) — fsm_partitioner.cpp:82-85
+    order = sorted(range(n_sub), key=lambda b: (-replicas[b], b))
 
     if merge == "fast":
-        valid = fast_merge(subs, p, k)
+        valid = fast_merge(order, stats, p, k)
     elif merge == "precise":
-        valid = precise_merge(subs, p, k)
+        valid = precise_merge(order, stats, p, k)
     else:
         raise ValueError(f"unknown merge {merge!r}")
+    reps.unpersist()
 
     # --- rearrange: broadcast old->final map (fsm_partitioner.hpp:114-129) ---
     map_df = F.broadcast(

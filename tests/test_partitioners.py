@@ -95,6 +95,40 @@ def test_fsm_improves_or_matches_split_balance(spark, powerlaw):
     assert st.rf >= 1.0
 
 
+@pytest.mark.parametrize("merge", ["fast", "precise"])
+@pytest.mark.parametrize("k", [2, 3])
+def test_fsm_merge_stats_paths_agree(spark, powerlaw, merge, k):
+    """The overlap-join stats oracle (the 100-TB path: no O(n) driver state)
+    must produce EXACTLY the same merge plan as the collected-bitmap oracle —
+    |A|+|B|-|A∩B| and batched count-distinct joins vs bitmap OR+popcount.
+    k=3 forces >=2-member parents, exercising the incremental join branch."""
+    p = 4
+    res_d = fsm_partition(powerlaw, p=p, k=k, merge=merge, splitter="dbh",
+                          merge_stats="driver")
+    res_j = fsm_partition(powerlaw, p=p, k=k, merge=merge, splitter="dbh",
+                          merge_stats="joins")
+    assert res_d.merge_map == res_j.merge_map
+    assert res_d.assigned.exceptAll(res_j.assigned).count() == 0
+
+
+def test_fsm_joins_merge_large_graph(spark):
+    """Scale-path smoke at >=1M vertices: FSM through the overlap-join merge
+    keeps every reference invariant (VERDICT round-1 item 1 done-criterion)."""
+    pdf = powerlaw_edges_pdf(n=1_000_000, m_per_node=2, seed=5)
+    e = spark.createDataFrame(pdf).repartition(8).persist()
+    e.count()
+    p, k = 8, 2
+    res = fsm_partition(e, p=p, k=k, merge="fast", splitter="dbh",
+                        merge_stats="joins")
+    a = res.assigned.persist()
+    _assert_valid(e, a, p)
+    assert max(res.subbuckets_per_final.values()) <= k
+    st = partition_stats(a, p=p).toPandas().iloc[0]
+    assert st.s_e <= 1.5 and st.rf >= 1.0
+    a.unpersist()
+    e.unpersist()
+
+
 def test_stats_formulas(spark):
     """Hand-check F6 formulas on a fixed assignment."""
     pdf = pd.DataFrame(
