@@ -62,7 +62,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from split_merge_partitioner_spark.operators.stats import bucket_sizes
 
     edges = _edges(spark, "/root/testdata/sf0.001").persist()
-    res = fsm_partition(edges, p=P_DEFAULT, k=2, merge="precise", splitter="ne_local")
+    res = fsm_partition(edges, p=P_DEFAULT, k=2, merge="precise", splitter="hep_local")
     sizes = bucket_sizes(res.assigned)
     stats = partition_stats(res.assigned, p=P_DEFAULT)
     return sizes.crossJoin(stats.select(
@@ -132,12 +132,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_fsm_assign(spark, sf):
         e = _edges(spark, sf).persist()
-        res = fsm_partition(e, p=P_DEFAULT, k=2, merge="precise", splitter="ne_local")
+        res = fsm_partition(e, p=P_DEFAULT, k=2, merge="precise", splitter="hep_local")
         return res.assigned
 
     def q_fsm_stats(spark, sf):
         e = _edges(spark, sf).persist()
-        res = fsm_partition(e, p=P_DEFAULT, k=2, merge="precise", splitter="ne_local")
+        res = fsm_partition(e, p=P_DEFAULT, k=2, merge="precise", splitter="hep_local")
         st = partition_stats(res.assigned, p=P_DEFAULT)
         return st.select(*[F.round(c, 6).alias(c) for c in st.columns])
 

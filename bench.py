@@ -43,7 +43,7 @@ def run_suite(cpus: str, sf_dir: str, scaling_mode: bool = False) -> dict:
     times["edge_derivation"] = round(time.monotonic() - t0, 3)
 
     t0 = time.monotonic()
-    res = fsm_partition(edges, p=32, k=2, merge="fast", splitter="ne_local")
+    res = fsm_partition(edges, p=32, k=2, merge="fast", splitter="hep_local")
     assigned = res.assigned.persist()
     assigned.count()
     times["fsm_partition"] = round(time.monotonic() - t0, 3)
@@ -119,7 +119,7 @@ def _prepare_scaling_fixture() -> int:
 
     spark = get_spark(app_name="smp-scaling-prep", master="local[32]")
     edges = spark.read.parquet(edges_path)
-    res = fsm_partition(edges, p=32, k=2, merge="fast", splitter="ne_local")
+    res = fsm_partition(edges, p=32, k=2, merge="fast", splitter="hep_local")
     res.assigned.write.mode("overwrite").parquet(assigned_path)
     spark.stop()
     open(f"{SCALING_DIR}/_READY", "w").close()

@@ -4,7 +4,7 @@
 Knob names mirror the reference CLI (gflags surface, src/main.cpp:20-35):
   --p            number of final partitions        (-p)
   --k            split multiplier for FSM          (-k)
-  --method       fsm | dbh | hybrid | hdrf | ebv | v2e  (-method)
+  --method       fsm | dbh | hybrid | hdrf | ebv | ne | fennel | v2e  (-method)
   --fastmerge    use fast_merge instead of precise (-fastmerge)
   --hdf          high-degree factor                (-hdf)
   --lambda_      HDRF balance lambda               (-lambda)
@@ -30,12 +30,14 @@ def main(argv=None) -> None:
     ap.add_argument("--p", type=int, default=32)
     ap.add_argument("--k", type=int, default=2)
     ap.add_argument("--method", default="fsm",
-                    choices=["fsm", "dbh", "hybrid", "hdrf", "ebv", "v2e"])
+                    choices=["fsm", "dbh", "hybrid", "hdrf", "ebv", "ne", "fennel", "v2e"])
     ap.add_argument("--fastmerge", action="store_true")
     ap.add_argument("--hdf", type=float, default=100.0)
     ap.add_argument("--lambda_", "--lambda", type=float, default=1.1, dest="lambda_")
     ap.add_argument("--write", default="none", choices=["none", "onefile", "multifile"])
-    ap.add_argument("--splitter", default="ne_local", choices=["ne_local", "dbh"])
+    ap.add_argument("--splitter", default="ne_local",
+                    choices=["ne_local", "hep_local", "dbh"])
+    ap.add_argument("--ne_mode", default="sequential", choices=["sequential", "grouped"])
     args = ap.parse_args(argv)
 
     from split_merge_partitioner_spark.operators import (
@@ -73,6 +75,16 @@ def main(argv=None) -> None:
         assigned = hdrf_partition(edges, args.p, lam=args.lambda_)
     elif args.method == "ebv":
         assigned = ebv_partition(edges, args.p)
+    elif args.method == "ne":
+        from split_merge_partitioner_spark.operators import ne_partition
+
+        assigned = ne_partition(edges, args.p, mode=args.ne_mode)
+    elif args.method == "fennel":
+        # Fennel is a VERTEX partitioner; convert to an edge partition the
+        # v2e way for a uniform sink (document: stats differ from A2's)
+        from split_merge_partitioner_spark.operators import fennel_partition
+
+        assigned = vertex2edge_partition(edges, fennel_partition(edges, args.p))
     else:  # v2e
         assigned = vertex2edge_partition(edges, vertex_partition_by_hash(edges, args.p))
 

@@ -11,7 +11,11 @@ Reference parity (/root/reference/src/fsm_partitioner.{hpp,cpp}):
 
 Spark-first architecture (NOT a port of the sequential NE/HEP expansion):
 
-SPLIT  — distributed.  Two strategies:
+SPLIT  — distributed.  Three strategies:
+  * "hep_local" locality-grouped HEP expansion (the reference's flagship
+               fsm_hep split, src/hep_partitioner.cpp:305-371 at group
+               granularity): lazy-degree min-heap expansion with high-degree
+               exclusion, bucket-overflow to b+1, HDRF-scored remainder.
   * "dbh"      sub_bucket = lower-degree endpoint hashed into k*p buckets —
                a pure Catalyst expression, embarrassingly parallel, perfectly
                edge-balanced (the reference's DBH baseline at k*p granularity).
@@ -304,16 +308,30 @@ _NE_SCHEMA = StructType(
 )
 
 
-def _ne_lite_group(k: int):
+def _ne_lite_group(k: int, global_buckets: bool = False):
     """Factory for the per-group NE-lite kernel (runs inside applyInPandas).
 
-    Sequential min-degree frontier expansion over a local CSR — the contract
-    of NE's add_boundary/occupy_vertex (src/ne_partitioner.hpp:68-130): grow
-    bucket b from the lowest-degree boundary vertex, assign every incident
-    unassigned edge, until capacity m_local/k + 1; leftovers go to the last
-    bucket (assign_remaining, src/ne_partitioner.cpp:88-112).  NumPy CSR +
-    heapq; no per-row Python in the Spark plan — this is one Arrow batch in,
-    one out, per locality group.
+    global_buckets=True emits bucket ids in [0, k) directly instead of
+    offsetting by the locality-group id — used by the standalone NE baseline
+    (operators/ne.py) where every group writes into the same bucket space.
+
+    Faithful transcription of NE's expansion contract
+    (src/ne_partitioner.hpp:68-130, cpp:113-167):
+    - per-bucket core and boundary sets; an edge is assigned when the other
+      endpoint is in the CURRENT bucket's core (always) or boundary (only
+      while occupied < capacity) — never to uncovered vertices
+    - occupying a vertex pulls ALL its remaining neighbors into the boundary
+      (occupy_vertex, hpp:112-130)
+    - the min-heap is keyed by REMAINING (unassigned-incident) degree,
+      refreshed lazily on pop (assign_edge decrements degrees, hpp:55-66)
+    - capacity = m_local/k + 1 (cpp:49, BALANCE_RATIO 1.00); leftovers go to
+      the LAST bucket (assign_remaining, cpp:88-112)
+    - free-vertex pick: deterministic min-static-degree scan per bucket
+      (substitutes the reference's std::random_device scan — reproducibility
+      requirement, SURVEY.md §7; the reference's get_free_vertex also skips
+      degree > 2*avg, which min-degree-first order subsumes)
+
+    NumPy CSR + heapq; one Arrow batch in/out per locality group.
     """
 
     def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -334,41 +352,195 @@ def _ne_lite_group(k: int):
         deg = np.bincount(ends, minlength=nloc)
         offs = np.zeros(nloc + 1, dtype=np.int64)
         np.cumsum(deg, out=offs[1:])
-        inc = np.tile(np.arange(m_local, dtype=np.int64), 2)[
-            np.argsort(ends, kind="stable")
-        ]
+        sort_order = np.argsort(ends, kind="stable")
+        inc = np.tile(np.arange(m_local, dtype=np.int64), 2)[sort_order]
+        other = np.where(ends[sort_order] == ld[inc], ls[inc], ld[inc])
+
         assigned = np.full(m_local, -1, dtype=np.int64)
-        visited = np.zeros(nloc, dtype=bool)
+        rem_deg = deg.astype(np.int64).copy()
         cap = m_local // k + 1
-        order = np.argsort(deg, kind="stable")  # free-vertex scan order
-        free_ptr = 0
+        occupied = np.zeros(k, dtype=np.int64)
+        scan_order = np.argsort(deg, kind="stable")
+
         for b in range(k - 1):
-            count = 0
+            core = np.zeros(nloc, dtype=bool)
+            boundary = np.zeros(nloc, dtype=bool)
             heap: list[tuple[int, int]] = []
-            while count < cap:
-                if not heap:
-                    while free_ptr < nloc and visited[order[free_ptr]]:
-                        free_ptr += 1
-                    if free_ptr >= nloc:
-                        break
-                    v = int(order[free_ptr])
-                else:
-                    _, v = heapq.heappop(heap)
-                    if visited[v]:
-                        continue
-                visited[v] = True
+            free_ptr = 0
+
+            def add_boundary(v: int) -> None:
+                if boundary[v]:
+                    return
+                boundary[v] = True
+                if not core[v]:
+                    heapq.heappush(heap, (int(rem_deg[v]), v))
                 for ii in range(offs[v], offs[v + 1]):
                     e = int(inc[ii])
                     if assigned[e] >= 0:
                         continue
-                    assigned[e] = b
-                    count += 1
-                    u = int(ls[e]) if ld[e] == v else int(ld[e])
-                    if not visited[u]:
-                        heapq.heappush(heap, (int(deg[u]), u))
-                    if count >= cap:
+                    u = int(other[ii])
+                    if core[u] or (boundary[u] and occupied[b] < cap):
+                        assigned[e] = b
+                        occupied[b] += 1
+                        rem_deg[v] -= 1
+                        rem_deg[u] -= 1
+
+            while occupied[b] < cap:
+                v = -1
+                while heap:
+                    d, cand = heapq.heappop(heap)
+                    if core[cand]:
+                        continue
+                    if d != rem_deg[cand]:  # lazy key refresh
+                        heapq.heappush(heap, (int(rem_deg[cand]), cand))
+                        continue
+                    v = cand
+                    break
+                if v < 0:
+                    while free_ptr < nloc and (
+                        core[scan_order[free_ptr]]
+                        or rem_deg[scan_order[free_ptr]] == 0
+                    ):
+                        free_ptr += 1
+                    if free_ptr >= nloc:
                         break
+                    v = int(scan_order[free_ptr])
+                core[v] = True
+                add_boundary(v)
+                for ii in range(offs[v], offs[v + 1]):
+                    if assigned[int(inc[ii])] < 0:
+                        add_boundary(int(other[ii]))
         assigned[assigned < 0] = k - 1
+        bucket = assigned if global_buckets else np.int64(g) * k + assigned
+        return pd.DataFrame({"src": src, "dst": dst, "bucket": bucket})
+
+    return kernel
+
+
+def _hep_lite_group(k: int, high_thresh: float, lam: float = 1.1):
+    """Factory for the per-group HEP kernel (runs inside applyInPandas).
+
+    Per-group transcription of HEP's in-memory expansion contract
+    (src/hep_partitioner.hpp:76-213, src/hep_partitioner.cpp:305-371):
+    - high-degree vertices (GLOBAL degree > hdf*avg, src/hep_graph.cpp:17) are
+      treated as permanently in-core: never expanded, never in the heap; their
+      edges are assigned when the low endpoint enters a boundary (hpp:88-93)
+    - lazy-degree min-heap: keys are remaining (unassigned-incident) degrees,
+      refreshed on pop (HepMinHeap's lazy decrease_key, hep_min_heap.hpp:59-85)
+    - an edge is assigned when the other endpoint is core/boundary/high
+      (hpp:105-200); if the bucket is full mid-expansion the edge overflows to
+      bucket+1 (hpp:126,140)
+    - leftovers are HDRF-scored over all k buckets with the hard capacity
+      check (in_memory_assign_remaining, cpp:167-201 + best_scored_partition
+      cpp:374-416), deterministically (argmin-size instead of the reference's
+      random pick when all buckets are full)
+
+    One Arrow batch in/out per locality group; all hot loops are NumPy-array
+    state with heapq — no Spark-row Python.
+    """
+
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        g = int(key[0])
+        src = pdf["src"].to_numpy(np.int64)
+        dst = pdf["dst"].to_numpy(np.int64)
+        m_local = len(src)
+        if m_local == 0:
+            return pd.DataFrame({"src": src, "dst": dst, "bucket": src})
+        verts, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+        ls, ld = inv[:m_local], inv[m_local:]
+        nloc = len(verts)
+        gdeg = np.zeros(nloc, dtype=np.float64)
+        gdeg[ls] = pdf["deg_src"].to_numpy(np.float64)
+        gdeg[ld] = pdf["deg_dst"].to_numpy(np.float64)
+        is_high = gdeg > high_thresh
+        # vectorized incidence CSR (vertex -> incident edge ids)
+        ends = np.concatenate([ls, ld])
+        deg = np.bincount(ends, minlength=nloc)
+        offs = np.zeros(nloc + 1, dtype=np.int64)
+        np.cumsum(deg, out=offs[1:])
+        sort_order = np.argsort(ends, kind="stable")
+        inc = np.tile(np.arange(m_local, dtype=np.int64), 2)[sort_order]
+        # other endpoint per CSR slot: slot holds edge e at vertex v ->
+        # other = ls[e] if v == ld[e] else ld[e]
+        other = np.where(ends[sort_order] == ld[inc], ls[inc], ld[inc])
+
+        assigned = np.full(m_local, -1, dtype=np.int64)
+        rem_deg = deg.astype(np.int64).copy()
+        in_core = np.zeros(nloc, dtype=bool)
+        bmat = np.zeros((nloc, k), dtype=bool)  # per-bucket boundary sets
+        occupied = np.zeros(k, dtype=np.int64)
+        cap = m_local // k + 1
+        free_order = np.argsort(gdeg, kind="stable")
+        free_ptr = 0
+        expansion_finished = False
+
+        def add_boundary(v: int, b: int, heap: list) -> None:
+            if bmat[v, b]:
+                return
+            bmat[v, b] = True
+            if is_high[v]:
+                in_core[v] = True  # hpp:88-93
+                return
+            if not in_core[v]:
+                heapq.heappush(heap, (int(rem_deg[v]), v))
+            for ii in range(offs[v], offs[v + 1]):
+                e = int(inc[ii])
+                if assigned[e] >= 0:
+                    continue
+                u = int(other[ii])
+                if is_high[u] or in_core[u] or bmat[u, b]:
+                    tb = b if occupied[b] < cap else b + 1  # overflow hpp:126
+                    assigned[e] = tb
+                    occupied[tb] += 1
+                    rem_deg[v] -= 1
+                    rem_deg[u] -= 1
+
+        for b in range(k - 1):
+            heap: list[tuple[int, int]] = []
+            while occupied[b] < cap:
+                v = -1
+                while heap:
+                    d, cand = heapq.heappop(heap)
+                    if in_core[cand]:
+                        continue
+                    if d != rem_deg[cand]:  # lazy key refresh
+                        heapq.heappush(heap, (int(rem_deg[cand]), cand))
+                        continue
+                    v = cand
+                    break
+                if v < 0:
+                    while free_ptr < nloc and (
+                        in_core[free_order[free_ptr]]
+                        or is_high[free_order[free_ptr]]
+                        or rem_deg[free_order[free_ptr]] == 0
+                    ):
+                        free_ptr += 1
+                    if free_ptr >= nloc:
+                        expansion_finished = True
+                        break
+                    v = int(free_order[free_ptr])
+                in_core[v] = True
+                add_boundary(v, b, heap)
+                for ii in range(offs[v], offs[v + 1]):
+                    add_boundary(int(other[ii]), b, heap)
+            if expansion_finished:
+                break
+
+        # HDRF-scored remainder over k-length NumPy vectors (cpp:167-201)
+        remaining = np.flatnonzero(assigned < 0)
+        for e in remaining:
+            u, v = int(ls[e]), int(ld[e])
+            degsum = gdeg[u] + gdeg[v]
+            mx = occupied.max()
+            s = lam * (mx - occupied) / (1.0 + mx - occupied.min())
+            s += (2.0 - gdeg[u] / degsum) * bmat[u]
+            s += (2.0 - gdeg[v] / degsum) * bmat[v]
+            s[occupied >= cap] = -1.0
+            tb = int(occupied.argmin()) if s.max() < 0.0 else int(s.argmax())
+            assigned[e] = tb
+            occupied[tb] += 1
+            bmat[u, tb] = True
+            bmat[v, tb] = True
         return pd.DataFrame(
             {"src": src, "dst": dst, "bucket": np.int64(g) * k + assigned}
         )
@@ -376,11 +548,22 @@ def _ne_lite_group(k: int):
     return kernel
 
 
-def _split_ne_local(
-    edges_dd: DataFrame, p: int, k: int, grouping: str = "range"
+def _split_hep_local(
+    edges_dd: DataFrame, p: int, k: int, high_thresh: float, grouping: str = "range"
 ) -> DataFrame:
-    """Locality grouping into p groups, then per-group NE-lite into k
-    sub-buckets each.
+    """Locality grouping into p groups, then per-group HEP expansion into k
+    sub-buckets each (the reference's flagship fsm_hep decomposition at
+    group granularity, src/main.cpp:58-69)."""
+    grouped = _locality_grouped(edges_dd, p, grouping)
+    return (
+        grouped.select("grp", "src", "dst", "deg_src", "deg_dst")
+        .groupBy("grp")
+        .applyInPandas(_hep_lite_group(k, high_thresh), schema=_NE_SCHEMA)
+    )
+
+
+def _locality_grouped(edges_dd: DataFrame, p: int, grouping: str) -> DataFrame:
+    """Add a locality group column grp in [0, p).
 
     grouping="range": edge-count-balanced ranges of the anchor id (cut points
     from approxQuantile) — preserves whatever id locality the graph has
@@ -400,13 +583,20 @@ def _split_ne_local(
         grp = F.lit(0).cast("long")
         for c in uniq:  # comparison-sum bucketizer: grp = #cuts below anchor
             grp = grp + (F.col("anchor") > F.lit(float(c))).cast("long")
-        grouped = anchored.withColumn("grp", grp)
-    else:
-        grouped = anchored.withColumn(
-            "grp", F.pmod(F.xxhash64("anchor", F.lit(7)), F.lit(p))
-        )
+        return anchored.withColumn("grp", grp)
+    return anchored.withColumn(
+        "grp", F.pmod(F.xxhash64("anchor", F.lit(7)), F.lit(p))
+    )
+
+
+def _split_ne_local(
+    edges_dd: DataFrame, p: int, k: int, grouping: str = "range"
+) -> DataFrame:
+    """Locality grouping into p groups, then per-group NE-lite into k
+    sub-buckets each."""
     return (
-        grouped.select("grp", "src", "dst")
+        _locality_grouped(edges_dd, p, grouping)
+        .select("grp", "src", "dst")
         .groupBy("grp")
         .applyInPandas(_ne_lite_group(k), schema=_NE_SCHEMA)
     )
@@ -456,6 +646,10 @@ def fsm_partition(
         low_assigned = _split_dbh(low, n_sub)
     elif splitter == "ne_local":
         low_assigned = _split_ne_local(low, p, k, grouping=grouping)
+    elif splitter == "hep_local":
+        low_assigned = _split_hep_local(
+            low, p, k, high_threshold, grouping=grouping
+        )
     else:
         raise ValueError(f"unknown splitter {splitter!r}")
     # hub-hub edges: salt uniformly across all sub-buckets (HEP h2h analog,

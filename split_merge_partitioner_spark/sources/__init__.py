@@ -7,4 +7,8 @@ from .edges import (  # noqa: F401
     vertices_of,
 )
 from .repos import make_repos_df, repos_pandas  # noqa: F401
-from .synthetic import powerlaw_edges_pdf, tiny_graph_pdf  # noqa: F401
+from .synthetic import (  # noqa: F401
+    powerlaw_edges_pdf,
+    tiny_graph_pdf,
+    zipf_config_edges_pdf,
+)

@@ -22,6 +22,27 @@ def tiny_graph_pdf() -> pd.DataFrame:
     return pd.DataFrame(_TINY, columns=["src", "dst"]).astype("int64")
 
 
+def zipf_config_edges_pdf(
+    n: int = 4_000, m: int = 24_000, alpha: float = 0.7, seed: int = 2
+) -> pd.DataFrame:
+    """Configuration-model graph with zipf(alpha)-weighted endpoint sampling —
+    a skewed but CONTINUOUS degree distribution (unlike the BA generator whose
+    per-edge degree asymmetry makes DBH unrealistically good).  This is the
+    fixture shape on which the paper's RF ordering RF(NE) <= RF(HDRF) <=
+    RF(DBH) reproduces (full.pdf §5.2.2 analog).  Canonical src<dst, deduped,
+    seed-stable."""
+    rng = np.random.default_rng(seed)
+    w = 1.0 / np.arange(1, n + 1) ** alpha
+    w /= w.sum()
+    src = rng.choice(n, m * 2, p=w)
+    dst = rng.choice(n, m * 2, p=w)
+    keep = src != dst
+    out = pd.DataFrame(
+        {"src": np.minimum(src, dst)[keep], "dst": np.maximum(src, dst)[keep]}
+    ).drop_duplicates().head(m).reset_index(drop=True)
+    return out.astype("int64")
+
+
 def powerlaw_edges_pdf(n: int = 2_000, m_per_node: int = 10, seed: int = 42) -> pd.DataFrame:
     """Barabasi-Albert-style preferential attachment, vectorized NumPy.
 

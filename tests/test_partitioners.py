@@ -67,7 +67,7 @@ def test_hdrf_invariants(spark, powerlaw):
 
 
 @pytest.mark.parametrize("merge", ["fast", "precise"])
-@pytest.mark.parametrize("splitter", ["dbh", "ne_local"])
+@pytest.mark.parametrize("splitter", ["dbh", "ne_local", "hep_local"])
 def test_fsm_invariants(spark, powerlaw, merge, splitter):
     p, k = 8, 2
     res = fsm_partition(powerlaw, p=p, k=k, merge=merge, splitter=splitter)
@@ -78,6 +78,22 @@ def test_fsm_invariants(spark, powerlaw, merge, splitter):
     assert set(res.merge_map.keys()) == set(range(p * k))
     assert set(res.merge_map.values()) <= set(range(p))
     a.unpersist()
+
+
+def test_fsm_hep_splitter_beats_ne_rf(spark):
+    """FSM-H done-criterion (VERDICT round-1 item 2): at the reference's
+    flagship config p=32, k=2, the HEP-style splitter's RF must beat the
+    NE-lite splitter's on a power-law fixture."""
+    e = spark.createDataFrame(powerlaw_edges_pdf(n=5000, m_per_node=8)).persist()
+    e.count()
+    rf = {}
+    for splitter in ("ne_local", "hep_local"):
+        res = fsm_partition(e, p=32, k=2, merge="precise", splitter=splitter)
+        v = validate_partition(e, res.assigned, 32)
+        assert all(x == 0 for x in v.values()), (splitter, v)
+        rf[splitter] = partition_stats(res.assigned, p=32).toPandas().iloc[0].rf
+    e.unpersist()
+    assert rf["hep_local"] <= rf["ne_local"], rf
 
 
 def test_fsm_improves_or_matches_split_balance(spark, powerlaw):
