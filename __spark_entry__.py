@@ -209,6 +209,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         e = _edges(spark, sf)
         return vertex2edge_partition(e, vertex_partition_by_hash(e, P_DEFAULT))
 
+    def q_v2e_ksplit_assign(spark, sf):
+        from split_merge_partitioner_spark.operators import (
+            vertex2edge_partition_ksplit,
+            vertex_partition_by_hash,
+        )
+
+        e = _edges(spark, sf).persist()
+        vp = vertex_partition_by_hash(e, P_DEFAULT * 2)
+        return vertex2edge_partition_ksplit(e, vp, p=P_DEFAULT, k=2)
+
     def q_vertex_partition_stats(spark, sf):
         from split_merge_partitioner_spark.operators import (
             vertex_partition_by_hash,
@@ -233,6 +243,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         return lsh_knn(emb, k=5, n_planes=4, n_tables=6)
+
+    def q_label_propagation(spark, sf):
+        from split_merge_partitioner_spark.graph import label_propagation
+
+        e = _edges(spark, sf).persist()
+        return label_propagation(e, assigned=dbh_partition(e, P_DEFAULT), n_iter=5)
+
+    def q_core_boundary_stats(spark, sf):
+        from split_merge_partitioner_spark.operators import core_boundary_stats
+        from split_merge_partitioner_spark.sources import degrees as degrees_of
+
+        e = _edges(spark, sf)
+        return core_boundary_stats(dbh_partition(e, P_DEFAULT), degrees_of(e))
 
     def q_events_by_type(spark, sf):
         ev = spark.read.parquet(f"{sf}/events.parquet")
@@ -281,8 +304,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_knn": q_lsh_knn,
         "ebv_bucket_sizes": q_ebv_bucket_sizes,
         "v2e_assign": q_v2e_assign,
+        "v2e_ksplit_assign": q_v2e_ksplit_assign,
         "vertex_partition_stats": q_vertex_partition_stats,
         "replication_by_degree_decade": q_replication_by_decade,
+        "label_propagation": q_label_propagation,
+        "core_boundary_stats": q_core_boundary_stats,
         "events_by_type": q_events_by_type,
         "user_top_events": q_user_top_events,
     }
@@ -533,6 +559,53 @@ FROM per_vertex pv JOIN degrees d ON d.vertex = pv.vertex
 GROUP BY 1 ORDER BY 1
 """
 
+    # 5 synchronous LP supersteps as chained CTEs (mode, ties -> min label)
+    lp_iters = []
+    for i in range(1, 6):
+        lp_iters.append(f"""
+l{i} AS (
+    SELECT vertex, label FROM (
+        SELECT u.v AS vertex, l.label AS label,
+               ROW_NUMBER() OVER (PARTITION BY u.v
+                                  ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+        FROM und u JOIN l{i - 1} l ON l.vertex = u.w
+        GROUP BY u.v, l.label
+    ) WHERE rn = 1
+)""")
+    label_propagation_sql = f"""
+WITH {_EDGES_CTE},
+und AS (SELECT src AS v, dst AS w FROM edges UNION ALL SELECT dst, src FROM edges),
+l0 AS (SELECT DISTINCT v AS vertex, v AS label FROM und),
+{','.join(lp_iters)}
+SELECT vertex, CAST(label AS BIGINT) AS label FROM l5
+"""
+
+    core_boundary_sql = dbh_assign_core + """
+, reps AS (
+    SELECT DISTINCT bucket, vertex FROM (
+        SELECT bucket, src AS vertex FROM assign
+        UNION ALL SELECT bucket, dst AS vertex FROM assign
+    )
+),
+per_vertex AS (SELECT vertex, COUNT(*) AS n_replicas FROM reps GROUP BY vertex),
+vd AS (SELECT pv.vertex, pv.n_replicas, d.degree
+       FROM per_vertex pv JOIN degrees d ON d.vertex = pv.vertex),
+davg AS (SELECT AVG(degree) AS a FROM degrees),
+cross_cnt AS (
+    SELECT COUNT(*) AS c FROM assign a
+    JOIN per_vertex ps ON ps.vertex = a.src AND ps.n_replicas >= 2
+    JOIN per_vertex pd ON pd.vertex = a.dst AND pd.n_replicas >= 2
+),
+m AS (SELECT COUNT(*) AS m FROM edges)
+SELECT
+  CAST(COUNT(*) FILTER (n_replicas = 1) AS BIGINT) AS n_core,
+  CAST(COUNT(*) FILTER (n_replicas >= 2) AS BIGINT) AS n_boundary,
+  ROUND(AVG(degree) FILTER (n_replicas = 1) / (SELECT a FROM davg), 6) AS norm_avg_deg_core,
+  ROUND(AVG(degree) FILTER (n_replicas >= 2) / (SELECT a FROM davg), 6) AS norm_avg_deg_boundary,
+  ROUND((SELECT c FROM cross_cnt) * 1.0 / (SELECT m FROM m), 6) AS cross_replicated_edge_fraction
+FROM vd
+"""
+
     events_by_type_sql = """
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
        ROUND(SUM(value), 4) AS sum_value
@@ -568,6 +641,8 @@ FROM (
         "ngram_jaccard": ngram_jaccard_sql,
         "knn_bruteforce": knn_sql,
         "replication_by_degree_decade": replication_by_decade_sql,
+        "label_propagation": label_propagation_sql,
+        "core_boundary_stats": core_boundary_sql,
         "events_by_type": events_by_type_sql,
         "user_top_events": user_top_events_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic

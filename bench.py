@@ -83,12 +83,23 @@ def run_suite(cpus: str, sf_dir: str, scaling_mode: bool = False) -> dict:
         minhash_near_duplicates(docs, threshold=0.4).count()
         times["minhash_dedup"] = round(time.monotonic() - t0, 3)
 
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        t0 = time.monotonic()
-        from split_merge_partitioner_spark.functions import brute_force_knn
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+        emb.count()
+        from split_merge_partitioner_spark.functions import brute_force_knn, lsh_knn
 
-        brute_force_knn(emb, k=5).count()
-        times["knn_bruteforce"] = round(time.monotonic() - t0, 3)
+        # lsh_knn is the headline ANN path (bucketed, no driver collect);
+        # brute force runs only on a query sample to report recall
+        t0 = time.monotonic()
+        approx = lsh_knn(emb, k=5, n_planes=4, n_tables=6).persist()
+        approx.count()
+        times["lsh_knn"] = round(time.monotonic() - t0, 3)
+        q_sample = emb.where(F.pmod(F.xxhash64("vec_id"), F.lit(25)) == 0)
+        exact = brute_force_knn(emb, k=5, queries=q_sample).toPandas()
+        ap = approx.join(q_sample.select(F.col("vec_id").alias("query_id")), "query_id").toPandas()
+        e_pairs = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+        a_pairs = {(r.query_id, r.neighbor_id) for r in ap.itertuples()}
+        extras["lsh_recall_at5"] = round(len(e_pairs & a_pairs) / max(len(e_pairs), 1), 4)
+        approx.unpersist()
 
     spark.stop()
     return {"times": times, "extras": extras}
@@ -180,6 +191,7 @@ def main() -> None:
         "unit": "sec",
         "queries": r["times"],
         "pagerank_edges_per_sec_per_superstep": r["extras"]["edges_per_sec_per_superstep"],
+        "lsh_recall_at5": r["extras"].get("lsh_recall_at5"),
         "fsm_rf": r["extras"]["rf"],
         "fsm_s_v": r["extras"]["s_v"],
         "fsm_s_e": r["extras"]["s_e"],

@@ -42,63 +42,91 @@ def brute_force_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     queries: DataFrame | None = None,
+    max_broadcast_rows: int = 100_000,
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine, rank) — exact top-k for every query
     (defaults: all vectors as queries, excluding self).  Ties broken by
     neighbor id.
 
-    Execution: the (smaller) query side is collected into one NumPy matrix and
-    broadcast; the corpus streams through mapInPandas in Arrow batches, each
-    batch doing ONE BLAS matmul (C @ Q.T) and emitting its batch-local top-k
-    per query under the exact global ordering (cosine desc rounded to 6,
-    neighbor asc — batch rows pre-sorted by id so a stable argsort ties
-    correctly); a final window over k*|Q|*n_batches partial rows yields the
-    exact global top-k.  No n^2 row explosion ever materializes."""
+    Execution: the query side is processed in BLOCKS of at most
+    max_broadcast_rows (hash of the id), so driver memory stays bounded even
+    when the whole corpus is the query set; each block is collected into one
+    NumPy matrix and broadcast, the corpus streams through mapInPandas in
+    Arrow batches, each batch doing ONE BLAS matmul (C @ Q.T) and emitting its
+    batch-local top-k per query under the exact global ordering (cosine desc
+    rounded to 6, neighbor asc); a final window over the unioned partials
+    yields the exact global top-k.  The corpus is scanned once per block —
+    the standard blocked exact-kNN sweep; no n^2 row explosion and no
+    unbounded driver collect.  At 100-TB scale prefer lsh_knn and reserve this
+    for oracle runs / explicit query sets."""
     from collections.abc import Iterator
 
     spark = emb.sparkSession
-    q_pdf = (
-        normalize(queries if queries is not None else emb, vec_col)
-        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
-        .toPandas()
+    q_df = normalize(queries if queries is not None else emb, vec_col).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
     )
-    qids = q_pdf["qid"].to_numpy(np.int64)
-    Q = np.vstack(q_pdf["qv"].to_numpy()).astype(np.float64)
-    bc = spark.sparkContext.broadcast((qids, Q))
-
-    def task(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        b_qids, b_Q = bc.value
-        nq = len(b_qids)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values("neighbor_id")
-            cids = pdf["neighbor_id"].to_numpy(np.int64)
-            C = np.vstack(pdf["cvec"].to_numpy()).astype(np.float64)
-            sims = np.round(C @ b_Q.T, 6)  # (n_c, n_q)
-            # exclude self-matches
-            self_mask = cids[:, None] == b_qids[None, :]
-            sims[self_mask] = -np.inf
-            kk = min(k, sims.shape[0])
-            order = np.argsort(-sims, axis=0, kind="stable")[:kk]  # ids asc on ties
-            rows = order.T.ravel()  # per query, its top-kk corpus rows
-            qcol = np.repeat(b_qids, kk)
-            scol = sims[rows, np.repeat(np.arange(nq), kk)]
-            keep = scol > -np.inf
-            yield pd.DataFrame(
-                {
-                    "query_id": qcol[keep],
-                    "neighbor_id": cids[rows][keep],
-                    "cosine": scol[keep],
-                }
-            )
+    n_q = q_df.count()
+    n_blocks = max(1, -(-n_q // max_broadcast_rows))
 
     corpus = normalize(emb, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
     )
-    partial = corpus.mapInPandas(
-        task, schema="query_id long, neighbor_id long, cosine double"
-    )
+    if n_blocks > 1:
+        corpus = corpus.persist()
+
+    def make_task(bc):
+        def task(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            b_qids, b_Q = bc.value
+            nq = len(b_qids)
+            for pdf in batches:
+                if len(pdf) == 0 or nq == 0:
+                    continue
+                pdf = pdf.sort_values("neighbor_id")
+                cids = pdf["neighbor_id"].to_numpy(np.int64)
+                C = np.vstack(pdf["cvec"].to_numpy()).astype(np.float64)
+                sims = np.round(C @ b_Q.T, 6)  # (n_c, n_q)
+                # exclude self-matches
+                self_mask = cids[:, None] == b_qids[None, :]
+                sims[self_mask] = -np.inf
+                kk = min(k, sims.shape[0])
+                order = np.argsort(-sims, axis=0, kind="stable")[:kk]  # ids asc on ties
+                rows = order.T.ravel()  # per query, its top-kk corpus rows
+                qcol = np.repeat(b_qids, kk)
+                scol = sims[rows, np.repeat(np.arange(nq), kk)]
+                keep = scol > -np.inf
+                yield pd.DataFrame(
+                    {
+                        "query_id": qcol[keep],
+                        "neighbor_id": cids[rows][keep],
+                        "cosine": scol[keep],
+                    }
+                )
+
+        return task
+
+    partials = []
+    for blk in range(n_blocks):
+        blk_df = (
+            q_df
+            if n_blocks == 1
+            else q_df.where(F.pmod(F.xxhash64("qid"), F.lit(n_blocks)) == blk)
+        )
+        q_pdf = blk_df.toPandas()
+        qids = q_pdf["qid"].to_numpy(np.int64)
+        Q = (
+            np.vstack(q_pdf["qv"].to_numpy()).astype(np.float64)
+            if len(q_pdf)
+            else np.zeros((0, 1))
+        )
+        bc = spark.sparkContext.broadcast((qids, Q))
+        partials.append(
+            corpus.mapInPandas(
+                make_task(bc), schema="query_id long, neighbor_id long, cosine double"
+            )
+        )
+    partial = partials[0]
+    for extra in partials[1:]:
+        partial = partial.unionAll(extra)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         partial.withColumn("rank", F.row_number().over(w))

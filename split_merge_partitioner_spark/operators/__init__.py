@@ -5,6 +5,7 @@ from .fsm import FsmResult, fsm_partition  # noqa: F401
 from .hdrf import hdrf_partition  # noqa: F401
 from .ne import ne_partition  # noqa: F401
 from .stats import (  # noqa: F401
+    core_boundary_stats,
     degree_decade_histogram,
     partition_stats,
     replica_sets,
@@ -13,6 +14,7 @@ from .stats import (  # noqa: F401
 )
 from .vertex_cut import (  # noqa: F401
     vertex2edge_partition,
+    vertex2edge_partition_ksplit,
     vertex_partition_by_hash,
     vertex_partition_stats,
 )

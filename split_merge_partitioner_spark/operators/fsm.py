@@ -195,6 +195,59 @@ class _OverlapJoinMergeStats:
         return new_size
 
 
+DRIVER_BITMAP_THRESHOLD = 5_000_000  # replica rows; above this, overlap joins
+
+
+def build_merge_stats(
+    reps: DataFrame,
+    n_sub: int,
+    occupied: dict[int, int],
+    merge_stats: str = "auto",
+):
+    """Build a merge-stat oracle from a (bucket, vertex) membership relation.
+
+    Generic over WHAT the members are: FSM merges over vertex replica sets;
+    the v2e k-split merge (vertex2edgepart.hpp:133-226) feeds edge-ids in the
+    vertex column.  Returns (stats_oracle, replicas dict)."""
+    r_rows = reps.groupBy("bucket").agg(F.count(F.lit(1)).alias("r")).collect()
+    replicas = {old_id: 0 for old_id in range(n_sub)}
+    replicas.update({int(r["bucket"]): int(r["r"]) for r in r_rows})
+    n_replica_rows = sum(replicas.values())
+
+    if merge_stats == "auto":
+        merge_stats = "driver" if n_replica_rows <= DRIVER_BITMAP_THRESHOLD else "joins"
+    if merge_stats == "driver":
+        rep_pdf = reps.toPandas()
+        verts = np.unique(rep_pdf["vertex"].to_numpy(np.int64))
+        vidx = {int(v): i for i, v in enumerate(verts)}
+        n_dense = len(verts)
+        bitmaps: dict[int, np.ndarray] = {}
+        grouped = rep_pdf.groupby("bucket")["vertex"]
+        members = {int(b): v.to_numpy(np.int64) for b, v in grouped}
+        for old_id in range(n_sub):
+            bm = np.zeros(n_dense, dtype=bool)
+            mem = members.get(old_id)
+            if mem is not None:
+                bm[[vidx[int(v)] for v in mem]] = True
+            bitmaps[old_id] = bm
+        return _BitmapMergeStats(replicas, occupied, bitmaps), replicas
+    if merge_stats == "joins":
+        # (k·p)² pairwise intersections from ONE self-join aggregation —
+        # the |A|+|B|−|A∩B| formulation (SURVEY.md §2.2 P11/P12)
+        pair_rows = (
+            reps.alias("a")
+            .join(reps.alias("b"), "vertex")
+            .groupBy(F.col("a.bucket").alias("ba"), F.col("b.bucket").alias("bb"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        overlap = np.zeros((n_sub, n_sub), dtype=np.int64)
+        for r in pair_rows:
+            overlap[int(r["ba"]), int(r["bb"])] = int(r["c"])
+        return _OverlapJoinMergeStats(reps, replicas, occupied, overlap), replicas
+    raise ValueError(f"unknown merge_stats {merge_stats!r}")
+
+
 # ---------------------------------------------------------------------------
 # driver-side greedy merge (faithful to fsm_partitioner.cpp:128-217)
 # ---------------------------------------------------------------------------
@@ -602,9 +655,6 @@ def _split_ne_local(
     )
 
 
-DRIVER_BITMAP_THRESHOLD = 5_000_000  # replica rows; above this, overlap joins
-
-
 def fsm_partition(
     edges: DataFrame,
     p: int,
@@ -666,47 +716,10 @@ def fsm_partition(
     # --- merge planning stats: only (k·p)-sized aggregates reach the driver
     # unless the bitmap path is explicitly chosen / small enough ---
     reps = replica_sets(sub_assigned).persist()
-    r_rows = reps.groupBy("bucket").agg(F.count(F.lit(1)).alias("r")).collect()
     occ_rows = sub_assigned.groupBy("bucket").agg(F.count(F.lit(1)).alias("m")).collect()
-    replicas = {old_id: 0 for old_id in range(n_sub)}
-    replicas.update({int(r["bucket"]): int(r["r"]) for r in r_rows})
     occupied = {old_id: 0 for old_id in range(n_sub)}
     occupied.update({int(r["bucket"]): int(r["m"]) for r in occ_rows})
-    n_replica_rows = sum(replicas.values())
-
-    if merge_stats == "auto":
-        merge_stats = "driver" if n_replica_rows <= DRIVER_BITMAP_THRESHOLD else "joins"
-    if merge_stats == "driver":
-        rep_pdf = reps.toPandas()
-        verts = np.unique(rep_pdf["vertex"].to_numpy(np.int64))
-        vidx = {int(v): i for i, v in enumerate(verts)}
-        n_dense = len(verts)
-        bitmaps: dict[int, np.ndarray] = {}
-        grouped = rep_pdf.groupby("bucket")["vertex"]
-        members = {int(b): v.to_numpy(np.int64) for b, v in grouped}
-        for old_id in range(n_sub):
-            bm = np.zeros(n_dense, dtype=bool)
-            mem = members.get(old_id)
-            if mem is not None:
-                bm[[vidx[int(v)] for v in mem]] = True
-            bitmaps[old_id] = bm
-        stats = _BitmapMergeStats(replicas, occupied, bitmaps)
-    elif merge_stats == "joins":
-        # (k·p)² pairwise intersections from ONE self-join aggregation —
-        # the |A|+|B|−|A∩B| formulation (SURVEY.md §2.2 P11/P12)
-        pair_rows = (
-            reps.alias("a")
-            .join(reps.alias("b"), "vertex")
-            .groupBy(F.col("a.bucket").alias("ba"), F.col("b.bucket").alias("bb"))
-            .agg(F.count(F.lit(1)).alias("c"))
-            .collect()
-        )
-        overlap = np.zeros((n_sub, n_sub), dtype=np.int64)
-        for r in pair_rows:
-            overlap[int(r["ba"]), int(r["bb"])] = int(r["c"])
-        stats = _OverlapJoinMergeStats(reps, replicas, occupied, overlap)
-    else:
-        raise ValueError(f"unknown merge_stats {merge_stats!r}")
+    stats, replicas = build_merge_stats(reps, n_sub, occupied, merge_stats)
 
     # sort desc by replicas, stable (ties by old_id) — fsm_partitioner.cpp:82-85
     order = sorted(range(n_sub), key=lambda b: (-replicas[b], b))

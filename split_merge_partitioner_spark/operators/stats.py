@@ -90,6 +90,50 @@ def replication_by_degree_decade(assigned: DataFrame, deg: DataFrame) -> DataFra
     )
 
 
+def core_boundary_stats(assigned: DataFrame, deg: DataFrame) -> DataFrame:
+    """A4 extended-metrics remainder (HEP compute_stats,
+    src/hep_partitioner.cpp:79-147): normalized average degree of "core" vs
+    "boundary" vertices, plus the fraction of edges doing cross-partition work.
+
+    Documented deviation: the reference's C and S are HEP-internal expansion
+    sets; partitioner-agnostic (and oracle-checkable) equivalents are derived
+    from the final assignment — core = vertices living in exactly ONE bucket
+    (internal, unreplicated), boundary = vertices replicated into >=2 buckets.
+    The reference's invalidated-edge fraction (edges dropped from adjacency
+    lists during clean-up, :112) is expansion bookkeeping with no meaning
+    post-assignment; the analogous cost metric here is the fraction of edges
+    whose BOTH endpoints are replicated (cross_replicated_edge_fraction) —
+    the edges that generate mirror traffic on both sides at query time.
+    """
+    per_vertex = (
+        replica_sets(assigned)
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("n_replicas"))
+    )
+    vd = per_vertex.join(F.broadcast(deg), "vertex")
+    avg_all = deg.agg(F.avg("degree")).collect()[0][0]
+    core_boundary = vd.agg(
+        F.count(F.when(F.col("n_replicas") == 1, 1)).alias("n_core"),
+        F.count(F.when(F.col("n_replicas") >= 2, 1)).alias("n_boundary"),
+        F.round(
+            F.avg(F.when(F.col("n_replicas") == 1, F.col("degree"))) / F.lit(avg_all), 6
+        ).alias("norm_avg_deg_core"),
+        F.round(
+            F.avg(F.when(F.col("n_replicas") >= 2, F.col("degree"))) / F.lit(avg_all), 6
+        ).alias("norm_avg_deg_boundary"),
+    )
+    rep2 = per_vertex.where(F.col("n_replicas") >= 2).select("vertex")
+    m = assigned.count()
+    cross = (
+        assigned.join(rep2.withColumnRenamed("vertex", "src"), "src")
+        .join(rep2.withColumnRenamed("vertex", "dst"), "dst")
+        .count()
+    )
+    return core_boundary.withColumn(
+        "cross_replicated_edge_fraction", F.round(F.lit(cross / m), 6)
+    )
+
+
 def degree_decade_histogram(deg: DataFrame) -> DataFrame:
     """Vertices per degree decade (1-10, 11-100, ...) —
     src/hep_partitioner.cpp:79-147's extended-metrics histogram axis."""

@@ -44,6 +44,70 @@ def vertex2edge_partition(
     )
 
 
+def vertex2edge_partition_ksplit(
+    edges: DataFrame,
+    vertex_parts_kp: DataFrame,
+    p: int,
+    k: int,
+    merge: str = "precise",
+    merge_stats: str = "auto",
+    seed: int = 42,
+) -> DataFrame:
+    """v2e with k-split merging (vertex2edgepart.hpp:133-226 +
+    vertex2edgepart.cpp:79-126): the vertex partition has k*p buckets; build
+    per-bucket EDGE sets (is_mirror over edges — an edge is mirrored in the
+    bucket of each endpoint, hpp:163-167/210-216), greedily merge the k*p
+    buckets down to p with the SAME fast/precise greedy as FSM but over
+    edge-set stats (replicas = edge-set popcount, occupied = vertex count,
+    cpp:82-104), remap the vertex partition through the merge map, then assign
+    each edge to a seeded-hash endpoint's FINAL bucket (the reference flips a
+    coin, cpp:61-76 — seeded hash for reproducibility).
+
+    Edge identity in the mirror relation is xxhash64(src, dst) — exact at
+    fixture scale; at 10^12 edges the ~2^-64 pairwise collision rate perturbs
+    merge stats immaterially (documented deviation).
+
+    Returns (src, dst, bucket) with bucket in [0, p)."""
+    from .fsm import build_merge_stats, fast_merge, precise_merge
+
+    spark = edges.sparkSession
+    n_sub = p * k
+    vp = F.broadcast(vertex_parts_kp)
+    e = (
+        edges.join(vp.withColumnRenamed("vertex", "src").withColumnRenamed("bucket", "b_src"), "src")
+        .join(vp.withColumnRenamed("vertex", "dst").withColumnRenamed("bucket", "b_dst"), "dst")
+        .withColumn("ek", F.xxhash64("src", "dst"))
+        .localCheckpoint(eager=True)
+    )
+    mirror = (
+        e.select(F.col("b_src").alias("bucket"), F.col("ek").alias("vertex"))
+        .unionAll(e.select(F.col("b_dst").alias("bucket"), F.col("ek").alias("vertex")))
+        .distinct()
+        .persist()
+    )
+    occ_rows = vertex_parts_kp.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    occupied = {b: 0 for b in range(n_sub)}
+    occupied.update({int(r["bucket"]): int(r["n"]) for r in occ_rows})
+    stats, replicas = build_merge_stats(mirror, n_sub, occupied, merge_stats)
+    order = sorted(range(n_sub), key=lambda b: (-replicas[b], b))
+    if merge == "fast":
+        valid = fast_merge(order, stats, p, k)
+    elif merge == "precise":
+        valid = precise_merge(order, stats, p, k)
+    else:
+        raise ValueError(f"unknown merge {merge!r}")
+    mirror.unpersist()
+    map_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(o), int(nb)) for o, nb in valid.items()], "bucket long, final long"
+        )
+    )
+    final_vp = vertex_parts_kp.join(map_df, "bucket").select(
+        "vertex", F.col("final").alias("bucket")
+    )
+    return vertex2edge_partition(edges, final_vp, seed=seed)
+
+
 def vertex_partition_stats(
     edges: DataFrame, vertex_parts: DataFrame, p: int
 ) -> DataFrame:

@@ -60,6 +60,28 @@ def test_vertex2edge_partition(spark, graph):
     assert bad == 0
 
 
+def test_vertex2edge_ksplit_merge(spark, graph):
+    """v2e k-split merge (vertex2edgepart.hpp:133-226): start from a k*p
+    vertex partition, merge to p via the FSM greedy over EDGE-set stats,
+    invariants hold and every final bucket absorbed at most k sub-buckets."""
+    from split_merge_partitioner_spark.operators import vertex2edge_partition_ksplit
+
+    p, k = 4, 2
+    vp_kp = vertex_partition_by_hash(graph, p * k)
+    a = vertex2edge_partition_ksplit(graph, vp_kp, p=p, k=k).persist()
+    v = validate_partition(graph, a, p)
+    assert all(x == 0 for x in v.values()), v
+    # deterministic end to end (seeded hash endpoint pick + greedy merge)
+    a2 = vertex2edge_partition_ksplit(graph, vp_kp, p=p, k=k)
+    assert a.exceptAll(a2).count() == 0
+    # the merged edge partition should not be WORSE than direct hash-p v2e
+    # on replication factor (merging locality-preserving sub-buckets)
+    st_k = partition_stats(a, p=p).toPandas().iloc[0]
+    direct = vertex2edge_partition(graph, vertex_partition_by_hash(graph, p))
+    st_d = partition_stats(direct, p=p).toPandas().iloc[0]
+    assert st_k.rf <= st_d.rf * 1.1, (st_k.rf, st_d.rf)
+
+
 def test_vertex_partition_stats(spark, graph):
     p = 6
     vp = vertex_partition_by_hash(graph, p)
