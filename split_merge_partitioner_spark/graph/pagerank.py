@@ -55,6 +55,7 @@ def _pagerank_gas_broadcast(
     ckpt,
     start_it: int,
     init_rank: np.ndarray | None,
+    combine: str = "auto",
 ) -> tuple[DataFrame, dict]:
     """PowerGraph-style broadcast execution under the state-size threshold:
     edge blocks are dense-encoded ONCE and cached partition-aligned; each
@@ -97,6 +98,11 @@ def _pagerank_gas_broadcast(
 
     base = (1.0 - damping) / n
     rank = np.full(n, 1.0 / n) if init_rank is None else init_rank
+    # below ~1M vertices the collected per-partition partials (RF*n rows)
+    # are cheaper than a full reduce stage + n-row collect
+    if combine == "auto":
+        combine = "driver" if n <= 1_000_000 else "shuffle"
+    driver_combine = combine == "driver"
     info = {"iterations": start_it, "converged": False, "n": n}
     m_edges = None
     per_partition = None
@@ -135,15 +141,30 @@ def _pagerank_gas_broadcast(
                 nz = np.flatnonzero(partial)
                 yield pd.DataFrame({"vid": nz, "partial": partial[nz]})
 
-        gathered = (
-            enc.mapInPandas(scatter, schema="vid long, partial double")
-            .groupBy("vid")
-            .agg(F.sum("partial").alias("g"))
-            .toPandas()
-        )
+        if driver_combine:
+            # ONE stage per superstep: each partition's dense-accumulated
+            # partials (~|V_b| rows) are collected and combined with a single
+            # bincount — no reduce stage, no second round of task scheduling.
+            # Collect volume is RF*n rows; chosen only when n is small enough
+            # that this beats the groupBy shuffle (sandbox/bench regime).
+            partial_pdf = enc.mapInPandas(
+                scatter, schema="vid long, partial double"
+            ).toPandas()
+            g = np.bincount(
+                partial_pdf["vid"].to_numpy(np.int64),
+                weights=partial_pdf["partial"].to_numpy(np.float64),
+                minlength=n,
+            )
+        else:
+            gathered = (
+                enc.mapInPandas(scatter, schema="vid long, partial double")
+                .groupBy("vid")
+                .agg(F.sum("partial").alias("g"))
+                .toPandas()
+            )
+            g = np.zeros(n)
+            g[gathered["vid"].to_numpy(np.int64)] = gathered["g"].to_numpy(np.float64)
         bc.destroy()
-        g = np.zeros(n)
-        g[gathered["vid"].to_numpy(np.int64)] = gathered["g"].to_numpy(np.float64)
         new_rank = base + damping * g
         delta = float(np.max(np.abs(new_rank - rank)))
         rank = new_rank
@@ -176,6 +197,7 @@ def pagerank(
     ckpt=None,
     resume: bool = False,
     broadcast_threshold: int = 5_000_000,
+    combine: str = "auto",
 ) -> tuple[DataFrame, dict]:
     """Returns (ranks DataFrame (vertex, rank), run info dict).
 
@@ -219,7 +241,7 @@ def pagerank(
         state.unpersist()
         return _pagerank_gas_broadcast(
             spark, deg, n, assigned, tol, max_iter, damping, check_every,
-            ckpt, start_it, init_rank,
+            ckpt, start_it, init_rank, combine=combine,
         )
 
     if mode == "gas":

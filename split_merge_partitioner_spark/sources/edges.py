@@ -20,7 +20,7 @@ self-loops dropped — the reference's one relation (src/common.hpp:34-50).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SUPPLIER_OFFSET = 1_000_000  # disjoint id spaces: customer keys < 1e6 in testdata
@@ -74,10 +74,9 @@ def edges_from_repos(repos: DataFrame) -> DataFrame:
     the distinct-repo projection (dedup BEFORE the self-join).
     """
     cr = repos.select("commit", "repo").distinct()
-    # dense repo ids (deterministic: sort by name)
-    repo_ids = cr.select("repo").distinct().withColumn(
-        "rid", F.row_number().over(Window.orderBy("repo")).cast("long") - 1
-    )
+    # dense repo ids (deterministic: sort by name; parallel zipWithIndex —
+    # no one-partition global window on a production path)
+    repo_ids = dense_ids(cr.select("repo"), "repo", id_col="rid")
     cr = cr.join(repo_ids, "repo").select("commit", "rid")
     a, b = cr.alias("a"), cr.alias("b")
     pairs = a.join(b, "commit").select(
@@ -142,18 +141,33 @@ def vertices_of(edges: DataFrame) -> DataFrame:
     )
 
 
+def dense_ids(df: DataFrame, col: str, id_col: str = "vid") -> DataFrame:
+    """Deterministic dense 0-based ids by ascending ``col`` WITHOUT a global
+    single-partition window: range-repartition + sort-within-partitions gives
+    globally ordered partitions, and RDD zipWithIndex assigns contiguous
+    indices in partition order — every stage stays parallel.  The id of each
+    row equals its global sort rank regardless of where the range boundaries
+    land, so the output is deterministic run to run."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = df.sparkSession
+    single = df.select(col).distinct()
+    sdf = single.repartitionByRange(F.col(col)).sortWithinPartitions(col)
+    out_schema = StructType(
+        [StructField(col, sdf.schema[col].dataType), StructField(id_col, LongType())]
+    )
+    rdd = sdf.rdd.zipWithIndex().map(lambda t: (t[0][0], t[1]))
+    return spark.createDataFrame(rdd, out_schema)
+
+
 def renumber_edges(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Dense 0-based renumbering (reference get_vid, conversions.hpp:20-28).
 
     Deterministic: ids assigned by ascending original vertex id.  Returns
-    (renumbered edges, mapping[vertex, vid]).  The window over a global order
-    is acceptable because the distinct-vertex relation is ~|V| rows (small
-    relative to edges); for 10^9+ vertex graphs swap in zipWithIndex over a
-    sorted RDD — same contract.
+    (renumbered edges, mapping[vertex, vid]).  Uses the parallel dense_ids
+    path (range-sorted zipWithIndex), never a global one-partition window.
     """
-    mapping = vertices_of(edges).withColumn(
-        "vid", F.row_number().over(Window.orderBy("vertex")).cast("long") - 1
-    )
+    mapping = dense_ids(vertices_of(edges), "vertex")
     e = (
         edges.join(mapping.withColumnRenamed("vertex", "src"), "src")
         .withColumnRenamed("vid", "src_vid")
