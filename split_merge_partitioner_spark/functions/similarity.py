@@ -18,12 +18,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 
-def _dot(a: str, b: str):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
-    )
-
-
 def normalize(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     norm = F.sqrt(
         F.aggregate(
@@ -149,6 +143,45 @@ def _hyperplane_udf(dim: int, n_planes: int, seed: int):
     return bucket
 
 
+def _bucket_topk_kernel(k: int, chunk: int = 1024):
+    """Per-(table, bucket) exact top-k via chunked BLAS — one matmul per row
+    chunk instead of a per-pair Catalyst expression.  Memory is bounded by
+    chunk * |bucket| floats regardless of bucket size (hub-bucket safe)."""
+
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        nb = len(pdf)
+        if nb < 2:
+            return pd.DataFrame(
+                {
+                    "query_id": np.empty(0, np.int64),
+                    "neighbor_id": np.empty(0, np.int64),
+                    "cosine": np.empty(0, np.float64),
+                }
+            )
+        pdf = pdf.sort_values("vid")
+        ids = pdf["vid"].to_numpy(np.int64)
+        M = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+        kk = min(k, nb - 1)
+        out_q, out_n, out_c = [], [], []
+        for lo in range(0, nb, chunk):
+            hi = min(lo + chunk, nb)
+            S = np.round(M[lo:hi] @ M.T, 6)
+            S[np.arange(hi - lo), np.arange(lo, hi)] = -np.inf  # exclude self
+            order = np.argsort(-S, axis=1, kind="stable")[:, :kk]  # ids asc ties
+            out_q.append(np.repeat(ids[lo:hi], kk))
+            out_n.append(ids[order].ravel())
+            out_c.append(np.take_along_axis(S, order, axis=1).ravel())
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    return kernel
+
+
 def lsh_knn(
     emb: DataFrame,
     k: int = 5,
@@ -159,7 +192,10 @@ def lsh_knn(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: union of n_tables random-hyperplane bucketings;
-    score only same-bucket pairs.  Shuffle volume ~ n_docs * n_tables."""
+    each (table, bucket) group computes its local exact top-k with chunked
+    BLAS inside applyInPandas (never a per-pair row explosion), then a global
+    window merges per-table candidates.  Shuffle volume ~ n_docs * n_tables
+    rows in, ~n_docs * n_tables * k candidate rows out."""
     normed = normalize(emb, vec_col).select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
     ).persist()
@@ -173,22 +209,13 @@ def lsh_knn(
     buckets = tables[0]
     for tbl in tables[1:]:
         buckets = buckets.unionAll(tbl)
-    a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bk") == F.col("b.bk"))
-            & (F.col("a.vid") != F.col("b.vid")),
-        )
-        .select(
-            F.col("a.vid").alias("query_id"),
-            F.col("b.vid").alias("neighbor_id"),
-            F.col("a.vec").alias("qvec"),
-            F.col("b.vec").alias("cvec"),
+        buckets.groupBy("tbl", "bk")
+        .applyInPandas(
+            _bucket_topk_kernel(k),
+            schema="query_id long, neighbor_id long, cosine double",
         )
         .dropDuplicates(["query_id", "neighbor_id"])
-        .select("query_id", "neighbor_id", F.round(_dot("qvec", "cvec"), 6).alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
