@@ -244,6 +244,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         return lsh_knn(emb, k=5, n_planes=4, n_tables=6)
 
+    def q_hybridbl_bucket_sizes(spark, sf):
+        from split_merge_partitioner_spark.operators import hybridbl_partition
+
+        return bucket_sizes(hybridbl_partition(_edges(spark, sf), P_DEFAULT))
+
+    def q_bpart_vertex_stats(spark, sf):
+        from split_merge_partitioner_spark.operators import (
+            bpart_partition,
+            vertex_partition_stats,
+        )
+
+        e = _edges(spark, sf).persist()
+        st = vertex_partition_stats(e, bpart_partition(e, P_DEFAULT), P_DEFAULT)
+        return st.select(*[F.round(c, 6).alias(c) for c in st.columns])
+
     def q_label_propagation(spark, sf):
         from split_merge_partitioner_spark.graph import label_propagation
 
@@ -307,6 +322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v2e_ksplit_assign": q_v2e_ksplit_assign,
         "vertex_partition_stats": q_vertex_partition_stats,
         "replication_by_degree_decade": q_replication_by_decade,
+        "hybridbl_bucket_sizes": q_hybridbl_bucket_sizes,
+        "bpart_vertex_stats": q_bpart_vertex_stats,
         "label_propagation": q_label_propagation,
         "core_boundary_stats": q_core_boundary_stats,
         "events_by_type": q_events_by_type,

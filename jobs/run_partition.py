@@ -4,12 +4,13 @@
 Knob names mirror the reference CLI (gflags surface, src/main.cpp:20-35):
   --p            number of final partitions        (-p)
   --k            split multiplier for FSM          (-k)
-  --method       fsm | dbh | hybrid | hdrf | ebv | ne | fennel | v2e  (-method)
+  --method       fsm | dbh | hybrid | hdrf | ebv | ne | fennel | hybridbl | bpart | v2e  (-method)
   --fastmerge    use fast_merge instead of precise (-fastmerge)
   --hdf          high-degree factor                (-hdf)
   --lambda_      HDRF balance lambda               (-lambda)
   --write        none | onefile | multifile        (-write)
-  --splitter     FSM split strategy: ne_local | dbh
+  --splitter     FSM split strategy: ne_local | hep_local | dbh
+  --ne_mode      NE baseline mode: sequential | grouped
 
 Usage:
   spark-submit --py-files engine.zip jobs/run_partition.py \
@@ -30,7 +31,8 @@ def main(argv=None) -> None:
     ap.add_argument("--p", type=int, default=32)
     ap.add_argument("--k", type=int, default=2)
     ap.add_argument("--method", default="fsm",
-                    choices=["fsm", "dbh", "hybrid", "hdrf", "ebv", "ne", "fennel", "v2e"])
+                    choices=["fsm", "dbh", "hybrid", "hdrf", "ebv", "ne",
+                             "fennel", "hybridbl", "bpart", "v2e"])
     ap.add_argument("--fastmerge", action="store_true")
     ap.add_argument("--hdf", type=float, default=100.0)
     ap.add_argument("--lambda_", "--lambda", type=float, default=1.1, dest="lambda_")
@@ -85,6 +87,15 @@ def main(argv=None) -> None:
         from split_merge_partitioner_spark.operators import fennel_partition
 
         assigned = vertex2edge_partition(edges, fennel_partition(edges, args.p))
+    elif args.method == "hybridbl":
+        from split_merge_partitioner_spark.operators import hybridbl_partition
+
+        assigned = hybridbl_partition(edges, args.p)
+    elif args.method == "bpart":
+        # BPart is a VERTEX partitioner; same v2e conversion as fennel
+        from split_merge_partitioner_spark.operators import bpart_partition
+
+        assigned = vertex2edge_partition(edges, bpart_partition(edges, args.p))
     else:  # v2e
         assigned = vertex2edge_partition(edges, vertex_partition_by_hash(edges, args.p))
 

@@ -1,6 +1,8 @@
+from .bpart import bpart_partition  # noqa: F401
 from .ebv import ebv_partition  # noqa: F401
 from .expr_partitioners import dbh_partition, hybrid_partition  # noqa: F401
 from .fennel import fennel_partition  # noqa: F401
+from .hybridbl import hybridbl_partition  # noqa: F401
 from .fsm import FsmResult, fsm_partition  # noqa: F401
 from .hdrf import hdrf_partition  # noqa: F401
 from .ne import ne_partition  # noqa: F401

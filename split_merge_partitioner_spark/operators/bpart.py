@@ -1,0 +1,91 @@
+"""BPart two-phase vertex-balance partitioner (vertex partitioner).
+
+Reference parity (/root/reference/src/bpart_partitioner.{hpp,cpp}):
+- phase 1: stream vertices into FINE buckets with Fennel-style scoring
+  score(v, b) = |N(v) ∩ V_b| − alpha·gamma·w_b^(gamma−1), gamma = 1.5,
+  alpha = 1.5 (hpp:45-47), with the HYBRID weight
+  w_b = |V_b| + 2·|E_b|/avg_degree (assign_vertex, cpp:305-313; |E_b| grows
+  by the overlap each assignment)
+- phase 2: sort fine buckets by vertex count and pair-merge smallest with
+  largest via union-find (cpp:133-172)
+
+Implemented flavor: the reference's FIRST outer pass (iter=1: 2·p fine
+buckets, one pair-merge round, all merged pairs accepted — the `or iter == 1`
+branch at cpp:190), with partition-local stream state like our Fennel
+(documented deviations; the reference's multi-pass refinement re-streams
+rejected buckets, which at Spark scale is better served by the FSM
+split-merge this repo centers on — BPart is kept as the paper's Table-4
+comparison baseline).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+GAMMA = 1.5   # bpart_partitioner.hpp:45
+ALPHA = 1.5   # bpart_partitioner.hpp:46
+
+
+def _bpart_task(p: int, avg_degree: float):
+    nf = 2 * p  # fine buckets of the first pass (2^iter * p, iter=1)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_v = np.zeros(nf, dtype=np.int64)
+        n_e = np.zeros(nf, dtype=np.int64)
+        members: list[set[int]] = [set() for _ in range(nf)]
+        rows: list[pd.DataFrame] = []
+        fine_of: dict[int, int] = {}
+        for pdf in batches:
+            verts = pdf["vertex"].to_numpy(np.int64)
+            out = np.empty(len(verts), dtype=np.int64)
+            for i, (v, nbrs) in enumerate(zip(verts, pdf["nbrs"])):
+                w = n_v + 2.0 * n_e / avg_degree
+                s = -ALPHA * GAMMA * np.power(w, GAMMA - 1.0)
+                overlap = np.zeros(nf, dtype=np.int64)
+                for u in nbrs:
+                    fb = fine_of.get(int(u))
+                    if fb is not None:
+                        overlap[fb] += 1
+                s += overlap
+                best = int(s.argmax())
+                out[i] = best
+                fine_of[int(v)] = best
+                n_v[best] += 1
+                n_e[best] += overlap[best]
+                members[best].add(int(v))
+            rows.append(pd.DataFrame({"vertex": verts, "fine": out}))
+        if not rows:
+            return
+        # phase 2: pair-merge smallest+largest by vertex count (cpp:150-166)
+        order = np.argsort(n_v, kind="stable")
+        final_of = np.empty(nf, dtype=np.int64)
+        for i in range(nf // 2):
+            final_of[order[i]] = i
+            final_of[order[nf - i - 1]] = i
+        allrows = pd.concat(rows)
+        yield pd.DataFrame(
+            {"vertex": allrows["vertex"], "bucket": final_of[allrows["fine"].to_numpy()]}
+        )
+
+    return run
+
+
+def bpart_partition(edges: DataFrame, p: int) -> DataFrame:
+    """(vertex, bucket) BPart vertex partition into p buckets (first-pass
+    flavor; partition-local stream state).  Feed ``vertex2edge_partition``
+    for an edge-cut."""
+    m = edges.count()
+    und = edges.select(F.col("src").alias("v"), F.col("dst").alias("w")).unionAll(
+        edges.select(F.col("dst").alias("v"), F.col("src").alias("w"))
+    )
+    adj = und.groupBy(F.col("v").alias("vertex")).agg(F.collect_list("w").alias("nbrs"))
+    n = adj.count()
+    avg_degree = 2.0 * m / max(n, 1)
+    return adj.orderBy("vertex").mapInPandas(
+        _bpart_task(p, avg_degree), schema="vertex long, bucket long"
+    )
