@@ -107,6 +107,38 @@ def test_writer_roundtrip_and_sink_verification(spark, graph, tmp_path):
     pd.testing.assert_frame_equal(st1, st2)
 
 
+def test_onefile_and_vertexpart_writers(spark, graph, tmp_path):
+    """S10/S12: the single-file text sink round-trips 'src dst bucket' rows
+    (part_writer.hpp:48-51 format) and the vertex sink keeps vertex explicit."""
+    import glob
+
+    from split_merge_partitioner_spark.operators import dbh_partition
+    from split_merge_partitioner_spark.sources.writers import (
+        write_edgepart_onefile,
+        write_vertexpart,
+    )
+
+    p = 4
+    a = dbh_partition(graph, p).persist()
+    path = str(tmp_path / "onefile")
+    write_edgepart_onefile(a, path)
+    files = [f for f in glob.glob(f"{path}/part-*") if not f.endswith(".crc")]
+    assert len(files) == 1  # onefile contract
+    lines = [ln.split(" ") for ln in open(files[0]).read().strip().split("\n")]
+    assert len(lines) == a.count()
+    assert all(len(t) == 3 and 0 <= int(t[2]) < p for t in lines)
+    back = {(int(t[0]), int(t[1]), int(t[2])) for t in lines}
+    exp = {(r.src, r.dst, r.bucket) for r in a.toPandas().itertuples()}
+    assert back == exp
+
+    vp = vertex_partition_by_hash(graph, p)
+    vpath = str(tmp_path / "vertexpart")
+    write_vertexpart(vp, vpath)
+    got = spark.read.parquet(vpath)
+    assert got.count() == vp.count()
+    assert got.exceptAll(vp).count() == 0
+
+
 def test_metis_adjlist_export(spark, tmp_path):
     pdf = pd.DataFrame({"src": [0, 0, 1], "dst": [1, 2, 2]})
     e = spark.createDataFrame(pdf)
