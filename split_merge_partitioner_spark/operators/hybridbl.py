@@ -59,6 +59,7 @@ def _hybridbl_group(p: int, degree_threshold: float, gamma: int):
         other = np.where(ends[sort_order] == ld[inc], ls[inc], ld[inc])
 
         assigned = np.full(m_local, -1, dtype=np.int64)
+        rem_deg = deg.astype(np.int64).copy()  # unassigned incident edges
         occupied = np.zeros(p, dtype=np.int64)
         super_of = np.full(nloc, -1, dtype=np.int64)   # supernode root per vertex
         root_bucket: dict[int, int] = {}
@@ -80,6 +81,8 @@ def _hybridbl_group(p: int, degree_threshold: float, gamma: int):
                     tb = b
                 assigned[e] = tb
                 occupied[tb] += 1
+                rem_deg[v] -= 1
+                rem_deg[u] -= 1
                 pushed.append(u)
             return pushed
 
@@ -96,8 +99,7 @@ def _hybridbl_group(p: int, degree_threshold: float, gamma: int):
                 if not queues[machine]:
                     # take a free (unhandled, has-unassigned-edges) vertex
                     while free_ptr < nloc and (
-                        handled[free_ptr]
-                        or np.all(assigned[inc[offs[free_ptr]:offs[free_ptr + 1]]] >= 0)
+                        handled[free_ptr] or rem_deg[free_ptr] == 0
                     ):
                         free_ptr += 1
                     if free_ptr >= nloc:
