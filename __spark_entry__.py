@@ -272,6 +272,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         e = _edges(spark, sf)
         return core_boundary_stats(dbh_partition(e, P_DEFAULT), degrees_of(e))
 
+    def q_media_features(spark, sf):
+        # deterministic synthetic media fixture (real PPM/WAV decode paths);
+        # rows-only: binary payloads are not DuckDB-SQL-expressible
+        from split_merge_partitioner_spark.functions.multimodal import (
+            extract_features,
+            make_media_df,
+        )
+
+        return extract_features(make_media_df(spark, n=48))
+
     def q_events_by_type(spark, sf):
         ev = spark.read.parquet(f"{sf}/events.parquet")
         return ev.groupBy("event_type").agg(
@@ -326,6 +336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpart_vertex_stats": q_bpart_vertex_stats,
         "label_propagation": q_label_propagation,
         "core_boundary_stats": q_core_boundary_stats,
+        "media_features": q_media_features,
         "events_by_type": q_events_by_type,
         "user_top_events": q_user_top_events,
     }
