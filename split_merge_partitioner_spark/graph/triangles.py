@@ -19,17 +19,22 @@ from ..sources.edges import degrees as degrees_of
 
 def _oriented(edges: DataFrame, orient: str) -> DataFrame:
     if orient == "id":
-        return edges.select("src", "dst")  # already canonical src<dst
-    deg = F.broadcast(degrees_of(edges))
+        # already canonical src<dst; materialized for the same 3-leg reuse
+        return edges.select("src", "dst").localCheckpoint(eager=True)
+    deg = F.broadcast(degrees_of(edges).localCheckpoint(eager=True))
     e = (
         edges.join(deg.withColumnRenamed("vertex", "src").withColumnRenamed("degree", "ds"), "src")
         .join(deg.withColumnRenamed("vertex", "dst").withColumnRenamed("degree", "dd"), "dst")
     )
     first = (F.col("ds") < F.col("dd")) | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst")))
-    return e.select(
+    oriented = e.select(
         F.when(first, F.col("src")).otherwise(F.col("dst")).alias("src"),
         F.when(first, F.col("dst")).otherwise(F.col("src")).alias("dst"),
     )
+    # materialize: the wedge query self-joins this THREE times; without a cut
+    # the whole degree-join subplan executes once per leg (seen in
+    # explain("formatted") — three repeated BroadcastHashJoin blocks)
+    return oriented.localCheckpoint(eager=True)
 
 
 def triangle_count(edges: DataFrame, orient: str = "degree") -> int:

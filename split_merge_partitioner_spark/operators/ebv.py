@@ -80,7 +80,8 @@ def _ebv_task(p: int):
 def ebv_partition(edges: DataFrame, p: int, deg: DataFrame | None = None) -> DataFrame:
     """(src, dst, bucket) — EBV with degree-sum-ordered streaming."""
     if deg is None:
-        deg = degrees_of(edges)
+        # materialized: the degree agg feeds BOTH endpoint joins
+        deg = degrees_of(edges).localCheckpoint(eager=True)
     degb = F.broadcast(deg)
     e = (
         edges.join(degb.withColumnRenamed("vertex", "src").withColumnRenamed("degree", "deg_src"), "src")

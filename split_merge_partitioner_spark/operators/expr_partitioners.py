@@ -24,7 +24,9 @@ HYBRID_DEGREE_THRESHOLD = 100  # PowerLyra EuroSys'15 default, hybrid_partitione
 
 def _with_degrees(edges: DataFrame, deg: DataFrame | None) -> DataFrame:
     if deg is None:
-        deg = degrees(edges)
+        # materialize: the degree aggregation would otherwise be recomputed
+        # once per endpoint join (it appears under BOTH broadcast exchanges)
+        deg = degrees(edges).localCheckpoint(eager=True)
     deg = F.broadcast(deg)
     return (
         edges.join(deg.withColumnRenamed("vertex", "src").withColumnRenamed("degree", "deg_src"), "src")

@@ -677,7 +677,8 @@ def fsm_partition(
     spark = edges.sparkSession
     n_sub = p * k
     if deg is None:
-        deg = degrees_of(edges)
+        # materialized: used by the avg-degree agg AND both endpoint joins
+        deg = degrees_of(edges).localCheckpoint(eager=True)
     avg_deg_row = deg.agg(F.avg("degree").alias("a")).collect()[0]
     high_threshold = hdf * float(avg_deg_row["a"])
     degb = F.broadcast(deg)

@@ -143,7 +143,8 @@ def hybridbl_partition(
     from ..sources.edges import degrees as degrees_of
 
     if deg is None:
-        deg = degrees_of(edges)
+        # materialized: the degree agg feeds BOTH endpoint joins
+        deg = degrees_of(edges).localCheckpoint(eager=True)
     degb = F.broadcast(deg)
     e = (
         edges.join(degb.withColumnRenamed("vertex", "src").withColumnRenamed("degree", "deg_src"), "src")

@@ -46,7 +46,7 @@ def ne_partition(
         from ..sources.edges import degrees as degrees_of
 
         if deg is None:
-            deg = degrees_of(edges)
+            deg = degrees_of(edges).localCheckpoint(eager=True)
         degb = F.broadcast(deg)
         e = (
             edges.join(
