@@ -31,12 +31,81 @@ def _min_label_kernel(key: tuple, state: pd.DataFrame, edges: pd.DataFrame) -> p
     return pd.DataFrame({"vertex": verts, "partial": partial})
 
 
+def _cc_broadcast(spark, verts: np.ndarray, assigned: DataFrame, max_iter: int):
+    """PowerGraph-style broadcast execution (see pagerank._pagerank_gas_broadcast):
+    edge blocks dense-encoded once, partition-aligned; each superstep ships the
+    label vector via sc.broadcast, every partition emits only its IMPROVED
+    (vid, min_label) rows (shrinks toward 0 as labels converge), the driver
+    min-combines and counts changes for free.  ONE Spark stage per superstep."""
+    bc_verts = spark.sparkContext.broadcast(verts)
+    n = len(verts)
+
+    def encode(batches):
+        vv = bc_verts.value
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "s": np.searchsorted(vv, pdf["src"].to_numpy(np.int64)).astype(np.int64),
+                    "d": np.searchsorted(vv, pdf["dst"].to_numpy(np.int64)).astype(np.int64),
+                }
+            )
+
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    enc = (
+        assigned.select("bucket", "src", "dst")
+        .repartition(shuffle_n, "bucket")
+        .mapInPandas(encode, schema="s long, d long")
+        .localCheckpoint(eager=True)
+    )
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+    label = np.arange(n, dtype=np.int64)  # dense ids; decoded via verts at the end
+    info = {"iterations": 0, "converged": False}
+    for it in range(max_iter):
+        bc = spark.sparkContext.broadcast(label)
+
+        def scatter(batches, _bc=bc, _n=n):
+            c = _bc.value
+            partial = c.copy()
+            touched = False
+            for pdf in batches:
+                s = pdf["s"].to_numpy(np.int64)
+                d = pdf["d"].to_numpy(np.int64)
+                np.minimum.at(partial, d, partial[s])
+                np.minimum.at(partial, s, partial[d])
+                touched = True
+            if touched:
+                imp = np.flatnonzero(partial < c)
+                if len(imp):
+                    yield pd.DataFrame({"vid": imp, "lab": partial[imp]})
+
+        got = enc.mapInPandas(scatter, schema="vid long, lab long").toPandas()
+        bc.destroy()
+        info["iterations"] = it + 1
+        if len(got) == 0:
+            info["converged"] = True
+            break
+        new = label.copy()
+        np.minimum.at(new, got["vid"].to_numpy(np.int64), got["lab"].to_numpy(np.int64))
+        if (new == label).all():
+            info["converged"] = True
+            break
+        label = new
+    spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+    out = spark.createDataFrame(
+        pd.DataFrame({"vertex": verts, "component": verts[label]})
+    )
+    return out, info
+
+
 def connected_components(
     edges: DataFrame,
     assigned: DataFrame | None = None,
     replicas: DataFrame | None = None,
     mode: str = "gas",
     max_iter: int = 200,
+    broadcast_threshold: int = 5_000_000,
 ) -> tuple[DataFrame, dict]:
     """Returns ((vertex, component), info).  Exact fixpoint."""
     from ..sources.edges import vertices_of
@@ -48,7 +117,14 @@ def connected_components(
     )
     spark = edges.sparkSession
     n = state.count()
-    broadcast_state = n <= 5_000_000
+    broadcast_state = n <= broadcast_threshold
+    if mode == "gas" and broadcast_state:
+        assert assigned is not None
+        verts = np.sort(
+            state.select("vertex").toPandas()["vertex"].to_numpy(np.int64)
+        )
+        state.unpersist()
+        return _cc_broadcast(spark, verts, assigned, max_iter)
     if mode == "gas":
         assert assigned is not None
         if replicas is None:
