@@ -37,7 +37,6 @@ def _bpart_task(p: int, avg_degree: float):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n_v = np.zeros(nf, dtype=np.int64)
         n_e = np.zeros(nf, dtype=np.int64)
-        members: list[set[int]] = [set() for _ in range(nf)]
         rows: list[pd.DataFrame] = []
         fine_of: dict[int, int] = {}
         for pdf in batches:
@@ -46,18 +45,14 @@ def _bpart_task(p: int, avg_degree: float):
             for i, (v, nbrs) in enumerate(zip(verts, pdf["nbrs"])):
                 w = n_v + 2.0 * n_e / avg_degree
                 s = -ALPHA * GAMMA * np.power(w, GAMMA - 1.0)
-                overlap = np.zeros(nf, dtype=np.int64)
-                for u in nbrs:
-                    fb = fine_of.get(int(u))
-                    if fb is not None:
-                        overlap[fb] += 1
-                s += overlap
+                placed = [fine_of[u] for u in map(int, nbrs) if u in fine_of]
+                overlap = np.bincount(placed, minlength=nf)
+                s = s + overlap
                 best = int(s.argmax())
                 out[i] = best
                 fine_of[int(v)] = best
                 n_v[best] += 1
                 n_e[best] += overlap[best]
-                members[best].add(int(v))
             rows.append(pd.DataFrame({"vertex": verts, "fine": out}))
         if not rows:
             return

@@ -7,8 +7,10 @@ Reference parity (/root/reference/src/fennel_partitioner.cpp):
 
 Distribution note (same family as HDRF/EBV): vertex stream state is
 partition-local per task; the adjacency is delivered as a grouped
-neighbor-list DataFrame so each task streams its vertex block with NumPy-set
-membership tests.  Returns a VERTEX partition (vertex, bucket) — feed
+neighbor-list DataFrame.  Because each vertex lives in exactly one bucket,
+|N(v) ∩ V_b| for ALL buckets is one bincount of the placed neighbors'
+buckets — the scoring is a p-vector expression per vertex, no per-bucket
+loop.  Returns a VERTEX partition (vertex, bucket) — feed
 ``vertex2edge_partition`` for an edge-cut.
 """
 
@@ -28,7 +30,7 @@ GAMMA = 1.5
 def _fennel_task(p: int, alpha: float):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sizes = np.zeros(p, dtype=np.int64)
-        members: list[set[int]] = [set() for _ in range(p)]
+        bucket_of: dict[int, int] = {}  # each vertex lives in exactly one bucket
         seen = 0
         for pdf in batches:
             verts = pdf["vertex"].to_numpy(np.int64)
@@ -38,22 +40,20 @@ def _fennel_task(p: int, alpha: float):
                 # reference's 1.1*n/p bound holds per task whatever the task
                 # count (fennel_partitioner.cpp:49)
                 capacity = 1.1 * max(seen, p) / p + 1
-                best_b, best_s = -1, -np.inf
-                for b in range(p):
-                    if sizes[b] >= capacity:
-                        continue
-                    inter = sum(1 for u in nbrs if u in members[b])
-                    s = inter - alpha * GAMMA * (sizes[b] ** (GAMMA - 1.0))
-                    if s > best_s:
-                        best_s, best_b = s, b
-                if best_b < 0:
+                # |N(v) ∩ V_b| for ALL b at once: neighbors' buckets bincount
+                placed = [bucket_of[u] for u in map(int, nbrs) if u in bucket_of]
+                s = np.bincount(placed, minlength=p).astype(np.float64)
+                s -= alpha * GAMMA * np.power(sizes, GAMMA - 1.0)
+                s[sizes >= capacity] = -np.inf
+                best_b = int(s.argmax())
+                if s[best_b] == -np.inf:
                     # every bucket at capacity: spill to the current smallest
                     # (keeps the 1.1n/p invariant tight instead of piling
                     # overflow onto bucket 0)
                     best_b = int(np.argmin(sizes))
                 out[i] = best_b
                 sizes[best_b] += 1
-                members[best_b].add(int(v))
+                bucket_of[int(v)] = best_b
                 seen += 1
             yield pd.DataFrame({"vertex": verts, "bucket": out})
 
