@@ -40,12 +40,81 @@ def _label_count_kernel(key: tuple, state: pd.DataFrame, edges: pd.DataFrame) ->
     return out.astype({"vertex": np.int64, "label": np.int64, "cnt": np.int64})
 
 
+def _lp_broadcast(spark, verts: np.ndarray, assigned: DataFrame, n_iter: int):
+    """Broadcast-encoded LP (see pagerank/components fast paths): encode edge
+    blocks once; per superstep broadcast the dense label vector, each
+    partition emits its local (vertex, label, cnt) mode partials, the driver
+    sums and takes argmax-with-min-tie.  ONE stage per superstep.  Labels stay
+    dense indices internally — verts is sorted, so min-tie on dense indices
+    equals min-tie on original ids; decoded once at the end."""
+    bc_verts = spark.sparkContext.broadcast(verts)
+    n = len(verts)
+
+    def encode(batches):
+        vv = bc_verts.value
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "s": np.searchsorted(vv, pdf["src"].to_numpy(np.int64)).astype(np.int64),
+                    "d": np.searchsorted(vv, pdf["dst"].to_numpy(np.int64)).astype(np.int64),
+                }
+            )
+
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    enc = (
+        assigned.select("bucket", "src", "dst")
+        .repartition(shuffle_n, "bucket")
+        .mapInPandas(encode, schema="s long, d long")
+        .localCheckpoint(eager=True)
+    )
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+    label = np.arange(n, dtype=np.int64)
+    for _ in range(n_iter):
+        bc = spark.sparkContext.broadcast(label)
+
+        def scatter(batches, _bc=bc):
+            lab = _bc.value
+            parts = []
+            for pdf in batches:
+                s = pdf["s"].to_numpy(np.int64)
+                d = pdf["d"].to_numpy(np.int64)
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "vid": np.concatenate([d, s]),
+                            "lab": np.concatenate([lab[s], lab[d]]),
+                        }
+                    )
+                )
+            if parts:
+                df = pd.concat(parts)
+                out = df.groupby(["vid", "lab"], sort=False).size().reset_index(name="cnt")
+                yield out.astype({"vid": np.int64, "lab": np.int64, "cnt": np.int64})
+
+        got = enc.mapInPandas(scatter, schema="vid long, lab long, cnt long").toPandas()
+        bc.destroy()
+        agg = got.groupby(["vid", "lab"], sort=False)["cnt"].sum().reset_index()
+        # argmax count, tie -> min label
+        agg = agg.sort_values(["vid", "cnt", "lab"], ascending=[True, False, True])
+        best = agg.drop_duplicates("vid")
+        new_label = label.copy()
+        new_label[best["vid"].to_numpy(np.int64)] = best["lab"].to_numpy(np.int64)
+        label = new_label
+    spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+    return spark.createDataFrame(
+        pd.DataFrame({"vertex": verts, "label": verts[label]})
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     assigned: DataFrame | None = None,
     replicas: DataFrame | None = None,
     n_iter: int = 5,
     mode: str = "gas",
+    broadcast_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Returns (vertex, label) after exactly n_iter synchronous supersteps."""
     from ..sources.edges import vertices_of
@@ -57,7 +126,14 @@ def label_propagation(
     )
     spark = edges.sparkSession
     n = state.count()
-    broadcast_state = n <= 5_000_000
+    broadcast_state = n <= broadcast_threshold
+    if mode == "gas" and broadcast_state:
+        assert assigned is not None
+        verts = np.sort(
+            state.select("vertex").toPandas()["vertex"].to_numpy(np.int64)
+        )
+        state.unpersist()
+        return _lp_broadcast(spark, verts, assigned, n_iter)
     if mode == "gas":
         assert assigned is not None
         if replicas is None:

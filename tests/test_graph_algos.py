@@ -84,10 +84,14 @@ def test_pagerank_invariant_to_partitioner(spark, graph):
     np.testing.assert_allclose(r_got, oracle["rank"].to_numpy(), atol=1e-12)
 
 
-@pytest.mark.parametrize("mode", ["gas", "join"])
-def test_connected_components_exact(spark, graph, mode):
+@pytest.mark.parametrize(
+    "mode,thr", [("gas", 5_000_000), ("gas", 0), ("join", 5_000_000)]
+)
+def test_connected_components_exact(spark, graph, mode, thr):
     pdf, edges, assigned = graph
-    comps, info = connected_components(edges, assigned=assigned, mode=mode)
+    comps, info = connected_components(
+        edges, assigned=assigned, mode=mode, broadcast_threshold=thr
+    )
     assert info["converged"]
     got = comps.toPandas().sort_values("vertex").reset_index(drop=True)
     exp = components_oracle(pdf).sort_values("vertex").reset_index(drop=True)
@@ -96,11 +100,15 @@ def test_connected_components_exact(spark, graph, mode):
     assert got.set_index("vertex").loc[1002, "component"] == 1000
 
 
-@pytest.mark.parametrize("mode", ["gas", "join"])
-def test_label_propagation_exact(spark, graph, mode):
+@pytest.mark.parametrize(
+    "mode,thr", [("gas", 5_000_000), ("gas", 0), ("join", 5_000_000)]
+)
+def test_label_propagation_exact(spark, graph, mode, thr):
     pdf, edges, assigned = graph
     got = (
-        label_propagation(edges, assigned=assigned, n_iter=4, mode=mode)
+        label_propagation(
+            edges, assigned=assigned, n_iter=4, mode=mode, broadcast_threshold=thr
+        )
         .toPandas()
         .sort_values("vertex")
         .reset_index(drop=True)
