@@ -24,7 +24,7 @@ import json
 import sys
 
 
-def main(argv=None) -> None:
+def main(argv=None, stop: bool = True) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="edge parquet (src, dst)")
     ap.add_argument("--output", default=None)
@@ -113,7 +113,8 @@ def main(argv=None) -> None:
             write_edgepart_multifile(assigned, args.output)
         else:
             write_edgepart_onefile(assigned, args.output)
-    spark.stop()
+    if stop:  # keep the session when embedded (tests reuse one session)
+        spark.stop()
 
 
 if __name__ == "__main__":
