@@ -289,6 +289,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
 
+    def q_events_rollup(spark, sf):
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return (
+            ev.rollup("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.avg("value"), 6).alias("avg_value"),
+            )
+            .select(
+                F.coalesce("event_type", F.lit("__total__")).alias("event_type"),
+                "n_events",
+                "avg_value",
+            )
+        )
+
     def q_user_top_events(spark, sf):
         from pyspark.sql import Window
 
@@ -338,6 +353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "core_boundary_stats": q_core_boundary_stats,
         "media_features": q_media_features,
         "events_by_type": q_events_by_type,
+        "events_rollup": q_events_rollup,
         "user_top_events": q_user_top_events,
     }
 
@@ -640,6 +656,13 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
 FROM events GROUP BY event_type
 """
 
+    events_rollup_sql = """
+SELECT COALESCE(event_type, '__total__') AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(AVG(value), 6) AS avg_value
+FROM events GROUP BY ROLLUP (event_type)
+"""
+
     user_top_events_sql = """
 SELECT user_id, event_id, event_type, ROUND(value, 4) AS value,
        CAST(rn AS BIGINT) AS rn
@@ -672,6 +695,7 @@ FROM (
         "label_propagation": label_propagation_sql,
         "core_boundary_stats": core_boundary_sql,
         "events_by_type": events_by_type_sql,
+        "events_rollup": events_rollup_sql,
         "user_top_events": user_top_events_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic
         # across engines): fsm_assign, fsm_stats, hdrf_bucket_sizes, pagerank,

@@ -2,7 +2,6 @@
 
 from __future__ import annotations
 
-import pytest
 
 from split_merge_partitioner_spark.sources.edges import (
     adjlist_count_violations,

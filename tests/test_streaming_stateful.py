@@ -4,7 +4,6 @@ carry ACROSS micro-batches (first-occurrence dedup, running degrees)."""
 from __future__ import annotations
 
 import pandas as pd
-import pytest
 
 
 def _run_batches(spark, tmp_path, make_stream, batches, query_name):
