@@ -272,6 +272,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         e = _edges(spark, sf)
         return core_boundary_stats(dbh_partition(e, P_DEFAULT), degrees_of(e))
 
+    def q_bfs_distances(spark, sf):
+        from split_merge_partitioner_spark.graph import bfs_distances
+        from split_merge_partitioner_spark.sources import degrees as degrees_of
+
+        e = _edges(spark, sf).persist()
+        seed = (
+            degrees_of(e).orderBy(F.desc("degree"), F.asc("vertex")).first()["vertex"]
+        )
+        return bfs_distances(e, int(seed), assigned=dbh_partition(e, P_DEFAULT))
+
+    def q_approx_diameter(spark, sf):
+        from split_merge_partitioner_spark.graph import approximate_diameter
+
+        e = _edges(spark, sf).persist()
+        out, _ = approximate_diameter(e, assigned=dbh_partition(e, P_DEFAULT))
+        return out
+
     def q_media_features(spark, sf):
         # deterministic synthetic media fixture (real PPM/WAV decode paths);
         # rows-only: binary payloads are not DuckDB-SQL-expressible
@@ -351,6 +368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpart_vertex_stats": q_bpart_vertex_stats,
         "label_propagation": q_label_propagation,
         "core_boundary_stats": q_core_boundary_stats,
+        "bfs_distances": q_bfs_distances,
+        "approx_diameter": q_approx_diameter,
         "media_features": q_media_features,
         "events_by_type": q_events_by_type,
         "events_rollup": q_events_rollup,
@@ -656,6 +675,36 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
 FROM events GROUP BY event_type
 """
 
+    bfs_common = f"""
+WITH RECURSIVE {_DEGREES_CTE},
+und AS (SELECT src AS a, dst AS b FROM edges UNION ALL SELECT dst, src FROM edges),
+seed AS (SELECT vertex FROM degrees ORDER BY degree DESC, vertex ASC LIMIT 1),
+bfs1(v, d) AS (
+    SELECT vertex, 0 FROM seed
+    UNION
+    SELECT und.b, bfs1.d + 1 FROM bfs1 JOIN und ON und.a = bfs1.v WHERE bfs1.d < 100
+),
+d1 AS (SELECT v, MIN(d) AS d FROM bfs1 GROUP BY v)
+"""
+
+    bfs_distances_sql = bfs_common + """
+SELECT v AS vertex, CAST(d AS BIGINT) AS dist FROM d1
+"""
+
+    approx_diameter_sql = bfs_common + """,
+far AS (SELECT v FROM d1 ORDER BY d DESC, v ASC LIMIT 1),
+bfs2(v, d) AS (
+    SELECT v, 0 FROM far
+    UNION
+    SELECT und.b, bfs2.d + 1 FROM bfs2 JOIN und ON und.a = bfs2.v WHERE bfs2.d < 100
+),
+d2 AS (SELECT v, MIN(d) AS d FROM bfs2 GROUP BY v)
+SELECT CAST((SELECT vertex FROM seed) AS BIGINT) AS seed,
+       CAST((SELECT v FROM far) AS BIGINT) AS far_vertex,
+       CAST(MAX(d) AS BIGINT) AS diameter
+FROM d2
+"""
+
     events_rollup_sql = """
 SELECT COALESCE(event_type, '__total__') AS event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -694,6 +743,8 @@ FROM (
         "replication_by_degree_decade": replication_by_decade_sql,
         "label_propagation": label_propagation_sql,
         "core_boundary_stats": core_boundary_sql,
+        "bfs_distances": bfs_distances_sql,
+        "approx_diameter": approx_diameter_sql,
         "events_by_type": events_by_type_sql,
         "events_rollup": events_rollup_sql,
         "user_top_events": user_top_events_sql,

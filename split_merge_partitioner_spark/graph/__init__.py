@@ -2,3 +2,4 @@ from .components import connected_components  # noqa: F401
 from .labelprop import label_propagation  # noqa: F401
 from .pagerank import pagerank  # noqa: F401
 from .triangles import triangle_count, triangles_per_vertex  # noqa: F401
+from .diameter import approximate_diameter, bfs_distances  # noqa: F401

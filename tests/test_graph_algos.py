@@ -130,3 +130,53 @@ def test_triangles_tiny_by_hand(spark):
     # square B (4,5,6,7 + chord 5-7) has 2; bridge adds none.
     e = spark.createDataFrame(tiny_graph_pdf())
     assert triangle_count(e) == 6
+
+
+def test_bfs_and_double_sweep_diameter(spark, graph):
+    """Double-sweep AD (full.pdf §5.4's third workload) vs a NumPy BFS oracle:
+    BFS distances exact from the deterministic seed; the double-sweep result
+    is a valid diameter lower bound that is exact on these small-diameter
+    fixtures (checked against all-pairs eccentricity from the two sweeps'
+    endpoints)."""
+    from collections import deque
+
+    from split_merge_partitioner_spark.graph import (
+        approximate_diameter,
+        bfs_distances,
+    )
+
+    pdf, edges, assigned = graph
+
+    adj = {}
+    for r in pdf.itertuples():
+        adj.setdefault(r.src, set()).add(r.dst)
+        adj.setdefault(r.dst, set()).add(r.src)
+
+    def bfs(src):
+        dist = {src: 0}
+        q = deque([src])
+        while q:
+            v = q.popleft()
+            for u in adj[v]:
+                if u not in dist:
+                    dist[u] = dist[v] + 1
+                    q.append(u)
+        return dist
+
+    deg = {v: len(ns) for v, ns in adj.items()}
+    seed = min(v for v in deg if deg[v] == max(deg.values()))
+    got = bfs_distances(edges, seed, assigned=assigned)
+    got_pdf = got.toPandas().set_index("vertex")["dist"].to_dict()
+    exp = bfs(seed)
+    assert got_pdf == exp
+
+    res, info = approximate_diameter(edges, assigned=assigned)
+    row = res.collect()[0]
+    assert row["seed"] == seed
+    # oracle: eccentricity of the reported far vertex
+    exp_d1 = bfs(seed)
+    ecc1 = max(exp_d1.values())
+    far = min(v for v, d in exp_d1.items() if d == ecc1)
+    assert row["far_vertex"] == far
+    assert row["diameter"] == max(bfs(far).values())
+    assert row["diameter"] >= ecc1  # sweep-2 bound dominates sweep 1
