@@ -76,6 +76,12 @@ def run_suite(cpus: str, sf_dir: str, scaling_mode: bool = False) -> dict:
         triangle_count(edges)
         times["triangle_count"] = round(time.monotonic() - t0, 3)
 
+        from split_merge_partitioner_spark.graph import approximate_diameter
+
+        t0 = time.monotonic()
+        approximate_diameter(edges, assigned=assigned)
+        times["approx_diameter"] = round(time.monotonic() - t0, 3)
+
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         t0 = time.monotonic()
         from split_merge_partitioner_spark.functions import minhash_near_duplicates
