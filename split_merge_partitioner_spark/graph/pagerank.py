@@ -43,6 +43,161 @@ def _scatter_kernel(key: tuple, state: pd.DataFrame, edges: pd.DataFrame) -> pd.
     return pd.DataFrame({"vertex": verts, "partial": partial})
 
 
+def _pack_edge_blocks(spark, assigned: DataFrame, bc_verts, idx_dtype,
+                      edges_per_task: int = 750_000):
+    """Dense-encode the partition-aligned edge blocks ONCE into a pickled-numpy
+    RDD: one (s_bytes, d_bytes) pair per partition, persisted in the JVM block
+    store.  This is the static input of the raw-RDD superstep loop — after
+    this single SQL job the loop never touches Catalyst/Arrow again.
+
+    Task sizing: on this class of iterative job the dominant cost is the fixed
+    per-job/per-task scheduling floor (profiled ~0.25 s/job + ~7 ms/python
+    task in-sandbox), not the vectorized scatter itself — so the packed blocks
+    are coalesced (no shuffle: whole blocks move, never edges) to
+    ``ceil(m / edges_per_task)`` scatter tasks, keeping every task fat enough
+    that scheduling overhead amortizes while still scaling out with m."""
+    import math
+
+    import numpy as _np
+    import pandas as _pd
+
+    def encode_pack(batches):
+        vv = bc_verts.value
+        ss, dd = [], []
+        for pdf in batches:
+            ss.append(_np.searchsorted(vv, pdf["src"].to_numpy(_np.int64)).astype(idx_dtype))
+            dd.append(_np.searchsorted(vv, pdf["dst"].to_numpy(_np.int64)).astype(idx_dtype))
+        if ss:
+            s = _np.concatenate(ss) if len(ss) > 1 else ss[0]
+            d = _np.concatenate(dd) if len(dd) > 1 else dd[0]
+            yield _pd.DataFrame({"s": [s.tobytes()], "d": [d.tobytes()]})
+
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    packed = (
+        assigned.select("bucket", "src", "dst")
+        .repartition(shuffle_n, "bucket")
+        .mapInPandas(encode_pack, schema="s binary, d binary")
+    )
+    rdd = packed.rdd.map(lambda r: (bytes(r[0]), bytes(r[1]))).persist()
+    itemsize = _np.dtype(idx_dtype).itemsize
+    m = rdd.map(lambda t: len(t[0]) // itemsize).sum()  # materializes the pack
+    n_tasks = min(shuffle_n, max(1, math.ceil(m / edges_per_task)))
+    if n_tasks < shuffle_n:
+        fat = rdd.coalesce(n_tasks).persist()
+        fat.count()
+        rdd.unpersist()
+        rdd = fat
+    return rdd
+
+
+def _pagerank_gas_rdd(
+    spark,
+    deg,
+    n: int,
+    assigned: DataFrame,
+    tol: float,
+    max_iter: int,
+    damping: float,
+    check_every: int,
+    ckpt,
+    start_it: int,
+    init_rank: np.ndarray | None,
+) -> tuple[DataFrame, dict]:
+    """Raw-RDD superstep executor for the sub-threshold regime (n bounded by
+    ``broadcast_threshold``) — the round-3 answer to the profiled >=1.1 s
+    job+collect floor of the SQL/mapInPandas path.
+
+    One-time setup: edge blocks are dense-encoded and packed as ONE pickled
+    numpy (s, d) pair per partition, persisted in the JVM cache (never
+    collected to the driver — m stays distributed).  Each superstep is then a
+    SINGLE raw-RDD job: ship the contrib vector via ``sc.broadcast`` (n
+    doubles), each task unpickles its ~MBs block (a memcpy), scatters with two
+    ``bincount``s, and returns only its nonzero partials (~|V_b| rows, the
+    RF-governed volume — same as the PowerGraph mirror-update cost,
+    full.pdf §5.2.2).  The driver combines with one bincount and checks
+    convergence for free — no Catalyst planning, no Arrow batch machinery, no
+    separate delta job.  Above the threshold the caller uses the fully
+    distributed cogroup path; this executor is the small-state accelerator,
+    exactly like the reference runs single-machine C++ at these sizes."""
+    import time as _time
+
+    deg_pdf = deg.toPandas().sort_values("vertex")
+    verts = deg_pdf["vertex"].to_numpy(np.int64)
+    degv = deg_pdf["degree"].to_numpy(np.float64)
+    sc = spark.sparkContext
+    bc_verts = sc.broadcast(verts)
+    idx_dtype = np.int32 if n < 2**31 else np.int64
+
+    base = (1.0 - damping) / n
+    rank = np.full(n, 1.0 / n) if init_rank is None else init_rank
+    info = {"iterations": start_it, "converged": False, "n": n}
+    m_edges = None
+    per_partition = None
+    if ckpt is not None:
+        from ..operators.stats import bucket_sizes
+
+        m_edges = assigned.count()
+        per_partition = bucket_sizes(assigned).persist()
+
+    def state_df():
+        pdf = pd.DataFrame({"vertex": verts, "rank": rank})
+        return spark.createDataFrame(pdf)
+
+    packed_rdd = _pack_edge_blocks(spark, assigned, bc_verts, idx_dtype)
+    nn = n
+    dt = idx_dtype
+    block_t0 = _time.monotonic()
+    bc = None
+    try:
+        for it in range(start_it, max_iter):
+            contrib = rank / degv
+            bc = sc.broadcast(contrib)
+
+            def scatter(part_iter, _bc=bc, _n=nn, _dt=dt):
+                c = _bc.value
+                partial = None
+                for s_b, d_b in part_iter:
+                    s = np.frombuffer(s_b, dtype=_dt)
+                    d = np.frombuffer(d_b, dtype=_dt)
+                    p = np.bincount(d, weights=c[s], minlength=_n)
+                    p += np.bincount(s, weights=c[d], minlength=_n)
+                    partial = p if partial is None else partial + p
+                if partial is not None:
+                    nz = np.flatnonzero(partial)
+                    yield (nz.astype(_dt).tobytes(), partial[nz].tobytes())
+
+            g = np.zeros(n)
+            for nz_b, val_b in packed_rdd.mapPartitions(scatter).collect():
+                nz = np.frombuffer(nz_b, dtype=dt)
+                g[nz] += np.frombuffer(val_b, dtype=np.float64)
+            bc.destroy()
+            bc = None
+            new_rank = base + damping * g
+            delta = float(np.max(np.abs(new_rank - rank)))
+            rank = new_rank
+            info["iterations"] = it + 1
+            if at_boundary(it, check_every) or it == max_iter - 1 or (tol > 0 and delta <= tol):
+                if ckpt is not None:
+                    elapsed = max(_time.monotonic() - block_t0, 1e-9)
+                    steps = (it % check_every) + 1
+                    ckpt.save_superstep(
+                        it, state_df(), per_partition, delta, (m_edges or 0) * steps / elapsed
+                    )
+                    block_t0 = _time.monotonic()
+            if tol > 0 and delta <= tol:
+                info["converged"] = True
+                info["delta"] = delta
+                break
+    finally:
+        if bc is not None:
+            bc.destroy()
+        bc_verts.destroy()
+        packed_rdd.unpersist()
+        if per_partition is not None:
+            per_partition.unpersist()
+    return state_df(), info
+
+
 def _pagerank_gas_broadcast(
     spark,
     deg,
@@ -118,70 +273,75 @@ def _pagerank_gas_broadcast(
 
     block_t0 = _time.monotonic()
     nn = n
-    for it in range(start_it, max_iter):
-        contrib = rank / degv
-        bc = spark.sparkContext.broadcast(contrib)
+    bc = None
+    try:
+        for it in range(start_it, max_iter):
+            contrib = rank / degv
+            bc = spark.sparkContext.broadcast(contrib)
 
-        def scatter(batches, _bc=bc, _n=nn):
-            c = _bc.value
-            # accumulate across ALL batches of the partition and emit ONCE:
-            # per-batch emission would produce ~one row per edge instead of
-            # one row per locally-touched vertex (the whole point of the
-            # partition-aligned layout is that this is ~|V_b| rows)
-            partial = np.zeros(_n, dtype=np.float64)
-            touched = False
-            for pdf in batches:
-                s = pdf["s"].to_numpy(np.int64)
-                d = pdf["d"].to_numpy(np.int64)
-                # bincount is ~5-10x faster than np.add.at for scatter-add
-                partial += np.bincount(d, weights=c[s], minlength=_n)
-                partial += np.bincount(s, weights=c[d], minlength=_n)
-                touched = True
-            if touched:
-                nz = np.flatnonzero(partial)
-                yield pd.DataFrame({"vid": nz, "partial": partial[nz]})
+            def scatter(batches, _bc=bc, _n=nn):
+                c = _bc.value
+                # accumulate across ALL batches of the partition and emit ONCE:
+                # per-batch emission would produce ~one row per edge instead of
+                # one row per locally-touched vertex (the whole point of the
+                # partition-aligned layout is that this is ~|V_b| rows)
+                partial = np.zeros(_n, dtype=np.float64)
+                touched = False
+                for pdf in batches:
+                    s = pdf["s"].to_numpy(np.int64)
+                    d = pdf["d"].to_numpy(np.int64)
+                    # bincount is ~5-10x faster than np.add.at for scatter-add
+                    partial += np.bincount(d, weights=c[s], minlength=_n)
+                    partial += np.bincount(s, weights=c[d], minlength=_n)
+                    touched = True
+                if touched:
+                    nz = np.flatnonzero(partial)
+                    yield pd.DataFrame({"vid": nz, "partial": partial[nz]})
 
-        if driver_combine:
-            # ONE stage per superstep: each partition's dense-accumulated
-            # partials (~|V_b| rows) are collected and combined with a single
-            # bincount — no reduce stage, no second round of task scheduling.
-            # Collect volume is RF*n rows; chosen only when n is small enough
-            # that this beats the groupBy shuffle (sandbox/bench regime).
-            partial_pdf = enc.mapInPandas(
-                scatter, schema="vid long, partial double"
-            ).toPandas()
-            g = np.bincount(
-                partial_pdf["vid"].to_numpy(np.int64),
-                weights=partial_pdf["partial"].to_numpy(np.float64),
-                minlength=n,
-            )
-        else:
-            gathered = (
-                enc.mapInPandas(scatter, schema="vid long, partial double")
-                .groupBy("vid")
-                .agg(F.sum("partial").alias("g"))
-                .toPandas()
-            )
-            g = np.zeros(n)
-            g[gathered["vid"].to_numpy(np.int64)] = gathered["g"].to_numpy(np.float64)
-        bc.destroy()
-        new_rank = base + damping * g
-        delta = float(np.max(np.abs(new_rank - rank)))
-        rank = new_rank
-        info["iterations"] = it + 1
-        if at_boundary(it, check_every) or it == max_iter - 1 or (tol > 0 and delta <= tol):
-            if ckpt is not None:
-                elapsed = max(_time.monotonic() - block_t0, 1e-9)
-                steps = (it % check_every) + 1
-                ckpt.save_superstep(
-                    it, state_df(), per_partition, delta, (m_edges or 0) * steps / elapsed
+            if driver_combine:
+                # ONE stage per superstep: each partition's dense-accumulated
+                # partials (~|V_b| rows) are collected and combined with a single
+                # bincount — no reduce stage, no second round of task scheduling.
+                # Collect volume is RF*n rows; chosen only when n is small enough
+                # that this beats the groupBy shuffle (sandbox/bench regime).
+                partial_pdf = enc.mapInPandas(
+                    scatter, schema="vid long, partial double"
+                ).toPandas()
+                g = np.bincount(
+                    partial_pdf["vid"].to_numpy(np.int64),
+                    weights=partial_pdf["partial"].to_numpy(np.float64),
+                    minlength=n,
                 )
-                block_t0 = _time.monotonic()
-        if tol > 0 and delta <= tol:
-            info["converged"] = True
-            info["delta"] = delta
-            break
-    spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+            else:
+                gathered = (
+                    enc.mapInPandas(scatter, schema="vid long, partial double")
+                    .groupBy("vid")
+                    .agg(F.sum("partial").alias("g"))
+                    .toPandas()
+                )
+                g = np.zeros(n)
+                g[gathered["vid"].to_numpy(np.int64)] = gathered["g"].to_numpy(np.float64)
+            bc.destroy()
+            new_rank = base + damping * g
+            delta = float(np.max(np.abs(new_rank - rank)))
+            rank = new_rank
+            info["iterations"] = it + 1
+            if at_boundary(it, check_every) or it == max_iter - 1 or (tol > 0 and delta <= tol):
+                if ckpt is not None:
+                    elapsed = max(_time.monotonic() - block_t0, 1e-9)
+                    steps = (it % check_every) + 1
+                    ckpt.save_superstep(
+                        it, state_df(), per_partition, delta, (m_edges or 0) * steps / elapsed
+                    )
+                    block_t0 = _time.monotonic()
+            if tol > 0 and delta <= tol:
+                info["converged"] = True
+                info["delta"] = delta
+                break
+    finally:
+        if bc is not None:
+            bc.destroy()
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
     return state_df(), info
 
 
@@ -239,6 +399,13 @@ def pagerank(
             pdf = state.select("vertex", "rank").toPandas().sort_values("vertex")
             init_rank = pdf["rank"].to_numpy(np.float64)
         state.unpersist()
+        if combine in ("auto", "rdd"):
+            # default sub-threshold executor: raw-RDD static blocks, one job
+            # per superstep, no Catalyst/Arrow in the loop (see docstring)
+            return _pagerank_gas_rdd(
+                spark, deg, n, assigned, tol, max_iter, damping, check_every,
+                ckpt, start_it, init_rank,
+            )
         return _pagerank_gas_broadcast(
             spark, deg, n, assigned, tol, max_iter, damping, check_every,
             ckpt, start_it, init_rank, combine=combine,
@@ -280,75 +447,77 @@ def pagerank(
         m_edges = assigned.count()
         per_partition = bucket_sizes(assigned).persist()
     block_t0 = _time.monotonic()
-    for it in range(start_it, max_iter):
-        if mode == "gas":
-            # slim mirror payload: contrib = rank/degree is all the kernel needs
-            contrib_df = state.select(
-                "vertex", (F.col("rank") / F.col("degree")).alias("contrib")
-            )
-            st = F.broadcast(contrib_df) if broadcast_state else contrib_df
-            mirror = replicas.join(st, "vertex").select("bucket", "vertex", "contrib")
-            partials = (
-                mirror.groupby("bucket")
-                .cogroup(edges_by_bucket.groupby("ebkt"))
-                .applyInPandas(_scatter_kernel, schema="vertex long, partial double")
-            )
-            gathered = partials.groupBy("vertex").agg(F.sum("partial").alias("gathered"))
-        else:
-            contrib = state.select("vertex", (F.col("rank") / F.col("degree")).alias("c"))
-            if broadcast_state:
-                contrib = F.broadcast(contrib)
-            out = edges.join(
-                contrib.withColumnRenamed("vertex", "src"), "src"
-            ).select(F.col("dst").alias("vertex"), "c")
-            back = edges.join(
-                contrib.withColumnRenamed("vertex", "dst"), "dst"
-            ).select(F.col("src").alias("vertex"), "c")
-            gathered = out.unionAll(back).groupBy("vertex").agg(F.sum("c").alias("gathered"))
+    try:
+        for it in range(start_it, max_iter):
+            if mode == "gas":
+                # slim mirror payload: contrib = rank/degree is all the kernel needs
+                contrib_df = state.select(
+                    "vertex", (F.col("rank") / F.col("degree")).alias("contrib")
+                )
+                st = F.broadcast(contrib_df) if broadcast_state else contrib_df
+                mirror = replicas.join(st, "vertex").select("bucket", "vertex", "contrib")
+                partials = (
+                    mirror.groupby("bucket")
+                    .cogroup(edges_by_bucket.groupby("ebkt"))
+                    .applyInPandas(_scatter_kernel, schema="vertex long, partial double")
+                )
+                gathered = partials.groupBy("vertex").agg(F.sum("partial").alias("gathered"))
+            else:
+                contrib = state.select("vertex", (F.col("rank") / F.col("degree")).alias("c"))
+                if broadcast_state:
+                    contrib = F.broadcast(contrib)
+                out = edges.join(
+                    contrib.withColumnRenamed("vertex", "src"), "src"
+                ).select(F.col("dst").alias("vertex"), "c")
+                back = edges.join(
+                    contrib.withColumnRenamed("vertex", "dst"), "dst"
+                ).select(F.col("src").alias("vertex"), "c")
+                gathered = out.unionAll(back).groupBy("vertex").agg(F.sum("c").alias("gathered"))
 
-        # inner join is lossless: every vertex has degree >= 1 (ids come from
-        # the edge list) so each one receives a scatter row (possibly 0.0)
-        new_state = gathered.join(
-            F.broadcast(deg) if broadcast_state else deg, "vertex"
-        ).select(
-            "vertex",
-            "degree",
-            (F.lit(base) + F.lit(damping) * F.coalesce(F.col("gathered"), F.lit(0.0))).alias("rank"),
-        )
-        # lazy chain between boundaries: each check_every-block executes as ONE
-        # job at the boundary truncate (broadcast exchanges inside the block
-        # run once each within that job); delta/ckpt actions read only
-        # checkpointed states, so the block is never re-executed
-        state = new_state
-        info["iterations"] = it + 1
-        if at_boundary(it, check_every) or it == max_iter - 1:
-            prev = last_checkpoint
-            state = truncate(state, None)
-            last_checkpoint = state
-            delta = None
-            if tol > 0:
-                # block delta over check_every supersteps — conservative
-                delta = (
-                    state.join(prev.select("vertex", F.col("rank").alias("old")), "vertex")
-                    .agg(F.max(F.abs(F.col("rank") - F.col("old"))).alias("d"))
-                    .collect()[0]["d"]
-                )
-            prev.unpersist()
-            if ckpt is not None:
-                elapsed = max(_time.monotonic() - block_t0, 1e-9)
-                eps = (m_edges or 0) * check_every / elapsed
-                ckpt.save_superstep(
-                    it,
-                    state.select("vertex", "rank"),
-                    per_partition,
-                    None if delta is None else float(delta),
-                    eps,
-                )
-                block_t0 = _time.monotonic()
-            if delta is not None and delta <= tol:
-                info["converged"] = True
-                info["delta"] = float(delta)
-                break
-    spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+            # inner join is lossless: every vertex has degree >= 1 (ids come from
+            # the edge list) so each one receives a scatter row (possibly 0.0)
+            new_state = gathered.join(
+                F.broadcast(deg) if broadcast_state else deg, "vertex"
+            ).select(
+                "vertex",
+                "degree",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("gathered"), F.lit(0.0))).alias("rank"),
+            )
+            # lazy chain between boundaries: each check_every-block executes as ONE
+            # job at the boundary truncate (broadcast exchanges inside the block
+            # run once each within that job); delta/ckpt actions read only
+            # checkpointed states, so the block is never re-executed
+            state = new_state
+            info["iterations"] = it + 1
+            if at_boundary(it, check_every) or it == max_iter - 1:
+                prev = last_checkpoint
+                state = truncate(state, None)
+                last_checkpoint = state
+                delta = None
+                if tol > 0:
+                    # block delta over check_every supersteps — conservative
+                    delta = (
+                        state.join(prev.select("vertex", F.col("rank").alias("old")), "vertex")
+                        .agg(F.max(F.abs(F.col("rank") - F.col("old"))).alias("d"))
+                        .collect()[0]["d"]
+                    )
+                prev.unpersist()
+                if ckpt is not None:
+                    elapsed = max(_time.monotonic() - block_t0, 1e-9)
+                    eps = (m_edges or 0) * check_every / elapsed
+                    ckpt.save_superstep(
+                        it,
+                        state.select("vertex", "rank"),
+                        per_partition,
+                        None if delta is None else float(delta),
+                        eps,
+                    )
+                    block_t0 = _time.monotonic()
+                if delta is not None and delta <= tol:
+                    info["converged"] = True
+                    info["delta"] = float(delta)
+                    break
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
     deg.unpersist()
     return state.select("vertex", "rank"), info
