@@ -4,13 +4,13 @@
 Knob names mirror the reference CLI (gflags surface, src/main.cpp:20-35):
   --p            number of final partitions        (-p)
   --k            split multiplier for FSM          (-k)
-  --method       fsm | dbh | hybrid | hdrf | ebv | ne | fennel | hybridbl | bpart | v2e  (-method)
+  --method       fsm | dbh | hybrid | hdrf | ebv | ne | hep | fennel | hybridbl | bpart | v2e  (-method)
   --fastmerge    use fast_merge instead of precise (-fastmerge)
   --hdf          high-degree factor                (-hdf)
   --lambda_      HDRF balance lambda               (-lambda)
   --write        none | onefile | multifile        (-write)
   --splitter     FSM split strategy: ne_local | hep_local | dbh
-  --ne_mode      NE baseline mode: sequential | grouped
+  --ne_mode      NE/HEP baseline mode: sequential | grouped
 
 Usage:
   spark-submit --py-files engine.zip jobs/run_partition.py \
@@ -31,7 +31,7 @@ def main(argv=None, stop: bool = True) -> None:
     ap.add_argument("--p", type=int, default=32)
     ap.add_argument("--k", type=int, default=2)
     ap.add_argument("--method", default="fsm",
-                    choices=["fsm", "dbh", "hybrid", "hdrf", "ebv", "ne",
+                    choices=["fsm", "dbh", "hybrid", "hdrf", "ebv", "ne", "hep",
                              "fennel", "hybridbl", "bpart", "v2e"])
     ap.add_argument("--fastmerge", action="store_true")
     ap.add_argument("--hdf", type=float, default=100.0)
@@ -81,6 +81,10 @@ def main(argv=None, stop: bool = True) -> None:
         from split_merge_partitioner_spark.operators import ne_partition
 
         assigned = ne_partition(edges, args.p, mode=args.ne_mode)
+    elif args.method == "hep":
+        from split_merge_partitioner_spark.operators import hep_partition
+
+        assigned = hep_partition(edges, args.p, hdf=args.hdf, mode=args.ne_mode)
     elif args.method == "fennel":
         # Fennel is a VERTEX partitioner; convert to an edge partition the
         # v2e way for a uniform sink (document: stats differ from A2's)

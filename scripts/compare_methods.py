@@ -31,6 +31,7 @@ def main() -> None:
         ebv_partition,
         fsm_partition,
         hdrf_partition,
+        hep_partition,
         hybrid_partition,
         hybridbl_partition,
         ne_partition,
@@ -65,6 +66,7 @@ def main() -> None:
         "hdrf (partition-local)": lambda: hdrf_partition(edges, p),
         "ebv (partition-local)": lambda: ebv_partition(edges, p),
         "ne (sequential)": lambda: ne_partition(edges, p),
+        "hep (sequential, hdf=10)": lambda: hep_partition(edges, p, hdf=10.0),
         "hybridbl": lambda: hybridbl_partition(edges, p),
         "fsm ne_local k=2 fast": lambda: fsm_partition(
             edges, p, k=2, merge="fast", splitter="ne_local"

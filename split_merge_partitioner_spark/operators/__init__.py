@@ -5,6 +5,7 @@ from .fennel import fennel_partition  # noqa: F401
 from .hybridbl import hybridbl_partition  # noqa: F401
 from .fsm import FsmResult, fsm_partition  # noqa: F401
 from .hdrf import hdrf_partition  # noqa: F401
+from .hep import hep_partition  # noqa: F401
 from .ne import ne_partition  # noqa: F401
 from .stats import (  # noqa: F401
     core_boundary_stats,

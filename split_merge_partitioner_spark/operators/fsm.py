@@ -361,12 +361,25 @@ _NE_SCHEMA = StructType(
 )
 
 
-def _ne_lite_group(k: int, global_buckets: bool = False):
+def _parent_slot(g: int, p: int, n_groups: int) -> int:
+    """Map locality group g in [0, n_groups) to its parent slot in [0, p).
+
+    When task-memory bounding forces n_groups > p (fsm_partition's
+    edges_per_task), contiguous groups share a parent — range locality is
+    preserved and the sub-bucket space stays exactly k*p, so the merge phase
+    is oblivious to the finer split (the fsm_partitioner.cpp:33-38 contract:
+    any fine-grained split feeds the same merge)."""
+    return g if n_groups <= p else g * p // n_groups
+
+
+def _ne_lite_group(k: int, global_buckets: bool = False, p: int | None = None,
+                   n_groups: int | None = None):
     """Factory for the per-group NE-lite kernel (runs inside applyInPandas).
 
     global_buckets=True emits bucket ids in [0, k) directly instead of
     offsetting by the locality-group id — used by the standalone NE baseline
     (operators/ne.py) where every group writes into the same bucket space.
+    p/n_groups: see _parent_slot (bounded-task-memory splitting).
 
     Faithful transcription of NE's expansion contract
     (src/ne_partitioner.hpp:68-130, cpp:113-167):
@@ -464,13 +477,19 @@ def _ne_lite_group(k: int, global_buckets: bool = False):
                     if assigned[int(inc[ii])] < 0:
                         add_boundary(int(other[ii]))
         assigned[assigned < 0] = k - 1
-        bucket = assigned if global_buckets else np.int64(g) * k + assigned
+        if global_buckets:
+            bucket = assigned
+        else:
+            parent = g if p is None or n_groups is None else _parent_slot(g, p, n_groups)
+            bucket = np.int64(parent) * k + assigned
         return pd.DataFrame({"src": src, "dst": dst, "bucket": bucket})
 
     return kernel
 
 
-def _hep_lite_group(k: int, high_thresh: float, lam: float = 1.1):
+def _hep_lite_group(k: int, high_thresh: float, lam: float = 1.1,
+                    p: int | None = None, n_groups: int | None = None,
+                    global_buckets: bool = False):
     """Factory for the per-group HEP kernel (runs inside applyInPandas).
 
     Per-group transcription of HEP's in-memory expansion contract
@@ -575,7 +594,12 @@ def _hep_lite_group(k: int, high_thresh: float, lam: float = 1.1):
                 in_core[v] = True
                 add_boundary(v, b, heap)
                 for ii in range(offs[v], offs[v + 1]):
-                    add_boundary(int(other[ii]), b, heap)
+                    # reach neighbors only through still-unassigned edges —
+                    # same guard as the NE kernel and the reference, whose
+                    # adjacency entries are invalidated once covered
+                    # (in_memory_clean_up_neighbors, hep_partitioner.cpp:261-301)
+                    if assigned[int(inc[ii])] < 0:
+                        add_boundary(int(other[ii]), b, heap)
             if expansion_finished:
                 break
 
@@ -594,24 +618,32 @@ def _hep_lite_group(k: int, high_thresh: float, lam: float = 1.1):
             occupied[tb] += 1
             bmat[u, tb] = True
             bmat[v, tb] = True
-        return pd.DataFrame(
-            {"src": src, "dst": dst, "bucket": np.int64(g) * k + assigned}
-        )
+        if global_buckets:
+            bucket = assigned
+        else:
+            parent = g if p is None or n_groups is None else _parent_slot(g, p, n_groups)
+            bucket = np.int64(parent) * k + assigned
+        return pd.DataFrame({"src": src, "dst": dst, "bucket": bucket})
 
     return kernel
 
 
 def _split_hep_local(
-    edges_dd: DataFrame, p: int, k: int, high_thresh: float, grouping: str = "range"
+    edges_dd: DataFrame, p: int, k: int, high_thresh: float, grouping: str = "range",
+    n_groups: int | None = None,
 ) -> DataFrame:
-    """Locality grouping into p groups, then per-group HEP expansion into k
-    sub-buckets each (the reference's flagship fsm_hep decomposition at
-    group granularity, src/main.cpp:58-69)."""
-    grouped = _locality_grouped(edges_dd, p, grouping)
+    """Locality grouping into n_groups (>= p, default p) groups, then
+    per-group HEP expansion; each group's k local buckets land in its parent
+    slot's k sub-buckets (the reference's flagship fsm_hep decomposition at
+    group granularity, src/main.cpp:58-69; _parent_slot bounds task memory)."""
+    n_groups = n_groups or p
+    grouped = _locality_grouped(edges_dd, n_groups, grouping)
     return (
         grouped.select("grp", "src", "dst", "deg_src", "deg_dst")
         .groupBy("grp")
-        .applyInPandas(_hep_lite_group(k, high_thresh), schema=_NE_SCHEMA)
+        .applyInPandas(
+            _hep_lite_group(k, high_thresh, p=p, n_groups=n_groups), schema=_NE_SCHEMA
+        )
     )
 
 
@@ -643,15 +675,18 @@ def _locality_grouped(edges_dd: DataFrame, p: int, grouping: str) -> DataFrame:
 
 
 def _split_ne_local(
-    edges_dd: DataFrame, p: int, k: int, grouping: str = "range"
+    edges_dd: DataFrame, p: int, k: int, grouping: str = "range",
+    n_groups: int | None = None,
 ) -> DataFrame:
-    """Locality grouping into p groups, then per-group NE-lite into k
-    sub-buckets each."""
+    """Locality grouping into n_groups (>= p, default p) groups, then
+    per-group NE-lite; group buckets map into the parent slot's k
+    sub-buckets (_parent_slot)."""
+    n_groups = n_groups or p
     return (
-        _locality_grouped(edges_dd, p, grouping)
+        _locality_grouped(edges_dd, n_groups, grouping)
         .select("grp", "src", "dst")
         .groupBy("grp")
-        .applyInPandas(_ne_lite_group(k), schema=_NE_SCHEMA)
+        .applyInPandas(_ne_lite_group(k, p=p, n_groups=n_groups), schema=_NE_SCHEMA)
     )
 
 
@@ -665,6 +700,7 @@ def fsm_partition(
     deg: DataFrame | None = None,
     grouping: str = "range",
     merge_stats: str = "auto",
+    edges_per_task: int = 20_000_000,
 ) -> FsmResult:
     """Full FSM pipeline: split into k*p sub-buckets -> driver greedy merge ->
     broadcast remap.  edges: (src, dst) long, canonical, deduped.
@@ -673,14 +709,24 @@ def fsm_partition(
     replica bitmaps (exact, test scale), "joins" keeps all O(n) state
     distributed and feeds the greedy from the pairwise overlap matrix +
     incremental count-distinct joins (the 100-TB path), "auto" switches on
-    replica-relation size (DRIVER_BITMAP_THRESHOLD rows)."""
+    replica-relation size (DRIVER_BITMAP_THRESHOLD rows).
+
+    edges_per_task bounds split-task memory: the locality split runs over
+    n_groups = max(p, ceil(m / edges_per_task)) groups (each an applyInPandas
+    task materializing one pandas frame), with contiguous groups sharing a
+    parent slot so exactly k*p sub-buckets still feed the merge — at 100 TB
+    a group is ~edges_per_task rows, never m/p."""
     spark = edges.sparkSession
     n_sub = p * k
     if deg is None:
         # materialized: used by the avg-degree agg AND both endpoint joins
         deg = degrees_of(edges).localCheckpoint(eager=True)
-    avg_deg_row = deg.agg(F.avg("degree").alias("a")).collect()[0]
+    avg_deg_row = deg.agg(
+        F.avg("degree").alias("a"), F.sum("degree").alias("s")
+    ).collect()[0]
     high_threshold = hdf * float(avg_deg_row["a"])
+    m_edges = int(avg_deg_row["s"]) // 2  # sum of degrees counts each edge twice
+    n_groups = max(p, -(-m_edges // max(edges_per_task, 1)))
     degb = F.broadcast(deg)
     e = (
         edges.join(
@@ -696,10 +742,10 @@ def fsm_partition(
     if splitter == "dbh":
         low_assigned = _split_dbh(low, n_sub)
     elif splitter == "ne_local":
-        low_assigned = _split_ne_local(low, p, k, grouping=grouping)
+        low_assigned = _split_ne_local(low, p, k, grouping=grouping, n_groups=n_groups)
     elif splitter == "hep_local":
         low_assigned = _split_hep_local(
-            low, p, k, high_threshold, grouping=grouping
+            low, p, k, high_threshold, grouping=grouping, n_groups=n_groups
         )
     else:
         raise ValueError(f"unknown splitter {splitter!r}")

@@ -23,6 +23,7 @@ def edges_parquet(spark, tmp_path_factory):
     [
         ["--method", "fsm", "--k", "2", "--splitter", "hep_local", "--fastmerge"],
         ["--method", "ne"],
+        ["--method", "hep", "--hdf", "10"],
         ["--method", "hybridbl"],
         ["--method", "bpart"],
     ],

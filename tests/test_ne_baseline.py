@@ -53,3 +53,37 @@ def test_rf_ordering_ne_hdrf_dbh(spark, zipf_graph):
     ]:
         rf[name] = partition_stats(a, p=p).toPandas().iloc[0].rf
     assert rf["ne"] <= rf["hdrf"] <= rf["dbh"], rf
+
+
+@pytest.mark.parametrize("mode", ["sequential", "grouped"])
+def test_hep_invariants(spark, mode):
+    """Standalone HEP (-method hep, src/main.cpp:68-69): every edge assigned
+    once, deterministic, both execution modes."""
+    from split_merge_partitioner_spark.operators import hep_partition
+
+    p = 8
+    e = spark.createDataFrame(powerlaw_edges_pdf(n=800, m_per_node=6)).persist()
+    a = hep_partition(e, p, hdf=10.0, mode=mode).persist()
+    v = validate_partition(e, a, p)
+    assert all(x == 0 for x in v.values()), (mode, v)
+    a2 = hep_partition(e, p, hdf=10.0, mode=mode)
+    assert a.exceptAll(a2).count() == 0
+    a.unpersist()
+    e.unpersist()
+
+
+def test_rf_ordering_ne_hep_dbh(spark, zipf_graph):
+    """Paper Tables 3/4 ordering on the skewed fixture: NE has the best RF,
+    HEP (hub-exclusion trades RF for speed/memory) sits between NE and the
+    hashing baseline DBH (src/hep_partitioner.cpp:305-371 parity note)."""
+    from split_merge_partitioner_spark.operators import hep_partition
+
+    p = 16
+    rf = {}
+    for name, a in [
+        ("ne", ne_partition(zipf_graph, p)),
+        ("hep", hep_partition(zipf_graph, p, hdf=10.0)),
+        ("dbh", dbh_partition(zipf_graph, p)),
+    ]:
+        rf[name] = partition_stats(a, p=p).toPandas().iloc[0].rf
+    assert rf["ne"] <= rf["hep"] <= rf["dbh"], rf

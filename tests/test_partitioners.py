@@ -80,6 +80,24 @@ def test_fsm_invariants(spark, powerlaw, merge, splitter):
     a.unpersist()
 
 
+@pytest.mark.parametrize("splitter", ["ne_local", "hep_local"])
+def test_fsm_invariants_bounded_task_memory(spark, powerlaw, splitter):
+    """edges_per_task decouples locality-group count from p (VERDICT r2 item
+    2): forcing tiny groups (n_groups >> p) must keep every invariant and
+    still produce exactly k*p sub-buckets for the merge."""
+    p, k = 8, 2
+    res = fsm_partition(
+        powerlaw, p=p, k=k, merge="fast", splitter=splitter, edges_per_task=300
+    )
+    a = res.assigned.persist()
+    _assert_valid(powerlaw, a, p)
+    assert max(res.subbuckets_per_final.values()) <= k
+    assert set(res.merge_map.keys()) == set(range(p * k))
+    sub_ids = {int(r["bucket"]) for r in res.sub_assigned.select("bucket").distinct().collect()}
+    assert sub_ids <= set(range(p * k))
+    a.unpersist()
+
+
 def test_fsm_hep_splitter_beats_ne_rf(spark):
     """FSM-H done-criterion (VERDICT round-1 item 2): at the reference's
     flagship config p=32, k=2, the HEP-style splitter's RF must beat the
