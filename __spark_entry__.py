@@ -167,6 +167,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ranks, _ = pagerank(e, assigned=dbh(e, P_DEFAULT), mode="gas", tol=1e-7, max_iter=100)
         return ranks.select("vertex", F.round("rank", 9).alias("rank"))
 
+    def q_pagerank_10iter(spark, sf):
+        # fixed-iteration power method: SQL-expressible, so the headline
+        # analytic earns a full hash-checked oracle (VERDICT r2 item 4)
+        e = _edges(spark, sf).persist()
+        from split_merge_partitioner_spark.operators import dbh_partition as dbh
+
+        ranks, _ = pagerank(e, assigned=dbh(e, P_DEFAULT), mode="gas", tol=0.0, max_iter=10)
+        return ranks.select("vertex", F.round("rank", 9).alias("rank"))
+
     def q_exact_dedup(spark, sf):
         return exact_dedup(_docs(spark, sf))
 
@@ -349,6 +358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_vertex": q_triangles_per_vertex,
         "connected_components": q_components,
         "pagerank": q_pagerank,
+        "pagerank_10iter": q_pagerank_10iter,
         "exact_dedup": q_exact_dedup,
         "token_stats": q_token_stats,
         "text_quality": q_text_quality,
@@ -622,6 +632,31 @@ FROM per_vertex pv JOIN degrees d ON d.vertex = pv.vertex
 GROUP BY 1 ORDER BY 1
 """
 
+    # 10 synchronous PageRank power-method supersteps as chained CTEs —
+    # undirected: each edge (u,v) sends rank(u)/deg(u) to v and vice versa;
+    # r' = 0.15/n + 0.85 * gathered (graph/pagerank.py semantics)
+    pr_iters = []
+    for i in range(1, 11):
+        pr_iters.append(f"""
+r{i} AS (
+    SELECT d.vertex,
+           0.15 / (SELECT n FROM nv) + 0.85 * COALESCE(g.gathered, 0) AS rank
+    FROM degrees d LEFT JOIN (
+        SELECT u.w AS vertex, SUM(r.rank / dd.degree) AS gathered
+        FROM und u JOIN r{i - 1} r ON r.vertex = u.v
+                   JOIN degrees dd ON dd.vertex = u.v
+        GROUP BY u.w
+    ) g ON g.vertex = d.vertex
+)""")
+    pagerank_10iter_sql = f"""
+WITH {_DEGREES_CTE},
+und AS (SELECT src AS v, dst AS w FROM edges UNION ALL SELECT dst, src FROM edges),
+nv AS (SELECT COUNT(*) AS n FROM degrees),
+r0 AS (SELECT vertex, 1.0 / (SELECT n FROM nv) AS rank FROM degrees),
+{','.join(pr_iters)}
+SELECT vertex, ROUND(rank, 9) AS rank FROM r10
+"""
+
     # 5 synchronous LP supersteps as chained CTEs (mode, ties -> min label)
     lp_iters = []
     for i in range(1, 6):
@@ -742,6 +777,7 @@ FROM (
         "knn_bruteforce": knn_sql,
         "replication_by_degree_decade": replication_by_decade_sql,
         "label_propagation": label_propagation_sql,
+        "pagerank_10iter": pagerank_10iter_sql,
         "core_boundary_stats": core_boundary_sql,
         "bfs_distances": bfs_distances_sql,
         "approx_diameter": approx_diameter_sql,

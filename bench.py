@@ -163,7 +163,7 @@ def _measure_pagerank(cpus: str, n_iter: int = 10, attempts: int = 2) -> float:
     return best
 
 
-def _measure_fixture_eps(attempts: int = 2) -> dict:
+def _measure_fixture_eps(attempts: int = 3) -> dict:
     """Steady-state PageRank superstep throughput on the 5.9M-edge powerlaw
     fixture (the round-2 VERDICT target fixture): marginal rate between a
     5-superstep and a 25-superstep run of the SAME job — the subtraction

@@ -99,34 +99,46 @@ def brute_force_knn(
         return task
 
     partials = []
-    for blk in range(n_blocks):
-        blk_df = (
-            q_df
-            if n_blocks == 1
-            else q_df.where(F.pmod(F.xxhash64("qid"), F.lit(n_blocks)) == blk)
-        )
-        q_pdf = blk_df.toPandas()
-        qids = q_pdf["qid"].to_numpy(np.int64)
-        Q = (
-            np.vstack(q_pdf["qv"].to_numpy()).astype(np.float64)
-            if len(q_pdf)
-            else np.zeros((0, 1))
-        )
-        bc = spark.sparkContext.broadcast((qids, Q))
-        partials.append(
-            corpus.mapInPandas(
-                make_task(bc), schema="query_id long, neighbor_id long, cosine double"
+    bcs = []
+    try:
+        for blk in range(n_blocks):
+            blk_df = (
+                q_df
+                if n_blocks == 1
+                else q_df.where(F.pmod(F.xxhash64("qid"), F.lit(n_blocks)) == blk)
             )
+            q_pdf = blk_df.toPandas()
+            qids = q_pdf["qid"].to_numpy(np.int64)
+            Q = (
+                np.vstack(q_pdf["qv"].to_numpy()).astype(np.float64)
+                if len(q_pdf)
+                else np.zeros((0, 1))
+            )
+            bc = spark.sparkContext.broadcast((qids, Q))
+            bcs.append(bc)
+            partials.append(
+                corpus.mapInPandas(
+                    make_task(bc), schema="query_id long, neighbor_id long, cosine double"
+                )
+            )
+        partial = partials[0]
+        for extra in partials[1:]:
+            partial = partial.unionAll(extra)
+        w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+        out = (
+            partial.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
         )
-    partial = partials[0]
-    for extra in partials[1:]:
-        partial = partial.unionAll(extra)
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        partial.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
-    )
+        # materialize NOW so the per-block broadcasts and the persisted corpus
+        # can be released before returning (they otherwise accrue across calls
+        # in a long session); the caller gets a lineage-free result
+        return out.localCheckpoint(eager=True)
+    finally:
+        for bc in bcs:
+            bc.destroy()
+        if n_blocks > 1:
+            corpus.unpersist()
 
 
 def _hyperplane_udf(dim: int, n_planes: int, seed: int):

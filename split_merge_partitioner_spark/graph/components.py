@@ -62,37 +62,45 @@ def _cc_broadcast(spark, verts: np.ndarray, assigned: DataFrame, max_iter: int):
 
     label = np.arange(n, dtype=np.int64)  # dense ids; decoded via verts at the end
     info = {"iterations": 0, "converged": False}
-    for it in range(max_iter):
-        bc = spark.sparkContext.broadcast(label)
+    bc = None
+    try:
+        for it in range(max_iter):
+            bc = spark.sparkContext.broadcast(label)
 
-        def scatter(batches, _bc=bc, _n=n):
-            c = _bc.value
-            partial = c.copy()
-            touched = False
-            for pdf in batches:
-                s = pdf["s"].to_numpy(np.int64)
-                d = pdf["d"].to_numpy(np.int64)
-                np.minimum.at(partial, d, partial[s])
-                np.minimum.at(partial, s, partial[d])
-                touched = True
-            if touched:
-                imp = np.flatnonzero(partial < c)
-                if len(imp):
-                    yield pd.DataFrame({"vid": imp, "lab": partial[imp]})
+            def scatter(batches, _bc=bc, _n=n):
+                c = _bc.value
+                partial = c.copy()
+                touched = False
+                for pdf in batches:
+                    s = pdf["s"].to_numpy(np.int64)
+                    d = pdf["d"].to_numpy(np.int64)
+                    np.minimum.at(partial, d, partial[s])
+                    np.minimum.at(partial, s, partial[d])
+                    touched = True
+                if touched:
+                    imp = np.flatnonzero(partial < c)
+                    if len(imp):
+                        yield pd.DataFrame({"vid": imp, "lab": partial[imp]})
 
-        got = enc.mapInPandas(scatter, schema="vid long, lab long").toPandas()
-        bc.destroy()
-        info["iterations"] = it + 1
-        if len(got) == 0:
-            info["converged"] = True
-            break
-        new = label.copy()
-        np.minimum.at(new, got["vid"].to_numpy(np.int64), got["lab"].to_numpy(np.int64))
-        if (new == label).all():
-            info["converged"] = True
-            break
-        label = new
-    spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+            got = enc.mapInPandas(scatter, schema="vid long, lab long").toPandas()
+            bc.destroy()
+            bc = None
+            info["iterations"] = it + 1
+            if len(got) == 0:
+                info["converged"] = True
+                break
+            new = label.copy()
+            np.minimum.at(new, got["vid"].to_numpy(np.int64), got["lab"].to_numpy(np.int64))
+            if (new == label).all():
+                info["converged"] = True
+                break
+            label = new
+    finally:
+        if bc is not None:
+            bc.destroy()
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        enc.unpersist()
+        bc_verts.destroy()
     out = spark.createDataFrame(
         pd.DataFrame({"vertex": verts, "component": verts[label]})
     )

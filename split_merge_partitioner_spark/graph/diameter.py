@@ -31,64 +31,200 @@ def _bfs_dense(spark, enc, n: int, seed_idx: int, max_levels: int) -> np.ndarray
     blocks; one Spark stage per level."""
     dist = np.full(n, _UNREACHED, dtype=np.int64)
     dist[seed_idx] = 0
-    for _ in range(max_levels):
-        bc = spark.sparkContext.broadcast(dist)
+    bc = None
+    try:
+        for _ in range(max_levels):
+            bc = spark.sparkContext.broadcast(dist)
 
-        def scatter(batches, _bc=bc):
-            d0 = _bc.value
-            cur = d0.copy()
-            touched = False
-            for pdf in batches:
-                s = pdf["s"].to_numpy(np.int64)
-                d = pdf["d"].to_numpy(np.int64)
-                # relax both directions; +1 with overflow guard on UNREACHED
-                cand = np.where(cur[s] < _UNREACHED, cur[s] + 1, _UNREACHED)
-                np.minimum.at(cur, d, cand)
-                cand = np.where(cur[d] < _UNREACHED, cur[d] + 1, _UNREACHED)
-                np.minimum.at(cur, s, cand)
-                touched = True
-            if touched:
-                imp = np.flatnonzero(cur < d0)
-                if len(imp):
-                    yield pd.DataFrame({"vid": imp, "dist": cur[imp]})
+            def scatter(batches, _bc=bc):
+                d0 = _bc.value
+                cur = d0.copy()
+                touched = False
+                for pdf in batches:
+                    s = pdf["s"].to_numpy(np.int64)
+                    d = pdf["d"].to_numpy(np.int64)
+                    # relax both directions; +1 with overflow guard on UNREACHED
+                    cand = np.where(cur[s] < _UNREACHED, cur[s] + 1, _UNREACHED)
+                    np.minimum.at(cur, d, cand)
+                    cand = np.where(cur[d] < _UNREACHED, cur[d] + 1, _UNREACHED)
+                    np.minimum.at(cur, s, cand)
+                    touched = True
+                if touched:
+                    imp = np.flatnonzero(cur < d0)
+                    if len(imp):
+                        yield pd.DataFrame({"vid": imp, "dist": cur[imp]})
 
-        got = enc.mapInPandas(scatter, schema="vid long, dist long").toPandas()
-        bc.destroy()
-        if len(got) == 0:
-            break
-        new = dist.copy()
-        np.minimum.at(new, got["vid"].to_numpy(np.int64), got["dist"].to_numpy(np.int64))
-        if (new == dist).all():
-            break
-        dist = new
+            got = enc.mapInPandas(scatter, schema="vid long, dist long").toPandas()
+            bc.destroy()
+            bc = None
+            if len(got) == 0:
+                break
+            new = dist.copy()
+            np.minimum.at(new, got["vid"].to_numpy(np.int64), got["dist"].to_numpy(np.int64))
+            if (new == dist).all():
+                break
+            dist = new
+    finally:
+        if bc is not None:
+            bc.destroy()
     return dist
 
 
 def bfs_distances(
     edges: DataFrame, source: int, assigned: DataFrame | None = None,
-    max_levels: int = 200,
+    max_levels: int = 200, broadcast_threshold: int = 5_000_000,
 ) -> DataFrame:
     """(vertex, dist) for the source's component (unreached vertices omitted)."""
     out, _ = _double_sweep_impl(edges, assigned, max_levels, source=source,
-                                distances_only=True)
+                                distances_only=True,
+                                broadcast_threshold=broadcast_threshold)
     return out
 
 
 def approximate_diameter(
     edges: DataFrame, assigned: DataFrame | None = None, max_levels: int = 200,
+    broadcast_threshold: int = 5_000_000,
 ) -> tuple[DataFrame, dict]:
     """One-row (seed, far_vertex, diameter) DataFrame + info dict."""
-    return _double_sweep_impl(edges, assigned, max_levels)
+    return _double_sweep_impl(edges, assigned, max_levels,
+                              broadcast_threshold=broadcast_threshold)
 
 
-def _double_sweep_impl(edges, assigned, max_levels, source=None, distances_only=False):
+def _bfs_kernel(key: tuple, state: pd.DataFrame, edges: pd.DataFrame) -> pd.DataFrame:
+    """Per-bucket BFS relaxation: partial = min(dist[v], dist[nbr] + 1)."""
+    if len(edges) == 0 or len(state) == 0:
+        return pd.DataFrame({"vertex": np.empty(0, np.int64), "partial": np.empty(0, np.int64)})
+    verts = state["vertex"].to_numpy(np.int64)
+    order = np.argsort(verts, kind="stable")
+    verts = verts[order]
+    dist = state["dist"].to_numpy(np.int64)[order]
+    s = np.searchsorted(verts, edges["src"].to_numpy(np.int64))
+    d = np.searchsorted(verts, edges["dst"].to_numpy(np.int64))
+    partial = dist.copy()
+    np.minimum.at(partial, d, partial[s] + 1)
+    np.minimum.at(partial, s, partial[d] + 1)
+    return pd.DataFrame({"vertex": verts, "partial": partial})
+
+
+# sentinel "unreached" distance for the distributed path: +1 per level never
+# overflows int64, and any real distance compares smaller
+_INF = 1 << 62
+
+
+def _bfs_shuffle(edges: DataFrame, assigned: DataFrame, seed_vertex: int,
+                 max_levels: int) -> DataFrame:
+    """Fully distributed BFS sweep (no O(n) driver state): the same
+    mirror-join + cogroup scatter + min-combine loop as CC's shuffle path
+    (components.py), with dist+1 relaxation.  Returns (vertex, dist) with
+    unreached = _INF."""
+    from ..operators.stats import replica_sets
+    from ..sources.edges import vertices_of
+    from .gas import truncate
+
+    spark = edges.sparkSession
+    replicas = replica_sets(assigned).repartition("vertex").localCheckpoint(eager=True)
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges_by_bucket = (
+        assigned.select(F.col("bucket").alias("ebkt"), "src", "dst")
+        .repartition(shuffle_n, "ebkt")
+        .localCheckpoint(eager=True)
+    )
+    state = (
+        vertices_of(edges)
+        .select(
+            "vertex",
+            F.when(F.col("vertex") == seed_vertex, F.lit(0))
+            .otherwise(F.lit(_INF)).cast("long").alias("dist"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_levels):
+        mirror = replicas.join(state, "vertex").select("bucket", "vertex", "dist")
+        partials = (
+            mirror.groupby("bucket")
+            .cogroup(edges_by_bucket.groupby("ebkt"))
+            .applyInPandas(_bfs_kernel, schema="vertex long, partial long")
+        )
+        gathered = partials.groupBy("vertex").agg(F.min("partial").alias("nd"))
+        new_state = state.join(gathered, "vertex", "left").select(
+            "vertex", F.least(F.col("dist"), F.coalesce("nd", "dist")).alias("dist")
+        )
+        prev = state
+        state = truncate(new_state, None)
+        changed = (
+            state.join(prev.select("vertex", F.col("dist").alias("old")), "vertex")
+            .where(F.col("dist") != F.col("old"))
+            .count()
+        )
+        prev.unpersist()
+        if changed == 0:
+            break
+    replicas.unpersist()
+    edges_by_bucket.unpersist()
+    return state
+
+
+def _double_sweep_shuffle(edges, assigned, max_levels, source, distances_only):
+    """Distributed double sweep above the broadcast threshold: seeds and
+    eccentricities come from DataFrame aggs, never an O(n) driver collect."""
     from ..sources.edges import degrees as degrees_of
 
     spark = edges.sparkSession
-    deg_pdf = degrees_of(edges).toPandas().sort_values("vertex")
+    deg = degrees_of(edges)
+    if source is not None:
+        seed = int(source)
+    else:
+        row = deg.orderBy(F.desc("degree"), F.asc("vertex")).first()
+        if row is None:
+            return _empty_result(spark, distances_only)
+        seed = int(row["vertex"])
+    d1 = _bfs_shuffle(edges, assigned, seed, max_levels)
+    reached = d1.where(F.col("dist") < _INF).localCheckpoint(eager=True)
+    d1.unpersist()
+    if distances_only:
+        mx = reached.agg(F.max("dist").alias("m")).collect()[0]["m"]
+        return reached, {"levels": int(mx) if mx is not None else 0}
+    far_row = reached.orderBy(F.desc("dist"), F.asc("vertex")).first()
+    ecc1 = int(far_row["dist"])
+    far = int(far_row["vertex"])
+    comp_size = reached.count()
+    d2 = _bfs_shuffle(edges, assigned, far, max_levels)
+    diameter = int(
+        d2.where(F.col("dist") < _INF).agg(F.max("dist").alias("m")).collect()[0]["m"]
+    )
+    d2.unpersist()
+    reached.unpersist()
+    out = spark.createDataFrame(
+        pd.DataFrame({"seed": [seed], "far_vertex": [far], "diameter": [diameter]})
+    )
+    return out, {"ecc_sweep1": ecc1, "component_size": comp_size}
+
+
+def _empty_result(spark, distances_only):
+    if distances_only:
+        return spark.createDataFrame([], "vertex long, dist long"), {"levels": 0}
+    return spark.createDataFrame([], "seed long, far_vertex long, diameter long"), {
+        "ecc_sweep1": 0, "component_size": 0,
+    }
+
+
+def _double_sweep_impl(edges, assigned, max_levels, source=None,
+                       distances_only=False, broadcast_threshold=5_000_000):
+    from ..sources.edges import degrees as degrees_of
+
+    spark = edges.sparkSession
+    deg_df = degrees_of(edges)
+    n = deg_df.count()
+    if n == 0:
+        return _empty_result(spark, distances_only)
+    if n > broadcast_threshold:
+        # no O(n) driver state above the threshold — same policy as PR/CC/LP
+        assert assigned is not None, "distributed sweep needs the partition assignment"
+        return _double_sweep_shuffle(edges, assigned, max_levels, source, distances_only)
+
+    deg_pdf = deg_df.toPandas().sort_values("vertex")
     verts = deg_pdf["vertex"].to_numpy(np.int64)
     degv = deg_pdf["degree"].to_numpy(np.int64)
-    n = len(verts)
     bc_verts = spark.sparkContext.broadcast(verts)
 
     def encode(batches):
@@ -111,30 +247,32 @@ def _double_sweep_impl(edges, assigned, max_levels, source=None, distances_only=
     )
     aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-
-    if source is not None:
-        seed_idx = int(np.searchsorted(verts, source))
-        assert seed_idx < n and verts[seed_idx] == source, "unknown source vertex"
-    else:
-        # deterministic seed: max degree, min id on ties (verts sorted by id)
-        seed_idx = int(np.argmax(degv))
-    d1 = _bfs_dense(spark, enc, n, seed_idx, max_levels)
-    if distances_only:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+    try:
+        if source is not None:
+            seed_idx = int(np.searchsorted(verts, source))
+            assert seed_idx < n and verts[seed_idx] == source, "unknown source vertex"
+        else:
+            # deterministic seed: max degree, min id on ties (verts sorted by id)
+            seed_idx = int(np.argmax(degv))
+        d1 = _bfs_dense(spark, enc, n, seed_idx, max_levels)
+        if distances_only:
+            reach = d1 < _UNREACHED
+            return (
+                spark.createDataFrame(
+                    pd.DataFrame({"vertex": verts[reach], "dist": d1[reach]})
+                ),
+                {"levels": int(d1[reach].max()) if reach.any() else 0},
+            )
         reach = d1 < _UNREACHED
-        return (
-            spark.createDataFrame(
-                pd.DataFrame({"vertex": verts[reach], "dist": d1[reach]})
-            ),
-            {"levels": int(d1[reach].max()) if reach.any() else 0},
-        )
-    reach = d1 < _UNREACHED
-    ecc1 = int(d1[reach].max())
-    far_idx = int(np.flatnonzero(reach & (d1 == ecc1))[0])  # min id on ties
-    d2 = _bfs_dense(spark, enc, n, far_idx, max_levels)
-    reach2 = d2 < _UNREACHED
-    diameter = int(d2[reach2].max())
-    spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        ecc1 = int(d1[reach].max())
+        far_idx = int(np.flatnonzero(reach & (d1 == ecc1))[0])  # min id on ties
+        d2 = _bfs_dense(spark, enc, n, far_idx, max_levels)
+        reach2 = d2 < _UNREACHED
+        diameter = int(d2[reach2].max())
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        bc_verts.destroy()
+        enc.unpersist()
     out = spark.createDataFrame(
         pd.DataFrame(
             {

@@ -71,38 +71,46 @@ def _lp_broadcast(spark, verts: np.ndarray, assigned: DataFrame, n_iter: int):
     spark.conf.set("spark.sql.adaptive.enabled", "false")
 
     label = np.arange(n, dtype=np.int64)
-    for _ in range(n_iter):
-        bc = spark.sparkContext.broadcast(label)
+    bc = None
+    try:
+        for _ in range(n_iter):
+            bc = spark.sparkContext.broadcast(label)
 
-        def scatter(batches, _bc=bc):
-            lab = _bc.value
-            parts = []
-            for pdf in batches:
-                s = pdf["s"].to_numpy(np.int64)
-                d = pdf["d"].to_numpy(np.int64)
-                parts.append(
-                    pd.DataFrame(
-                        {
-                            "vid": np.concatenate([d, s]),
-                            "lab": np.concatenate([lab[s], lab[d]]),
-                        }
+            def scatter(batches, _bc=bc):
+                lab = _bc.value
+                parts = []
+                for pdf in batches:
+                    s = pdf["s"].to_numpy(np.int64)
+                    d = pdf["d"].to_numpy(np.int64)
+                    parts.append(
+                        pd.DataFrame(
+                            {
+                                "vid": np.concatenate([d, s]),
+                                "lab": np.concatenate([lab[s], lab[d]]),
+                            }
+                        )
                     )
-                )
-            if parts:
-                df = pd.concat(parts)
-                out = df.groupby(["vid", "lab"], sort=False).size().reset_index(name="cnt")
-                yield out.astype({"vid": np.int64, "lab": np.int64, "cnt": np.int64})
+                if parts:
+                    df = pd.concat(parts)
+                    out = df.groupby(["vid", "lab"], sort=False).size().reset_index(name="cnt")
+                    yield out.astype({"vid": np.int64, "lab": np.int64, "cnt": np.int64})
 
-        got = enc.mapInPandas(scatter, schema="vid long, lab long, cnt long").toPandas()
-        bc.destroy()
-        agg = got.groupby(["vid", "lab"], sort=False)["cnt"].sum().reset_index()
-        # argmax count, tie -> min label
-        agg = agg.sort_values(["vid", "cnt", "lab"], ascending=[True, False, True])
-        best = agg.drop_duplicates("vid")
-        new_label = label.copy()
-        new_label[best["vid"].to_numpy(np.int64)] = best["lab"].to_numpy(np.int64)
-        label = new_label
-    spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+            got = enc.mapInPandas(scatter, schema="vid long, lab long, cnt long").toPandas()
+            bc.destroy()
+            bc = None
+            agg = got.groupby(["vid", "lab"], sort=False)["cnt"].sum().reset_index()
+            # argmax count, tie -> min label
+            agg = agg.sort_values(["vid", "cnt", "lab"], ascending=[True, False, True])
+            best = agg.drop_duplicates("vid")
+            new_label = label.copy()
+            new_label[best["vid"].to_numpy(np.int64)] = best["lab"].to_numpy(np.int64)
+            label = new_label
+    finally:
+        if bc is not None:
+            bc.destroy()
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        enc.unpersist()
+        bc_verts.destroy()
     return spark.createDataFrame(
         pd.DataFrame({"vertex": verts, "label": verts[label]})
     )

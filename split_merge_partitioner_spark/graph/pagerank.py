@@ -322,6 +322,7 @@ def _pagerank_gas_broadcast(
                 g = np.zeros(n)
                 g[gathered["vid"].to_numpy(np.int64)] = gathered["g"].to_numpy(np.float64)
             bc.destroy()
+            bc = None
             new_rank = base + damping * g
             delta = float(np.max(np.abs(new_rank - rank)))
             rank = new_rank

@@ -132,12 +132,14 @@ def test_triangles_tiny_by_hand(spark):
     assert triangle_count(e) == 6
 
 
-def test_bfs_and_double_sweep_diameter(spark, graph):
+@pytest.mark.parametrize("thr", [5_000_000, 0])
+def test_bfs_and_double_sweep_diameter(spark, graph, thr):
     """Double-sweep AD (full.pdf §5.4's third workload) vs a NumPy BFS oracle:
     BFS distances exact from the deterministic seed; the double-sweep result
     is a valid diameter lower bound that is exact on these small-diameter
     fixtures (checked against all-pairs eccentricity from the two sweeps'
-    endpoints)."""
+    endpoints).  thr=0 forces the fully distributed cogroup sweep (no O(n)
+    driver state), thr=5M the dense broadcast path — results must agree."""
     from collections import deque
 
     from split_merge_partitioner_spark.graph import (
@@ -165,12 +167,12 @@ def test_bfs_and_double_sweep_diameter(spark, graph):
 
     deg = {v: len(ns) for v, ns in adj.items()}
     seed = min(v for v in deg if deg[v] == max(deg.values()))
-    got = bfs_distances(edges, seed, assigned=assigned)
+    got = bfs_distances(edges, seed, assigned=assigned, broadcast_threshold=thr)
     got_pdf = got.toPandas().set_index("vertex")["dist"].to_dict()
     exp = bfs(seed)
     assert got_pdf == exp
 
-    res, info = approximate_diameter(edges, assigned=assigned)
+    res, info = approximate_diameter(edges, assigned=assigned, broadcast_threshold=thr)
     row = res.collect()[0]
     assert row["seed"] == seed
     # oracle: eccentricity of the reported far vertex
@@ -180,3 +182,13 @@ def test_bfs_and_double_sweep_diameter(spark, graph):
     assert row["far_vertex"] == far
     assert row["diameter"] == max(bfs(far).values())
     assert row["diameter"] >= ecc1  # sweep-2 bound dominates sweep 1
+
+
+def test_diameter_empty_graph(spark):
+    """ADVICE r2: empty edge set must return an empty result, not raise."""
+    from split_merge_partitioner_spark.graph import approximate_diameter, bfs_distances
+
+    e = spark.createDataFrame([], "src long, dst long")
+    res, info = approximate_diameter(e)
+    assert res.count() == 0 and info["component_size"] == 0
+    assert bfs_distances(e, 0).count() == 0
