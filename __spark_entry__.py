@@ -253,6 +253,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         return lsh_knn(emb, k=5, n_planes=4, n_tables=6)
 
+    def q_embedding_dups_exact(spark, sf):
+        # exact blocked all-pairs sweep: the SQL-portable oracle variant
+        from split_merge_partitioner_spark.functions import embedding_near_duplicates
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        return embedding_near_duplicates(emb, threshold=0.4, exact=True)
+
+    def q_embedding_dups_lsh(spark, sf):
+        # LSH-bucketed scale path (rows-only; recall-tested in pytest)
+        from split_merge_partitioner_spark.functions import embedding_near_duplicates
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        return embedding_near_duplicates(emb, threshold=0.4)
+
     def q_hybridbl_bucket_sizes(spark, sf):
         from split_merge_partitioner_spark.operators import hybridbl_partition
 
@@ -369,6 +383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "knn_bruteforce": q_knn,
         "lsh_knn": q_lsh_knn,
+        "embedding_dups_exact": q_embedding_dups_exact,
+        "embedding_dups_lsh": q_embedding_dups_lsh,
         "ebv_bucket_sizes": q_ebv_bucket_sizes,
         "v2e_assign": q_v2e_assign,
         "v2e_ksplit_assign": q_v2e_ksplit_assign,
@@ -617,6 +633,22 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 5
 """
 
+    embedding_dups_sql = """
+WITH normed AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> x / GREATEST(sqrt(list_sum(list_transform(embedding, y -> y * y))), 1e-12)
+           ) AS v
+    FROM embeddings
+)
+SELECT * FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_sum(list_transform(generate_series(1, len(a.v)),
+                 i -> a.v[i] * b.v[i])), 6) AS cosine
+    FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+) WHERE cosine >= 0.4
+"""
+
     replication_by_decade_sql = dbh_assign_core + """
 , reps AS (
     SELECT DISTINCT bucket, vertex FROM (
@@ -775,6 +807,7 @@ FROM (
         "language_id": language_id_sql,
         "ngram_jaccard": ngram_jaccard_sql,
         "knn_bruteforce": knn_sql,
+        "embedding_dups_exact": embedding_dups_sql,
         "replication_by_degree_decade": replication_by_decade_sql,
         "label_propagation": label_propagation_sql,
         "pagerank_10iter": pagerank_10iter_sql,

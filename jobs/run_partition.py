@@ -40,6 +40,12 @@ def main(argv=None, stop: bool = True) -> None:
     ap.add_argument("--splitter", default="ne_local",
                     choices=["ne_local", "hep_local", "dbh"])
     ap.add_argument("--ne_mode", default="sequential", choices=["sequential", "grouped"])
+    # reference -write_low_degree_edgelist (src/main.cpp:30): spill the edges
+    # incident to a low-degree vertex next to the sink.  The reference's
+    # -random_streaming and -hybrid_NE flags are declared but never consumed
+    # in its code (hep_partitioner.hpp:276 is commented out; FLAGS_hybrid_NE
+    # has no use site) — documented out of scope in COVERAGE.md.
+    ap.add_argument("--write_low_degree_edgelist", action="store_true")
     args = ap.parse_args(argv)
 
     from split_merge_partitioner_spark.operators import (
@@ -111,6 +117,16 @@ def main(argv=None, stop: bool = True) -> None:
                       "stats": {k: round(float(v), 6) for k, v in stats.items()}}))
     if any(violations.values()):
         sys.exit(2)
+    if args.write_low_degree_edgelist:
+        assert args.output, "--output required with --write_low_degree_edgelist"
+        from split_merge_partitioner_spark.sources.writers import (
+            write_low_degree_edgelist,
+        )
+
+        n_low = write_low_degree_edgelist(
+            edges, f"{args.output}.low_edgelist.parquet", hdf=args.hdf
+        )
+        print(json.dumps({"low_degree_edges_written": n_low}))
     if args.write != "none":
         assert args.output, "--output required with --write"
         if args.write == "multifile":

@@ -1,4 +1,5 @@
 from .dedup import (  # noqa: F401
+    embedding_near_duplicates,
     exact_dedup,
     minhash_near_duplicates,
     ngram_jaccard_pairs,

@@ -295,3 +295,140 @@ def simhash_near_duplicates(
         F.col(id_col).alias("doc_id"), _simhash_udf(seed)(F.col(text_col)).alias("sh")
     )
     return simhash_pairs_from_hashes(sh, max_hamming=max_hamming)
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-duplicates
+# --------------------------------------------------------------------------
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    n_probes: int = 2,
+    seed: int = 42,
+    exact: bool = False,
+    max_broadcast_rows: int = 100_000,
+) -> DataFrame:
+    """(id_a, id_b, cosine) pairs with id_a < id_b and cosine >= threshold
+    (rounded to 6, matching the knn operators).
+
+    exact=False (the 100-TB path): LSH-bucketed — multi-probe random-hyperplane
+    buckets (similarity._hyperplane_udf), each (table, bucket) group verifies
+    its pairs with one chunked-BLAS matmul; candidates only, recall governed by
+    (n_planes, n_tables, n_probes) exactly like lsh_knn.
+
+    exact=True (oracle path): blocked all-pairs sweep — query blocks of at most
+    max_broadcast_rows are broadcast, the corpus streams through mapInPandas,
+    one matmul per Arrow batch; driver memory stays bounded (same scheme as
+    brute_force_knn).  Quadratic — for oracle runs and explicit small sets.
+    """
+    from collections.abc import Iterator
+
+    from .similarity import _hyperplane_udf, normalize
+
+    spark = emb.sparkSession
+    normed = normalize(emb, vec_col).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    ).persist()
+
+    if exact:
+        n_q = normed.count()
+        n_blocks = max(1, -(-n_q // max_broadcast_rows))
+        bcs = []
+        parts = []
+
+        def make_task(bc):
+            def task(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                qids, Q = bc.value
+                for pdf in batches:
+                    if len(pdf) == 0 or len(qids) == 0:
+                        continue
+                    cids = pdf["vid"].to_numpy(np.int64)
+                    C = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+                    S = np.round(C @ Q.T, 6)
+                    # id_a < id_b: keep corpus row as the smaller id
+                    keep = (S >= threshold) & (cids[:, None] < qids[None, :])
+                    ci, qi = np.nonzero(keep)
+                    yield pd.DataFrame(
+                        {"id_a": cids[ci], "id_b": qids[qi], "cosine": S[ci, qi]}
+                    )
+
+            return task
+
+        try:
+            for blk in range(n_blocks):
+                blk_df = (
+                    normed
+                    if n_blocks == 1
+                    else normed.where(F.pmod(F.xxhash64("vid"), F.lit(n_blocks)) == blk)
+                )
+                q_pdf = blk_df.toPandas()
+                qids = q_pdf["vid"].to_numpy(np.int64)
+                Q = (
+                    np.vstack(q_pdf["vec"].to_numpy()).astype(np.float64)
+                    if len(q_pdf)
+                    else np.zeros((0, 1))
+                )
+                bc = spark.sparkContext.broadcast((qids, Q))
+                bcs.append(bc)
+                parts.append(
+                    normed.mapInPandas(
+                        make_task(bc), schema="id_a long, id_b long, cosine double"
+                    )
+                )
+            out = parts[0]
+            for extra in parts[1:]:
+                out = out.unionAll(extra)
+            return out.localCheckpoint(eager=True)
+        finally:
+            for bc in bcs:
+                bc.destroy()
+            normed.unpersist()
+
+    dim = len(normed.first()["vec"])
+    tables = []
+    for t in range(n_tables):
+        budf = _hyperplane_udf(dim, n_planes, seed + 1000 * t, n_probes=n_probes)
+        tables.append(
+            normed.select(
+                "vid", "vec", F.explode(budf("vec")).alias("bk"), F.lit(t).alias("tbl")
+            )
+        )
+    buckets = tables[0]
+    for tbl in tables[1:]:
+        buckets = buckets.unionAll(tbl)
+
+    def pair_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        nb = len(pdf)
+        if nb < 2:
+            return pd.DataFrame(
+                {"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64),
+                 "cosine": np.empty(0, np.float64)}
+            )
+        pdf = pdf.drop_duplicates("vid").sort_values("vid")
+        ids = pdf["vid"].to_numpy(np.int64)
+        M = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+        out_a, out_b, out_c = [], [], []
+        chunk = 1024
+        for lo in range(0, len(ids), chunk):
+            hi = min(lo + chunk, len(ids))
+            S = np.round(M[lo:hi] @ M.T, 6)
+            ra, cb = np.nonzero(S >= threshold)
+            keep = ids[lo + ra] < ids[cb]  # strict upper triangle by id
+            out_a.append(ids[lo + ra][keep])
+            out_b.append(ids[cb][keep])
+            out_c.append(S[ra, cb][keep])
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b),
+             "cosine": np.concatenate(out_c)}
+        )
+
+    return (
+        buckets.groupBy("tbl", "bk")
+        .applyInPandas(pair_kernel, schema="id_a long, id_b long, cosine double")
+        .dropDuplicates(["id_a", "id_b"])
+    )

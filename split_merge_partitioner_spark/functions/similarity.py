@@ -16,6 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
 
 
 def normalize(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -141,16 +142,29 @@ def brute_force_knn(
             corpus.unpersist()
 
 
-def _hyperplane_udf(dim: int, n_planes: int, seed: int):
+def _hyperplane_udf(dim: int, n_planes: int, seed: int, n_probes: int = 0):
+    """Random-hyperplane bucket ids; with n_probes > 0, multi-probe LSH:
+    besides its own bucket, each vector also probes the buckets reached by
+    flipping its n_probes LOWEST-|margin| plane bits — the signs most likely
+    to differ for a true near neighbor (classic multi-probe; recovers most of
+    the recall extra tables would buy at a fraction of the shuffle).
+    Returns an array<long> of 1 + n_probes bucket ids."""
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
+    n_probes = min(n_probes, n_planes)
 
-    @pandas_udf("long")
+    @pandas_udf(ArrayType(LongType()))
     def bucket(vec: pd.Series) -> pd.Series:
         m = np.vstack(vec.to_numpy())
-        bits = (m @ planes.T) > 0
+        proj = m @ planes.T
+        bits = proj > 0
         weights = 1 << np.arange(n_planes, dtype=np.int64)
-        return pd.Series((bits @ weights).astype(np.int64))
+        own = (bits @ weights).astype(np.int64)
+        if n_probes == 0:
+            return pd.Series([[b] for b in own])
+        flip_order = np.argsort(np.abs(proj), axis=1, kind="stable")[:, :n_probes]
+        probes = own[:, None] ^ (np.int64(1) << flip_order.astype(np.int64))
+        return pd.Series(np.concatenate([own[:, None], probes], axis=1).tolist())
 
     return bucket
 
@@ -202,21 +216,26 @@ def lsh_knn(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probes: int = 2,
 ) -> DataFrame:
-    """Approximate top-k: union of n_tables random-hyperplane bucketings;
-    each (table, bucket) group computes its local exact top-k with chunked
-    BLAS inside applyInPandas (never a per-pair row explosion), then a global
-    window merges per-table candidates.  Shuffle volume ~ n_docs * n_tables
-    rows in, ~n_docs * n_tables * k candidate rows out."""
+    """Approximate top-k: union of n_tables random-hyperplane bucketings with
+    multi-probe (each vector also enters the n_probes buckets reached by
+    flipping its lowest-margin plane bits); each (table, bucket) group
+    computes its local exact top-k with chunked BLAS inside applyInPandas
+    (never a per-pair row explosion), then a global window merges per-table
+    candidates.  Shuffle volume ~ n_docs * n_tables * (1 + n_probes) rows in,
+    ~n_docs * n_tables * k candidate rows out."""
     normed = normalize(emb, vec_col).select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
     ).persist()
     dim = len(normed.first()["vec"])
     tables = []
     for t in range(n_tables):
-        budf = _hyperplane_udf(dim, n_planes, seed + 1000 * t)
+        budf = _hyperplane_udf(dim, n_planes, seed + 1000 * t, n_probes=n_probes)
         tables.append(
-            normed.select("vid", "vec", budf("vec").alias("bk"), F.lit(t).alias("tbl"))
+            normed.select(
+                "vid", "vec", F.explode(budf("vec")).alias("bk"), F.lit(t).alias("tbl")
+            )
         )
     buckets = tables[0]
     for tbl in tables[1:]:

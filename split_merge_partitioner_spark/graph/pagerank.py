@@ -147,9 +147,12 @@ def _pagerank_gas_rdd(
     nn = n
     dt = idx_dtype
     block_t0 = _time.monotonic()
+    loop_t0 = _time.monotonic()
+    step_times: list[float] = []
     bc = None
     try:
         for it in range(start_it, max_iter):
+            step_t0 = _time.monotonic()
             contrib = rank / degv
             bc = sc.broadcast(contrib)
 
@@ -176,6 +179,7 @@ def _pagerank_gas_rdd(
             delta = float(np.max(np.abs(new_rank - rank)))
             rank = new_rank
             info["iterations"] = it + 1
+            step_times.append(_time.monotonic() - step_t0)
             if at_boundary(it, check_every) or it == max_iter - 1 or (tol > 0 and delta <= tol):
                 if ckpt is not None:
                     elapsed = max(_time.monotonic() - block_t0, 1e-9)
@@ -189,6 +193,13 @@ def _pagerank_gas_rdd(
                 info["delta"] = delta
                 break
     finally:
+        # loop-only wall clock (excludes degree/encode/pack setup): the honest
+        # denominator for edges/sec/superstep at convergence-run step counts.
+        # The per-step minimum backs the interleaved-minima protocol for this
+        # VM's 2-40x spikes (BENCH/BASELINE.md).
+        info["superstep_seconds"] = _time.monotonic() - loop_t0
+        if step_times:
+            info["superstep_seconds_min"] = min(step_times)
         if bc is not None:
             bc.destroy()
         bc_verts.destroy()

@@ -31,14 +31,18 @@ GAMMA = 1.5   # bpart_partitioner.hpp:45
 ALPHA = 1.5   # bpart_partitioner.hpp:46
 
 
-def _bpart_task(p: int, avg_degree: float):
+def _bpart_task(p: int, avg_degree: float, hub_map: dict[int, int] | None = None):
     nf = 2 * p  # fine buckets of the first pass (2^iter * p, iter=1)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n_v = np.zeros(nf, dtype=np.int64)
         n_e = np.zeros(nf, dtype=np.int64)
         rows: list[pd.DataFrame] = []
-        fine_of: dict[int, int] = {}
+        # fission-assigned hubs seeded at fine id = 2*final (scoring only;
+        # they are emitted by the caller, not by this task)
+        fine_of: dict[int, int] = (
+            {v: 2 * b for v, b in hub_map.items()} if hub_map else {}
+        )
         for pdf in batches:
             verts = pdf["vertex"].to_numpy(np.int64)
             out = np.empty(len(verts), dtype=np.int64)
@@ -70,17 +74,21 @@ def _bpart_task(p: int, avg_degree: float):
     return run
 
 
-def bpart_partition(edges: DataFrame, p: int) -> DataFrame:
+def bpart_partition(
+    edges: DataFrame, p: int, hub_threshold: int | None = None
+) -> DataFrame:
     """(vertex, bucket) BPart vertex partition into p buckets (first-pass
-    flavor; partition-local stream state).  Feed ``vertex2edge_partition``
-    for an edge-cut."""
+    flavor; partition-local stream state; degree > hub_threshold vertices
+    take the fission path — see fennel._hub_split_adjacency).  Feed
+    ``vertex2edge_partition`` for an edge-cut."""
+    from .fennel import DEFAULT_HUB_THRESHOLD, _hub_split_adjacency
+
     m = edges.count()
-    und = edges.select(F.col("src").alias("v"), F.col("dst").alias("w")).unionAll(
-        edges.select(F.col("dst").alias("v"), F.col("src").alias("w"))
+    adj, hub_df, hub_map, n = _hub_split_adjacency(
+        edges, p, hub_threshold if hub_threshold is not None else DEFAULT_HUB_THRESHOLD
     )
-    adj = und.groupBy(F.col("v").alias("vertex")).agg(F.collect_list("w").alias("nbrs"))
-    n = adj.count()
     avg_degree = 2.0 * m / max(n, 1)
-    return adj.orderBy("vertex").mapInPandas(
-        _bpart_task(p, avg_degree), schema="vertex long, bucket long"
+    streamed = adj.orderBy("vertex").mapInPandas(
+        _bpart_task(p, avg_degree, hub_map), schema="vertex long, bucket long"
     )
+    return streamed.unionAll(hub_df) if hub_map else streamed

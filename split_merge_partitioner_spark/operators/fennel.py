@@ -26,11 +26,51 @@ from pyspark.sql import functions as F
 
 GAMMA = 1.5
 
+# neighbor lists above this degree are never materialized as one Arrow row;
+# such hubs take the fission path (assigned by vertex % p, like HybridBL's
+# high-degree fission, src/hybridbl_partitioner.cpp:210-225)
+DEFAULT_HUB_THRESHOLD = 1_000_000
 
-def _fennel_task(p: int, alpha: float):
+
+def _hub_split_adjacency(edges: DataFrame, p: int, hub_threshold: int):
+    """Skew-safe adjacency delivery for the vertex-streaming baselines:
+    returns (adj_low, hub_df, hub_map, n_vertices).
+
+    adj_low: (vertex, nbrs) grouped neighbor lists for vertices with
+    degree <= hub_threshold ONLY — a power-law hub's list (potentially
+    multi-GB as one Arrow row) is never built.  hub_df: (vertex, bucket)
+    deterministic fission assignment bucket = vertex % p for the hubs.
+    hub_map: the same as a driver dict (bounded by 2m/hub_threshold entries)
+    for seeding stream kernels so low vertices still score against placed
+    hub neighbors."""
+    und = edges.select(F.col("src").alias("v"), F.col("dst").alias("w")).unionAll(
+        edges.select(F.col("dst").alias("v"), F.col("src").alias("w"))
+    )
+    deg = und.groupBy(F.col("v").alias("vertex")).agg(F.count(F.lit(1)).alias("degree"))
+    n = deg.count()
+    hub_df = (
+        deg.where(F.col("degree") > hub_threshold)
+        .select("vertex", F.pmod("vertex", F.lit(p)).cast("long").alias("bucket"))
+        .localCheckpoint(eager=True)
+    )
+    hub_map = {int(r["vertex"]): int(r["bucket"]) for r in hub_df.collect()}
+    low = und
+    if hub_map:
+        low = und.join(
+            F.broadcast(hub_df.select(F.col("vertex").alias("v"))), "v", "left_anti"
+        )
+    adj_low = low.groupBy(F.col("v").alias("vertex")).agg(
+        F.collect_list("w").alias("nbrs")
+    )
+    return adj_low, hub_df, hub_map, n
+
+
+def _fennel_task(p: int, alpha: float, hub_map: dict[int, int] | None = None):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sizes = np.zeros(p, dtype=np.int64)
-        bucket_of: dict[int, int] = {}  # each vertex lives in exactly one bucket
+        # each vertex lives in exactly one bucket; pre-seeded with the
+        # fission-assigned hubs so low vertices score against them
+        bucket_of: dict[int, int] = dict(hub_map) if hub_map else {}
         seen = 0
         for pdf in batches:
             verts = pdf["vertex"].to_numpy(np.int64)
@@ -60,15 +100,16 @@ def _fennel_task(p: int, alpha: float):
     return run
 
 
-def fennel_partition(edges: DataFrame, p: int) -> DataFrame:
-    """(vertex, bucket) Fennel vertex partition (partition-local stream state)."""
+def fennel_partition(
+    edges: DataFrame, p: int, hub_threshold: int = DEFAULT_HUB_THRESHOLD
+) -> DataFrame:
+    """(vertex, bucket) Fennel vertex partition (partition-local stream state;
+    degree > hub_threshold vertices take the fission path — see
+    _hub_split_adjacency)."""
     m = edges.count()
-    und = edges.select(F.col("src").alias("v"), F.col("dst").alias("w")).unionAll(
-        edges.select(F.col("dst").alias("v"), F.col("src").alias("w"))
-    )
-    adj = und.groupBy(F.col("v").alias("vertex")).agg(F.collect_list("w").alias("nbrs"))
-    n = adj.count()
+    adj, hub_df, hub_map, n = _hub_split_adjacency(edges, p, hub_threshold)
     alpha = math.sqrt(p) * m / (n**1.5)
-    return adj.orderBy("vertex").mapInPandas(
-        _fennel_task(p, alpha), schema="vertex long, bucket long"
+    streamed = adj.orderBy("vertex").mapInPandas(
+        _fennel_task(p, alpha, hub_map), schema="vertex long, bucket long"
     )
+    return streamed.unionAll(hub_df) if hub_map else streamed

@@ -106,7 +106,7 @@ class _BitmapMergeStats:
         self._parents[key] = self._bitmaps[sub].copy()
         return self._replicas[sub]
 
-    def absorb(self, key: int, sub: int) -> int:
+    def absorb(self, key: int, sub: int, retire: bool = False) -> int:
         bm = self._parents[key]
         np.logical_or(bm, self._bitmaps[sub], out=bm)
         return int(bm.sum())
@@ -119,9 +119,17 @@ class _BitmapMergeStats:
 
 
 class _OverlapJoinMergeStats:
-    """Union popcounts from the pairwise overlap matrix + incremental
-    count-distinct joins — no O(n) driver state (SURVEY.md §2.2 P11/P12;
-    union semantics match merge_bucket, fsm_partitioner.cpp:239-255)."""
+    """Union popcounts from incrementally maintained intersection VECTORS —
+    no O(n) driver state (SURVEY.md §2.2 P11/P12; union semantics match
+    merge_bucket, fsm_partitioner.cpp:239-255).
+
+    Invariant: for every live parent key, ``_inter[key][s] = |U_key ∩ V_s|``
+    for ALL sub-buckets s (seeded from the pairwise overlap matrix at
+    new_parent, recomputed by ONE aggregated count-distinct join per
+    non-retiring absorb).  Every peek is then pure driver arithmetic
+    (|U ∪ V_s| = |U| + |V_s| − inter[s]), so the greedy issues at most
+    (k−2)·p Spark jobs total — and ZERO at the default k=2, where every
+    absorb retires its parent."""
 
     def __init__(self, reps: DataFrame, replicas: dict[int, int],
                  occupied: dict[int, int], overlap: np.ndarray):
@@ -131,7 +139,9 @@ class _OverlapJoinMergeStats:
         self._overlap = overlap  # [n_sub, n_sub] pairwise |A ∩ B|
         # parent key -> (member sub ids, current union size)
         self._parents: dict[int, tuple[list[int], int]] = {}
-        self.jobs = 0  # instrumentation: Spark jobs issued for multi-member unions
+        # parent key -> |union ∩ V_s| vector over all n_sub sub-buckets
+        self._inter: dict[int, np.ndarray] = {}
+        self.jobs = 0  # instrumentation: Spark jobs issued for union updates
 
     def replicas(self, sub: int) -> int:
         return self._replicas[sub]
@@ -142,56 +152,40 @@ class _OverlapJoinMergeStats:
     def new_parent(self, key: int, sub: int) -> int:
         size = self._replicas[sub]
         self._parents[key] = ([sub], size)
+        self._inter[key] = self._overlap[sub].astype(np.int64).copy()
         return size
 
-    def _multi_intersections(self, sub: int, keys: list[int]) -> dict[int, int]:
-        """|(∪ members) ∩ V_sub| for every key, in ONE aggregated join job:
-        tag member replica rows with their parent key, dedup (key, vertex),
-        semi-join the sub's replica vertices, count per key."""
-        spark = self._reps.sparkSession
-        rows = [
-            (int(b), int(key))
-            for key in keys
-            for b in self._parents[key][0]
-        ]
-        mm = F.broadcast(
-            spark.createDataFrame(rows, "bucket long, parent long")
-        )
-        sub_v = self._reps.where(F.col("bucket") == sub).select("vertex")
-        inter = (
-            self._reps.join(mm, "bucket")
-            .select("parent", "vertex")
-            .distinct()
-            .join(sub_v, "vertex")
-            .groupBy("parent")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .collect()
-        )
-        self.jobs += 1
-        got = {int(r["parent"]): int(r["c"]) for r in inter}
-        return {key: got.get(key, 0) for key in keys}
-
     def peek_all(self, sub: int, keys: list[int]) -> dict[int, int]:
-        out: dict[int, int] = {}
-        multi: list[int] = []
-        for key in keys:
-            members, size = self._parents[key]
-            if len(members) == 1:
-                out[key] = (
-                    size + self._replicas[sub] - int(self._overlap[members[0], sub])
-                )
-            else:
-                multi.append(key)
-        if multi:
-            inters = self._multi_intersections(sub, multi)
-            for key in multi:
-                out[key] = self._parents[key][1] + self._replicas[sub] - inters[key]
-        return out
+        rs = self._replicas[sub]
+        return {
+            key: self._parents[key][1] + rs - int(self._inter[key][sub])
+            for key in keys
+        }
 
-    def absorb(self, key: int, sub: int) -> int:
-        new_size = self.peek_all(sub, [key])[key]
-        members, _ = self._parents[key]
-        self._parents[key] = (members + [sub], new_size)
+    def absorb(self, key: int, sub: int, retire: bool = False) -> int:
+        members, size = self._parents[key]
+        new_size = size + self._replicas[sub] - int(self._inter[key][sub])
+        members = members + [sub]
+        self._parents[key] = (members, new_size)
+        if not retire:
+            # refresh this parent's intersection vector in ONE aggregated
+            # join: distinct union vertices ⋈ reps, counted per bucket
+            union_v = (
+                self._reps.where(F.col("bucket").isin([int(b) for b in members]))
+                .select("vertex")
+                .distinct()
+            )
+            rows = (
+                self._reps.join(union_v, "vertex")
+                .groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            )
+            self.jobs += 1
+            v = np.zeros(len(self._overlap), dtype=np.int64)
+            for r in rows:
+                v[int(r["bucket"])] = int(r["c"])
+            self._inter[key] = v
         return new_size
 
 
@@ -295,7 +289,7 @@ def fast_merge(order: list[int], stats, p: int, k: int) -> dict[int, int]:
             size = stats.new_parent(b, sub)
             heapq.heappush(pq, (size, 1, b, parent_final))
         else:
-            size = stats.absorb(parent_key, sub)
+            size = stats.absorb(parent_key, sub, retire=inside + 1 >= k)
             if inside + 1 < k:
                 heapq.heappush(pq, (size, inside + 1, parent_key, parent_final))
         valid[sub] = parent_final
@@ -332,7 +326,7 @@ def precise_merge(order: list[int], stats, p: int, k: int) -> dict[int, int]:
             stats.new_parent(b, sub)
             slots[best_fb] = [1, b, parent_final]
         else:
-            stats.absorb(parent_key, sub)
+            stats.absorb(parent_key, sub, retire=inside + 1 >= k)
             slots[best_fb] = [inside + 1, parent_key, parent_final]
         valid[sub] = parent_final
     return valid

@@ -72,6 +72,28 @@ def write_metis_adjlist(edges: DataFrame, path: str) -> None:
     ).write.mode("overwrite").text(path)
 
 
+def write_low_degree_edgelist(edges: DataFrame, path: str, hdf: float = 100.0) -> int:
+    """Write the edges incident to at least one LOW-degree vertex (degree <=
+    hdf * avg_degree) — the reference's ``-write_low_degree_edgelist``
+    ``.low_edgelist`` spill file (src/main.cpp:30, src/hep_graph.cpp:136-144,
+    src/hep_partitioner.cpp:154-161), as parquet.  Returns the row count."""
+    from .edges import degrees as degrees_of
+
+    deg = degrees_of(edges).localCheckpoint(eager=True)
+    thresh = hdf * float(deg.agg(F.avg("degree").alias("a")).collect()[0]["a"])
+    degb = F.broadcast(deg)
+    e = edges.join(
+        degb.withColumnRenamed("vertex", "src").withColumnRenamed("degree", "deg_src"), "src"
+    ).join(
+        degb.withColumnRenamed("vertex", "dst").withColumnRenamed("degree", "deg_dst"), "dst"
+    )
+    low = e.where(
+        (F.col("deg_src") <= thresh) | (F.col("deg_dst") <= thresh)
+    ).select("src", "dst")
+    low.write.mode("overwrite").parquet(path)
+    return low.count()
+
+
 def read_edgepart(spark: SparkSession, path: str) -> DataFrame:
     """Read back a multifile sink for independent re-verification (the
     get_stat pattern): feed the result to operators.stats.partition_stats /

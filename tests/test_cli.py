@@ -45,3 +45,27 @@ def test_run_partition_cli(spark, edges_parquet, tmp_path, capsys, argv_extra):
     # sink re-verification (get_stat pattern): written rows == m
     back = spark.read.parquet(out_dir)
     assert back.count() == spark.read.parquet(edges_parquet).count()
+
+
+def test_write_low_degree_edgelist(spark, edges_parquet, tmp_path, capsys):
+    """Reference -write_low_degree_edgelist (src/main.cpp:30): the spill file
+    holds exactly the edges with at least one low-degree endpoint."""
+    import run_partition
+
+    out_dir = str(tmp_path / "parts")
+    run_partition.main(
+        ["--input", edges_parquet, "--p", "4", "--method", "dbh",
+         "--hdf", "2", "--output", out_dir, "--write_low_degree_edgelist"],
+        stop=False,
+    )
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.startswith("{")]
+    rec = next(json.loads(ln) for ln in lines if "low_degree_edges_written" in ln)
+    low = spark.read.parquet(f"{out_dir}.low_edgelist.parquet")
+    assert low.count() == rec["low_degree_edges_written"] > 0
+    # oracle: recompute the threshold rule on the driver
+    e = spark.read.parquet(edges_parquet).toPandas()
+    import pandas as pd
+    deg = pd.concat([e.src, e.dst]).value_counts()
+    thresh = 2 * deg.mean()
+    expect = e[(deg[e.src].values <= thresh) | (deg[e.dst].values <= thresh)]
+    assert low.count() == len(expect)

@@ -212,7 +212,12 @@ def test_lsh_knn_recall(spark, emb):
     e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
     a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
     recall = len(e & a) / len(e)
-    assert recall > 0.5, recall
+    # multi-probe (default n_probes=2) floor — was 0.5 single-probe
+    assert recall > 0.8, recall
+    # single-probe still works and multi-probe strictly dominates it
+    single = lsh_knn(sub, k=3, n_planes=3, n_tables=10, n_probes=0).toPandas()
+    s = {(r.query_id, r.neighbor_id) for r in single.itertuples()}
+    assert len(e & a) >= len(e & s)
 
 
 def test_multimodal_plumbing(spark):
@@ -278,3 +283,33 @@ def test_multimodal_codecs_roundtrip(spark):
     # compressed formats stay behind the honest stub
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+
+
+def test_embedding_near_duplicates_planted_pair(spark):
+    """Embedding-cosine near-dup (the brief's last dedup modality): a planted
+    near-identical pair must surface on BOTH the exact blocked sweep and the
+    LSH-bucketed scale path; exact output matches a NumPy oracle."""
+    import numpy as np
+
+    from split_merge_partitioner_spark.functions import embedding_near_duplicates
+
+    rng = np.random.default_rng(11)
+    V = rng.standard_normal((240, 24))
+    V[17] = V[4] + 0.01 * rng.standard_normal(24)
+    pdf = pd.DataFrame({"vec_id": np.arange(240), "embedding": list(V)})
+    emb = spark.createDataFrame(pdf).persist()
+
+    # NumPy oracle over normalized vectors
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = np.round(Vn @ Vn.T, 6)
+    ia, ib = np.nonzero(np.triu(S >= 0.95, k=1))
+    expect = set(zip(ia.tolist(), ib.tolist()))
+    assert (4, 17) in expect
+
+    ex = embedding_near_duplicates(emb, threshold=0.95, exact=True).toPandas()
+    got = set(zip(ex.id_a.tolist(), ex.id_b.tolist()))
+    assert got == expect
+
+    ap = embedding_near_duplicates(emb, threshold=0.95).toPandas()
+    assert (4, 17) in set(zip(ap.id_a.tolist(), ap.id_b.tolist()))
+    emb.unpersist()

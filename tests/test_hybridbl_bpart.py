@@ -66,3 +66,61 @@ def test_bpart_vertex_partition(spark, graph):
     st = vertex_partition_stats(graph, vp, p).toPandas().iloc[0]
     assert 0 < st.jains_v <= 1
     vp.unpersist()
+
+
+def test_fennel_bpart_hub_fission(spark):
+    """VERDICT r2 item 7: a planted hub (degree 1e5) must never materialize
+    its neighbor list as one Arrow row — it takes the fission path
+    (bucket = vertex % p) — while the streamed low-degree side still covers
+    every other vertex exactly once."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from split_merge_partitioner_spark.operators import (
+        bpart_partition,
+        fennel_partition,
+    )
+    from split_merge_partitioner_spark.operators.fennel import _hub_split_adjacency
+
+    hub_deg = 100_000
+    leaves = np.arange(1, hub_deg + 1, dtype=np.int64)
+    pdf = pd.concat([
+        pd.DataFrame({"src": np.zeros(hub_deg, np.int64), "dst": leaves}),
+        # background ring among the first 50 leaves
+        pd.DataFrame({"src": leaves[:50], "dst": np.roll(leaves[:50], 1)}),
+    ])
+    pdf = pdf[pdf.src != pdf.dst]
+    e = spark.createDataFrame(pdf).persist()
+    p, thr = 4, 10_000
+
+    # bounded delivery: no grouped neighbor-list row exceeds the threshold
+    adj, hub_df, hub_map, n = _hub_split_adjacency(e, p, thr)
+    assert hub_map == {0: 0}
+    max_row = adj.select(F.size("nbrs").alias("s")).agg(F.max("s")).collect()[0][0]
+    assert max_row <= thr
+    assert n == hub_deg + 1
+
+    for part in (fennel_partition, bpart_partition):
+        vp = part(e, p, hub_threshold=thr).persist()
+        counts = vp.groupBy("vertex").count().where(F.col("count") > 1).count()
+        assert counts == 0, part
+        assert vp.count() == n, part
+        assert vp.where(F.col("vertex") == 0).collect()[0]["bucket"] == 0
+        assert vp.where((F.col("bucket") < 0) | (F.col("bucket") >= p)).count() == 0
+        vp.unpersist()
+    e.unpersist()
+
+
+def test_fennel_bpart_default_threshold_unchanged(spark, graph):
+    """No hub above the default threshold -> the fission path is inert and
+    assignments are identical to an effectively-infinite threshold."""
+    from split_merge_partitioner_spark.operators import (
+        bpart_partition,
+        fennel_partition,
+    )
+
+    for part in (fennel_partition, bpart_partition):
+        a = part(graph, 4)
+        b = part(graph, 4, hub_threshold=10**15)
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, part

@@ -145,6 +145,33 @@ def test_fsm_merge_stats_paths_agree(spark, powerlaw, merge, k):
     assert res_d.assigned.exceptAll(res_j.assigned).count() == 0
 
 
+def test_fsm_joins_merge_job_count_bounded(spark, powerlaw):
+    """VERDICT r2 item 8: the joins-path greedy is amortized — intersection
+    vectors are maintained per absorb, so total Spark jobs <= k*p at k=5
+    (and exactly 0 at k=2, where every absorb retires its parent)."""
+    from split_merge_partitioner_spark.operators.fsm import build_merge_stats, fast_merge, precise_merge
+    from split_merge_partitioner_spark.operators import dbh_partition
+    from split_merge_partitioner_spark.operators.stats import replica_sets
+    from pyspark.sql import functions as F
+
+    for k, merge_fn in [(2, fast_merge), (5, fast_merge), (5, precise_merge)]:
+        p = 4
+        n_sub = p * k
+        sub = dbh_partition(powerlaw, n_sub).localCheckpoint(eager=True)
+        reps = replica_sets(sub).persist()
+        occ = {b: 0 for b in range(n_sub)}
+        occ.update({int(r["bucket"]): int(r["count"]) for r in
+                    sub.groupBy("bucket").count().collect()})
+        stats, replicas = build_merge_stats(reps, n_sub, occ, "joins")
+        order = sorted(range(n_sub), key=lambda b: (-replicas[b], b))
+        merge_fn(order, stats, p, k)
+        reps.unpersist()
+        if k == 2:
+            assert stats.jobs == 0, (k, merge_fn.__name__, stats.jobs)
+        else:
+            assert stats.jobs <= k * p, (k, merge_fn.__name__, stats.jobs)
+
+
 def test_fsm_joins_merge_large_graph(spark):
     """Scale-path smoke at >=1M vertices: FSM through the overlap-join merge
     keeps every reference invariant (VERDICT round-1 item 1 done-criterion)."""
