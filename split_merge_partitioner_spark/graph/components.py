@@ -32,65 +32,55 @@ def _min_label_kernel(key: tuple, state: pd.DataFrame, edges: pd.DataFrame) -> p
 
 
 def _cc_broadcast(spark, verts: np.ndarray, assigned: DataFrame, max_iter: int):
-    """PowerGraph-style broadcast execution (see pagerank._pagerank_gas_broadcast):
-    edge blocks dense-encoded once, partition-aligned; each superstep ships the
-    label vector via sc.broadcast, every partition emits only its IMPROVED
-    (vid, min_label) rows (shrinks toward 0 as labels converge), the driver
-    min-combines and counts changes for free.  ONE Spark stage per superstep."""
-    bc_verts = spark.sparkContext.broadcast(verts)
+    """Raw-RDD sub-threshold executor (see pagerank._pagerank_gas_rdd for the
+    cost analysis): edge blocks dense-encoded and packed ONCE as pickled numpy
+    pairs in a persisted RDD; each superstep is a single raw-RDD job shipping
+    the label vector via sc.broadcast, every partition returning only its
+    IMPROVED (vid, min_label) rows (shrinks toward 0 as labels converge), the
+    driver min-combines and checks convergence for free — no Catalyst/Arrow
+    in the loop."""
+    from .pagerank import _pack_edge_blocks
+
+    sc = spark.sparkContext
+    bc_verts = sc.broadcast(verts)
     n = len(verts)
-
-    def encode(batches):
-        vv = bc_verts.value
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "s": np.searchsorted(vv, pdf["src"].to_numpy(np.int64)).astype(np.int64),
-                    "d": np.searchsorted(vv, pdf["dst"].to_numpy(np.int64)).astype(np.int64),
-                }
-            )
-
-    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    enc = (
-        assigned.select("bucket", "src", "dst")
-        .repartition(shuffle_n, "bucket")
-        .mapInPandas(encode, schema="s long, d long")
-        .localCheckpoint(eager=True)
-    )
-    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    dt = np.int32 if n < 2**31 else np.int64
+    packed = _pack_edge_blocks(spark, assigned, bc_verts, dt)
 
     label = np.arange(n, dtype=np.int64)  # dense ids; decoded via verts at the end
     info = {"iterations": 0, "converged": False}
     bc = None
     try:
         for it in range(max_iter):
-            bc = spark.sparkContext.broadcast(label)
+            bc = sc.broadcast(label)
 
-            def scatter(batches, _bc=bc, _n=n):
+            def scatter(part_iter, _bc=bc, _dt=dt):
                 c = _bc.value
-                partial = c.copy()
-                touched = False
-                for pdf in batches:
-                    s = pdf["s"].to_numpy(np.int64)
-                    d = pdf["d"].to_numpy(np.int64)
+                partial = None
+                for s_b, d_b in part_iter:
+                    if partial is None:
+                        partial = c.copy()
+                    s = np.frombuffer(s_b, dtype=_dt)
+                    d = np.frombuffer(d_b, dtype=_dt)
                     np.minimum.at(partial, d, partial[s])
                     np.minimum.at(partial, s, partial[d])
-                    touched = True
-                if touched:
+                if partial is not None:
                     imp = np.flatnonzero(partial < c)
                     if len(imp):
-                        yield pd.DataFrame({"vid": imp, "lab": partial[imp]})
+                        yield (imp.astype(_dt).tobytes(), partial[imp].tobytes())
 
-            got = enc.mapInPandas(scatter, schema="vid long, lab long").toPandas()
+            got = packed.mapPartitions(scatter).collect()
             bc.destroy()
             bc = None
             info["iterations"] = it + 1
-            if len(got) == 0:
+            if not got:
                 info["converged"] = True
                 break
             new = label.copy()
-            np.minimum.at(new, got["vid"].to_numpy(np.int64), got["lab"].to_numpy(np.int64))
+            for vid_b, lab_b in got:
+                np.minimum.at(
+                    new, np.frombuffer(vid_b, dtype=dt), np.frombuffer(lab_b, dtype=np.int64)
+                )
             if (new == label).all():
                 info["converged"] = True
                 break
@@ -98,8 +88,7 @@ def _cc_broadcast(spark, verts: np.ndarray, assigned: DataFrame, max_iter: int):
     finally:
         if bc is not None:
             bc.destroy()
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
-        enc.unpersist()
+        packed.unpersist()
         bc_verts.destroy()
     out = spark.createDataFrame(
         pd.DataFrame({"vertex": verts, "component": verts[label]})

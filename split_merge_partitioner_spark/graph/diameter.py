@@ -26,9 +26,10 @@ from pyspark.sql import functions as F
 _UNREACHED = np.iinfo(np.int64).max
 
 
-def _bfs_dense(spark, enc, n: int, seed_idx: int, max_levels: int) -> np.ndarray:
-    """Dense BFS distances (int64; unreached = _UNREACHED) over the encoded
-    blocks; one Spark stage per level."""
+def _bfs_dense(spark, packed, dt, n: int, seed_idx: int, max_levels: int) -> np.ndarray:
+    """Dense BFS distances (int64; unreached = _UNREACHED) over the packed
+    pickled-numpy edge blocks (see pagerank._pack_edge_blocks); one raw-RDD
+    job per level, improved-rows-only return."""
     dist = np.full(n, _UNREACHED, dtype=np.int64)
     dist[seed_idx] = 0
     bc = None
@@ -36,31 +37,34 @@ def _bfs_dense(spark, enc, n: int, seed_idx: int, max_levels: int) -> np.ndarray
         for _ in range(max_levels):
             bc = spark.sparkContext.broadcast(dist)
 
-            def scatter(batches, _bc=bc):
+            def scatter(part_iter, _bc=bc, _dt=dt):
                 d0 = _bc.value
-                cur = d0.copy()
-                touched = False
-                for pdf in batches:
-                    s = pdf["s"].to_numpy(np.int64)
-                    d = pdf["d"].to_numpy(np.int64)
+                cur = None
+                for s_b, d_b in part_iter:
+                    if cur is None:
+                        cur = d0.copy()
+                    s = np.frombuffer(s_b, dtype=_dt)
+                    d = np.frombuffer(d_b, dtype=_dt)
                     # relax both directions; +1 with overflow guard on UNREACHED
                     cand = np.where(cur[s] < _UNREACHED, cur[s] + 1, _UNREACHED)
                     np.minimum.at(cur, d, cand)
                     cand = np.where(cur[d] < _UNREACHED, cur[d] + 1, _UNREACHED)
                     np.minimum.at(cur, s, cand)
-                    touched = True
-                if touched:
+                if cur is not None:
                     imp = np.flatnonzero(cur < d0)
                     if len(imp):
-                        yield pd.DataFrame({"vid": imp, "dist": cur[imp]})
+                        yield (imp.astype(_dt).tobytes(), cur[imp].tobytes())
 
-            got = enc.mapInPandas(scatter, schema="vid long, dist long").toPandas()
+            got = packed.mapPartitions(scatter).collect()
             bc.destroy()
             bc = None
-            if len(got) == 0:
+            if not got:
                 break
             new = dist.copy()
-            np.minimum.at(new, got["vid"].to_numpy(np.int64), got["dist"].to_numpy(np.int64))
+            for vid_b, dist_b in got:
+                np.minimum.at(
+                    new, np.frombuffer(vid_b, dtype=dt), np.frombuffer(dist_b, dtype=np.int64)
+                )
             if (new == dist).all():
                 break
             dist = new
@@ -222,31 +226,15 @@ def _double_sweep_impl(edges, assigned, max_levels, source=None,
         assert assigned is not None, "distributed sweep needs the partition assignment"
         return _double_sweep_shuffle(edges, assigned, max_levels, source, distances_only)
 
+    from .pagerank import _pack_edge_blocks
+
     deg_pdf = deg_df.toPandas().sort_values("vertex")
     verts = deg_pdf["vertex"].to_numpy(np.int64)
     degv = deg_pdf["degree"].to_numpy(np.int64)
     bc_verts = spark.sparkContext.broadcast(verts)
-
-    def encode(batches):
-        vv = bc_verts.value
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "s": np.searchsorted(vv, pdf["src"].to_numpy(np.int64)).astype(np.int64),
-                    "d": np.searchsorted(vv, pdf["dst"].to_numpy(np.int64)).astype(np.int64),
-                }
-            )
-
-    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    dt = np.int32 if n < 2**31 else np.int64
     base = assigned if assigned is not None else edges.withColumn("bucket", F.spark_partition_id())
-    enc = (
-        base.select("bucket", "src", "dst")
-        .repartition(shuffle_n, "bucket")
-        .mapInPandas(encode, schema="s long, d long")
-        .localCheckpoint(eager=True)
-    )
-    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    packed = _pack_edge_blocks(spark, base, bc_verts, dt)
     try:
         if source is not None:
             seed_idx = int(np.searchsorted(verts, source))
@@ -254,7 +242,7 @@ def _double_sweep_impl(edges, assigned, max_levels, source=None,
         else:
             # deterministic seed: max degree, min id on ties (verts sorted by id)
             seed_idx = int(np.argmax(degv))
-        d1 = _bfs_dense(spark, enc, n, seed_idx, max_levels)
+        d1 = _bfs_dense(spark, packed, dt, n, seed_idx, max_levels)
         if distances_only:
             reach = d1 < _UNREACHED
             return (
@@ -266,13 +254,12 @@ def _double_sweep_impl(edges, assigned, max_levels, source=None,
         reach = d1 < _UNREACHED
         ecc1 = int(d1[reach].max())
         far_idx = int(np.flatnonzero(reach & (d1 == ecc1))[0])  # min id on ties
-        d2 = _bfs_dense(spark, enc, n, far_idx, max_levels)
+        d2 = _bfs_dense(spark, packed, dt, n, far_idx, max_levels)
         reach2 = d2 < _UNREACHED
         diameter = int(d2[reach2].max())
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
         bc_verts.destroy()
-        enc.unpersist()
+        packed.unpersist()
     out = spark.createDataFrame(
         pd.DataFrame(
             {

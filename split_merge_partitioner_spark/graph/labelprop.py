@@ -41,64 +41,55 @@ def _label_count_kernel(key: tuple, state: pd.DataFrame, edges: pd.DataFrame) ->
 
 
 def _lp_broadcast(spark, verts: np.ndarray, assigned: DataFrame, n_iter: int):
-    """Broadcast-encoded LP (see pagerank/components fast paths): encode edge
-    blocks once; per superstep broadcast the dense label vector, each
-    partition emits its local (vertex, label, cnt) mode partials, the driver
-    sums and takes argmax-with-min-tie.  ONE stage per superstep.  Labels stay
-    dense indices internally — verts is sorted, so min-tie on dense indices
-    equals min-tie on original ids; decoded once at the end."""
-    bc_verts = spark.sparkContext.broadcast(verts)
+    """Raw-RDD sub-threshold LP (see pagerank._pagerank_gas_rdd for the cost
+    analysis): edge blocks packed once as pickled numpy pairs in a persisted
+    RDD; per superstep one raw-RDD job broadcasts the dense label vector,
+    each partition pre-aggregates its (vertex, label) mode counts with one
+    np.unique over packed codes (labels are dense indices, so code =
+    vid * n + lab fits int64 under the broadcast threshold), and the driver
+    sums and takes argmax-with-min-tie.  verts is sorted, so min-tie on dense
+    indices equals min-tie on original ids; decoded once at the end."""
+    from .pagerank import _pack_edge_blocks
+
+    sc = spark.sparkContext
+    bc_verts = sc.broadcast(verts)
     n = len(verts)
-
-    def encode(batches):
-        vv = bc_verts.value
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "s": np.searchsorted(vv, pdf["src"].to_numpy(np.int64)).astype(np.int64),
-                    "d": np.searchsorted(vv, pdf["dst"].to_numpy(np.int64)).astype(np.int64),
-                }
-            )
-
-    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    enc = (
-        assigned.select("bucket", "src", "dst")
-        .repartition(shuffle_n, "bucket")
-        .mapInPandas(encode, schema="s long, d long")
-        .localCheckpoint(eager=True)
-    )
-    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    dt = np.int32 if n < 2**31 else np.int64
+    packed = _pack_edge_blocks(spark, assigned, bc_verts, dt)
 
     label = np.arange(n, dtype=np.int64)
     bc = None
     try:
         for _ in range(n_iter):
-            bc = spark.sparkContext.broadcast(label)
+            bc = sc.broadcast(label)
 
-            def scatter(batches, _bc=bc):
+            def scatter(part_iter, _bc=bc, _dt=dt, _n=n):
                 lab = _bc.value
-                parts = []
-                for pdf in batches:
-                    s = pdf["s"].to_numpy(np.int64)
-                    d = pdf["d"].to_numpy(np.int64)
-                    parts.append(
-                        pd.DataFrame(
-                            {
-                                "vid": np.concatenate([d, s]),
-                                "lab": np.concatenate([lab[s], lab[d]]),
-                            }
-                        )
-                    )
-                if parts:
-                    df = pd.concat(parts)
-                    out = df.groupby(["vid", "lab"], sort=False).size().reset_index(name="cnt")
-                    yield out.astype({"vid": np.int64, "lab": np.int64, "cnt": np.int64})
+                vids, labs = [], []
+                for s_b, d_b in part_iter:
+                    s = np.frombuffer(s_b, dtype=_dt)
+                    d = np.frombuffer(d_b, dtype=_dt)
+                    vids.append(np.concatenate([d, s]).astype(np.int64))
+                    labs.append(np.concatenate([lab[s], lab[d]]))
+                if vids:
+                    code = np.concatenate(vids) * _n + np.concatenate(labs)
+                    uniq, cnt = np.unique(code, return_counts=True)
+                    yield (uniq.tobytes(), cnt.astype(np.int64).tobytes())
 
-            got = enc.mapInPandas(scatter, schema="vid long, lab long, cnt long").toPandas()
+            got = packed.mapPartitions(scatter).collect()
             bc.destroy()
             bc = None
-            agg = got.groupby(["vid", "lab"], sort=False)["cnt"].sum().reset_index()
+            codes = np.concatenate(
+                [np.frombuffer(c, dtype=np.int64) for c, _ in got]
+            ) if got else np.empty(0, np.int64)
+            cnts = np.concatenate(
+                [np.frombuffer(c, dtype=np.int64) for _, c in got]
+            ) if got else np.empty(0, np.int64)
+            agg = pd.DataFrame({"code": codes, "cnt": cnts}).groupby("code", sort=False)[
+                "cnt"
+            ].sum().reset_index()
+            agg["vid"] = agg["code"] // n
+            agg["lab"] = agg["code"] % n
             # argmax count, tie -> min label
             agg = agg.sort_values(["vid", "cnt", "lab"], ascending=[True, False, True])
             best = agg.drop_duplicates("vid")
@@ -108,8 +99,7 @@ def _lp_broadcast(spark, verts: np.ndarray, assigned: DataFrame, n_iter: int):
     finally:
         if bc is not None:
             bc.destroy()
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
-        enc.unpersist()
+        packed.unpersist()
         bc_verts.destroy()
     return spark.createDataFrame(
         pd.DataFrame({"vertex": verts, "label": verts[label]})
