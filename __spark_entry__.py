@@ -253,6 +253,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         return lsh_knn(emb, k=5, n_planes=4, n_tables=6)
 
+    def q_regex_token_stats(spark, sf):
+        from split_merge_partitioner_spark.functions import regex_token_count
+
+        return regex_token_count(_docs(spark, sf))
+
     def q_embedding_dups_exact(spark, sf):
         # exact blocked all-pairs sweep: the SQL-portable oracle variant
         from split_merge_partitioner_spark.functions import embedding_near_duplicates
@@ -375,6 +380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_10iter": q_pagerank_10iter,
         "exact_dedup": q_exact_dedup,
         "token_stats": q_token_stats,
+        "regex_token_stats": q_regex_token_stats,
         "text_quality": q_text_quality,
         "language_id": q_language_id,
         "ngram_jaccard": q_ngram_jaccard,
@@ -803,6 +809,12 @@ FROM (
         "connected_components": components_sql,
         "exact_dedup": exact_dedup_sql,
         "token_stats": token_stats_sql,
+        "regex_token_stats": """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+           AS n_regex_tokens
+FROM documents
+""",
         "text_quality": text_quality_sql,
         "language_id": language_id_sql,
         "ngram_jaccard": ngram_jaccard_sql,

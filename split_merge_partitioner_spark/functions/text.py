@@ -92,3 +92,24 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     for lang in langs:
         pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
     return scored.select("doc_id", pred.alias("lang_pred"))
+
+
+# BPE-ish pre-tokenizer pattern (GPT-2 pre-tokenization simplified to the
+# RE2/Java-compatible subset): word runs | digit runs | single punct marks.
+# Counting these matches approximates subword-tokenizer token counts far
+# better than whitespace words on code/punctuated text.
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def regex_token_count(
+    docs: DataFrame, text_col: str = "text", pattern: str = BPE_ISH_PATTERN
+) -> DataFrame:
+    """(doc_id, n_regex_tokens): BPE-ish token counts via one JVM-side
+    regexp_extract_all — SQL-portable (same RE2-safe pattern runs in DuckDB),
+    no Python in the loop."""
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0)))
+        .cast("long")
+        .alias("n_regex_tokens"),
+    )

@@ -197,15 +197,20 @@ def build_merge_stats(
     n_sub: int,
     occupied: dict[int, int],
     merge_stats: str = "auto",
+    replicas: dict[int, int] | None = None,
 ):
     """Build a merge-stat oracle from a (bucket, vertex) membership relation.
 
     Generic over WHAT the members are: FSM merges over vertex replica sets;
     the v2e k-split merge (vertex2edgepart.hpp:133-226) feeds edge-ids in the
-    vertex column.  Returns (stats_oracle, replicas dict)."""
-    r_rows = reps.groupBy("bucket").agg(F.count(F.lit(1)).alias("r")).collect()
-    replicas = {old_id: 0 for old_id in range(n_sub)}
-    replicas.update({int(r["bucket"]): int(r["r"]) for r in r_rows})
+    vertex column.  Returns (stats_oracle, replicas dict).
+
+    replicas: pass the per-bucket |V_b| dict if the caller already computed
+    it (fsm_partition fuses it with the occupancy agg) to skip one job."""
+    if replicas is None:
+        r_rows = reps.groupBy("bucket").agg(F.count(F.lit(1)).alias("r")).collect()
+        replicas = {old_id: 0 for old_id in range(n_sub)}
+        replicas.update({int(r["bucket"]): int(r["r"]) for r in r_rows})
     n_replica_rows = sum(replicas.values())
 
     if merge_stats == "auto":
@@ -757,10 +762,24 @@ def fsm_partition(
     # --- merge planning stats: only (k·p)-sized aggregates reach the driver
     # unless the bitmap path is explicitly chosen / small enough ---
     reps = replica_sets(sub_assigned).persist()
-    occ_rows = sub_assigned.groupBy("bucket").agg(F.count(F.lit(1)).alias("m")).collect()
+    # ONE fused agg job for both per-bucket edge counts and replica counts
+    # (count doubles every edge; countDistinct over endpoints = |V_b|)
+    both_rows = (
+        sub_assigned.select("bucket", F.explode(F.array("src", "dst")).alias("vertex"))
+        .groupBy("bucket")
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("long").alias("m"),
+            F.countDistinct("vertex").alias("r"),
+        )
+        .collect()
+    )
     occupied = {old_id: 0 for old_id in range(n_sub)}
-    occupied.update({int(r["bucket"]): int(r["m"]) for r in occ_rows})
-    stats, replicas = build_merge_stats(reps, n_sub, occupied, merge_stats)
+    occupied.update({int(r["bucket"]): int(r["m"]) for r in both_rows})
+    replica_counts = {old_id: 0 for old_id in range(n_sub)}
+    replica_counts.update({int(r["bucket"]): int(r["r"]) for r in both_rows})
+    stats, replicas = build_merge_stats(
+        reps, n_sub, occupied, merge_stats, replicas=replica_counts
+    )
 
     # sort desc by replicas, stable (ties by old_id) — fsm_partitioner.cpp:82-85
     order = sorted(range(n_sub), key=lambda b: (-replicas[b], b))

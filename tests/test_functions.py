@@ -313,3 +313,17 @@ def test_embedding_near_duplicates_planted_pair(spark):
     ap = embedding_near_duplicates(emb, threshold=0.95).toPandas()
     assert (4, 17) in set(zip(ap.id_a.tolist(), ap.id_b.tolist()))
     emb.unpersist()
+
+
+def test_regex_token_count_vs_python(spark, docs):
+    """BPE-ish regex token counts match a Python re oracle exactly."""
+    import re
+
+    from split_merge_partitioner_spark.functions import regex_token_count
+    from split_merge_partitioner_spark.functions.text import BPE_ISH_PATTERN
+
+    got = regex_token_count(docs).toPandas().set_index("doc_id").sort_index()
+    pdf = docs.toPandas().set_index("doc_id").sort_index()
+    rx = re.compile(BPE_ISH_PATTERN)
+    exp = pdf.text.map(lambda s: len(rx.findall(s)))
+    assert (got.n_regex_tokens == exp).all()
