@@ -328,12 +328,16 @@ def embedding_near_duplicates(
     """
     from collections.abc import Iterator
 
-    from .similarity import _hyperplane_udf, normalize
+    from .similarity import build_probe_tables, normalize
 
     spark = emb.sparkSession
     normed = normalize(emb, vec_col).select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
     ).persist()
+    first_row = normed.first()
+    if first_row is None:
+        normed.unpersist()
+        return spark.createDataFrame([], "id_a long, id_b long, cosine double")
 
     if exact:
         n_q = normed.count()
@@ -389,18 +393,9 @@ def embedding_near_duplicates(
                 bc.destroy()
             normed.unpersist()
 
-    dim = len(normed.first()["vec"])
-    tables = []
-    for t in range(n_tables):
-        budf = _hyperplane_udf(dim, n_planes, seed + 1000 * t, n_probes=n_probes)
-        tables.append(
-            normed.select(
-                "vid", "vec", F.explode(budf("vec")).alias("bk"), F.lit(t).alias("tbl")
-            )
-        )
-    buckets = tables[0]
-    for tbl in tables[1:]:
-        buckets = buckets.unionAll(tbl)
+    buckets = build_probe_tables(
+        normed, len(first_row["vec"]), n_planes, n_tables, n_probes, seed
+    )
 
     def pair_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         nb = len(pdf)
@@ -427,8 +422,13 @@ def embedding_near_duplicates(
              "cosine": np.concatenate(out_c)}
         )
 
-    return (
+    out = (
         buckets.groupBy("tbl", "bk")
         .applyInPandas(pair_kernel, schema="id_a long, id_b long, cosine double")
         .dropDuplicates(["id_a", "id_b"])
     )
+    try:
+        # materialize so the persisted normalized table can be released
+        return out.localCheckpoint(eager=True)
+    finally:
+        normed.unpersist()

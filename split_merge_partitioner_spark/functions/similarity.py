@@ -208,6 +208,26 @@ def _bucket_topk_kernel(k: int, chunk: int = 1024):
     return kernel
 
 
+def build_probe_tables(
+    normed: DataFrame, dim: int, n_planes: int, n_tables: int, n_probes: int, seed: int
+) -> DataFrame:
+    """(vid, vec, bk, tbl) rows: every vector exploded into its own + probe
+    buckets for each of n_tables hyperplane families.  Shared by lsh_knn and
+    embedding_near_duplicates."""
+    tables = []
+    for t in range(n_tables):
+        budf = _hyperplane_udf(dim, n_planes, seed + 1000 * t, n_probes=n_probes)
+        tables.append(
+            normed.select(
+                "vid", "vec", F.explode(budf("vec")).alias("bk"), F.lit(t).alias("tbl")
+            )
+        )
+    buckets = tables[0]
+    for tbl in tables[1:]:
+        buckets = buckets.unionAll(tbl)
+    return buckets
+
+
 def lsh_knn(
     emb: DataFrame,
     k: int = 5,
@@ -228,18 +248,14 @@ def lsh_knn(
     normed = normalize(emb, vec_col).select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
     ).persist()
-    dim = len(normed.first()["vec"])
-    tables = []
-    for t in range(n_tables):
-        budf = _hyperplane_udf(dim, n_planes, seed + 1000 * t, n_probes=n_probes)
-        tables.append(
-            normed.select(
-                "vid", "vec", F.explode(budf("vec")).alias("bk"), F.lit(t).alias("tbl")
-            )
+    first_row = normed.first()
+    if first_row is None:
+        normed.unpersist()
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank long"
         )
-    buckets = tables[0]
-    for tbl in tables[1:]:
-        buckets = buckets.unionAll(tbl)
+    buckets = build_probe_tables(normed, len(first_row["vec"]), n_planes, n_tables,
+                                 n_probes, seed)
     cand = (
         buckets.groupBy("tbl", "bk")
         .applyInPandas(
@@ -249,8 +265,14 @@ def lsh_knn(
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
+    out = (
         cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
     )
+    try:
+        # materialize so the persisted normalized table can be released before
+        # returning (same session-hygiene contract as brute_force_knn)
+        return out.localCheckpoint(eager=True)
+    finally:
+        normed.unpersist()

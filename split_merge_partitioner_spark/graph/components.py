@@ -45,12 +45,12 @@ def _cc_broadcast(spark, verts: np.ndarray, assigned: DataFrame, max_iter: int):
     bc_verts = sc.broadcast(verts)
     n = len(verts)
     dt = np.int32 if n < 2**31 else np.int64
-    packed = _pack_edge_blocks(spark, assigned, bc_verts, dt)
-
     label = np.arange(n, dtype=np.int64)  # dense ids; decoded via verts at the end
     info = {"iterations": 0, "converged": False}
     bc = None
+    packed = None
     try:
+        packed = _pack_edge_blocks(spark, assigned, bc_verts, dt)
         for it in range(max_iter):
             bc = sc.broadcast(label)
 
@@ -88,7 +88,8 @@ def _cc_broadcast(spark, verts: np.ndarray, assigned: DataFrame, max_iter: int):
     finally:
         if bc is not None:
             bc.destroy()
-        packed.unpersist()
+        if packed is not None:
+            packed.unpersist()
         bc_verts.destroy()
     out = spark.createDataFrame(
         pd.DataFrame({"vertex": verts, "component": verts[label]})

@@ -177,6 +177,9 @@ def _double_sweep_shuffle(edges, assigned, max_levels, source, distances_only):
     deg = degrees_of(edges)
     if source is not None:
         seed = int(source)
+        # same contract as the dense path's assert: a typo'd source id must
+        # fail loudly, not return an empty sweep
+        assert deg.where(F.col("vertex") == seed).count() == 1, "unknown source vertex"
     else:
         row = deg.orderBy(F.desc("degree"), F.asc("vertex")).first()
         if row is None:
@@ -234,8 +237,9 @@ def _double_sweep_impl(edges, assigned, max_levels, source=None,
     bc_verts = spark.sparkContext.broadcast(verts)
     dt = np.int32 if n < 2**31 else np.int64
     base = assigned if assigned is not None else edges.withColumn("bucket", F.spark_partition_id())
-    packed = _pack_edge_blocks(spark, base, bc_verts, dt)
+    packed = None
     try:
+        packed = _pack_edge_blocks(spark, base, bc_verts, dt)
         if source is not None:
             seed_idx = int(np.searchsorted(verts, source))
             assert seed_idx < n and verts[seed_idx] == source, "unknown source vertex"
@@ -259,7 +263,8 @@ def _double_sweep_impl(edges, assigned, max_levels, source=None,
         diameter = int(d2[reach2].max())
     finally:
         bc_verts.destroy()
-        packed.unpersist()
+        if packed is not None:
+            packed.unpersist()
     out = spark.createDataFrame(
         pd.DataFrame(
             {

@@ -55,11 +55,11 @@ def _lp_broadcast(spark, verts: np.ndarray, assigned: DataFrame, n_iter: int):
     bc_verts = sc.broadcast(verts)
     n = len(verts)
     dt = np.int32 if n < 2**31 else np.int64
-    packed = _pack_edge_blocks(spark, assigned, bc_verts, dt)
-
     label = np.arange(n, dtype=np.int64)
     bc = None
+    packed = None
     try:
+        packed = _pack_edge_blocks(spark, assigned, bc_verts, dt)
         for _ in range(n_iter):
             bc = sc.broadcast(label)
 
@@ -99,7 +99,8 @@ def _lp_broadcast(spark, verts: np.ndarray, assigned: DataFrame, n_iter: int):
     finally:
         if bc is not None:
             bc.destroy()
-        packed.unpersist()
+        if packed is not None:
+            packed.unpersist()
         bc_verts.destroy()
     return spark.createDataFrame(
         pd.DataFrame({"vertex": verts, "label": verts[label]})

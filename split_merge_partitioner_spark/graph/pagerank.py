@@ -143,14 +143,15 @@ def _pagerank_gas_rdd(
         pdf = pd.DataFrame({"vertex": verts, "rank": rank})
         return spark.createDataFrame(pdf)
 
-    packed_rdd = _pack_edge_blocks(spark, assigned, bc_verts, idx_dtype)
     nn = n
     dt = idx_dtype
-    block_t0 = _time.monotonic()
-    loop_t0 = _time.monotonic()
     step_times: list[float] = []
     bc = None
+    packed_rdd = None
     try:
+        packed_rdd = _pack_edge_blocks(spark, assigned, bc_verts, idx_dtype)
+        block_t0 = _time.monotonic()
+        loop_t0 = _time.monotonic()
         for it in range(start_it, max_iter):
             step_t0 = _time.monotonic()
             contrib = rank / degv
@@ -197,13 +198,14 @@ def _pagerank_gas_rdd(
         # denominator for edges/sec/superstep at convergence-run step counts.
         # The per-step minimum backs the interleaved-minima protocol for this
         # VM's 2-40x spikes (BENCH/BASELINE.md).
-        info["superstep_seconds"] = _time.monotonic() - loop_t0
+        if packed_rdd is not None:
+            info["superstep_seconds"] = _time.monotonic() - loop_t0
+            packed_rdd.unpersist()
         if step_times:
             info["superstep_seconds_min"] = min(step_times)
         if bc is not None:
             bc.destroy()
         bc_verts.destroy()
-        packed_rdd.unpersist()
         if per_partition is not None:
             per_partition.unpersist()
     return state_df(), info

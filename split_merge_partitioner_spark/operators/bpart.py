@@ -66,6 +66,28 @@ def _bpart_task(p: int, avg_degree: float, hub_map: dict[int, int] | None = None
         for i in range(nf // 2):
             final_of[order[i]] = i
             final_of[order[nf - i - 1]] = i
+        if hub_map:
+            # final labels are an arbitrary bijection onto [0, p); permute
+            # them so the fine bucket seeded with hub b's neighbors lands on
+            # the hub's fission bucket b wherever possible — otherwise the
+            # pair-merge would scatter the seeding's co-location
+            want = {}
+            for b in set(hub_map.values()):
+                want.setdefault(int(final_of[2 * b]), b)
+            relabel = {}
+            taken = set()
+            for cur, tgt in sorted(want.items()):
+                if tgt not in taken:
+                    relabel[cur] = tgt
+                    taken.add(tgt)
+            free = iter(x for x in range(nf // 2) if x not in taken)
+            lab_perm = np.empty(nf // 2, dtype=np.int64)
+            for lab in range(nf // 2):
+                lab_perm[lab] = relabel.get(lab, -1)
+            for lab in range(nf // 2):
+                if lab_perm[lab] < 0:
+                    lab_perm[lab] = next(free)
+            final_of = lab_perm[final_of]
         allrows = pd.concat(rows)
         yield pd.DataFrame(
             {"vertex": allrows["vertex"], "bucket": final_of[allrows["fine"].to_numpy()]}

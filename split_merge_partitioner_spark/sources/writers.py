@@ -91,7 +91,10 @@ def write_low_degree_edgelist(edges: DataFrame, path: str, hdf: float = 100.0) -
         (F.col("deg_src") <= thresh) | (F.col("deg_dst") <= thresh)
     ).select("src", "dst")
     low.write.mode("overwrite").parquet(path)
-    return low.count()
+    deg.unpersist()
+    # count from the sink, not by re-running the join (get_stat pattern:
+    # verify what was written)
+    return edges.sparkSession.read.parquet(path).count()
 
 
 def read_edgepart(spark: SparkSession, path: str) -> DataFrame:

@@ -327,3 +327,17 @@ def test_regex_token_count_vs_python(spark, docs):
     rx = re.compile(BPE_ISH_PATTERN)
     exp = pdf.text.map(lambda s: len(rx.findall(s)))
     assert (got.n_regex_tokens == exp).all()
+
+
+def test_similarity_ops_empty_input(spark):
+    """Review fix: LSH paths must return empty results on empty input, like
+    their exact siblings, not crash on first()."""
+    from split_merge_partitioner_spark.functions import (
+        embedding_near_duplicates,
+        lsh_knn,
+    )
+
+    e = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert lsh_knn(e).count() == 0
+    assert embedding_near_duplicates(e).count() == 0
+    assert embedding_near_duplicates(e, exact=True).count() == 0
