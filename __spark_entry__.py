@@ -218,6 +218,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         e = _edges(spark, sf)
         return vertex2edge_partition(e, vertex_partition_by_hash(e, P_DEFAULT))
 
+    def q_v2e_assign_portable(spark, sf):
+        # SQL-portable flavor: modulo vertex partition + parity endpoint pick
+        # — upgrades the v2e conversion mechanics to a hash-checked oracle row
+        from split_merge_partitioner_spark.operators import vertex2edge_partition
+        from split_merge_partitioner_spark.sources import vertices_of
+
+        e = _edges(spark, sf)
+        vp = vertices_of(e).select(
+            "vertex", F.pmod("vertex", F.lit(P_DEFAULT)).cast("long").alias("bucket")
+        )
+        return vertex2edge_partition(e, vp, choice="parity")
+
     def q_v2e_ksplit_assign(spark, sf):
         from split_merge_partitioner_spark.operators import (
             vertex2edge_partition_ksplit,
@@ -393,6 +405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dups_lsh": q_embedding_dups_lsh,
         "ebv_bucket_sizes": q_ebv_bucket_sizes,
         "v2e_assign": q_v2e_assign,
+        "v2e_assign_portable": q_v2e_assign_portable,
         "v2e_ksplit_assign": q_v2e_ksplit_assign,
         "vertex_partition_stats": q_vertex_partition_stats,
         "replication_by_degree_decade": q_replication_by_decade,
@@ -823,6 +836,16 @@ FROM documents
         "replication_by_degree_decade": replication_by_decade_sql,
         "label_propagation": label_propagation_sql,
         "pagerank_10iter": pagerank_10iter_sql,
+        "v2e_assign_portable": f"""
+WITH {_EDGES_CTE},
+verts AS (SELECT DISTINCT vertex FROM (
+    SELECT src AS vertex FROM edges UNION ALL SELECT dst FROM edges)),
+vp AS (SELECT vertex, vertex % {P_DEFAULT} AS bucket FROM verts)
+SELECT e.src, e.dst,
+       CAST(CASE WHEN (e.src + e.dst) % 2 = 0 THEN vs.bucket ELSE vd.bucket END AS BIGINT)
+           AS bucket
+FROM edges e JOIN vp vs ON vs.vertex = e.src JOIN vp vd ON vd.vertex = e.dst
+""",
         "core_boundary_stats": core_boundary_sql,
         "bfs_distances": bfs_distances_sql,
         "approx_diameter": approx_diameter_sql,

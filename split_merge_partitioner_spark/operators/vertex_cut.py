@@ -28,17 +28,25 @@ def vertex_partition_by_hash(edges: DataFrame, p: int) -> DataFrame:
 
 
 def vertex2edge_partition(
-    edges: DataFrame, vertex_parts: DataFrame, seed: int = 42
+    edges: DataFrame, vertex_parts: DataFrame, seed: int = 42, choice: str = "hash"
 ) -> DataFrame:
     """Assign each edge to one endpoint's vertex-bucket, chosen by a seeded
     hash (reproducible version of the reference's coin flip,
-    vertex2edgepart.cpp:70-75).  Returns (src, dst, bucket)."""
+    vertex2edgepart.cpp:70-75).  Returns (src, dst, bucket).
+
+    choice="hash" (default): seeded xxhash64 endpoint pick.
+    choice="parity": pick src when (src+dst) is even — ANSI-SQL-portable, so
+    the conversion mechanics earn a cross-engine oracle (the pick rule is
+    arbitrary by the reference's own contract: it flips a coin)."""
     vp = F.broadcast(vertex_parts)
     e = (
         edges.join(vp.withColumnRenamed("vertex", "src").withColumnRenamed("bucket", "b_src"), "src")
         .join(vp.withColumnRenamed("vertex", "dst").withColumnRenamed("bucket", "b_dst"), "dst")
     )
-    pick_src = F.pmod(F.xxhash64("src", "dst", F.lit(seed)), F.lit(2)) == 0
+    if choice == "parity":
+        pick_src = F.pmod(F.col("src") + F.col("dst"), F.lit(2)) == 0
+    else:
+        pick_src = F.pmod(F.xxhash64("src", "dst", F.lit(seed)), F.lit(2)) == 0
     return e.select(
         "src", "dst", F.when(pick_src, F.col("b_src")).otherwise(F.col("b_dst")).alias("bucket")
     )
