@@ -808,6 +808,106 @@ FROM (
 ) WHERE rn <= 3
 """
 
+    # -- minhash / simhash portable oracles ---------------------------------
+    # The hash family is pure integer arithmetic (functions/dedup.py
+    # hash_shingle: code-point Horner polynomial mod 2^64 then mod 2^61;
+    # permutations (a*h+b) mod 2^64 + Mersenne-2^61 fold), so DuckDB
+    # reproduces the signatures bit-for-bit in HUGEINT.  Coefficients come
+    # from the SAME generator the Spark UDF uses.  ASCII corpus assumption
+    # only in `\s+` tokenization (Python str.split also splits on unicode
+    # spaces); the driver documents table is pure ASCII.
+    from split_merge_partitioner_spark.functions.dedup import minhash_coefficients
+
+    _A, _B = minhash_coefficients(64, 42)
+    _MOD64 = 1 << 64
+    _M61 = (1 << 61) - 1
+    _POLY = 1099511628211
+    # B^4..B^0 mod 2^64 — weights of the 5-char shingle power sum
+    _POWS = [pow(_POLY, t, _MOD64) for t in (4, 3, 2, 1, 0)]
+    _perm_rows = ", ".join(
+        f"({j}, CAST({int(a)} AS HUGEINT), CAST({int(b)} AS HUGEINT))"
+        for j, (a, b) in enumerate(zip(_A, _B))
+    )
+    _shingle_term = " + ".join(
+        f"CAST(ord(text[i+{t}:i+{t}]) AS HUGEINT) * {p}" for t, p in enumerate(_POWS)
+    )
+    _bands = " OR ".join(
+        f"a.sig[{i * 4 + 1}:{i * 4 + 4}] = b.sig[{i * 4 + 1}:{i * 4 + 4}]" for i in range(16)
+    )
+    minhash_pairs_sql = f"""
+WITH pos AS (
+    SELECT doc_id, text, UNNEST(range(1, greatest(length(text) - 4, 0) + 1)) AS i
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, (({_shingle_term}) % {_MOD64}) % {_M61 + 1} AS h
+    FROM pos
+),
+perms(j, a, b) AS (VALUES {_perm_rows}),
+pr AS (
+    SELECT s.doc_id, p.j, ((p.a * s.h + p.b) % {_MOD64}) AS pr
+    FROM sh s CROSS JOIN perms p
+),
+fold AS (
+    SELECT doc_id, j, (pr % {_M61 + 1}) + (pr // {_M61 + 1}) AS f FROM pr
+),
+minh AS (
+    SELECT doc_id, j,
+           CAST(MIN(CASE WHEN f >= {_M61} THEN f - {_M61} ELSE f END) AS BIGINT) AS mh
+    FROM fold GROUP BY doc_id, j
+),
+sig AS (SELECT doc_id, list(mh ORDER BY j) AS sig FROM minh GROUP BY doc_id),
+sigf AS (
+    SELECT d.doc_id,
+           COALESCE(s.sig, list_transform(range(64), x -> CAST(0 AS BIGINT))) AS sig
+    FROM documents d LEFT JOIN sig s USING (doc_id)
+),
+est AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_filter(range(64),
+                     i -> a.sig[CAST(i + 1 AS INT)] = b.sig[CAST(i + 1 AS INT)]))
+                 AS DOUBLE) / 64, 6) AS est_jaccard
+    FROM sigf a JOIN sigf b ON a.doc_id < b.doc_id
+    WHERE {_bands}
+)
+SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.4
+"""
+
+    simhash_pairs_sql = f"""
+WITH tok AS (
+    SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, UNNEST(regexp_split_to_array(text, '\\s+')) AS tok FROM documents
+    ) WHERE tok <> ''
+),
+th AS (
+    SELECT doc_id,
+        CAST(xor(CAST(list_reduce(
+            list_prepend(CAST(0 AS HUGEINT),
+                list_transform(split(tok, ''), ch -> CAST(ord(ch) AS HUGEINT))),
+            (h, c) -> (h * {_POLY} + c) % {_MOD64}
+        ) % {_M61 + 1} AS UBIGINT), CAST(42 AS UBIGINT)) AS BIGINT) AS th
+    FROM tok
+),
+bits AS (
+    SELECT doc_id, bb.b, SUM(CASE WHEN (th >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+    FROM th CROSS JOIN (SELECT UNNEST(range(61)) AS b) bb
+    GROUP BY doc_id, bb.b
+),
+shh AS (
+    SELECT doc_id,
+           SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS sh
+    FROM bits GROUP BY doc_id
+),
+shf AS (
+    SELECT d.doc_id, CAST(COALESCE(s.sh, 0) AS BIGINT) AS sh
+    FROM documents d LEFT JOIN shh s USING (doc_id)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+FROM shf a JOIN shf b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 6
+"""
+
     return {
         "edges_cooccur": edges_sql,
         "degrees": degrees_sql,
@@ -846,6 +946,23 @@ SELECT e.src, e.dst,
            AS bucket
 FROM edges e JOIN vp vs ON vs.vertex = e.src JOIN vp vd ON vd.vertex = e.dst
 """,
+        "minhash_pairs": minhash_pairs_sql,
+        "simhash_pairs": simhash_pairs_sql,
+        # Portable polynomial rolling hash (functions/hashing.py FP_BASE
+        # Horner form, mod 2^64 then mod 2^63) — exact parity with the Spark
+        # pandas UDF on ASCII corpora (UTF-8 byte == code point; the
+        # driver-generated documents table is pure ASCII, verified).
+        "fingerprints": """
+SELECT doc_id,
+  CAST(CASE WHEN length(text) = 0 THEN 0 ELSE
+    list_reduce(
+      list_prepend(CAST(0 AS HUGEINT),
+        list_transform(split(text, ''), c -> CAST(ord(c) AS HUGEINT))),
+      (a, b) -> ((a + b) * 1099511628211) % 18446744073709551616
+    ) % 9223372036854775808
+  END AS BIGINT) AS fingerprint
+FROM documents
+""",
         "core_boundary_stats": core_boundary_sql,
         "bfs_distances": bfs_distances_sql,
         "approx_diameter": approx_diameter_sql,
@@ -853,7 +970,8 @@ FROM edges e JOIN vp vs ON vs.vertex = e.src JOIN vp vd ON vd.vertex = e.dst
         "events_rollup": events_rollup_sql,
         "user_top_events": user_top_events_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic
-        # across engines): fsm_assign, fsm_stats, hdrf_bucket_sizes, pagerank,
-        # minhash_pairs, simhash_pairs, fingerprints — covered by NumPy-oracle
-        # pytest (tests/) and rows-only driver checks.
+        # across engines): fsm_assign, fsm_stats, hdrf_bucket_sizes, pagerank
+        # (to-convergence; the fixed-iteration pagerank_10iter IS oracled),
+        # lsh paths (random hyperplanes), media_features (binary decode) —
+        # covered by NumPy-oracle pytest (tests/) and rows-only driver checks.
     }

@@ -95,22 +95,17 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 
 
 def _minhash_udf(num_hashes: int, shingle_n: int, seed: int):
-    rng = np.random.default_rng(seed)
-    A = rng.integers(1, int(_MERSENNE) - 1, size=num_hashes, dtype=np.uint64)
-    B = rng.integers(0, int(_MERSENNE) - 1, size=num_hashes, dtype=np.uint64)
+    A, B = minhash_coefficients(num_hashes, seed)
 
     @pandas_udf("array<long>")
     def minhash(text: pd.Series) -> pd.Series:
         out = []
         for s in text:
-            grams = {s[i : i + shingle_n] for i in range(max(len(s) - shingle_n + 1, 0))}
-            if not grams:
+            # distinct shingle hashes, fully vectorized (no per-shingle Python)
+            hv = shingle_hashes(s, shingle_n)
+            if hv.size == 0:
                 out.append(np.zeros(num_hashes, dtype=np.int64))
                 continue
-            # stable 64-bit shingle hashes -> (a*x+b) mod mersenne, min over shingles
-            hv = np.fromiter(
-                (np.uint64(hash_shingle(g)) for g in grams), dtype=np.uint64, count=len(grams)
-            )
             with np.errstate(over="ignore"):
                 prod = np.outer(A, hv) + B[:, None]  # wraps mod 2^64
                 prod = (prod & _MERSENNE) + (prod >> np.uint64(61))
@@ -121,12 +116,44 @@ def _minhash_udf(num_hashes: int, shingle_n: int, seed: int):
     return minhash
 
 
+_POLY_BASE = 1099511628211  # FNV prime as the polynomial base
+
+
+def minhash_coefficients(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """The (a, b) permutation coefficients — shared by the Spark UDF and the
+    driver's DuckDB oracle so both engines evaluate the identical family."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, int(_MERSENNE) - 1, size=num_hashes, dtype=np.uint64)
+    b = rng.integers(0, int(_MERSENNE) - 1, size=num_hashes, dtype=np.uint64)
+    return a, b
+
+
 def hash_shingle(g: str) -> int:
-    """Deterministic 61-bit FNV-1a over UTF-8 (portable, seed-free)."""
-    h = 14695981039346656037
-    for byte in g.encode("utf-8"):
-        h = ((h ^ byte) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+    """Deterministic 61-bit polynomial hash over Unicode code points (Horner,
+    base=FNV prime, mod 2^64 then mod 2^61).  Seed-free and ANSI-SQL-portable:
+    `list_reduce` over `ord()` of each char with HUGEINT arithmetic reproduces
+    it bit-for-bit, which is what earns minhash/simhash their cross-engine
+    driver oracles (__spark_entry__.oracle_sql)."""
+    h = 0
+    for ch in g:
+        h = (h * _POLY_BASE + ord(ch)) & 0xFFFFFFFFFFFFFFFF
     return h & ((1 << 61) - 1)
+
+
+def shingle_hashes(s: str, n: int) -> np.ndarray:
+    """Distinct hash_shingle values of every length-n character shingle of s,
+    vectorized: code points decoded in one shot (utf-32 view), the Horner fold
+    runs as n shifted multiply-adds over the whole position axis (uint64
+    wraparound = mod 2^64), never per-shingle Python."""
+    codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    m = codes.size - n + 1
+    if m <= 0:
+        return np.empty(0, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h = np.zeros(m, dtype=np.uint64)
+        for t in range(n):
+            h = h * np.uint64(_POLY_BASE) + codes[t : t + m]
+    return np.unique(h & _MERSENNE)
 
 
 def minhash_near_duplicates(
