@@ -241,13 +241,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return vertex2edge_partition_ksplit(e, vp, p=P_DEFAULT, k=2)
 
     def q_vertex_partition_stats(spark, sf):
-        from split_merge_partitioner_spark.operators import (
-            vertex_partition_by_hash,
-            vertex_partition_stats,
-        )
+        # modulo stand-in vertex partition (SQL-portable, like
+        # v2e_assign_portable) so the balance/Jain's/cut-ratio FORMULAS earn a
+        # hash-checked oracle row; the seeded-hash stand-in stays pytest-covered
+        from split_merge_partitioner_spark.operators import vertex_partition_stats
+        from split_merge_partitioner_spark.sources import vertices_of
 
         e = _edges(spark, sf)
-        st = vertex_partition_stats(e, vertex_partition_by_hash(e, P_DEFAULT), P_DEFAULT)
+        vp = vertices_of(e).select(
+            "vertex", F.pmod("vertex", F.lit(P_DEFAULT)).cast("long").alias("bucket")
+        )
+        st = vertex_partition_stats(e, vp, P_DEFAULT)
         return st.select(*[F.round(c, 6).alias(c) for c in st.columns])
 
     def q_replication_by_decade(spark, sf):
@@ -328,6 +332,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         e = _edges(spark, sf).persist()
         out, _ = approximate_diameter(e, assigned=dbh_partition(e, P_DEFAULT))
         return out
+
+    def q_hyperanf_nf(spark, sf):
+        # fixed 3 supersteps (stop_early=False) so the output shape is static
+        # for the cross-engine oracle — same pattern as pagerank_10iter.
+        # Deterministic: splitmix64 hashing + max-merge registers; the DuckDB
+        # oracle recomputes the sketch from a chained-CTE ball expansion.
+        from split_merge_partitioner_spark.graph import hyperanf
+
+        e = _edges(spark, sf).persist()
+        out, _ = hyperanf(e, assigned=dbh_partition(e, P_DEFAULT), n_steps=3,
+                          stop_early=False)
+        return out.select("t", F.round("neighborhood", 3).alias("neighborhood"))
 
     def q_media_features(spark, sf):
         # deterministic synthetic media fixture (real PPM/WAV decode paths);
@@ -415,6 +431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "core_boundary_stats": q_core_boundary_stats,
         "bfs_distances": q_bfs_distances,
         "approx_diameter": q_approx_diameter,
+        "hyperanf_nf": q_hyperanf_nf,
         "media_features": q_media_features,
         "events_by_type": q_events_by_type,
         "events_rollup": q_events_rollup,
@@ -873,6 +890,62 @@ est AS (
 SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.4
 """
 
+    # -- HyperANF oracle ----------------------------------------------------
+    # Recomputes the HLL neighborhood function from first principles: the
+    # registers at superstep t are exactly max over the distance-<=t ball, so
+    # a chained-CTE ball expansion + splitmix64 in HUGEINT (64x64-bit modmul
+    # split into 32-bit halves to stay under INT128) reproduces
+    # graph/hyperanf.py bit-for-bit; estimator formula identical.
+    _HC1 = 0x9E3779B97F4A7C15
+    _HM64 = 1 << 64
+
+    def _modmul(y: str, c: int) -> str:
+        hi, lo = c >> 32, c & 0xFFFFFFFF
+        return (
+            f"((({y} * {lo}) % {_HM64}"
+            f" + ((({y} * {hi}) % 4294967296) * 4294967296)) % {_HM64})"
+        )
+
+    _AM2 = repr((0.7213 / (1.0 + 1.079 / 64)) * 64 * 64)
+
+    def _hanf_est(t: int) -> str:
+        return f"""
+SELECT {t} AS t, ROUND(SUM(
+  CASE WHEN ({_AM2} / s) <= 160.0 AND v > 0
+       THEN 64.0 * ln(64.0 / v)
+       ELSE {_AM2} / s END), 3) AS neighborhood
+FROM (
+  SELECT src, SUM(pow(2.0, -r)) + (64 - COUNT(*)) AS s, 64 - COUNT(*) AS v
+  FROM (SELECT rr.src, hr.j, MAX(hr.r) AS r
+        FROM r{t} rr JOIN hranks hr ON hr.vertex = rr.v GROUP BY rr.src, hr.j)
+  GROUP BY src)
+"""
+
+    hyperanf_nf_sql = f"""
+WITH {_EDGES_CTE},
+und AS (SELECT src AS a, dst AS b FROM edges UNION ALL SELECT dst, src FROM edges),
+dverts AS (SELECT DISTINCT a AS vertex FROM und),
+h0 AS (SELECT vertex, CAST((vertex + {_HC1}) % {_HM64} AS UBIGINT) AS z0 FROM dverts),
+h1 AS (SELECT vertex, CAST(xor(z0, z0 >> 30) AS HUGEINT) AS y FROM h0),
+h2 AS (SELECT vertex, CAST({_modmul('y', 0xBF58476D1CE4E5B9)} AS UBIGINT) AS z1 FROM h1),
+h3 AS (SELECT vertex, CAST(xor(z1, z1 >> 27) AS HUGEINT) AS y FROM h2),
+h4 AS (SELECT vertex, CAST({_modmul('y', 0x94D049BB133111EB)} AS UBIGINT) AS z2 FROM h3),
+hh AS (SELECT vertex, CAST(xor(z2, z2 >> 31) AS UBIGINT) AS h FROM h4),
+hranks AS (
+  SELECT vertex, CAST(h % 64 AS BIGINT) AS j,
+         CASE WHEN (h >> 6) = 0 THEN 59
+              ELSE CAST(bit_count(((h >> 6) - ((h >> 6) & ((h >> 6) - 1))) - 1) AS BIGINT) + 1
+         END AS r
+  FROM hh),
+r0 AS (SELECT vertex AS src, vertex AS v FROM dverts),
+r1 AS (SELECT src, v FROM r0 UNION SELECT r0.src, und.b FROM r0 JOIN und ON und.a = r0.v),
+r2 AS (SELECT src, v FROM r1 UNION SELECT r1.src, und.b FROM r1 JOIN und ON und.a = r1.v),
+r3 AS (SELECT src, v FROM r2 UNION SELECT r2.src, und.b FROM r2 JOIN und ON und.a = r2.v)
+SELECT CAST(t AS BIGINT) AS t, neighborhood FROM (
+  {_hanf_est(0)} UNION ALL {_hanf_est(1)} UNION ALL {_hanf_est(2)} UNION ALL {_hanf_est(3)}
+) ORDER BY t
+"""
+
     simhash_pairs_sql = f"""
 WITH tok AS (
     SELECT DISTINCT doc_id, tok FROM (
@@ -948,6 +1021,25 @@ FROM edges e JOIN vp vs ON vs.vertex = e.src JOIN vp vd ON vd.vertex = e.dst
 """,
         "minhash_pairs": minhash_pairs_sql,
         "simhash_pairs": simhash_pairs_sql,
+        "hyperanf_nf": hyperanf_nf_sql,
+        "vertex_partition_stats": f"""
+WITH {_EDGES_CTE},
+dverts AS (SELECT DISTINCT vertex FROM (
+    SELECT src AS vertex FROM edges UNION ALL SELECT dst FROM edges)),
+vp AS (SELECT vertex, vertex % {P_DEFAULT} AS bucket FROM dverts),
+sizes AS (SELECT bucket, COUNT(*) AS nv FROM vp GROUP BY bucket),
+consts AS (SELECT
+    (SELECT COUNT(*) FROM vp) AS n,
+    (SELECT COUNT(*) FROM edges) AS m,
+    (SELECT COUNT(*) FROM edges e
+        JOIN vp a ON a.vertex = e.src JOIN vp b ON b.vertex = e.dst
+        WHERE a.bucket <> b.bucket) AS cut)
+SELECT ROUND(MAX(nv) / (c.n / {P_DEFAULT}.0), 6) AS balance,
+       ROUND(CAST(SUM(nv) * SUM(nv) AS DOUBLE)
+             / (COUNT(*) * SUM(CAST(nv AS DOUBLE) * nv)), 6) AS jains_v,
+       ROUND(CAST(c.cut AS DOUBLE) / c.m, 6) AS cut_ratio
+FROM sizes, consts c GROUP BY c.n, c.m, c.cut
+""",
         # Portable polynomial rolling hash (functions/hashing.py FP_BASE
         # Horner form, mod 2^64 then mod 2^63) — exact parity with the Spark
         # pandas UDF on ASCII corpora (UTF-8 byte == code point; the

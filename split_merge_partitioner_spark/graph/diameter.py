@@ -12,8 +12,9 @@ Execution: same broadcast-encoded machinery as pagerank/components — edge
 blocks encoded once, ONE stage per BFS level, each partition emitting only
 IMPROVED (vertex, dist) rows, fixpoint when nothing improves.  Level count =
 diameter, which is small on these graphs.  Above the state threshold the
-same sweep can run over the cogroup path; at >5M-vertex scale prefer
-HyperANF-style sketches (out of scope; this is the paper-parity operator).
+same sweep can run over the cogroup path; at >5M-vertex scale prefer the
+HyperANF sketch operator (graph/hyperanf.py — effective diameter from
+per-vertex HLL registers; this module stays the exact paper-parity operator).
 """
 
 from __future__ import annotations
