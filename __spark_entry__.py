@@ -345,6 +345,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           stop_early=False)
         return out.select("t", F.round("neighborhood", 3).alias("neighborhood"))
 
+    def q_coreness(spark, sf):
+        # 8 fixed h-operator sweeps (converges in 4 at sf0.01, and the
+        # fixpoint is stable, so this IS the exact coreness) — fixed shape for
+        # the chained-CTE oracle, same pattern as pagerank_10iter
+        from split_merge_partitioner_spark.graph import coreness
+
+        out, _ = coreness(_edges(spark, sf), n_iter=8)
+        return out
+
     def q_media_features(spark, sf):
         # deterministic synthetic media fixture (real PPM/WAV decode paths);
         # rows-only: binary payloads are not DuckDB-SQL-expressible
@@ -432,6 +441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_distances": q_bfs_distances,
         "approx_diameter": q_approx_diameter,
         "hyperanf_nf": q_hyperanf_nf,
+        "coreness_hindex": q_coreness,
         "media_features": q_media_features,
         "events_by_type": q_events_by_type,
         "events_rollup": q_events_rollup,
@@ -946,6 +956,24 @@ SELECT CAST(t AS BIGINT) AS t, neighborhood FROM (
 ) ORDER BY t
 """
 
+    # -- coreness oracle ----------------------------------------------------
+    # 8 chained h-operator sweeps (graph/kcore.py): h-index as
+    # ROW_NUMBER-over-desc-value + MAX(LEAST(rn, value)) — tie-order
+    # invariant, so cross-engine exact.
+    _kcore_ctes = ["ck0 AS (SELECT a AS vertex, COUNT(*) AS c FROM und GROUP BY a)"]
+    for _k in range(1, 9):
+        _kcore_ctes.append(f"""ck{_k} AS (
+  SELECT v AS vertex, MAX(LEAST(rn, cu)) AS c FROM (
+    SELECT und.a AS v, p.c AS cu,
+           ROW_NUMBER() OVER (PARTITION BY und.a ORDER BY p.c DESC) AS rn
+    FROM und JOIN ck{_k - 1} p ON p.vertex = und.b) GROUP BY v)""")
+    coreness_sql = f"""
+WITH {_EDGES_CTE},
+und AS (SELECT src AS a, dst AS b FROM edges UNION ALL SELECT dst, src FROM edges),
+{','.join(_kcore_ctes)}
+SELECT vertex, CAST(c AS BIGINT) AS coreness FROM ck8
+"""
+
     simhash_pairs_sql = f"""
 WITH tok AS (
     SELECT DISTINCT doc_id, tok FROM (
@@ -1022,6 +1050,7 @@ FROM edges e JOIN vp vs ON vs.vertex = e.src JOIN vp vd ON vd.vertex = e.dst
         "minhash_pairs": minhash_pairs_sql,
         "simhash_pairs": simhash_pairs_sql,
         "hyperanf_nf": hyperanf_nf_sql,
+        "coreness_hindex": coreness_sql,
         "vertex_partition_stats": f"""
 WITH {_EDGES_CTE},
 dverts AS (SELECT DISTINCT vertex FROM (

@@ -4,3 +4,4 @@ from .pagerank import pagerank  # noqa: F401
 from .triangles import triangle_count, triangles_per_vertex  # noqa: F401
 from .diameter import approximate_diameter, bfs_distances  # noqa: F401
 from .hyperanf import hyperanf  # noqa: F401
+from .kcore import coreness  # noqa: F401

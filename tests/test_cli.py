@@ -69,3 +69,21 @@ def test_write_low_degree_edgelist(spark, edges_parquet, tmp_path, capsys):
     thresh = 2 * deg.mean()
     expect = e[(deg[e.src].values <= thresh) | (deg[e.dst].values <= thresh)]
     assert low.count() == len(expect)
+
+
+def test_build_pyfiles_zip_importable(tmp_path):
+    """scripts/build_pyfiles.sh produces a --py-files artifact that imports
+    the way executors consume it (zip directly on sys.path)."""
+    import subprocess
+
+    out = tmp_path / "engine.zip"
+    subprocess.run(
+        ["bash", "scripts/build_pyfiles.sh", str(out)], check=True, capture_output=True
+    )
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "import split_merge_partitioner_spark as p; "
+        "from split_merge_partitioner_spark.graph import hyperanf; "
+        "assert 'engine.zip' in p.__file__, p.__file__"
+    ) % str(out)
+    subprocess.run([sys.executable, "-c", code], check=True, capture_output=True)
