@@ -204,6 +204,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         return brute_force_knn(emb, k=5)
 
+    def q_ivf_knn(spark, sf):
+        # rows-only: centroid training is float-valued — argmax boundaries are
+        # not robust to cross-engine FP; exactness is pytest-proven instead
+        # (probe-all == brute force, test_ivf_knn_probe_all_is_exact)
+        from split_merge_partitioner_spark.functions import ivf_knn
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        return ivf_knn(emb, k=5, n_centroids=8, n_probes=3)
+
     def q_ebv_bucket_sizes(spark, sf):
         from split_merge_partitioner_spark.operators import ebv_partition
 
@@ -426,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "knn_bruteforce": q_knn,
         "lsh_knn": q_lsh_knn,
+        "ivf_knn": q_ivf_knn,
         "embedding_dups_exact": q_embedding_dups_exact,
         "embedding_dups_lsh": q_embedding_dups_lsh,
         "ebv_bucket_sizes": q_ebv_bucket_sizes,

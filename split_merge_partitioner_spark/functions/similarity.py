@@ -5,6 +5,12 @@
 - lsh_knn: random-hyperplane LSH bucketing (SimHash for vectors): only pairs
   sharing a bucket are scored — the scale path; recall < 1 by design, tested
   against the brute-force baseline.
+- ivf_knn: IVF-Flat — coarse spherical-k-means quantizer trained driver-side
+  on a bounded deterministic sample (the broadcastable "index"), one inverted
+  list per centroid, queries probe the n_probes nearest lists.  The second
+  ANN scale path: recall/cost is tuned by (n_centroids, n_probes) instead of
+  (n_planes, n_tables), and probing ALL lists is provably exact (tested
+  identical to brute force).
 
 Embeddings are L2-normalized once up front so cosine == dot.
 """
@@ -273,6 +279,172 @@ def lsh_knn(
     try:
         # materialize so the persisted normalized table can be released before
         # returning (same session-hygiene contract as brute_force_knn)
+        return out.localCheckpoint(eager=True)
+    finally:
+        normed.unpersist()
+
+
+# --------------------------------------------------------------------------
+# IVF-Flat
+# --------------------------------------------------------------------------
+
+def _train_centroids(
+    normed: DataFrame, n_centroids: int, train_sample: int, lloyd_iter: int
+) -> np.ndarray:
+    """Spherical k-means on a bounded deterministic sample (hash-ordered, so
+    re-runs see the same rows): standard IVF practice — the quantizer trains
+    on a driver-sized sample, then serves as a tiny broadcastable index.
+    Ties and empty clusters are handled deterministically (empty cluster
+    keeps its previous centroid)."""
+    sample = (
+        normed.orderBy(F.xxhash64("vid", F.lit(77)))
+        .limit(train_sample)
+        .toPandas()
+    )
+    X = np.vstack(sample["vec"].to_numpy()).astype(np.float64)
+    n = len(X)
+    c = X[: min(n_centroids, n)].copy()
+    if len(c) < n_centroids:  # degenerate tiny corpus: pad by repeating rows
+        c = np.vstack([c, c[np.arange(n_centroids - len(c)) % max(len(c), 1)]])
+    for _ in range(lloyd_iter):
+        assign = np.argmax(X @ c.T, axis=1)  # cosine on normalized rows
+        for j in range(n_centroids):
+            members = X[assign == j]
+            if len(members):
+                v = members.sum(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 1e-12:
+                    c[j] = v / nv
+    return c
+
+
+def _ivf_assign_udfs(centroids: np.ndarray, n_probes: int):
+    """(own-list udf, probe-lists udf) against a closure-captured centroid
+    matrix — shipped once per task via the serialized closure (tiny:
+    n_centroids x dim doubles)."""
+
+    @pandas_udf(LongType())
+    def own(vec: pd.Series) -> pd.Series:
+        M = np.vstack(vec.to_numpy())
+        return pd.Series(np.argmax(M @ centroids.T, axis=1).astype(np.int64))
+
+    @pandas_udf(ArrayType(LongType()))
+    def probes(vec: pd.Series) -> pd.Series:
+        M = np.vstack(vec.to_numpy())
+        S = M @ centroids.T
+        order = np.argsort(-S, axis=1, kind="stable")[:, :n_probes]
+        return pd.Series(order.astype(np.int64).tolist())
+
+    return own, probes
+
+
+def _ivf_topk_kernel(k: int, chunk: int = 1024):
+    """Per-list asymmetric top-k: rows carry a role flag (member of the
+    inverted list vs probing query); each query chunk is one BLAS matmul
+    against the list's member matrix — bounded memory, hub-list safe."""
+
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": np.empty(0, np.int64),
+                "neighbor_id": np.empty(0, np.int64),
+                "cosine": np.empty(0, np.float64),
+            }
+        )
+        members = pdf[pdf["role"] == 0].sort_values("vid")
+        queries = pdf[pdf["role"] == 1].sort_values("vid")
+        if members.empty or queries.empty:
+            return empty
+        mids = members["vid"].to_numpy(np.int64)
+        M = np.vstack(members["vec"].to_numpy()).astype(np.float64)
+        qids = queries["vid"].to_numpy(np.int64)
+        Q = np.vstack(queries["vec"].to_numpy()).astype(np.float64)
+        out_q, out_n, out_c = [], [], []
+        for lo in range(0, len(Q), chunk):
+            hi = min(lo + chunk, len(Q))
+            S = np.round(Q[lo:hi] @ M.T, 6)
+            S[qids[lo:hi, None] == mids[None, :]] = -np.inf  # exclude self
+            kk = min(k, S.shape[1])
+            order = np.argsort(-S, axis=1, kind="stable")[:, :kk]
+            sc = np.take_along_axis(S, order, axis=1)
+            keep = np.isfinite(sc)
+            out_q.append(np.repeat(qids[lo:hi], kk)[keep.ravel()])
+            out_n.append(mids[order].ravel()[keep.ravel()])
+            out_c.append(sc.ravel()[keep.ravel()])
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    return kernel
+
+
+def ivf_knn(
+    emb: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probes: int = 4,
+    train_sample: int = 100_000,
+    lloyd_iter: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF-Flat (the inverted-file layout every
+    production vector store uses): every vector lives in the inverted list of
+    its nearest coarse centroid; each query scores only the members of its
+    n_probes nearest lists.
+
+    100-TB shape: the quantizer is trained once on a bounded sample and the
+    (n_centroids x dim) matrix rides in task closures; list assignment and
+    probing are one vectorized pass each; the candidate join shuffles
+    n_vectors * (1 + n_probes) rows partitioned by list id; scoring is
+    chunked BLAS per list (never a per-pair row explosion).  With
+    n_probes = n_centroids the candidate set is complete, so the result is
+    exactly brute force (tested) — recall is a dial, not a hope.
+
+    ``seed`` is accepted for API symmetry with lsh_knn (sampling is
+    hash-deterministic, so re-runs are identical regardless)."""
+    normed = normalize(emb, vec_col).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    ).persist()
+    first_row = normed.first()
+    if first_row is None:
+        normed.unpersist()
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank long"
+        )
+    centroids = _train_centroids(normed, n_centroids, train_sample, lloyd_iter)
+    n_probes = min(n_probes, n_centroids)
+    own_udf, probe_udf = _ivf_assign_udfs(centroids, n_probes)
+    members = normed.select("vid", "vec", own_udf("vec").alias("list_id"),
+                            F.lit(0).alias("role"))
+    queries = normed.select(
+        "vid", "vec", F.explode(probe_udf("vec")).alias("list_id"),
+        F.lit(1).alias("role")
+    )
+    cand = (
+        members.unionAll(queries)
+        .groupBy("list_id")
+        .applyInPandas(
+            _ivf_topk_kernel(k),
+            schema="query_id long, neighbor_id long, cosine double",
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    out = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine",
+                F.col("rank").cast("long").alias("rank"))
+    )
+    try:
         return out.localCheckpoint(eager=True)
     finally:
         normed.unpersist()

@@ -341,3 +341,36 @@ def test_similarity_ops_empty_input(spark):
     assert lsh_knn(e).count() == 0
     assert embedding_near_duplicates(e).count() == 0
     assert embedding_near_duplicates(e, exact=True).count() == 0
+
+
+def test_ivf_knn_probe_all_is_exact(spark, emb):
+    """Probing every inverted list makes the candidate set complete, so
+    IVF-Flat must equal brute force exactly — recall is a dial, not a hope."""
+    from split_merge_partitioner_spark.functions import ivf_knn
+
+    sub = emb.limit(90).persist()
+    exact = brute_force_knn(sub, k=3).toPandas()
+    full = ivf_knn(sub, k=3, n_centroids=8, n_probes=8).toPandas()
+    key = ["query_id", "rank"]
+    pd.testing.assert_frame_equal(
+        exact.sort_values(key).reset_index(drop=True),
+        full.sort_values(key).reset_index(drop=True),
+    )
+
+
+def test_ivf_knn_recall_and_determinism(spark, emb):
+    from split_merge_partitioner_spark.functions import ivf_knn
+
+    sub = emb.limit(120).persist()
+    exact = brute_force_knn(sub, k=3).toPandas()
+    approx = ivf_knn(sub, k=3, n_centroids=8, n_probes=3).toPandas()
+    e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    assert recall > 0.7, recall
+    again = ivf_knn(sub, k=3, n_centroids=8, n_probes=3).toPandas()
+    key = ["query_id", "rank"]
+    pd.testing.assert_frame_equal(
+        approx.sort_values(key).reset_index(drop=True),
+        again.sort_values(key).reset_index(drop=True),
+    )
