@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""spark-submit entry point: the downstream analytics suite over an edge table.
+
+One CLI for every iterative/graph analytic the engine ships (run_pagerank.py
+stays the checkpoint/resume-focused PageRank job):
+
+  spark-submit --py-files engine.zip jobs/run_analytics.py \
+      --input /data/edges.parquet --algo cc \
+      [--p 32] [--output /data/out.parquet] [--json-out /data/info.json]
+
+Algos: cc (connected components), lp (label propagation), triangles
+(per-vertex triangle counts), tricount (single global count), bfs
+(--source vertex), diameter (double-sweep), hyperanf (neighborhood function
++ effective diameter), kcore (coreness).  Partition-aware algos (cc, lp,
+bfs, diameter, hyperanf) partition the edges with DBH first (cheap, pure
+expression) unless --no-partition is given.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+# direct `python jobs/run_*.py` invocation: put the repo root on sys.path
+# (spark-submit --py-files provides the package on executors either way)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument(
+        "--algo", required=True,
+        choices=["cc", "lp", "triangles", "tricount", "bfs", "diameter",
+                 "hyperanf", "kcore"],
+    )
+    ap.add_argument("--output", default=None, help="result parquet")
+    ap.add_argument("--json-out", default=None, help="write the info dict here")
+    ap.add_argument("--p", type=int, default=32, help="DBH partition count")
+    ap.add_argument("--max-iter", type=int, default=200)
+    ap.add_argument("--source", type=int, default=None, help="bfs source vertex")
+    ap.add_argument("--n-steps", type=int, default=32, help="hyperanf supersteps")
+    ap.add_argument("--no-partition", action="store_true",
+                    help="skip DBH pre-partitioning (forces shuffle paths)")
+    args = ap.parse_args(argv)
+
+    from split_merge_partitioner_spark.graph import (
+        approximate_diameter,
+        bfs_distances,
+        connected_components,
+        coreness,
+        hyperanf,
+        label_propagation,
+        triangle_count,
+        triangles_per_vertex,
+    )
+    from split_merge_partitioner_spark.operators import dbh_partition
+    from split_merge_partitioner_spark.session import get_spark
+
+    spark = get_spark(app_name=f"smp-analytics-{args.algo}")
+    edges = spark.read.parquet(args.input).localCheckpoint(eager=True)
+    assigned = None if args.no_partition else dbh_partition(edges, args.p)
+
+    info: dict = {}
+    if args.algo == "cc":
+        out, info = connected_components(edges, assigned=assigned,
+                                         max_iter=args.max_iter)
+    elif args.algo == "lp":
+        out = label_propagation(edges, assigned=assigned,
+                                n_iter=min(args.max_iter, 5))
+    elif args.algo == "triangles":
+        out = triangles_per_vertex(edges)
+    elif args.algo == "tricount":
+        n_tri = triangle_count(edges)  # returns the scalar
+        info = {"triangles": int(n_tri)}
+        out = spark.createDataFrame([(int(n_tri),)], "n_triangles long")
+    elif args.algo == "bfs":
+        if args.source is None:
+            ap.error("--algo bfs requires --source")
+        out = bfs_distances(edges, args.source, assigned=assigned)
+    elif args.algo == "diameter":
+        out, info = approximate_diameter(edges, assigned=assigned)
+    elif args.algo == "hyperanf":
+        out, info = hyperanf(edges, assigned=assigned, n_steps=args.n_steps)
+    elif args.algo == "kcore":
+        out, info = coreness(edges, max_iter=args.max_iter)
+
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+    else:
+        out.limit(10).show()
+    print(json.dumps(info))
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(info, f)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

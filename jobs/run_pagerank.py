@@ -11,6 +11,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+
+# direct `python jobs/run_*.py` invocation: put the repo root on sys.path
+# (spark-submit --py-files provides the package on executors either way)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None) -> None:

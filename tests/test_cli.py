@@ -87,3 +87,25 @@ def test_build_pyfiles_zip_importable(tmp_path):
         "assert 'engine.zip' in p.__file__, p.__file__"
     ) % str(out)
     subprocess.run([sys.executable, "-c", code], check=True, capture_output=True)
+
+
+@pytest.mark.parametrize("algo,extra", [
+    ("cc", []),
+    ("kcore", []),
+    ("hyperanf", ["--n-steps", "4"]),
+    ("tricount", []),
+    ("bfs", ["--source", "0"]),
+])
+def test_run_analytics_cli(spark, edges_parquet, tmp_path, capsys, algo, extra):
+    from jobs.run_analytics import main as analytics_main
+
+    out = str(tmp_path / f"{algo}.parquet")
+    jinfo = str(tmp_path / f"{algo}.json")
+    analytics_main(["--input", edges_parquet, "--algo", algo,
+                    "--p", "4", "--output", out, "--json-out", jinfo, *extra])
+    import pandas as pd_  # local alias; pandas may not be imported here
+
+    res = pd_.read_parquet(out)
+    assert len(res) > 0
+    info = json.loads(open(jinfo).read())
+    assert isinstance(info, dict)
