@@ -28,7 +28,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(argv=None) -> None:
+def main(argv=None, stop: bool = True) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument(
@@ -42,6 +42,8 @@ def main(argv=None) -> None:
     ap.add_argument("--max-iter", type=int, default=200)
     ap.add_argument("--source", type=int, default=None, help="bfs source vertex")
     ap.add_argument("--n-steps", type=int, default=32, help="hyperanf supersteps")
+    ap.add_argument("--n-iter", type=int, default=5,
+                    help="lp synchronous supersteps (lp runs EXACTLY this many)")
     ap.add_argument("--no-partition", action="store_true",
                     help="skip DBH pre-partitioning (forces shuffle paths)")
     args = ap.parse_args(argv)
@@ -63,13 +65,16 @@ def main(argv=None) -> None:
     edges = spark.read.parquet(args.input).localCheckpoint(eager=True)
     assigned = None if args.no_partition else dbh_partition(edges, args.p)
 
+    # cc/lp's gather-scatter mode needs the edge partition; without one the
+    # join mode is the correct (and only) configuration
+    cc_lp_mode = "join" if assigned is None else "gas"
     info: dict = {}
     if args.algo == "cc":
         out, info = connected_components(edges, assigned=assigned,
-                                         max_iter=args.max_iter)
+                                         mode=cc_lp_mode, max_iter=args.max_iter)
     elif args.algo == "lp":
-        out = label_propagation(edges, assigned=assigned,
-                                n_iter=min(args.max_iter, 5))
+        out = label_propagation(edges, assigned=assigned, mode=cc_lp_mode,
+                                n_iter=args.n_iter)
     elif args.algo == "triangles":
         out = triangles_per_vertex(edges)
     elif args.algo == "tricount":
@@ -95,7 +100,8 @@ def main(argv=None) -> None:
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump(info, f)
-    spark.stop()
+    if stop:  # keep the session when embedded (tests reuse one session)
+        spark.stop()
 
 
 if __name__ == "__main__":

@@ -27,7 +27,6 @@ import sys
 # direct `python jobs/run_*.py` invocation: put the repo root on sys.path
 # (spark-submit --py-files provides the package on executors either way)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import sys
 
 
 def main(argv=None, stop: bool = True) -> None:

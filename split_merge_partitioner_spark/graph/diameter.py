@@ -116,15 +116,12 @@ def _bfs_kernel(key: tuple, state: pd.DataFrame, edges: pd.DataFrame) -> pd.Data
 _INF = 1 << 62
 
 
-def _bfs_shuffle(edges: DataFrame, assigned: DataFrame, seed_vertex: int,
-                 max_levels: int) -> DataFrame:
-    """Fully distributed BFS sweep (no O(n) driver state): the same
-    mirror-join + cogroup scatter + min-combine loop as CC's shuffle path
-    (components.py), with dist+1 relaxation.  Returns (vertex, dist) with
-    unreached = _INF."""
+def _bfs_static_inputs(edges: DataFrame, assigned: DataFrame):
+    """The sweep-invariant checkpointed relations (mirror replicas +
+    bucket-aligned edges) — built ONCE per double sweep and shared by both
+    BFS passes (they are identical static inputs; rebuilding them per sweep
+    doubles the setup shuffles for nothing)."""
     from ..operators.stats import replica_sets
-    from ..sources.edges import vertices_of
-    from .gas import truncate
 
     spark = edges.sparkSession
     replicas = replica_sets(assigned).repartition("vertex").localCheckpoint(eager=True)
@@ -134,6 +131,24 @@ def _bfs_shuffle(edges: DataFrame, assigned: DataFrame, seed_vertex: int,
         .repartition(shuffle_n, "ebkt")
         .localCheckpoint(eager=True)
     )
+    return replicas, edges_by_bucket
+
+
+def _bfs_shuffle(edges: DataFrame, assigned: DataFrame, seed_vertex: int,
+                 max_levels: int, static_inputs=None) -> DataFrame:
+    """Fully distributed BFS sweep (no O(n) driver state): the same
+    mirror-join + cogroup scatter + min-combine loop as CC's shuffle path
+    (components.py), with dist+1 relaxation.  Returns (vertex, dist) with
+    unreached = _INF.  Pass static_inputs to reuse the checkpointed relations
+    across sweeps (the caller then owns their unpersist)."""
+    from ..sources.edges import vertices_of
+    from .gas import truncate
+
+    owns_static = static_inputs is None
+    if owns_static:
+        replicas, edges_by_bucket = _bfs_static_inputs(edges, assigned)
+    else:
+        replicas, edges_by_bucket = static_inputs
     state = (
         vertices_of(edges)
         .select(
@@ -164,8 +179,9 @@ def _bfs_shuffle(edges: DataFrame, assigned: DataFrame, seed_vertex: int,
         prev.unpersist()
         if changed == 0:
             break
-    replicas.unpersist()
-    edges_by_bucket.unpersist()
+    if owns_static:
+        replicas.unpersist()
+        edges_by_bucket.unpersist()
     return state
 
 
@@ -186,22 +202,27 @@ def _double_sweep_shuffle(edges, assigned, max_levels, source, distances_only):
         if row is None:
             return _empty_result(spark, distances_only)
         seed = int(row["vertex"])
-    d1 = _bfs_shuffle(edges, assigned, seed, max_levels)
-    reached = d1.where(F.col("dist") < _INF).localCheckpoint(eager=True)
-    d1.unpersist()
-    if distances_only:
-        mx = reached.agg(F.max("dist").alias("m")).collect()[0]["m"]
-        return reached, {"levels": int(mx) if mx is not None else 0}
-    far_row = reached.orderBy(F.desc("dist"), F.asc("vertex")).first()
-    ecc1 = int(far_row["dist"])
-    far = int(far_row["vertex"])
-    comp_size = reached.count()
-    d2 = _bfs_shuffle(edges, assigned, far, max_levels)
-    diameter = int(
-        d2.where(F.col("dist") < _INF).agg(F.max("dist").alias("m")).collect()[0]["m"]
-    )
-    d2.unpersist()
-    reached.unpersist()
+    static_inputs = _bfs_static_inputs(edges, assigned)
+    try:
+        d1 = _bfs_shuffle(edges, assigned, seed, max_levels, static_inputs)
+        reached = d1.where(F.col("dist") < _INF).localCheckpoint(eager=True)
+        d1.unpersist()
+        if distances_only:
+            mx = reached.agg(F.max("dist").alias("m")).collect()[0]["m"]
+            return reached, {"levels": int(mx) if mx is not None else 0}
+        far_row = reached.orderBy(F.desc("dist"), F.asc("vertex")).first()
+        ecc1 = int(far_row["dist"])
+        far = int(far_row["vertex"])
+        comp_size = reached.count()
+        d2 = _bfs_shuffle(edges, assigned, far, max_levels, static_inputs)
+        diameter = int(
+            d2.where(F.col("dist") < _INF).agg(F.max("dist").alias("m")).collect()[0]["m"]
+        )
+        d2.unpersist()
+        reached.unpersist()
+    finally:
+        static_inputs[0].unpersist()
+        static_inputs[1].unpersist()
     out = spark.createDataFrame(
         pd.DataFrame({"seed": [seed], "far_vertex": [far], "diameter": [diameter]})
     )

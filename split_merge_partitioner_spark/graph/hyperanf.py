@@ -178,39 +178,42 @@ def _hyperanf_shuffle(spark, edges: DataFrame, n_steps: int, stop_early: bool):
     info = {"iterations": 0, "converged": False, "mode": "shuffle"}
     e = edges.select("src", "dst").localCheckpoint(eager=True)
     maxes = [F.max(F.col("regs")[i]).alias(f"r{i}") for i in range(_M)]
-    for _t in range(n_steps):
-        nb = (
-            e.join(state.withColumnRenamed("vertex", "src"), "src")
-            .select(F.col("dst").alias("vertex"), "regs")
-            .unionAll(
-                e.join(state.withColumnRenamed("vertex", "dst"), "dst").select(
-                    F.col("src").alias("vertex"), "regs"
+    try:
+        for _t in range(n_steps):
+            nb = (
+                e.join(state.withColumnRenamed("vertex", "src"), "src")
+                .select(F.col("dst").alias("vertex"), "regs")
+                .unionAll(
+                    e.join(state.withColumnRenamed("vertex", "dst"), "dst").select(
+                        F.col("src").alias("vertex"), "regs"
+                    )
                 )
+                .unionAll(state)
             )
-            .unionAll(state)
-        )
-        new_state = (
-            nb.groupBy("vertex")
-            .agg(*maxes)
-            .select("vertex", F.array(*[F.col(f"r{i}") for i in range(_M)]).alias("regs"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_state.join(state.withColumnRenamed("regs", "old"), "vertex")
-            .where(F.col("regs") != F.col("old"))
-            .count()
-        )
-        state.unpersist()
-        state = new_state
-        info["iterations"] += 1
-        if changed == 0:
-            info["converged"] = True
-            if stop_early:
+            new_state = (
+                nb.groupBy("vertex")
+                .agg(*maxes)
+                .select("vertex", F.array(*[F.col(f"r{i}") for i in range(_M)]).alias("regs"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_state.join(state.withColumnRenamed("regs", "old"), "vertex")
+                .where(F.col("regs") != F.col("old"))
+                .count()
+            )
+            state.unpersist()
+            state = new_state
+            info["iterations"] += 1
+            if changed == 0:
+                # register fixpoint: later sweeps cannot change anything, so
+                # stop in BOTH modes — the caller pads the constant tail when
+                # a fixed-shape history was requested
+                info["converged"] = True
                 break
-            history.append(history[-1])
-        else:
             history.append(state.agg(est_expr).collect()[0][0])
-    state.unpersist()
+    finally:
+        state.unpersist()
+        e.unpersist()
     return history, info
 
 
@@ -253,24 +256,24 @@ def hyperanf(
     from ..sources.edges import vertices_of
 
     spark = edges.sparkSession
-    n = vertices_of(edges).count()
-    if n == 0:
-        out = spark.createDataFrame(pd.DataFrame({"t": [0], "neighborhood": [0.0]}))
-        return out, {"iterations": 0, "converged": True, "mode": "empty",
-                     "effective_diameter_90": 0.0}
-    if assigned is not None and n <= broadcast_threshold:
-        verts = np.sort(
-            vertices_of(edges).toPandas()["vertex"].to_numpy(np.int64)
-        )
-        history, info = _hyperanf_broadcast(
-            spark, verts, assigned, n_steps
-        )
-        if not stop_early:
-            history = history + [history[-1]] * (n_steps + 1 - len(history))
-    else:
-        history, info = _hyperanf_shuffle(spark, edges, n_steps, stop_early)
-        if not stop_early:
-            history = history + [history[-1]] * (n_steps + 1 - len(history))
+    # one distinct-vertex job serves both the threshold decision and the
+    # broadcast path's id collect (it was two full union+distinct shuffles)
+    verts_df = vertices_of(edges).localCheckpoint(eager=True)
+    try:
+        n = verts_df.count()
+        if n == 0:
+            out = spark.createDataFrame(pd.DataFrame({"t": [0], "neighborhood": [0.0]}))
+            return out, {"iterations": 0, "converged": True, "mode": "empty",
+                         "effective_diameter_90": 0.0}
+        if assigned is not None and n <= broadcast_threshold:
+            verts = np.sort(verts_df.toPandas()["vertex"].to_numpy(np.int64))
+            history, info = _hyperanf_broadcast(spark, verts, assigned, n_steps)
+        else:
+            history, info = _hyperanf_shuffle(spark, edges, n_steps, stop_early)
+    finally:
+        verts_df.unpersist()
+    if not stop_early:
+        history = history + [history[-1]] * (n_steps + 1 - len(history))
     n_inf = history[-1]
     target = 0.9 * n_inf
     eff = float(len(history) - 1)

@@ -67,12 +67,15 @@ def _coreness_dense(spark, edges: DataFrame, n_iter: int | None, max_iter: int):
         new = _hindex_numpy(n, s, d, c)
         info["iterations"] += 1
         if (new == c).all():
+            # fixed-iteration runs report convergence too (matching the
+            # shuffle path); the remaining sweeps are no-ops either way
+            info["converged"] = True
             c = new
-            if n_iter is None:
-                info["converged"] = True
-                break
+            break
         c = new
-    if n_iter is None and not info["converged"]:
+    if n_iter is not None:
+        info["iterations"] = n_iter  # fixed-shape contract: k sweeps ran (rest no-op)
+    elif not info["converged"]:
         info["converged"] = bool((_hindex_numpy(n, s, d, c) == c).all())
     out = spark.createDataFrame(pd.DataFrame({"vertex": verts, "coreness": c}))
     return out, info
@@ -114,9 +117,11 @@ def _coreness_shuffle(spark, edges: DataFrame, n_iter: int | None, max_iter: int
         state = new_state
         info["iterations"] += 1
         if changed == 0:
+            # fixpoint: later sweeps are no-ops, stop in both modes
             info["converged"] = True
-            if n_iter is None:
-                break
+            break
+    if n_iter is not None:
+        info["iterations"] = n_iter  # fixed-shape contract (rest were no-ops)
     und.unpersist()
     return state.select("vertex", F.col("c").alias("coreness")), info
 

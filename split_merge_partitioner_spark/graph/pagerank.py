@@ -413,17 +413,23 @@ def pagerank(
             pdf = state.select("vertex", "rank").toPandas().sort_values("vertex")
             init_rank = pdf["rank"].to_numpy(np.float64)
         state.unpersist()
-        if combine in ("auto", "rdd"):
-            # default sub-threshold executor: raw-RDD static blocks, one job
-            # per superstep, no Catalyst/Arrow in the loop (see docstring)
-            return _pagerank_gas_rdd(
+        try:
+            if combine in ("auto", "rdd"):
+                # default sub-threshold executor: raw-RDD static blocks, one
+                # job per superstep, no Catalyst/Arrow in the loop (docstring)
+                return _pagerank_gas_rdd(
+                    spark, deg, n, assigned, tol, max_iter, damping, check_every,
+                    ckpt, start_it, init_rank,
+                )
+            return _pagerank_gas_broadcast(
                 spark, deg, n, assigned, tol, max_iter, damping, check_every,
-                ckpt, start_it, init_rank,
+                ckpt, start_it, init_rank, combine=combine,
             )
-        return _pagerank_gas_broadcast(
-            spark, deg, n, assigned, tol, max_iter, damping, check_every,
-            ckpt, start_it, init_rank, combine=combine,
-        )
+        finally:
+            # both executors return driver-materialized results, so the
+            # checkpointed degree table can be released here (it otherwise
+            # accrues one n-row checkpoint per pagerank call)
+            deg.unpersist()
 
     if mode == "gas":
         assert assigned is not None, "gas mode needs the partition assignment"

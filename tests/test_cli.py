@@ -102,10 +102,24 @@ def test_run_analytics_cli(spark, edges_parquet, tmp_path, capsys, algo, extra):
     out = str(tmp_path / f"{algo}.parquet")
     jinfo = str(tmp_path / f"{algo}.json")
     analytics_main(["--input", edges_parquet, "--algo", algo,
-                    "--p", "4", "--output", out, "--json-out", jinfo, *extra])
+                    "--p", "4", "--output", out, "--json-out", jinfo, *extra],
+                   stop=False)
     import pandas as pd_  # local alias; pandas may not be imported here
 
     res = pd_.read_parquet(out)
     assert len(res) > 0
     info = json.loads(open(jinfo).read())
     assert isinstance(info, dict)
+
+
+def test_run_analytics_no_partition_cc(spark, edges_parquet, tmp_path):
+    """--no-partition must route cc/lp to the join mode, not crash on the
+    gas-mode assigned assertion."""
+    from jobs.run_analytics import main as analytics_main
+
+    out = str(tmp_path / "cc_np.parquet")
+    analytics_main(["--input", edges_parquet, "--algo", "cc",
+                    "--no-partition", "--output", out], stop=False)
+    import pandas as pd_
+
+    assert len(pd_.read_parquet(out)) > 0
