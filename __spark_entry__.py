@@ -204,6 +204,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         return brute_force_knn(emb, k=5)
 
+    def q_corpus_clean(spark, sf):
+        # the fused end-to-end cleaning pipeline (functions/pipeline.py):
+        # exact-dedup keepers ∩ language ∩ quality floor ∩ token window,
+        # one scan + the two semantically-required shuffles
+        from split_merge_partitioner_spark.functions import clean_corpus
+
+        return clean_corpus(_docs(spark, sf))
+
     def q_ivf_knn(spark, sf):
         # rows-only: centroid training is float-valued — argmax boundaries are
         # not robust to cross-engine FP; exactness is pytest-proven instead
@@ -436,6 +444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn,
         "lsh_knn": q_lsh_knn,
         "ivf_knn": q_ivf_knn,
+        "corpus_clean": q_corpus_clean,
         "embedding_dups_exact": q_embedding_dups_exact,
         "embedding_dups_lsh": q_embedding_dups_lsh,
         "ebv_bucket_sizes": q_ebv_bucket_sizes,
@@ -643,6 +652,43 @@ with_best AS (
     SELECT doc_id, {best} AS best, * FROM scored
 )
 SELECT doc_id, CASE WHEN best <= 0 THEN 'unk' {whens} END AS lang_pred FROM with_best
+"""
+
+    # fused corpus-cleaning pipeline oracle: the same n_tokens / quality /
+    # language expressions as the standalone oracles above, composed with the
+    # md5 dedup-keeper join and the filter thresholds of
+    # functions/pipeline.py::clean_corpus defaults
+    corpus_clean_sql = f"""
+WITH cc_scored AS (
+    SELECT doc_id, text, {', '.join(marker_counts)}
+    FROM (SELECT doc_id, text, ' ' || LOWER(text) || ' ' AS padded FROM documents)
+),
+cc_best AS (SELECT *, {best} AS best FROM cc_scored),
+enriched AS (
+    SELECT doc_id,
+           md5(text) AS text_md5,
+           CASE WHEN best <= 0 THEN 'unk' {whens} END AS lang_pred,
+           CAST(CASE WHEN LENGTH(regexp_replace(trim(text), ' +', ' ', 'g')) = 0 THEN 0
+                ELSE LENGTH(regexp_replace(trim(text), ' +', ' ', 'g'))
+                     - LENGTH(REPLACE(regexp_replace(trim(text), ' +', ' ', 'g'), ' ', '')) + 1
+                END AS BIGINT) AS n_tokens,
+           ROUND(1.0 - LEAST(1.0, (LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                                   / (GREATEST(LENGTH(text), 1) * 1.0) * 10.0) * 0.3
+                     - LEAST(1.0, (LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')))
+                                   / (GREATEST(LENGTH(text), 1) * 1.0) * 10.0) * 0.3
+                     - CASE WHEN LENGTH(text) < 100 THEN 0.4 ELSE 0.0 END, 6) AS quality_score
+    FROM cc_best
+),
+keepers AS (
+    SELECT text_md5, MIN(doc_id) AS keeper_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM enriched GROUP BY text_md5
+)
+SELECT e.doc_id, e.lang_pred, e.n_tokens, e.quality_score, k.n_copies
+FROM enriched e
+JOIN keepers k ON k.text_md5 = e.text_md5 AND k.keeper_id = e.doc_id
+WHERE e.lang_pred IN ('en', 'de', 'fr', 'es')
+  AND e.quality_score >= 0.3
+  AND e.n_tokens BETWEEN 10 AND 1000000
 """
 
     ngram_jaccard_sql = """
@@ -1041,6 +1087,7 @@ FROM documents
 """,
         "text_quality": text_quality_sql,
         "language_id": language_id_sql,
+        "corpus_clean": corpus_clean_sql,
         "ngram_jaccard": ngram_jaccard_sql,
         "knn_bruteforce": knn_sql,
         "embedding_dups_exact": embedding_dups_sql,

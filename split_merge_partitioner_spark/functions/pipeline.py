@@ -1,0 +1,62 @@
+"""End-to-end training-corpus cleaning: the composition a 100-TB data
+pipeline actually runs — exact dedup -> language filter -> quality floor ->
+token-length window — fused into ONE pass over the documents table.
+
+Plan shape (the point of this module): every per-doc column (language vote,
+quality score, token count, content hash) is computed in a single projection
+over one scan — no cross-projection self-joins — so the only shuffles are the
+two the semantics require: the dedup groupBy(content hash) and the keeper
+join back.  All expressions are the SAME JVM-side builders the standalone
+operators use (functions/text.py), so the composite inherits their
+SQL-portability and earns a full DuckDB oracle (__spark_entry__
+"corpus_clean")."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import lang_pred_col, n_tokens_col, quality_score_col
+
+
+def clean_corpus(
+    docs: DataFrame,
+    langs: tuple[str, ...] = ("en", "de", "fr", "es"),
+    min_quality: float = 0.3,
+    min_tokens: int = 10,
+    max_tokens: int = 1_000_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Kept documents with provenance: (doc_id, lang_pred, n_tokens,
+    quality_score, n_copies), where n_copies is the exact-duplicate group
+    size this keeper represents.  A document survives iff it is its
+    duplicate-group's keeper (min id), its predicted language is in
+    ``langs``, quality_score >= min_quality, and its whitespace token count
+    lies in [min_tokens, max_tokens]."""
+    enriched = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col)).alias("text_md5"),
+        lang_pred_col(text_col).alias("lang_pred"),
+        n_tokens_col(text_col).alias("n_tokens"),
+        # rounded BEFORE the threshold filter so the cross-engine oracle
+        # compares on identical values (no FP boundary ambiguity)
+        F.round(quality_score_col(text_col), 6).alias("quality_score"),
+    )
+    keepers = (
+        enriched.groupBy("text_md5")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+    return (
+        enriched.join(
+            keepers,
+            (enriched["text_md5"] == keepers["text_md5"])
+            & (enriched["doc_id"] == keepers["keeper_id"]),
+        )
+        .where(
+            F.col("lang_pred").isin(*langs)
+            & (F.col("quality_score") >= F.lit(min_quality))
+            & F.col("n_tokens").between(min_tokens, max_tokens)
+        )
+        .select("doc_id", "lang_pred", "n_tokens", "quality_score", "n_copies")
+    )

@@ -18,19 +18,24 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
-def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, n_chars, n_tokens, avg_token_len).
-
-    n_tokens = whitespace-delimited words, computed portably as
+def n_tokens_col(text_col: str = "text"):
+    """Whitespace token count as a pure expression, computed portably as
     (#spaces + 1) on the squeezed string — identical semantics in ANSI SQL.
-    """
+    Shared by token_stats and the fused clean_corpus pipeline."""
     t = F.trim(F.col(text_col))
     squeezed = F.regexp_replace(t, " +", " ")
-    n_tokens = (
+    return (
         F.when(F.length(squeezed) == 0, F.lit(0)).otherwise(
             F.length(squeezed) - F.length(F.replace(squeezed, F.lit(" "), F.lit(""))) + 1
         )
     ).cast("long")
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, n_tokens, avg_token_len)."""
+    t = F.trim(F.col(text_col))
+    squeezed = F.regexp_replace(t, " +", " ")
+    n_tokens = n_tokens_col(text_col)
     return docs.select(
         "doc_id",
         F.length(F.col(text_col)).cast("long").alias("n_chars"),
@@ -39,6 +44,21 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             (F.length(F.replace(squeezed, F.lit(" "), F.lit(""))) / F.greatest(n_tokens, F.lit(1))),
             6,
         ).alias("avg_token_len"),
+    )
+
+
+def quality_score_col(text_col: str = "text"):
+    """The (unrounded) quality-score expression — shared by text_quality and
+    the fused clean_corpus pipeline."""
+    t = F.col(text_col)
+    n = F.greatest(F.length(t), F.lit(1)).cast("double")
+    punct = (F.length(t) - F.length(F.regexp_replace(t, r"[.,;:!?]", ""))).cast("double")
+    digit = (F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))).cast("double")
+    return (
+        F.lit(1.0)
+        - F.least(F.lit(1.0), punct / n * 10.0) * 0.3
+        - F.least(F.lit(1.0), digit / n * 10.0) * 0.3
+        - F.when(F.length(t) < 100, 0.4).otherwise(0.0)
     )
 
 
@@ -54,12 +74,7 @@ def text_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
     punct = (F.length(t) - F.length(F.regexp_replace(t, r"[.,;:!?]", ""))).cast("double")
     upper = (F.length(t) - F.length(F.regexp_replace(t, r"[A-Z]", ""))).cast("double")
     digit = (F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))).cast("double")
-    quality = (
-        F.lit(1.0)
-        - F.least(F.lit(1.0), punct / n * 10.0) * 0.3
-        - F.least(F.lit(1.0), digit / n * 10.0) * 0.3
-        - F.when(F.length(t) < 100, 0.4).otherwise(0.0)
-    )
+    quality = quality_score_col(text_col)
     return docs.select(
         "doc_id",
         F.length(t).cast("long").alias("n_chars"),
@@ -70,28 +85,35 @@ def text_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, lang_pred) — stopword-marker voting; 'unk' when no marker hits.
-    Deterministic ties: language order en > de > fr > es (first max wins)."""
+def _lang_score_expr(text_col: str, lang: str):
     padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    cols = [
+        (F.length(padded) - F.length(F.replace(padded, F.lit(m), F.lit("")))) / F.lit(len(m))
+        for m in LANG_MARKERS[lang]
+    ]
+    s = cols[0]
+    for c in cols[1:]:
+        s = s + c
+    return s.cast("long")
 
-    def score(lang: str):
-        cols = [
-            (F.length(padded) - F.length(F.replace(padded, F.lit(m), F.lit("")))) / F.lit(len(m))
-            for m in LANG_MARKERS[lang]
-        ]
-        s = cols[0]
-        for c in cols[1:]:
-            s = s + c
-        return s.cast("long").alias(f"score_{lang}")
 
-    scored = docs.select("doc_id", *[score(lang) for lang in LANG_MARKERS])
+def lang_pred_col(text_col: str = "text"):
+    """Language vote as one inline expression (no intermediate score columns)
+    — shared by language_id and the fused clean_corpus pipeline.
+    Deterministic ties: language order en > de > fr > es (first max wins)."""
     langs = list(LANG_MARKERS)
-    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    scores = {lang: _lang_score_expr(text_col, lang) for lang in langs}
+    best = F.greatest(*scores.values())
     pred = F.when(best <= 0, F.lit("unk"))
     for lang in langs:
-        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
-    return scored.select("doc_id", pred.alias("lang_pred"))
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    return pred
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, lang_pred) — stopword-marker voting; 'unk' when no marker
+    hits."""
+    return docs.select("doc_id", lang_pred_col(text_col).alias("lang_pred"))
 
 
 # BPE-ish pre-tokenizer pattern (GPT-2 pre-tokenization simplified to the

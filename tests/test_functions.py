@@ -374,3 +374,31 @@ def test_ivf_knn_recall_and_determinism(spark, emb):
         approx.sort_values(key).reset_index(drop=True),
         again.sort_values(key).reset_index(drop=True),
     )
+
+
+def test_clean_corpus_semantics(spark):
+    """Fused pipeline == manual composition of the standalone operators."""
+    from split_merge_partitioner_spark.functions import clean_corpus
+
+    docs = spark.read.parquet(f"{SF_DIR_CORRECTNESS}/documents.parquet").persist()
+    got = clean_corpus(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    # manual composition
+    d = docs.toPandas()
+    lang = language_id(docs).toPandas().set_index("doc_id")["lang_pred"]
+    qual = text_quality(docs).toPandas().set_index("doc_id")["quality_score"]
+    toks = token_stats(docs).toPandas().set_index("doc_id")["n_tokens"]
+    keeper = d.groupby(d["text"])["doc_id"].transform("min")
+    copies = d.groupby(d["text"])["doc_id"].transform("size")
+    keep = (
+        (d["doc_id"] == keeper)
+        & lang.loc[d["doc_id"]].isin(["en", "de", "fr", "es"]).to_numpy()
+        & (qual.loc[d["doc_id"]].to_numpy() >= 0.3)
+        & (toks.loc[d["doc_id"]].to_numpy() >= 10)
+    )
+    exp = d[keep].sort_values("doc_id")
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got.set_index("doc_id")["n_copies"].to_dict() == dict(
+        zip(exp["doc_id"], copies[keep])
+    )
+    # every surviving doc really is its duplicate-group keeper
+    assert (got["n_copies"] >= 1).all() and len(got) > 0
