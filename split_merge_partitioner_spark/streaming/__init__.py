@@ -1,4 +1,8 @@
-from .edges_stream import streaming_degree_counts, streaming_edge_ingest  # noqa: F401
+from .edges_stream import (  # noqa: F401
+    streaming_dbh_router,
+    streaming_degree_counts,
+    streaming_edge_ingest,
+)
 from .dedup_stream import (  # noqa: F401
     streaming_exact_dedup,
     streaming_vertex_degrees_stateful,

@@ -55,3 +55,36 @@ def streaming_degree_counts(
             "degree",
         )
     )
+
+
+def streaming_dbh_router(
+    edges_stream: DataFrame, degree_snapshot: DataFrame, p: int
+) -> DataFrame:
+    """Route continuously arriving edges to DBH buckets using a broadcast
+    degree SNAPSHOT — the production pattern for a live ingest: new edges are
+    placed by the last batch-computed degree table (expr_partitioners.py
+    rule, degree.hpp:24-27 semantics), while full repartitioning remains a
+    periodic batch job.  Stateless (broadcast join + expression), so it runs
+    in any output mode with no streaming state store.
+
+    Vertices unseen by the snapshot get degree 0: a brand-new vertex is by
+    definition the low-degree endpoint, so the cut lands on it — exactly the
+    DBH intent for hubs-vs-newcomers."""
+    d = F.broadcast(degree_snapshot)
+    e = (
+        edges_stream.join(
+            d.withColumnRenamed("vertex", "src").withColumnRenamed("degree", "deg_src"),
+            "src", "left",
+        )
+        .join(
+            d.withColumnRenamed("vertex", "dst").withColumnRenamed("degree", "deg_dst"),
+            "dst", "left",
+        )
+        .withColumn("deg_src", F.coalesce("deg_src", F.lit(0)))
+        .withColumn("deg_dst", F.coalesce("deg_dst", F.lit(0)))
+    )
+    bucket = F.pmod(
+        F.when(F.col("deg_src") <= F.col("deg_dst"), F.col("src")).otherwise(F.col("dst")),
+        F.lit(p),
+    ).cast("long")
+    return e.select("src", "dst", "event_time", bucket.alias("bucket"))

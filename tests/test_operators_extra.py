@@ -240,3 +240,41 @@ def test_fsm_hub_salting_path(spark, graph):
     v = validate_partition(graph, res.assigned, 4)
     assert all(x == 0 for x in v.values()), v
     assert max(res.subbuckets_per_final.values()) <= 2
+
+
+def test_streaming_dbh_router_matches_batch_rule(spark, tmp_path):
+    """Streamed edges routed by the degree-snapshot DBH rule == the batch
+    expression applied to the same rows (new vertices -> degree 0)."""
+    import datetime as dt
+
+    from split_merge_partitioner_spark.streaming import (
+        streaming_dbh_router,
+        streaming_edge_ingest,
+    )
+
+    src_dir = str(tmp_path / "router_in")
+    t0 = dt.datetime(2026, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "src": [1, 2, 3, 9],
+            "dst": [2, 3, 7, 1],
+            "event_time": [t0] * 4,
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(src_dir)
+    # degree snapshot covers vertices 1-3 only; 7 and 9 are newcomers
+    snap = spark.createDataFrame(
+        pd.DataFrame({"vertex": [1, 2, 3], "degree": [5, 2, 1]})
+    )
+    routed = streaming_dbh_router(streaming_edge_ingest(spark, src_dir), snap, p=4)
+    assert routed.isStreaming
+    q = (
+        routed.writeStream.format("memory").queryName("routed")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    out = spark.sql("select * from routed").toPandas()
+    got = {(r.src, r.dst): r.bucket for r in out.itertuples()}
+    # canonicalized: (1,2): deg 5 vs 2 -> dst=2 -> 2%4=2; (2,3): 2 vs 1 -> 3%4=3
+    # (3,7): 1 vs 0 (new) -> 7%4=3; (1,9): 5 vs 0 -> 9%4=1
+    assert got == {(1, 2): 2, (2, 3): 3, (3, 7): 3, (1, 9): 1}
