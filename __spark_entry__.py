@@ -204,6 +204,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         return brute_force_knn(emb, k=5)
 
+    def q_local_clustering(spark, sf):
+        from split_merge_partitioner_spark.graph import local_clustering
+
+        return local_clustering(_edges(spark, sf))
+
     def q_corpus_clean(spark, sf):
         # the fused end-to-end cleaning pipeline (functions/pipeline.py):
         # exact-dedup keepers ∩ language ∩ quality floor ∩ token window,
@@ -445,6 +450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_knn": q_lsh_knn,
         "ivf_knn": q_ivf_knn,
         "corpus_clean": q_corpus_clean,
+        "local_clustering": q_local_clustering,
         "embedding_dups_exact": q_embedding_dups_exact,
         "embedding_dups_lsh": q_embedding_dups_lsh,
         "ebv_bucket_sizes": q_ebv_bucket_sizes,
@@ -569,6 +575,29 @@ tri AS (
 SELECT vertex, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
     SELECT a AS vertex FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
 ) GROUP BY vertex
+"""
+
+    local_clustering_sql = f"""
+WITH {_EDGES_CTE},
+tri AS (
+    SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+    FROM edges ab JOIN edges bc ON ab.dst = bc.src JOIN edges ac
+         ON ac.src = ab.src AND ac.dst = bc.dst
+),
+tpv AS (
+    SELECT vertex, COUNT(*) AS triangles FROM (
+        SELECT a AS vertex FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+    ) GROUP BY vertex
+),
+verts AS (SELECT src AS vertex FROM edges UNION ALL SELECT dst FROM edges),
+deg AS (SELECT vertex, COUNT(*) AS degree FROM verts GROUP BY vertex)
+SELECT d.vertex,
+       CAST(d.degree AS BIGINT) AS degree,
+       CAST(COALESCE(t.triangles, 0) AS BIGINT) AS triangles,
+       CASE WHEN d.degree >= 2
+            THEN ROUND(2.0 * COALESCE(t.triangles, 0) / (d.degree * (d.degree - 1.0)), 6)
+            ELSE 0.0 END AS lcc
+FROM deg d LEFT JOIN tpv t ON t.vertex = d.vertex
 """
 
     components_sql = f"""
@@ -1076,6 +1105,7 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 6
         "dbh_bucket_sizes": dbh_bucket_sizes_sql,
         "triangle_count": triangle_count_sql,
         "triangles_per_vertex": triangles_per_vertex_sql,
+        "local_clustering": local_clustering_sql,
         "connected_components": components_sql,
         "exact_dedup": exact_dedup_sql,
         "token_stats": token_stats_sql,

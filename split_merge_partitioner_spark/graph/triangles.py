@@ -65,3 +65,23 @@ def triangles_per_vertex(edges: DataFrame, orient: str = "degree") -> DataFrame:
         .unionAll(tri.select(F.col("c").alias("vertex")))
     )
     return corners.groupBy("vertex").agg(F.count(F.lit(1)).alias("triangles"))
+
+
+def local_clustering(edges: DataFrame, orient: str = "degree") -> DataFrame:
+    """(vertex, degree, triangles, lcc) — the local clustering coefficient
+    lcc(v) = 2*tri(v) / (deg(v)*(deg(v)-1)), 0 for degree-1 vertices.
+    Composition of the per-vertex triangle counts and the degree table
+    (left join: triangle-free vertices count 0), rounded to 6 for the
+    cross-engine oracle."""
+    from ..sources.edges import degrees
+
+    tri = triangles_per_vertex(edges, orient=orient)
+    deg = degrees(edges)
+    t = F.coalesce(F.col("triangles"), F.lit(0)).cast("long")
+    d = F.col("degree").cast("double")
+    lcc = F.when(
+        F.col("degree") >= 2, F.round(2.0 * t / (d * (d - 1.0)), 6)
+    ).otherwise(F.lit(0.0))
+    return deg.join(tri, "vertex", "left").select(
+        "vertex", "degree", t.alias("triangles"), lcc.alias("lcc")
+    )

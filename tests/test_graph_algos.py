@@ -192,3 +192,22 @@ def test_diameter_empty_graph(spark):
     res, info = approximate_diameter(e)
     assert res.count() == 0 and info["component_size"] == 0
     assert bfs_distances(e, 0).count() == 0
+
+
+def test_local_clustering_triangle_graph(spark):
+    """Triangle + pendant: lcc 1.0 on the triangle corners except the corner
+    with the pendant (2/3... recompute), 0 for the degree-1 vertex."""
+    import pandas as pd
+
+    from split_merge_partitioner_spark.graph import local_clustering
+
+    e = spark.createDataFrame(
+        pd.DataFrame({"src": [1, 1, 2, 3], "dst": [2, 3, 3, 4]})
+    )
+    got = {r.vertex: (r.degree, r.triangles, r.lcc)
+           for r in local_clustering(e).collect()}
+    assert got[1] == (2, 1, 1.0)
+    assert got[2] == (2, 1, 1.0)
+    # vertex 3 has degree 3 (1,2,4) and one triangle: 2*1/(3*2) = 1/3
+    assert got[3][0] == 3 and got[3][1] == 1 and abs(got[3][2] - 1 / 3) < 1e-6
+    assert got[4] == (1, 0, 0.0)
