@@ -33,8 +33,8 @@ def main(argv=None, stop: bool = True) -> None:
     ap.add_argument("--input", required=True)
     ap.add_argument(
         "--algo", required=True,
-        choices=["cc", "lp", "triangles", "tricount", "bfs", "diameter",
-                 "hyperanf", "kcore"],
+        choices=["cc", "lp", "triangles", "tricount", "clustering", "bfs",
+                 "diameter", "hyperanf", "kcore"],
     )
     ap.add_argument("--output", default=None, help="result parquet")
     ap.add_argument("--json-out", default=None, help="write the info dict here")
@@ -55,6 +55,7 @@ def main(argv=None, stop: bool = True) -> None:
         coreness,
         hyperanf,
         label_propagation,
+        local_clustering,
         triangle_count,
         triangles_per_vertex,
     )
@@ -77,6 +78,8 @@ def main(argv=None, stop: bool = True) -> None:
                                 n_iter=args.n_iter)
     elif args.algo == "triangles":
         out = triangles_per_vertex(edges)
+    elif args.algo == "clustering":
+        out = local_clustering(edges)
     elif args.algo == "tricount":
         n_tri = triangle_count(edges)  # returns the scalar
         info = {"triangles": int(n_tri)}

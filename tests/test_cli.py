@@ -94,6 +94,7 @@ def test_build_pyfiles_zip_importable(tmp_path):
     ("kcore", []),
     ("hyperanf", ["--n-steps", "4"]),
     ("tricount", []),
+    ("clustering", []),
     ("bfs", ["--source", "0"]),
 ])
 def test_run_analytics_cli(spark, edges_parquet, tmp_path, capsys, algo, extra):
