@@ -209,6 +209,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return local_clustering(_edges(spark, sf))
 
+    def q_link_suggestions(spark, sf):
+        # top-5 non-adjacent candidates per vertex by common-neighbor count;
+        # integer-only ranking keeps the window cross-engine deterministic
+        from split_merge_partitioner_spark.graph import link_suggestions
+
+        return link_suggestions(_edges(spark, sf), k=5, min_common=2)
+
     def q_corpus_clean(spark, sf):
         # the fused end-to-end cleaning pipeline (functions/pipeline.py):
         # exact-dedup keepers ∩ language ∩ quality floor ∩ token window,
@@ -451,6 +458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_knn": q_ivf_knn,
         "corpus_clean": q_corpus_clean,
         "local_clustering": q_local_clustering,
+        "link_suggestions": q_link_suggestions,
         "embedding_dups_exact": q_embedding_dups_exact,
         "embedding_dups_lsh": q_embedding_dups_lsh,
         "ebv_bucket_sizes": q_ebv_bucket_sizes,
@@ -598,6 +606,43 @@ SELECT d.vertex,
             THEN ROUND(2.0 * COALESCE(t.triangles, 0) / (d.degree * (d.degree - 1.0)), 6)
             ELSE 0.0 END AS lcc
 FROM deg d LEFT JOIN tpv t ON t.vertex = d.vertex
+"""
+
+    link_suggestions_sql = f"""
+WITH {_EDGES_CTE},
+und AS (SELECT src AS w, dst AS n FROM edges UNION ALL SELECT dst, src FROM edges),
+deg AS (SELECT w AS vertex, COUNT(*) AS degree FROM und GROUP BY w),
+wed AS (
+    SELECT x.n AS a, y.n AS b, d.degree AS dw
+    FROM und x JOIN und y ON x.w = y.w AND x.n < y.n
+    JOIN deg d ON d.vertex = x.w
+),
+scores AS (
+    SELECT a, b, CAST(COUNT(*) AS BIGINT) AS common,
+           ROUND(SUM(1.0 / ln(dw)), 6) AS adamic_adar
+    FROM wed GROUP BY a, b HAVING COUNT(*) >= 2
+),
+fresh AS (
+    SELECT s.* FROM scores s
+    WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = s.a AND e.dst = s.b)
+),
+withj AS (
+    SELECT f.a, f.b, f.common,
+           ROUND(CAST(f.common AS DOUBLE) / (da.degree + db.degree - f.common), 6) AS jaccard,
+           f.adamic_adar
+    FROM fresh f JOIN deg da ON da.vertex = f.a JOIN deg db ON db.vertex = f.b
+),
+mirrored AS (
+    SELECT a AS vertex, b AS candidate, common, jaccard, adamic_adar FROM withj
+    UNION ALL
+    SELECT b, a, common, jaccard, adamic_adar FROM withj
+)
+SELECT vertex, candidate, common, jaccard, adamic_adar, CAST(rank AS BIGINT) AS rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vertex
+                                 ORDER BY common DESC, candidate ASC) AS rank
+    FROM mirrored
+) WHERE rank <= 5
 """
 
     components_sql = f"""
@@ -1106,6 +1151,7 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 6
         "triangle_count": triangle_count_sql,
         "triangles_per_vertex": triangles_per_vertex_sql,
         "local_clustering": local_clustering_sql,
+        "link_suggestions": link_suggestions_sql,
         "connected_components": components_sql,
         "exact_dedup": exact_dedup_sql,
         "token_stats": token_stats_sql,

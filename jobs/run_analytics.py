@@ -33,7 +33,7 @@ def main(argv=None, stop: bool = True) -> None:
     ap.add_argument("--input", required=True)
     ap.add_argument(
         "--algo", required=True,
-        choices=["cc", "lp", "triangles", "tricount", "clustering", "bfs",
+        choices=["cc", "lp", "triangles", "tricount", "clustering", "linkpred", "bfs",
                  "diameter", "hyperanf", "kcore"],
     )
     ap.add_argument("--output", default=None, help="result parquet")
@@ -55,6 +55,7 @@ def main(argv=None, stop: bool = True) -> None:
         coreness,
         hyperanf,
         label_propagation,
+        link_suggestions,
         local_clustering,
         triangle_count,
         triangles_per_vertex,
@@ -80,6 +81,8 @@ def main(argv=None, stop: bool = True) -> None:
         out = triangles_per_vertex(edges)
     elif args.algo == "clustering":
         out = local_clustering(edges)
+    elif args.algo == "linkpred":
+        out = link_suggestions(edges)
     elif args.algo == "tricount":
         n_tri = triangle_count(edges)  # returns the scalar
         info = {"triangles": int(n_tri)}

@@ -5,3 +5,4 @@ from .triangles import local_clustering, triangle_count, triangles_per_vertex  #
 from .diameter import approximate_diameter, bfs_distances  # noqa: F401
 from .hyperanf import hyperanf  # noqa: F401
 from .kcore import coreness  # noqa: F401
+from .linkpred import link_suggestions  # noqa: F401

@@ -1,0 +1,94 @@
+"""Common-neighbor link prediction: top-k suggested new edges per vertex by
+shared-neighbor evidence — the "which dependency should this repo add next"
+query of a co-change link graph.
+
+Scores per candidate pair (a, b) not already adjacent:
+- common        = |N(a) ∩ N(b)|
+- jaccard       = common / |N(a) ∪ N(b)|
+- adamic_adar   = Σ_{w ∈ N(a)∩N(b)} 1 / ln(deg(w))   (Adamic & Adar 2003)
+
+Execution: wedge generation through each common neighbor w (the same
+self-join shape as triangles.py), one groupBy(a, b) with map-side combine,
+an anti-join against the edge table, then a per-vertex window.  Candidate
+RANKING is integer-only (common desc, candidate asc) so results are exactly
+reproducible cross-engine (an FP-ordered rank would tie-break on
+last-ulp-sensitive Adamic-Adar sums); the float scores are carried as
+rounded output columns.
+
+Scale: wedge volume is Σ_w deg(w)² — power-law hubs dominate it while
+contributing the LEAST per-wedge evidence (1/ln(deg) → small), so
+``max_center_degree`` drops hub centers from wedge generation (the standard
+truncation; scores become slight underestimates for pairs whose only shared
+neighbors are hubs, documented here).  Pass None to keep every center.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def link_suggestions(
+    edges: DataFrame,
+    k: int = 5,
+    min_common: int = 2,
+    max_center_degree: int | None = None,
+) -> DataFrame:
+    """(vertex, candidate, common, jaccard, adamic_adar, rank) — for every
+    vertex, its top-k non-adjacent candidates by shared-neighbor count
+    (rank 1 = strongest; deterministic integer ordering)."""
+    und = edges.select(F.col("src").alias("w"), F.col("dst").alias("n")).unionAll(
+        edges.select(F.col("dst").alias("w"), F.col("src").alias("n"))
+    )
+    deg = und.groupBy("w").agg(F.count(F.lit(1)).alias("degree"))
+    centers = und.join(F.broadcast(deg), "w")
+    if max_center_degree is not None:
+        centers = centers.where(F.col("degree") <= max_center_degree)
+    x, y = centers.alias("x"), centers.alias("y")
+    wed = x.join(y, (F.col("x.w") == F.col("y.w")) & (F.col("x.n") < F.col("y.n"))).select(
+        F.col("x.n").alias("a"), F.col("y.n").alias("b"), F.col("x.degree").alias("dw")
+    )
+    scores = (
+        wed.groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.sum(1.0 / F.log(F.col("dw").cast("double"))).alias("aa_raw"),
+        )
+        .where(F.col("common") >= min_common)
+    )
+    # drop pairs that are already edges (edge table is canonical src<dst,
+    # wedge pairs are a<b — keys line up without re-canonicalizing)
+    fresh = scores.join(
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    da = deg.select(F.col("w").alias("a"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("w").alias("b"), F.col("degree").alias("deg_b"))
+    both = (
+        fresh.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            F.col("a").alias("vertex"),
+            F.col("b").alias("candidate"),
+            "common",
+            F.round(F.col("common") / (F.col("deg_a") + F.col("deg_b") - F.col("common")), 6).alias("jaccard"),
+            F.round("aa_raw", 6).alias("adamic_adar"),
+        )
+    )
+    mirrored = both.unionAll(
+        both.select(
+            F.col("candidate").alias("vertex"),
+            F.col("vertex").alias("candidate"),
+            "common",
+            "jaccard",
+            "adamic_adar",
+        )
+    )
+    w = Window.partitionBy("vertex").orderBy(F.desc("common"), F.asc("candidate"))
+    return (
+        mirrored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vertex", "candidate", "common", "jaccard", "adamic_adar",
+                F.col("rank").cast("long").alias("rank"))
+    )

@@ -95,6 +95,7 @@ def test_build_pyfiles_zip_importable(tmp_path):
     ("hyperanf", ["--n-steps", "4"]),
     ("tricount", []),
     ("clustering", []),
+    ("linkpred", []),
     ("bfs", ["--source", "0"]),
 ])
 def test_run_analytics_cli(spark, edges_parquet, tmp_path, capsys, algo, extra):

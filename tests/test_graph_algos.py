@@ -211,3 +211,25 @@ def test_local_clustering_triangle_graph(spark):
     # vertex 3 has degree 3 (1,2,4) and one triangle: 2*1/(3*2) = 1/3
     assert got[3][0] == 3 and got[3][1] == 1 and abs(got[3][2] - 1 / 3) < 1e-6
     assert got[4] == (1, 0, 0.0)
+
+
+def test_link_suggestions_square_graph(spark):
+    """4-cycle 1-2-3-4: the two diagonals are the (only) suggestions, each
+    with 2 common neighbors; adjacent pairs are excluded."""
+    import pandas as pd
+
+    from split_merge_partitioner_spark.graph import link_suggestions
+
+    e = spark.createDataFrame(
+        pd.DataFrame({"src": [1, 2, 3, 1], "dst": [2, 3, 4, 4]})
+    )
+    got = link_suggestions(e, k=3, min_common=2).toPandas()
+    pairs = {(r.vertex, r.candidate): (r.common, r.jaccard, r.adamic_adar)
+             for r in got.itertuples()}
+    # diagonals 1-3 and 2-4, mirrored per vertex
+    assert set(pairs) == {(1, 3), (3, 1), (2, 4), (4, 2)}
+    common, jac, aa = pairs[(1, 3)]
+    assert common == 2
+    assert abs(jac - 2 / (2 + 2 - 2)) < 1e-9  # jaccard = 1.0
+    import math
+    assert abs(aa - 2 / math.log(2)) < 1e-6
