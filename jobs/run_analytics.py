@@ -9,9 +9,10 @@ stays the checkpoint/resume-focused PageRank job):
       [--p 32] [--output /data/out.parquet] [--json-out /data/info.json]
 
 Algos: cc (connected components), lp (label propagation), triangles
-(per-vertex triangle counts), tricount (single global count), bfs
-(--source vertex), diameter (double-sweep), hyperanf (neighborhood function
-+ effective diameter), kcore (coreness).  Partition-aware algos (cc, lp,
+(per-vertex triangle counts), tricount (single global count), clustering
+(local clustering coefficient), linkpred (top-k common-neighbor
+suggestions), bfs (--source vertex), diameter (double-sweep), hyperanf
+(neighborhood function + effective diameter), kcore (coreness).  Partition-aware algos (cc, lp,
 bfs, diameter, hyperanf) partition the edges with DBH first (cheap, pure
 expression) unless --no-partition is given.
 """
