@@ -56,6 +56,35 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _proj_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-customer projection (pairs sharing >= 30 suppliers) of the
+    co-occurrence graph.  The raw graph is BIPARTITE (customer vs supplier id
+    spaces), so every triangle count on it is structurally zero — the
+    triangle-family oracles run on this projection so they compare real
+    nonzero arithmetic (1.1k edges / 3.4k triangles at sf0.01)."""
+    e = _edges(spark, sf_dir)
+    a = e.select(F.col("src").alias("u"), F.col("dst").alias("shared_dst"))
+    b = e.select(F.col("src").alias("v"), F.col("dst").alias("shared_dst"))
+    return (
+        a.join(b, "shared_dst")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= 30)
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    )
+
+
+# DuckDB twin of _proj_edges (appended after _EDGES_CTE)
+_PROJ_CTE = """
+proj AS (
+    SELECT a.src AS src, b.src AS dst
+    FROM edges a JOIN edges b ON a.dst = b.dst AND a.src < b.src
+    GROUP BY a.src, b.src HAVING COUNT(*) >= 30
+)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     from split_merge_partitioner_spark.operators import fsm_partition, partition_stats
@@ -147,11 +176,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return bucket_sizes(hdrf_partition(_edges(spark, sf), P_DEFAULT))
 
     def q_triangles(spark, sf):
-        cnt = triangle_count(_edges(spark, sf))
+        # on the projection — the raw graph is bipartite (zero triangles),
+        # which would make this oracle vacuous; see _proj_edges
+        cnt = triangle_count(_proj_edges(spark, sf))
         return spark.createDataFrame([(cnt,)], "n_triangles bigint")
 
     def q_triangles_per_vertex(spark, sf):
-        return triangles_per_vertex(_edges(spark, sf))
+        return triangles_per_vertex(_proj_edges(spark, sf))
 
     def q_components(spark, sf):
         e = _edges(spark, sf).persist()
@@ -205,9 +236,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return brute_force_knn(emb, k=5)
 
     def q_local_clustering(spark, sf):
+        # on the projection — see _proj_edges (bipartite raw graph would make
+        # the lcc arithmetic vacuously all-zero)
         from split_merge_partitioner_spark.graph import local_clustering
 
-        return local_clustering(_edges(spark, sf))
+        return local_clustering(_proj_edges(spark, sf))
 
     def q_link_suggestions(spark, sf):
         # top-5 non-adjacent candidates per vertex by common-neighbor count;
@@ -567,17 +600,17 @@ FROM sizes
 """
 
     triangle_count_sql = f"""
-WITH {_EDGES_CTE}
+WITH {_EDGES_CTE}, {_PROJ_CTE}
 SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
-FROM edges ab JOIN edges bc ON ab.dst = bc.src JOIN edges ac
+FROM proj ab JOIN proj bc ON ab.dst = bc.src JOIN proj ac
      ON ac.src = ab.src AND ac.dst = bc.dst
 """
 
     triangles_per_vertex_sql = f"""
-WITH {_EDGES_CTE},
+WITH {_EDGES_CTE}, {_PROJ_CTE},
 tri AS (
     SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
-    FROM edges ab JOIN edges bc ON ab.dst = bc.src JOIN edges ac
+    FROM proj ab JOIN proj bc ON ab.dst = bc.src JOIN proj ac
          ON ac.src = ab.src AND ac.dst = bc.dst
 )
 SELECT vertex, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
@@ -586,10 +619,10 @@ SELECT vertex, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
 """
 
     local_clustering_sql = f"""
-WITH {_EDGES_CTE},
+WITH {_EDGES_CTE}, {_PROJ_CTE},
 tri AS (
     SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
-    FROM edges ab JOIN edges bc ON ab.dst = bc.src JOIN edges ac
+    FROM proj ab JOIN proj bc ON ab.dst = bc.src JOIN proj ac
          ON ac.src = ab.src AND ac.dst = bc.dst
 ),
 tpv AS (
@@ -597,7 +630,7 @@ tpv AS (
         SELECT a AS vertex FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
     ) GROUP BY vertex
 ),
-verts AS (SELECT src AS vertex FROM edges UNION ALL SELECT dst FROM edges),
+verts AS (SELECT src AS vertex FROM proj UNION ALL SELECT dst FROM proj),
 deg AS (SELECT vertex, COUNT(*) AS degree FROM verts GROUP BY vertex)
 SELECT d.vertex,
        CAST(d.degree AS BIGINT) AS degree,

@@ -45,6 +45,12 @@ def main(argv=None, stop: bool = True) -> None:
     ap.add_argument("--n-steps", type=int, default=32, help="hyperanf supersteps")
     ap.add_argument("--n-iter", type=int, default=5,
                     help="lp synchronous supersteps (lp runs EXACTLY this many)")
+    ap.add_argument("--k", type=int, default=5, help="linkpred suggestions per vertex")
+    ap.add_argument("--min-common", type=int, default=2,
+                    help="linkpred common-neighbor floor")
+    ap.add_argument("--max-center-degree", type=int, default=None,
+                    help="linkpred hub truncation: drop wedge centers above this "
+                         "degree (essential on power-law graphs; see linkpred.py)")
     ap.add_argument("--no-partition", action="store_true",
                     help="skip DBH pre-partitioning (forces shuffle paths)")
     args = ap.parse_args(argv)
@@ -83,7 +89,8 @@ def main(argv=None, stop: bool = True) -> None:
     elif args.algo == "clustering":
         out = local_clustering(edges)
     elif args.algo == "linkpred":
-        out = link_suggestions(edges)
+        out = link_suggestions(edges, k=args.k, min_common=args.min_common,
+                               max_center_degree=args.max_center_degree)
     elif args.algo == "tricount":
         n_tri = triangle_count(edges)  # returns the scalar
         info = {"triangles": int(n_tri)}

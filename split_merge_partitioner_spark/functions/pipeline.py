@@ -4,9 +4,10 @@ token-length window — fused into ONE pass over the documents table.
 
 Plan shape (the point of this module): every per-doc column (language vote,
 quality score, token count, content hash) is computed in a single projection
-over one scan — no cross-projection self-joins — so the only shuffles are the
-two the semantics require: the dedup groupBy(content hash) and the keeper
-join back.  All expressions are the SAME JVM-side builders the standalone
+over one scan — no cross-projection self-joins — and keeper election is a
+window over the content hash, so the whole pipeline costs exactly ONE
+shuffle (the hash partitioning the dedup semantics require).  All
+expressions are the SAME JVM-side builders the standalone
 operators use (functions/text.py), so the composite inherits their
 SQL-portability and earns a full DuckDB oracle (__spark_entry__
 "corpus_clean")."""
@@ -33,7 +34,9 @@ def clean_corpus(
     size this keeper represents.  A document survives iff it is its
     duplicate-group's keeper (min id), its predicted language is in
     ``langs``, quality_score >= min_quality, and its whitespace token count
-    lies in [min_tokens, max_tokens]."""
+    lies in [min_tokens, max_tokens].  One scan, one shuffle."""
+    from pyspark.sql import Window
+
     enriched = docs.select(
         F.col(id_col).alias("doc_id"),
         F.md5(F.col(text_col)).alias("text_md5"),
@@ -43,18 +46,16 @@ def clean_corpus(
         # compares on identical values (no FP boundary ambiguity)
         F.round(quality_score_col(text_col), 6).alias("quality_score"),
     )
-    keepers = (
-        enriched.groupBy("text_md5")
-        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
-    )
+    # keeper election as a window over the content hash: min(doc_id) and the
+    # group size arrive in the SAME single shuffle the dedup needs — one scan
+    # of the source, no groupBy+self-join second pass
+    w = Window.partitionBy("text_md5")
     return (
-        enriched.join(
-            keepers,
-            (enriched["text_md5"] == keepers["text_md5"])
-            & (enriched["doc_id"] == keepers["keeper_id"]),
-        )
+        enriched.withColumn("keeper_id", F.min("doc_id").over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(w))
         .where(
-            F.col("lang_pred").isin(*langs)
+            (F.col("doc_id") == F.col("keeper_id"))
+            & F.col("lang_pred").isin(*langs)
             & (F.col("quality_score") >= F.lit(min_quality))
             & F.col("n_tokens").between(min_tokens, max_tokens)
         )

@@ -40,10 +40,18 @@ def link_suggestions(
     und = edges.select(F.col("src").alias("w"), F.col("dst").alias("n")).unionAll(
         edges.select(F.col("dst").alias("w"), F.col("src").alias("n"))
     )
-    deg = und.groupBy("w").agg(F.count(F.lit(1)).alias("degree"))
+    # materialize once: deg feeds THREE broadcast legs (centers, deg_a, deg_b)
+    # and centers is self-joined — without the cut Spark re-executes the
+    # degree aggregation per leg (triangles.py documents the same shape)
+    deg = (
+        und.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=True)
+    )
     centers = und.join(F.broadcast(deg), "w")
     if max_center_degree is not None:
         centers = centers.where(F.col("degree") <= max_center_degree)
+    centers = centers.localCheckpoint(eager=True)
     x, y = centers.alias("x"), centers.alias("y")
     wed = x.join(y, (F.col("x.w") == F.col("y.w")) & (F.col("x.n") < F.col("y.n"))).select(
         F.col("x.n").alias("a"), F.col("y.n").alias("b"), F.col("x.degree").alias("dw")

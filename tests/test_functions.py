@@ -394,6 +394,7 @@ def test_clean_corpus_semantics(spark):
         & lang.loc[d["doc_id"]].isin(["en", "de", "fr", "es"]).to_numpy()
         & (qual.loc[d["doc_id"]].to_numpy() >= 0.3)
         & (toks.loc[d["doc_id"]].to_numpy() >= 10)
+        & (toks.loc[d["doc_id"]].to_numpy() <= 1_000_000)
     )
     exp = d[keep].sort_values("doc_id")
     assert got["doc_id"].tolist() == exp["doc_id"].tolist()
@@ -402,3 +403,9 @@ def test_clean_corpus_semantics(spark):
     )
     # every surviving doc really is its duplicate-group keeper
     assert (got["n_copies"] >= 1).all() and len(got) > 0
+    # the upper token bound actually binds (fixture-independent check)
+    cap = int(toks.loc[got["doc_id"]].min())
+    capped = clean_corpus(docs, max_tokens=cap).toPandas()
+    assert set(capped["doc_id"]) == set(
+        got.loc[toks.loc[got["doc_id"]].to_numpy() <= cap, "doc_id"]
+    )
