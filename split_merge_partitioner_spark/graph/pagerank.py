@@ -7,8 +7,16 @@ r' = (1-d)/n + d * gathered;  damping d = 0.85; converged when
 max|r' - r| <= tol.
 
 Two execution modes:
-- mode="gas":  the north-star path — per-bucket CSR scatter inside
-  cogroup().applyInPandas (Arrow blocks), mirror-rank shuffle O(RF*n).
+- mode="gas":  the north-star path.  Below ``broadcast_threshold`` vertices a
+  packed-block raw-RDD executor runs (combine="rdd"/"driver"/"shuffle");
+  above it the distributed superstep runs with combine=
+  * "jvm" (default): contribs join the pre-partitioned doubled edge relation
+    and gather with groupBy(vertex).sum — three JVM operators per superstep
+    (the kcore.py::_coreness_shuffle pattern), zero Python in the loop, one
+    map-side-combined shuffle per superstep (the contrib join is co-located).
+  * "cogroup": per-bucket CSR scatter inside cogroup().applyInPandas (Arrow
+    blocks), mirror-rank shuffle O(RF*n) — the PowerGraph-literal kernel,
+    kept as the A/B floor (BENCH/BASELINE.md records the comparison).
 - mode="join": pure-DataFrame fallback (edges JOIN ranks on both endpoints,
   groupBy(vertex).sum) — lets Catalyst/AQE pick the physical plan; used to
   cross-check the GAS kernel and as the no-partitioner baseline.
@@ -403,8 +411,10 @@ def pagerank(
 
     # broadcast the per-superstep vertex state when it's small enough; at
     # larger n fall back to the shuffle join (the PowerGraph mirror-update
-    # cost, O(RF*n) rows) — this threshold is the only sandbox-vs-cluster knob
-    broadcast_state = n <= broadcast_threshold
+    # cost, O(RF*n) rows) — this threshold is the only sandbox-vs-cluster knob.
+    # Explicitly requesting a distributed combine ("jvm"/"cogroup") forces the
+    # distributed superstep even under the threshold (A/B + scale testing).
+    broadcast_state = n <= broadcast_threshold and combine not in ("jvm", "cogroup")
 
     if mode == "gas" and broadcast_state:
         assert assigned is not None, "gas mode needs the partition assignment"
@@ -431,26 +441,48 @@ def pagerank(
             # accrues one n-row checkpoint per pagerank call)
             deg.unpersist()
 
+    und_jvm = None
+    edges_by_bucket = None
     if mode == "gas":
-        assert assigned is not None, "gas mode needs the partition assignment"
-        if replicas is None:
-            from ..operators.stats import replica_sets
-
-            replicas = replica_sets(assigned)
-        # localCheckpoint (NOT just persist): the static inputs carry the whole
-        # partitioner lineage; keeping it makes every superstep's plan hundreds
-        # of nodes deep and driver-side planning dominates wall clock.  A
-        # lineage-free LogicalRDD keeps the per-superstep plan constant-size.
-        # Pre-partitioning by the join/cogroup keys keeps the exchanges cheap.
-        replicas = replicas.repartition("vertex").localCheckpoint(eager=True)
+        # distributed default: the JVM-only superstep (A/B-measured faster
+        # than the cogroup Python kernel at local[32] on the powerlaw
+        # fixtures, BENCH/BASELINE.md r4) — zero Python/Arrow in the loop
+        if combine in ("auto", "rdd", "driver", "shuffle"):
+            combine = "jvm"
         shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        # aliased key: replicas and edges share lineage (both derive from
-        # `assigned`) and cogroup would see an ambiguous attribute otherwise
-        edges_by_bucket = (
-            assigned.select(F.col("bucket").alias("ebkt"), "src", "dst")
-            .repartition(shuffle_n, "ebkt")
-            .localCheckpoint(eager=True)
-        )
+        if combine == "jvm":
+            # static input: the doubled edge relation pre-partitioned by the
+            # gather-join key and lineage-truncated — every superstep's
+            # contrib join is then exchange-free on this side (contribs
+            # arrive hash-partitioned on the same key from the previous
+            # groupBy), leaving ONE map-side-combined shuffle per superstep
+            und_jvm = (
+                edges.select(F.col("src").alias("vertex"), F.col("dst").alias("nb"))
+                .unionAll(
+                    edges.select(F.col("dst").alias("vertex"), F.col("src").alias("nb"))
+                )
+                .repartition(shuffle_n, "nb")
+                .localCheckpoint(eager=True)
+            )
+        else:
+            assert assigned is not None, "gas/cogroup needs the partition assignment"
+            if replicas is None:
+                from ..operators.stats import replica_sets
+
+                replicas = replica_sets(assigned)
+            # localCheckpoint (NOT just persist): the static inputs carry the whole
+            # partitioner lineage; keeping it makes every superstep's plan hundreds
+            # of nodes deep and driver-side planning dominates wall clock.  A
+            # lineage-free LogicalRDD keeps the per-superstep plan constant-size.
+            # Pre-partitioning by the join/cogroup keys keeps the exchanges cheap.
+            replicas = replicas.repartition("vertex").localCheckpoint(eager=True)
+            # aliased key: replicas and edges share lineage (both derive from
+            # `assigned`) and cogroup would see an ambiguous attribute otherwise
+            edges_by_bucket = (
+                assigned.select(F.col("bucket").alias("ebkt"), "src", "dst")
+                .repartition(shuffle_n, "ebkt")
+                .localCheckpoint(eager=True)
+            )
 
     # fixed-shape loop: AQE re-planning per stage is pure overhead here
     aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
@@ -467,9 +499,24 @@ def pagerank(
         m_edges = assigned.count()
         per_partition = bucket_sizes(assigned).persist()
     block_t0 = _time.monotonic()
+    loop_t0 = _time.monotonic()  # loop-only clock (excludes static-input prep)
     try:
         for it in range(start_it, max_iter):
-            if mode == "gas":
+            if mode == "gas" and combine == "jvm":
+                # three JVM operators: co-located join (und_jvm is static and
+                # pre-partitioned on nb; contribs arrive hash-partitioned on
+                # the same key), shuffle-hash build on the slim contrib side,
+                # then ONE partial-aggregated groupBy shuffle
+                contrib_df = state.select(
+                    F.col("vertex").alias("nb"),
+                    (F.col("rank") / F.col("degree")).alias("c"),
+                )
+                gathered = (
+                    und_jvm.join(contrib_df.hint("shuffle_hash"), "nb")
+                    .groupBy("vertex")
+                    .agg(F.sum("c").alias("gathered"))
+                )
+            elif mode == "gas":
                 # slim mirror payload: contrib = rank/degree is all the kernel needs
                 contrib_df = state.select(
                     "vertex", (F.col("rank") / F.col("degree")).alias("contrib")
@@ -538,6 +585,12 @@ def pagerank(
                     info["delta"] = float(delta)
                     break
     finally:
+        info["superstep_seconds"] = _time.monotonic() - loop_t0
         spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        if und_jvm is not None:
+            und_jvm.unpersist()
+        if edges_by_bucket is not None:
+            edges_by_bucket.unpersist()
+            replicas.unpersist()
     deg.unpersist()
     return state.select("vertex", "rank"), info

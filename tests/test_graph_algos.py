@@ -58,17 +58,24 @@ def test_pagerank_converged_allclose_1e6(spark, graph):
 
 
 @pytest.mark.parametrize(
-    "mode,thr",
-    [("gas", 5_000_000), ("gas", 0), ("join", 5_000_000)],
-    ids=["gas-broadcast", "gas-shuffle", "join"],
+    "mode,thr,combine",
+    [
+        ("gas", 5_000_000, "auto"),
+        ("gas", 0, "jvm"),
+        ("gas", 0, "cogroup"),
+        ("join", 5_000_000, "auto"),
+    ],
+    ids=["gas-broadcast", "gas-shuffle-jvm", "gas-shuffle-cogroup", "join"],
 )
-def test_pagerank_fixed_iterations_exact(spark, graph, mode, thr):
+def test_pagerank_fixed_iterations_exact(spark, graph, mode, thr, combine):
     """Step-for-step computational equivalence with the oracle (20 supersteps,
     no convergence short-circuit) — catches any semantic drift.  Covers all
-    three execution paths: broadcast-GAS, shuffle-GAS (cogroup), join."""
+    four execution paths: broadcast-GAS (raw RDD), distributed JVM superstep
+    (the cluster-scale default), distributed cogroup kernel (A/B floor), join."""
     pdf, edges, assigned = graph
     ranks, _ = pagerank(
-        edges, assigned=assigned, mode=mode, tol=0.0, max_iter=20, broadcast_threshold=thr
+        edges, assigned=assigned, mode=mode, tol=0.0, max_iter=20,
+        broadcast_threshold=thr, combine=combine,
     )
     v_got, r_got = _ranks_np(ranks)
     oracle = pagerank_oracle(pdf, tol=-1.0, max_iter=20)
