@@ -170,6 +170,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         st = partition_stats(res.assigned, p=P_DEFAULT)
         return st.select(*[F.round(c, 6).alias(c) for c in st.columns])
 
+    def q_fsm_assign_portable(spark, sf):
+        # the flagship pipeline in its cross-engine-provable configuration:
+        # splitter="dbh" with ANSI-SQL integer hashes + k=2 fast merge (whose
+        # greedy has a closed form, test_fast_merge_k2_closed_form) — the
+        # DuckDB oracle replays split, replica counts, desc-replica ordering,
+        # the greedy pairing AND the rearrange remap, hash-matched end to end
+        e = _edges(spark, sf).persist()
+        res = fsm_partition(e, p=P_DEFAULT, k=2, merge="fast", splitter="dbh",
+                            portable=True)
+        return res.assigned
+
+    def q_fsm_stats_portable(spark, sf):
+        e = _edges(spark, sf).persist()
+        res = fsm_partition(e, p=P_DEFAULT, k=2, merge="fast", splitter="dbh",
+                            portable=True)
+        st = partition_stats(res.assigned, p=P_DEFAULT)
+        return st.select(*[F.round(c, 6).alias(c) for c in st.columns])
+
     def q_hdrf_bucket_sizes(spark, sf):
         # per-stream state => assignment is partition-dependent; sizes are the
         # stable contract (rows-only driver check)
@@ -471,6 +489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbh_bucket_sizes": q_dbh_bucket_sizes,
         "fsm_assign": q_fsm_assign,
         "fsm_stats": q_fsm_stats,
+        "fsm_assign_portable": q_fsm_assign_portable,
+        "fsm_stats_portable": q_fsm_stats_portable,
         "hdrf_bucket_sizes": q_hdrf_bucket_sizes,
         "triangle_count": q_triangles,
         "triangles_per_vertex": q_triangles_per_vertex,
@@ -574,6 +594,91 @@ SELECT a.bucket, a.n_edges, r.n_replicas FROM
 
     dbh_stats_sql = dbh_assign_core + f"""
 , reps AS (
+    SELECT DISTINCT bucket, vertex FROM (
+        SELECT bucket, src AS vertex FROM assign
+        UNION ALL SELECT bucket, dst AS vertex FROM assign
+    )
+),
+sizes AS (
+    SELECT a.bucket, a.n_edges, r.n_replicas FROM
+      (SELECT bucket, COUNT(*) AS n_edges FROM assign GROUP BY bucket) a
+      JOIN (SELECT bucket, COUNT(*) AS n_replicas FROM reps GROUP BY bucket) r USING (bucket)
+),
+tot AS (
+    SELECT (SELECT COUNT(*) FROM (SELECT DISTINCT vertex FROM (
+                SELECT src AS vertex FROM edges UNION ALL SELECT dst FROM edges))) AS n,
+           (SELECT COUNT(*) FROM edges) AS m
+)
+SELECT
+  ROUND(SUM(n_replicas) / (SELECT n FROM tot), 6) AS rf,
+  ROUND(MAX(n_replicas) / ((SELECT n FROM tot) / {P_DEFAULT}.0), 6) AS s_v,
+  ROUND(MAX(n_edges) / ((SELECT m FROM tot) / {P_DEFAULT}.0), 6) AS s_e,
+  ROUND(STDDEV_POP(n_replicas) / AVG(n_replicas), 6) AS sigma_v,
+  ROUND(STDDEV_POP(n_edges) / AVG(n_edges), 6) AS sigma_e,
+  ROUND(POWER(SUM(n_replicas), 2) / (COUNT(*) * SUM(n_replicas * n_replicas)), 6) AS jains_v
+FROM sizes
+"""
+
+    # -- portable FSM oracle (operators/fsm.py portable=True) ---------------
+    # Full split->merge->rearrange replay: DBH sub-bucket spread at k*p=16
+    # (w % 16, dbh_partitioner.cpp:83), h2h polynomial salt, per-sub replica
+    # counts, the (replicas desc, id asc) merge ordering
+    # (fsm_partitioner.cpp:82-85), and the k=2 fast-merge greedy in its
+    # closed form (pairing proven == the heap greedy in
+    # tests/test_kernel_properties.py::test_fast_merge_k2_closed_form).
+    _N_SUB = 2 * P_DEFAULT
+    fsm_portable_core = f"""
+WITH {_DEGREES_CTE},
+cst AS (SELECT 100.0 * AVG(degree) AS thr FROM degrees),
+ed AS (
+    SELECT e.src, e.dst, ds.degree AS d_src, dd.degree AS d_dst
+    FROM edges e
+    JOIN degrees ds ON ds.vertex = e.src
+    JOIN degrees dd ON dd.vertex = e.dst
+),
+sub AS (
+    SELECT src, dst,
+        CASE WHEN d_src > (SELECT thr FROM cst) AND d_dst > (SELECT thr FROM cst)
+             THEN (src * 1000003 + dst) % {_N_SUB}
+             ELSE (CASE WHEN d_src <= d_dst THEN src ELSE dst END) % {_N_SUB}
+        END AS sb
+    FROM ed
+),
+subreps AS (
+    SELECT sb, COUNT(DISTINCT vertex) AS r FROM (
+        SELECT sb, src AS vertex FROM sub
+        UNION ALL SELECT sb, dst FROM sub) GROUP BY sb
+),
+allsub AS (
+    SELECT gs.sb, COALESCE(sr.r, 0) AS r
+    FROM (SELECT CAST(x.range AS BIGINT) AS sb FROM range({_N_SUB}) x) gs
+    LEFT JOIN subreps sr USING (sb)
+),
+ordered AS (
+    SELECT sb, r, ROW_NUMBER() OVER (ORDER BY r DESC, sb ASC) - 1 AS pos
+    FROM allsub
+),
+openers AS (
+    SELECT sb, pos, ROW_NUMBER() OVER (ORDER BY r ASC, pos ASC) - 1 AS j
+    FROM ordered WHERE pos < {P_DEFAULT}
+),
+mm AS (
+    SELECT sb, pos AS final FROM openers
+    UNION ALL
+    SELECT jn.sb, op.pos AS final
+    FROM (SELECT sb, pos - {P_DEFAULT} AS j FROM ordered WHERE pos >= {P_DEFAULT}) jn
+    JOIN openers op USING (j)
+),
+assign AS (
+    SELECT s.src, s.dst, CAST(mm.final AS BIGINT) AS bucket
+    FROM sub s JOIN mm ON mm.sb = s.sb
+)
+"""
+
+    fsm_assign_portable_sql = fsm_portable_core + "SELECT src, dst, bucket FROM assign"
+
+    fsm_stats_portable_sql = fsm_portable_core + f""",
+reps AS (
     SELECT DISTINCT bucket, vertex FROM (
         SELECT bucket, src AS vertex FROM assign
         UNION ALL SELECT bucket, dst AS vertex FROM assign
@@ -1181,6 +1286,8 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 6
         "dbh_replicas": dbh_replicas_sql,
         "dbh_stats": dbh_stats_sql,
         "dbh_bucket_sizes": dbh_bucket_sizes_sql,
+        "fsm_assign_portable": fsm_assign_portable_sql,
+        "fsm_stats_portable": fsm_stats_portable_sql,
         "triangle_count": triangle_count_sql,
         "triangles_per_vertex": triangles_per_vertex_sql,
         "local_clustering": local_clustering_sql,

@@ -341,14 +341,18 @@ def precise_merge(order: list[int], stats, p: int, k: int) -> dict[int, int]:
 # split phase
 # ---------------------------------------------------------------------------
 
-def _split_dbh(edges_dd: DataFrame, n_sub: int) -> DataFrame:
+def _split_dbh(edges_dd: DataFrame, n_sub: int, portable: bool = False) -> DataFrame:
     """DBH at k*p granularity: hash the lower-degree endpoint (ties -> src),
     matching src/dbh_partitioner.cpp:80-83 but with a seeded 64-bit hash so
-    sub-bucket contents are locality-free yet deterministic."""
+    sub-bucket contents are locality-free yet deterministic.
+
+    portable=True uses the reference's literal ``w % n_sub``
+    (dbh_partitioner.cpp:83) — ANSI-SQL-expressible, so the full
+    split->merge->rearrange pipeline earns a cross-engine hash-match oracle
+    (__spark_entry__ "fsm_assign_portable")."""
     w = F.when(F.col("deg_src") <= F.col("deg_dst"), F.col("src")).otherwise(F.col("dst"))
-    return edges_dd.select(
-        "src", "dst", F.pmod(F.xxhash64(w, F.lit(42)), F.lit(n_sub)).cast("long").alias("bucket")
-    )
+    h = F.pmod(w, F.lit(n_sub)) if portable else F.pmod(F.xxhash64(w, F.lit(42)), F.lit(n_sub))
+    return edges_dd.select("src", "dst", h.cast("long").alias("bucket"))
 
 
 _NE_SCHEMA = StructType(
@@ -700,6 +704,7 @@ def fsm_partition(
     grouping: str = "range",
     merge_stats: str = "auto",
     edges_per_task: int = 20_000_000,
+    portable: bool = False,
 ) -> FsmResult:
     """Full FSM pipeline: split into k*p sub-buckets -> driver greedy merge ->
     broadcast remap.  edges: (src, dst) long, canonical, deduped.
@@ -714,7 +719,14 @@ def fsm_partition(
     n_groups = max(p, ceil(m / edges_per_task)) groups (each an applyInPandas
     task materializing one pandas frame), with contiguous groups sharing a
     parent slot so exactly k*p sub-buckets still feed the merge — at 100 TB
-    a group is ~edges_per_task rows, never m/p."""
+    a group is ~edges_per_task rows, never m/p.
+
+    portable=True (splitter="dbh" only): both hash expressions (sub-bucket
+    spread and h2h salt) become ANSI-SQL integer arithmetic so the WHOLE
+    pipeline — split, per-sub replica counts, the desc-replica ordering, the
+    k=2 fast-merge greedy, and the rearrange remap — is replayed exactly by
+    the DuckDB oracle (the greedy at k=2 has a closed form, proven in
+    tests/test_kernel_properties.py::test_fast_merge_k2_closed_form)."""
     spark = edges.sparkSession
     n_sub = p * k
     if deg is None:
@@ -738,8 +750,10 @@ def fsm_partition(
     low = e.where(~is_h2h)
     h2h = e.where(is_h2h)
 
+    if portable and splitter != "dbh":
+        raise ValueError("portable=True requires splitter='dbh'")
     if splitter == "dbh":
-        low_assigned = _split_dbh(low, n_sub)
+        low_assigned = _split_dbh(low, n_sub, portable=portable)
     elif splitter == "ne_local":
         low_assigned = _split_ne_local(low, p, k, grouping=grouping, n_groups=n_groups)
     elif splitter == "hep_local":
@@ -749,11 +763,15 @@ def fsm_partition(
     else:
         raise ValueError(f"unknown splitter {splitter!r}")
     # hub-hub edges: salt uniformly across all sub-buckets (HEP h2h analog,
-    # src/hep_graph.cpp:136-140 + north-star hub sub-vertex splitting)
-    h2h_assigned = h2h.select(
-        "src", "dst",
-        F.pmod(F.xxhash64("src", "dst", F.lit(11)), F.lit(n_sub)).cast("long").alias("bucket"),
+    # src/hep_graph.cpp:136-140 + north-star hub sub-vertex splitting).
+    # Portable flavor: polynomial integer salt (exact in any BIGINT engine;
+    # assumes ids < ~9e12 so src*1000003+dst stays in int64 — oracle scale)
+    h2h_hash = (
+        F.pmod(F.col("src") * F.lit(1000003) + F.col("dst"), F.lit(n_sub))
+        if portable
+        else F.pmod(F.xxhash64("src", "dst", F.lit(11)), F.lit(n_sub))
     )
+    h2h_assigned = h2h.select("src", "dst", h2h_hash.cast("long").alias("bucket"))
     sub_assigned = low_assigned.unionAll(h2h_assigned)
     # lineage-free materialization: the split phase's plan (degree joins +
     # applyInPandas) would otherwise be re-planned by every downstream job

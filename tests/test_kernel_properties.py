@@ -123,3 +123,56 @@ def test_merge_properties(inst, which):
 def test_final_ids_sequential():
     f = _FinalIds()
     assert [f.get(9), f.get(4), f.get(9), f.get(1)] == [0, 1, 0, 2]
+
+
+def _fast_merge_k2_closed_form(replicas: dict[int, int], p: int) -> dict[int, int]:
+    """The window-function form of fast_merge at k=2, exactly as the DuckDB
+    oracle (__spark_entry__ "fsm_assign_portable") replays it:
+
+    - rank all 2p sub-buckets by (replicas desc, id asc) -> pos 0..2p-1
+    - the first p open parents sequentially: final id = pos (heap invariant:
+      empty slots (0,0,b) sort before every opened parent (size,1,b))
+    - at k=2 an absorb retires its parent, so open-parent PQ keys never
+      change: joiner at pos p+j pairs with the j-th opener in
+      (replicas asc, pos asc) order."""
+    n_sub = 2 * p
+    order = sorted(range(n_sub), key=lambda b: (-replicas[b], b))
+    opener_by_minsize = sorted(range(p), key=lambda i: (replicas[order[i]], i))
+    valid = {sub: i for i, sub in enumerate(order[:p])}
+    for j, sub in enumerate(order[p:]):
+        valid[sub] = opener_by_minsize[j]
+    return valid
+
+
+class _ReplicaOnlyStats:
+    """Minimal merge-stat oracle: at k=2 fast_merge consults only
+    new_parent's return (the sub's replica count) — absorb retires."""
+
+    def __init__(self, replicas):
+        self._replicas = replicas
+
+    def replicas(self, sub):
+        return self._replicas[sub]
+
+    def new_parent(self, key, sub):
+        return self._replicas[sub]
+
+    def absorb(self, key, sub, retire=False):
+        assert retire, "k=2: every absorb must retire its parent"
+        return 0
+
+
+@given(
+    st.integers(min_value=1, max_value=16),
+    st.lists(st.integers(min_value=0, max_value=12), min_size=2, max_size=32),
+    st.integers(0, 2**31),
+)
+@settings(max_examples=200, deadline=None)
+def test_fast_merge_k2_closed_form(p, _unused, seed):
+    """fast_merge at k=2 == the closed form the SQL oracle uses.  Small value
+    range forces heavy replica-count TIES (the tricky tie-break paths)."""
+    rng = np.random.default_rng(seed)
+    replicas = {b: int(rng.integers(0, 12)) for b in range(2 * p)}
+    order = sorted(range(2 * p), key=lambda b: (-replicas[b], b))
+    got = fast_merge(order, _ReplicaOnlyStats(replicas), p, 2)
+    assert got == _fast_merge_k2_closed_form(replicas, p)
