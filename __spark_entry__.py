@@ -262,10 +262,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_link_suggestions(spark, sf):
         # top-5 non-adjacent candidates per vertex by common-neighbor count;
-        # integer-only ranking keeps the window cross-engine deterministic
+        # integer-only ranking keeps the window cross-engine deterministic.
+        # Default "auto" hub cap (max(16, ceil(sqrt(2m)))) — replayed by the
+        # oracle; _edges output is canonical so the canonicalize pass is skipped
         from split_merge_partitioner_spark.graph import link_suggestions
 
-        return link_suggestions(_edges(spark, sf), k=5, min_common=2)
+        return link_suggestions(_edges(spark, sf), k=5, min_common=2,
+                                assume_canonical=True)
 
     def q_corpus_clean(spark, sf):
         # the fused end-to-end cleaning pipeline (functions/pipeline.py):
@@ -750,10 +753,14 @@ FROM deg d LEFT JOIN tpv t ON t.vertex = d.vertex
 WITH {_EDGES_CTE},
 und AS (SELECT src AS w, dst AS n FROM edges UNION ALL SELECT dst, src FROM edges),
 deg AS (SELECT w AS vertex, COUNT(*) AS degree FROM und GROUP BY w),
+-- the "auto" hub cap (graph/linkpred.py): centers above sqrt(2m) degree are
+-- excluded from wedge generation (documented underestimate semantics)
+cap AS (SELECT GREATEST(16, CAST(CEIL(SQRT(2.0 * COUNT(*))) AS BIGINT)) AS c FROM edges),
 wed AS (
     SELECT x.n AS a, y.n AS b, d.degree AS dw
     FROM und x JOIN und y ON x.w = y.w AND x.n < y.n
     JOIN deg d ON d.vertex = x.w
+    WHERE d.degree <= (SELECT c FROM cap)
 ),
 scores AS (
     SELECT a, b, CAST(COUNT(*) AS BIGINT) AS common,

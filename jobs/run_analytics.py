@@ -48,9 +48,11 @@ def main(argv=None, stop: bool = True) -> None:
     ap.add_argument("--k", type=int, default=5, help="linkpred suggestions per vertex")
     ap.add_argument("--min-common", type=int, default=2,
                     help="linkpred common-neighbor floor")
-    ap.add_argument("--max-center-degree", type=int, default=None,
+    ap.add_argument("--max-center-degree", default="auto",
                     help="linkpred hub truncation: drop wedge centers above this "
-                         "degree (essential on power-law graphs; see linkpred.py)")
+                         "degree.  Default 'auto' = max(16, ceil(sqrt(2m))); "
+                         "'none' opts in to unbounded wedge volume (safe only "
+                         "without power-law hubs; see linkpred.py)")
     ap.add_argument("--no-partition", action="store_true",
                     help="skip DBH pre-partitioning (forces shuffle paths)")
     args = ap.parse_args(argv)
@@ -89,8 +91,14 @@ def main(argv=None, stop: bool = True) -> None:
     elif args.algo == "clustering":
         out = local_clustering(edges)
     elif args.algo == "linkpred":
+        mcd = args.max_center_degree
+        if isinstance(mcd, str):
+            mcd = None if mcd.lower() == "none" else ("auto" if mcd == "auto" else int(mcd))
+        # arbitrary external edge tables are canonicalized inside
+        # link_suggestions (its degree counts + anti-join require
+        # deduped src<dst edges)
         out = link_suggestions(edges, k=args.k, min_common=args.min_common,
-                               max_center_degree=args.max_center_degree)
+                               max_center_degree=mcd)
     elif args.algo == "tricount":
         n_tri = triangle_count(edges)  # returns the scalar
         info = {"triangles": int(n_tri)}

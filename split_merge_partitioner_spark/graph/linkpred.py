@@ -19,10 +19,16 @@ Scale: wedge volume is Σ_w deg(w)² — power-law hubs dominate it while
 contributing the LEAST per-wedge evidence (1/ln(deg) → small), so
 ``max_center_degree`` drops hub centers from wedge generation (the standard
 truncation; scores become slight underestimates for pairs whose only shared
-neighbors are hubs, documented here).  Pass None to keep every center.
+neighbors are hubs — documented semantics).  The DEFAULT is "auto" =
+max(16, ceil(sqrt(2m))) — the same O(√m) bound the oriented triangle join
+relies on, which caps wedge volume at O(m·√m) on any graph.  Pass an int to
+choose the cap, or None to opt in to unbounded wedges (safe only on graphs
+with no high-degree hubs).
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -32,11 +38,30 @@ def link_suggestions(
     edges: DataFrame,
     k: int = 5,
     min_common: int = 2,
-    max_center_degree: int | None = None,
+    max_center_degree: int | str | None = "auto",
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """(vertex, candidate, common, jaccard, adamic_adar, rank) — for every
     vertex, its top-k non-adjacent candidates by shared-neighbor count
-    (rank 1 = strongest; deterministic integer ordering)."""
+    (rank 1 = strongest; deterministic integer ordering).
+
+    assume_canonical: the degree counts and the already-adjacent anti-join
+    require canonical deduped src<dst edges; by default the input is
+    canonicalized here (least/greatest + self-loop drop + distinct — one
+    extra shuffle).  Pass True to skip when the input is known-canonical
+    (e.g. edges_from_lineitem output), which every internal caller is."""
+    if not assume_canonical:
+        edges = (
+            edges.select(
+                F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+            )
+            .where(F.col("src") != F.col("dst"))
+            .dropDuplicates(["src", "dst"])
+        )
+    if max_center_degree == "auto":
+        # O(√m) hub cap: bounds wedge volume Σ_w min(deg(w), cap)² ≤ 2m·cap
+        m = edges.count()
+        max_center_degree = max(16, math.ceil(math.sqrt(2.0 * m)))
     und = edges.select(F.col("src").alias("w"), F.col("dst").alias("n")).unionAll(
         edges.select(F.col("dst").alias("w"), F.col("src").alias("n"))
     )

@@ -240,3 +240,49 @@ def test_link_suggestions_square_graph(spark):
     assert abs(jac - 2 / (2 + 2 - 2)) < 1e-9  # jaccard = 1.0
     import math
     assert abs(aa - 2 / math.log(2)) < 1e-6
+
+
+def test_link_suggestions_canonicalizes_dirty_input(spark):
+    """Reversed + duplicated edges and self-loops (what an arbitrary external
+    parquet can contain) must give the SAME result as the canonical table —
+    without canonicalization the anti-join misses reversed adjacency and
+    degrees double-count (ADVICE r3)."""
+    import pandas as pd
+
+    from split_merge_partitioner_spark.graph import link_suggestions
+
+    clean = pd.DataFrame({"src": [1, 2, 3, 1], "dst": [2, 3, 4, 4]})
+    dirty = pd.DataFrame(
+        {"src": [2, 2, 3, 1, 4, 5], "dst": [1, 1, 2, 4, 3, 5]}  # rev+dup+loop
+    )
+    got_clean = link_suggestions(spark.createDataFrame(clean), k=3).toPandas()
+    got_dirty = link_suggestions(spark.createDataFrame(dirty), k=3).toPandas()
+    key = ["vertex", "candidate"]
+    pd.testing.assert_frame_equal(
+        got_clean.sort_values(key).reset_index(drop=True),
+        got_dirty.sort_values(key).reset_index(drop=True),
+    )
+
+
+def test_link_suggestions_default_cap_bounds_hub_wedges(spark):
+    """Planted 1000-degree star + a small clique: the default 'auto' cap
+    (max(16, ceil(sqrt(2m)))) excludes the hub from wedge centers, so the
+    hub's spokes produce NO candidate pairs — wedge volume stays O(m*sqrt(m))
+    instead of deg(hub)^2 — while clique-internal suggestions survive."""
+    import numpy as np
+    import pandas as pd
+
+    from split_merge_partitioner_spark.graph import link_suggestions
+
+    hub = pd.DataFrame({"src": np.zeros(1000, np.int64),
+                        "dst": np.arange(1, 1001, dtype=np.int64)})
+    # clique on 5 fresh vertices minus one edge -> that pair is a suggestion
+    cl = [(a, b) for a in range(2001, 2006) for b in range(a + 1, 2006)
+          if (a, b) != (2001, 2002)]
+    pdf = pd.concat([hub, pd.DataFrame(cl, columns=["src", "dst"])], ignore_index=True)
+    got = link_suggestions(spark.createDataFrame(pdf), k=3, min_common=2).toPandas()
+    pairs = set(zip(got.vertex, got.candidate))
+    # hub spokes (common neighbor = only the 1000-degree hub) are NOT paired
+    assert not any(v <= 1000 and c <= 1000 for v, c in pairs)
+    # clique pair via 3 low-degree common neighbors IS found
+    assert (2001, 2002) in pairs and (2002, 2001) in pairs
