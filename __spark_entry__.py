@@ -272,8 +272,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_corpus_clean(spark, sf):
         # the fused end-to-end cleaning pipeline (functions/pipeline.py):
-        # exact-dedup keepers ∩ language ∩ quality floor ∩ token window,
-        # one scan + the two semantically-required shuffles
+        # exact-dedup keepers ∩ language ∩ quality floor ∩ token window —
+        # one scan + exactly ONE shuffle (the window partitionBy(text_md5)
+        # that the dedup semantics require; all other predicates are
+        # per-row projections in the same pass)
         from split_merge_partitioner_spark.functions import clean_corpus
 
         return clean_corpus(_docs(spark, sf))
@@ -417,16 +419,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out
 
     def q_hyperanf_nf(spark, sf):
-        # fixed 3 supersteps (stop_early=False) so the output shape is static
-        # for the cross-engine oracle — same pattern as pagerank_10iter.
-        # Deterministic: splitmix64 hashing + max-merge registers; the DuckDB
-        # oracle recomputes the sketch from a chained-CTE ball expansion.
+        # fixed 3 supersteps (stop_early=False), rows-only: the float HLL
+        # estimate's small-range branch is discontinuous, so the per-engine
+        # summation order could flip the formula near E=2.5m (ADVICE r3) —
+        # the estimate is computed on this engine only; the REGISTERS are
+        # hash-match-oracled by hyperanf_regs below.
         from split_merge_partitioner_spark.graph import hyperanf
 
         e = _edges(spark, sf).persist()
         out, _ = hyperanf(e, assigned=dbh_partition(e, P_DEFAULT), n_steps=3,
                           stop_early=False)
         return out.select("t", F.round("neighborhood", 3).alias("neighborhood"))
+
+    def q_hyperanf_regs(spark, sf):
+        # integer register moments per (t, vertex): bit-exact cross-engine
+        # (splitmix64 + order-independent max-merge), replayed by a DuckDB
+        # chained-CTE ball expansion — the non-flaky HyperANF oracle surface
+        from split_merge_partitioner_spark.graph import hyperanf_register_moments
+
+        return hyperanf_register_moments(_edges(spark, sf), n_steps=3)
 
     def q_coreness(spark, sf):
         # 8 fixed h-operator sweeps (converges in 4 at sf0.01, and the
@@ -530,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_distances": q_bfs_distances,
         "approx_diameter": q_approx_diameter,
         "hyperanf_nf": q_hyperanf_nf,
+        "hyperanf_regs": q_hyperanf_regs,
         "coreness_hindex": q_coreness,
         "media_features": q_media_features,
         "events_by_type": q_events_by_type,
@@ -1191,22 +1203,7 @@ SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.4
             f" + ((({y} * {hi}) % 4294967296) * 4294967296)) % {_HM64})"
         )
 
-    _AM2 = repr((0.7213 / (1.0 + 1.079 / 64)) * 64 * 64)
-
-    def _hanf_est(t: int) -> str:
-        return f"""
-SELECT {t} AS t, ROUND(SUM(
-  CASE WHEN ({_AM2} / s) <= 160.0 AND v > 0
-       THEN 64.0 * ln(64.0 / v)
-       ELSE {_AM2} / s END), 3) AS neighborhood
-FROM (
-  SELECT src, SUM(pow(2.0, -r)) + (64 - COUNT(*)) AS s, 64 - COUNT(*) AS v
-  FROM (SELECT rr.src, hr.j, MAX(hr.r) AS r
-        FROM r{t} rr JOIN hranks hr ON hr.vertex = rr.v GROUP BY rr.src, hr.j)
-  GROUP BY src)
-"""
-
-    hyperanf_nf_sql = f"""
+    _hanf_prefix = f"""
 WITH {_EDGES_CTE},
 und AS (SELECT src AS a, dst AS b FROM edges UNION ALL SELECT dst, src FROM edges),
 dverts AS (SELECT DISTINCT a AS vertex FROM und),
@@ -1226,9 +1223,26 @@ r0 AS (SELECT vertex AS src, vertex AS v FROM dverts),
 r1 AS (SELECT src, v FROM r0 UNION SELECT r0.src, und.b FROM r0 JOIN und ON und.a = r0.v),
 r2 AS (SELECT src, v FROM r1 UNION SELECT r1.src, und.b FROM r1 JOIN und ON und.a = r1.v),
 r3 AS (SELECT src, v FROM r2 UNION SELECT r2.src, und.b FROM r2 JOIN und ON und.a = r2.v)
-SELECT CAST(t AS BIGINT) AS t, neighborhood FROM (
-  {_hanf_est(0)} UNION ALL {_hanf_est(1)} UNION ALL {_hanf_est(2)} UNION ALL {_hanf_est(3)}
-) ORDER BY t
+"""
+
+    # integer register moments per (t, vertex) — the non-flaky oracle surface
+    # (ADVICE r3): registers are bit-identical cross-engine; their integer
+    # sums/zero-counts are order-independent, unlike the float HLL estimate
+    # whose small-range branch is discontinuous at E = 2.5m.
+    def _hanf_regs(t: int) -> str:
+        return f"""
+SELECT {t} AS t, src AS vertex,
+       CAST(SUM(r) AS BIGINT) AS reg_sum,
+       CAST(64 - COUNT(*) AS BIGINT) AS zero_regs
+FROM (SELECT rr.src, hr.j, MAX(hr.r) AS r
+      FROM r{t} rr JOIN hranks hr ON hr.vertex = rr.v GROUP BY rr.src, hr.j)
+GROUP BY src
+"""
+
+    hyperanf_regs_sql = _hanf_prefix + f"""
+SELECT CAST(t AS BIGINT) AS t, vertex, reg_sum, zero_regs FROM (
+  {_hanf_regs(0)} UNION ALL {_hanf_regs(1)} UNION ALL {_hanf_regs(2)} UNION ALL {_hanf_regs(3)}
+) ORDER BY t, vertex
 """
 
     # -- coreness oracle ----------------------------------------------------
@@ -1329,7 +1343,7 @@ FROM edges e JOIN vp vs ON vs.vertex = e.src JOIN vp vd ON vd.vertex = e.dst
 """,
         "minhash_pairs": minhash_pairs_sql,
         "simhash_pairs": simhash_pairs_sql,
-        "hyperanf_nf": hyperanf_nf_sql,
+        "hyperanf_regs": hyperanf_regs_sql,
         "coreness_hindex": coreness_sql,
         "vertex_partition_stats": f"""
 WITH {_EDGES_CTE},
@@ -1371,8 +1385,11 @@ FROM documents
         "events_rollup": events_rollup_sql,
         "user_top_events": user_top_events_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic
-        # across engines): fsm_assign, fsm_stats, hdrf_bucket_sizes, pagerank
-        # (to-convergence; the fixed-iteration pagerank_10iter IS oracled),
-        # lsh paths (random hyperplanes), media_features (binary decode) —
-        # covered by NumPy-oracle pytest (tests/) and rows-only driver checks.
+        # across engines): fsm_assign, fsm_stats (hep_local expansion kernels;
+        # the dbh-portable flavor IS oracled above), hdrf_bucket_sizes,
+        # pagerank (to-convergence; the fixed-iteration pagerank_10iter IS
+        # oracled), hyperanf_nf (float estimate computed on one engine only —
+        # its registers ARE oracled via hyperanf_regs), lsh paths (random
+        # hyperplanes), media_features (binary decode) — covered by
+        # NumPy-oracle pytest (tests/) and rows-only driver checks.
     }

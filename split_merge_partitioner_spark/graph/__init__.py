@@ -3,6 +3,6 @@ from .labelprop import label_propagation  # noqa: F401
 from .pagerank import pagerank  # noqa: F401
 from .triangles import local_clustering, triangle_count, triangles_per_vertex  # noqa: F401
 from .diameter import approximate_diameter, bfs_distances  # noqa: F401
-from .hyperanf import hyperanf  # noqa: F401
+from .hyperanf import hyperanf, hyperanf_register_moments  # noqa: F401
 from .kcore import coreness  # noqa: F401
 from .linkpred import link_suggestions  # noqa: F401

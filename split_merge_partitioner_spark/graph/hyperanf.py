@@ -217,6 +217,79 @@ def _hyperanf_shuffle(spark, edges: DataFrame, n_steps: int, stop_early: bool):
     return history, info
 
 
+def hyperanf_register_moments(edges: DataFrame, n_steps: int = 3) -> DataFrame:
+    """(t, vertex, reg_sum, zero_regs) for t = 0..n_steps — INTEGER moments of
+    the per-vertex register arrays after each superstep.
+
+    This is the cross-engine oracle surface (ADVICE r3): the float HLL
+    estimate's small-range branch (E <= 2.5m) is discontinuous, so a last-ulp
+    difference in per-engine summation order near the branch boundary could
+    flip the estimator formula and flake the oracle.  The registers
+    themselves are bit-identical by construction (splitmix64 + max-merge, any
+    order), so their integer sum and zero-count per vertex are exact in both
+    engines; the float estimate is computed on the Spark side only
+    (``hyperanf``, rows-only driver check).
+
+    Runs the JVM shuffle path with NO early stop (fixed output shape)."""
+    from functools import reduce
+
+    from ..sources.edges import vertices_of
+
+    state = (
+        vertices_of(edges)
+        .select("vertex", _init_regs_udf("vertex").alias("regs"))
+        .localCheckpoint(eager=True)
+    )
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    maxes = [F.max(F.col("regs")[i]).alias(f"r{i}") for i in range(_M)]
+
+    def moments(st: DataFrame, t: int) -> DataFrame:
+        reg_sum = F.aggregate(
+            "regs", F.lit(0).cast("long"), lambda a, r: a + r.cast("long")
+        )
+        zeros = F.aggregate(
+            "regs", F.lit(0).cast("long"),
+            lambda a, r: a + F.when(r == 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+        )
+        return st.select(
+            F.lit(t).cast("long").alias("t"),
+            "vertex",
+            reg_sum.alias("reg_sum"),
+            zeros.alias("zero_regs"),
+        )
+
+    # all n_steps+1 states stay persisted until the union is materialized
+    # (the per-state moments selects are lazy over the checkpointed blocks)
+    states = [state]
+    try:
+        for _t in range(n_steps):
+            nb = (
+                e.join(state.withColumnRenamed("vertex", "src"), "src")
+                .select(F.col("dst").alias("vertex"), "regs")
+                .unionAll(
+                    e.join(state.withColumnRenamed("vertex", "dst"), "dst").select(
+                        F.col("src").alias("vertex"), "regs"
+                    )
+                )
+                .unionAll(state)
+            )
+            state = (
+                nb.groupBy("vertex")
+                .agg(*maxes)
+                .select("vertex", F.array(*[F.col(f"r{i}") for i in range(_M)]).alias("regs"))
+                .localCheckpoint(eager=True)
+            )
+            states.append(state)
+        out = reduce(
+            DataFrame.unionAll, [moments(st, t) for t, st in enumerate(states)]
+        ).localCheckpoint(eager=True)
+        return out
+    finally:
+        for st in states:
+            st.unpersist()
+        e.unpersist()
+
+
 def _estimate_sum_expr():
     """Sum-over-vertices HLL estimate as a pure JVM expression (identical
     formula to estimate_cardinalities)."""
