@@ -75,6 +75,32 @@ def _proj_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# second-fixture graph (VERDICT r3 item 8): customer--part co-occurrence —
+# 2.2x the vertices (3500 vs 1600), 59k edges, and a structurally different
+# degree profile (2000 moderate-degree part vertices vs 100 supplier hubs),
+# so the iterative-operator oracles are exercised at a second scale/shape
+_EDGES_CP_CTE = """
+edges AS (
+    SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS src,
+                    CAST(l.l_partkey + 2000000 AS BIGINT) AS dst
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+"""
+
+
+def _edges_cp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_partkey")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey", "o_custkey")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_partkey") + 2000000).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+
+
 # DuckDB twin of _proj_edges (appended after _EDGES_CTE)
 _PROJ_CTE = """
 proj AS (
@@ -448,6 +474,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out, _ = coreness(_edges(spark, sf), n_iter=8)
         return out
 
+    def q_coreness_cp(spark, sf):
+        # second fixture (VERDICT r3 item 8): the 2.2x-vertices customer-part
+        # graph with a different degree profile — same 8-sweep contract
+        from split_merge_partitioner_spark.graph import coreness
+
+        out, _ = coreness(_edges_cp(spark, sf), n_iter=8)
+        return out
+
+    def q_hyperanf_regs_cp(spark, sf):
+        # hyperanf_regs at the second fixture (VERDICT r3 item 8)
+        from split_merge_partitioner_spark.graph import hyperanf_register_moments
+
+        return hyperanf_register_moments(_edges_cp(spark, sf), n_steps=3)
+
     def q_media_features(spark, sf):
         # deterministic synthetic media fixture (real PPM/WAV decode paths);
         # rows-only: binary payloads are not DuckDB-SQL-expressible
@@ -542,7 +582,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_diameter": q_approx_diameter,
         "hyperanf_nf": q_hyperanf_nf,
         "hyperanf_regs": q_hyperanf_regs,
+        "hyperanf_regs_cp": q_hyperanf_regs_cp,
         "coreness_hindex": q_coreness,
+        "coreness_hindex_cp": q_coreness_cp,
         "media_features": q_media_features,
         "events_by_type": q_events_by_type,
         "events_rollup": q_events_rollup,
@@ -1203,8 +1245,9 @@ SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.4
             f" + ((({y} * {hi}) % 4294967296) * 4294967296)) % {_HM64})"
         )
 
-    _hanf_prefix = f"""
-WITH {_EDGES_CTE},
+    def _hanf_prefix_for(edges_cte: str) -> str:
+        return f"""
+WITH {edges_cte},
 und AS (SELECT src AS a, dst AS b FROM edges UNION ALL SELECT dst, src FROM edges),
 dverts AS (SELECT DISTINCT a AS vertex FROM und),
 h0 AS (SELECT vertex, CAST((vertex + {_HC1}) % {_HM64} AS UBIGINT) AS z0 FROM dverts),
@@ -1239,11 +1282,14 @@ FROM (SELECT rr.src, hr.j, MAX(hr.r) AS r
 GROUP BY src
 """
 
-    hyperanf_regs_sql = _hanf_prefix + f"""
+    def _hyperanf_regs_sql_for(edges_cte: str) -> str:
+        return _hanf_prefix_for(edges_cte) + f"""
 SELECT CAST(t AS BIGINT) AS t, vertex, reg_sum, zero_regs FROM (
   {_hanf_regs(0)} UNION ALL {_hanf_regs(1)} UNION ALL {_hanf_regs(2)} UNION ALL {_hanf_regs(3)}
 ) ORDER BY t, vertex
 """
+
+    hyperanf_regs_sql = _hyperanf_regs_sql_for(_EDGES_CTE)
 
     # -- coreness oracle ----------------------------------------------------
     # 8 chained h-operator sweeps (graph/kcore.py): h-index as
@@ -1256,12 +1302,16 @@ SELECT CAST(t AS BIGINT) AS t, vertex, reg_sum, zero_regs FROM (
     SELECT und.a AS v, p.c AS cu,
            ROW_NUMBER() OVER (PARTITION BY und.a ORDER BY p.c DESC) AS rn
     FROM und JOIN ck{_k - 1} p ON p.vertex = und.b) GROUP BY v)""")
-    coreness_sql = f"""
-WITH {_EDGES_CTE},
+
+    def _coreness_sql_for(edges_cte: str) -> str:
+        return f"""
+WITH {edges_cte},
 und AS (SELECT src AS a, dst AS b FROM edges UNION ALL SELECT dst, src FROM edges),
 {','.join(_kcore_ctes)}
 SELECT vertex, CAST(c AS BIGINT) AS coreness FROM ck8
 """
+
+    coreness_sql = _coreness_sql_for(_EDGES_CTE)
 
     simhash_pairs_sql = f"""
 WITH tok AS (
@@ -1344,7 +1394,9 @@ FROM edges e JOIN vp vs ON vs.vertex = e.src JOIN vp vd ON vd.vertex = e.dst
         "minhash_pairs": minhash_pairs_sql,
         "simhash_pairs": simhash_pairs_sql,
         "hyperanf_regs": hyperanf_regs_sql,
+        "hyperanf_regs_cp": _hyperanf_regs_sql_for(_EDGES_CP_CTE),
         "coreness_hindex": coreness_sql,
+        "coreness_hindex_cp": _coreness_sql_for(_EDGES_CP_CTE),
         "vertex_partition_stats": f"""
 WITH {_EDGES_CTE},
 dverts AS (SELECT DISTINCT vertex FROM (

@@ -91,7 +91,11 @@ def run_suite(cpus: str, sf_dir: str, scaling_mode: bool = False) -> dict:
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
         emb.count()
-        from split_merge_partitioner_spark.functions import brute_force_knn, lsh_knn
+        from split_merge_partitioner_spark.functions import (
+            brute_force_knn,
+            ivf_knn,
+            lsh_knn,
+        )
 
         # lsh_knn is the headline ANN path (bucketed, no driver collect);
         # brute force runs only on a query sample to report recall
@@ -99,36 +103,51 @@ def run_suite(cpus: str, sf_dir: str, scaling_mode: bool = False) -> dict:
         approx = lsh_knn(emb, k=5, n_planes=4, n_tables=6).persist()
         approx.count()
         times["lsh_knn"] = round(time.monotonic() - t0, 3)
-        q_sample = emb.where(F.pmod(F.xxhash64("vec_id"), F.lit(25)) == 0)
+        q_sample = emb.where(F.pmod(F.xxhash64("vec_id"), F.lit(25)) == 0).persist()
         exact = brute_force_knn(emb, k=5, queries=q_sample).toPandas()
-        ap = approx.join(q_sample.select(F.col("vec_id").alias("query_id")), "query_id").toPandas()
         e_pairs = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
-        a_pairs = {(r.query_id, r.neighbor_id) for r in ap.itertuples()}
-        extras["lsh_recall_at5"] = round(len(e_pairs & a_pairs) / max(len(e_pairs), 1), 4)
+
+        def recall(approx_df) -> float:
+            ap = approx_df.join(
+                q_sample.select(F.col("vec_id").alias("query_id")), "query_id"
+            ).toPandas()
+            a_pairs = {(r.query_id, r.neighbor_id) for r in ap.itertuples()}
+            return round(len(e_pairs & a_pairs) / max(len(e_pairs), 1), 4)
+
+        extras["lsh_recall_at5"] = recall(approx)
         approx.unpersist()
+
+        # second ANN family at its DEFAULTS — quality tracked round-over-round
+        t0 = time.monotonic()
+        ivf = ivf_knn(emb, k=5).persist()
+        ivf.count()
+        times["ivf_knn"] = round(time.monotonic() - t0, 3)
+        extras["ivf_recall_at5"] = recall(ivf)
+        ivf.unpersist()
 
     spark.stop()
     return {"times": times, "extras": extras}
 
 
 SCALING_DIR = "/tmp/smp_scaling"
+LARGE_DIR = "/tmp/smp_scaling_large"
 
 
-def _prepare_scaling_fixture() -> int:
+def _prepare_fixture(fdir: str, n: int, m_per_node: int = 12) -> int:
     """orkut-shape synthetic graph (FIXTURES.md F2.3, deterministic seed=42)
-    + one FSM partitioning, both cached as parquet so the two measured
-    sessions read IDENTICAL input.  The measured job is the PageRank
-    superstep engine itself (the BASELINE.json metric)."""
+    + one FSM partitioning, both cached as parquet so every measured session
+    reads IDENTICAL input.  The measured job is the PageRank superstep
+    engine itself (the BASELINE.json metric)."""
     import pandas as pd
 
-    edges_path = f"{SCALING_DIR}/edges.parquet"
-    assigned_path = f"{SCALING_DIR}/assigned.parquet"
-    if os.path.exists(f"{SCALING_DIR}/_READY"):
-        return len(pd.read_parquet(edges_path))
-    os.makedirs(SCALING_DIR, exist_ok=True)
+    edges_path = f"{fdir}/edges.parquet"
+    assigned_path = f"{fdir}/assigned.parquet"
+    if os.path.exists(f"{fdir}/_READY"):
+        return len(pd.read_parquet(edges_path, columns=["src"]))
+    os.makedirs(fdir, exist_ok=True)
     from split_merge_partitioner_spark.sources import powerlaw_edges_pdf
 
-    pdf = powerlaw_edges_pdf(n=500_000, m_per_node=12)
+    pdf = powerlaw_edges_pdf(n=n, m_per_node=m_per_node)
     pdf.to_parquet(edges_path)
     os.environ["SPARK_GRAFT_CPUS"] = "32"
     from split_merge_partitioner_spark.operators import fsm_partition
@@ -139,8 +158,19 @@ def _prepare_scaling_fixture() -> int:
     res = fsm_partition(edges, p=32, k=2, merge="fast", splitter="hep_local")
     res.assigned.write.mode("overwrite").parquet(assigned_path)
     spark.stop()
-    open(f"{SCALING_DIR}/_READY", "w").close()
+    open(f"{fdir}/_READY", "w").close()
     return len(pdf)
+
+
+def _prepare_scaling_fixture() -> int:
+    """The 5.9M-edge fixture (n=500k) — the round-2 VERDICT target."""
+    return _prepare_fixture(SCALING_DIR, n=500_000)
+
+
+def _prepare_large_fixture() -> int:
+    """The 23.9M-edge fixture (n=2M) — 4x the headline fixture; the scale
+    direction evidence (eps should NOT drop as m grows 4x)."""
+    return _prepare_fixture(LARGE_DIR, n=2_000_000)
 
 
 def _measure_pagerank(cpus: str, n_iter: int = 10, attempts: int = 2) -> float:
@@ -164,14 +194,21 @@ def _measure_pagerank(cpus: str, n_iter: int = 10, attempts: int = 2) -> float:
 
 
 def _measure_fixture_eps(attempts: int = 3) -> dict:
-    """Steady-state PageRank superstep throughput on the 5.9M-edge powerlaw
-    fixture (the round-2 VERDICT target fixture): the engine reports its
-    loop-only wall clock (info["superstep_seconds"], excluding the one-time
-    degree/pack setup a 100-iteration convergence run amortizes away), so the
-    rate is measured directly rather than inferred by subtraction.  Best of
-    `attempts` runs (interleaved-minima protocol for this VM's 2-40x CPU
-    variance, see BENCH/BASELINE.md)."""
+    """Steady-state PageRank superstep throughput, one Spark session:
+
+    - 5.9M-edge fixture, raw-RDD broadcast path (the headline number): best
+      of `attempts` runs of 20 supersteps, loop-only clock
+      (info["superstep_seconds"], excluding one-time degree/pack setup).
+    - 5.9M-edge fixture, DISTRIBUTED superstep A/B (broadcast_threshold=0):
+      combine="jvm" vs combine="cogroup", interleaved best-of-2 — the
+      VERDICT r3 item-1 table; jvm is the above-threshold default.
+    - 23.9M-edge fixture (4x), raw-RDD path, best-of-2 — eps should hold or
+      rise as the fixed per-job floor amortizes (the 100-TB direction).
+
+    All interleaved-minima protocol (this VM shows 2-40x CPU spikes,
+    BENCH/BASELINE.md)."""
     m = _prepare_scaling_fixture()
+    m_large = _prepare_large_fixture()
     os.environ["SPARK_GRAFT_CPUS"] = "32"
     from split_merge_partitioner_spark.graph import pagerank
     from split_merge_partitioner_spark.session import get_spark
@@ -189,6 +226,26 @@ def _measure_fixture_eps(attempts: int = 3) -> dict:
             best_mean = max(best_mean, m * n_iter / loop)
         if info.get("superstep_seconds_min"):
             best_min = max(best_min, m / info["superstep_seconds_min"])
+
+    # distributed-path A/B on the same fixture (interleaved best-of-2)
+    n_ab = 10
+    ab = {"jvm": 0.0, "cogroup": 0.0}
+    for combine in ("jvm", "cogroup", "jvm", "cogroup"):
+        _, info = pagerank(edges, assigned=assigned, mode="gas", tol=0.0,
+                           max_iter=n_ab, combine=combine)
+        ab[combine] = max(ab[combine], m * n_ab / info["superstep_seconds"])
+
+    # 4x fixture, raw-RDD path (best-of-2)
+    edges_l = spark.read.parquet(f"{LARGE_DIR}/edges.parquet").localCheckpoint(eager=True)
+    assigned_l = spark.read.parquet(f"{LARGE_DIR}/assigned.parquet").localCheckpoint(eager=True)
+    best_large = 0.0
+    best_large_min = 0.0
+    for _ in range(2):
+        _, info = pagerank(edges_l, assigned=assigned_l, mode="gas", tol=0.0, max_iter=n_iter)
+        if info.get("superstep_seconds"):
+            best_large = max(best_large, m_large * n_iter / info["superstep_seconds"])
+        if info.get("superstep_seconds_min"):
+            best_large_min = max(best_large_min, m_large / info["superstep_seconds_min"])
     spark.stop()
     return {
         # min-superstep rate = the interleaved-minima protocol's estimate of
@@ -197,6 +254,40 @@ def _measure_fixture_eps(attempts: int = 3) -> dict:
         "pagerank_edges_per_sec_per_superstep": round(best_min, 1),
         "pagerank_eps_mean_20steps": round(best_mean, 1),
         "pagerank_fixture_m_edges": m,
+        "pagerank_eps_shuffle_jvm": round(ab["jvm"], 1),
+        "pagerank_eps_shuffle_cogroup": round(ab["cogroup"], 1),
+        "pagerank_eps_large_mean_20steps": round(best_large, 1),
+        "pagerank_eps_large_min_superstep": round(best_large_min, 1),
+        "pagerank_large_m_edges": m_large,
+    }
+
+
+def _measure_scaling_large(n_iter: int = 6) -> dict:
+    """8->32-core scaling efficiency of the DISTRIBUTED (jvm) superstep on
+    the 23.9M-edge fixture — the north-rule two-cluster-size criterion,
+    evidenced at two parallelism levels on identical input (interleaved
+    best-of-2, loop-only clocks)."""
+    m = _prepare_large_fixture()
+    from split_merge_partitioner_spark.graph import pagerank
+    from split_merge_partitioner_spark.session import get_spark
+
+    best = {"8": 0.0, "32": 0.0}
+    for cpus in ("8", "32", "8", "32"):
+        os.environ["SPARK_GRAFT_CPUS"] = cpus
+        spark = get_spark(app_name=f"smp-scale-{cpus}", master=f"local[{cpus}]")
+        edges = spark.read.parquet(f"{LARGE_DIR}/edges.parquet").localCheckpoint(eager=True)
+        assigned = spark.read.parquet(f"{LARGE_DIR}/assigned.parquet").localCheckpoint(eager=True)
+        _, info = pagerank(edges, assigned=assigned, mode="gas", tol=0.0,
+                           max_iter=n_iter, combine="jvm")
+        best[cpus] = max(best[cpus], m * n_iter / info["superstep_seconds"])
+        spark.stop()
+    eff = best["32"] / (4 * best["8"]) if best["8"] else 0.0
+    return {
+        "scaling_throughput_local8": round(best["8"], 1),
+        "scaling_throughput_local32": round(best["32"], 1),
+        "scaling_efficiency_8_to_32": round(eff, 3),
+        "scaling_fixture_m_edges": m,
+        "scaling_path": "distributed jvm superstep",
     }
 
 
@@ -228,8 +319,9 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     r = run_suite(cpus, sf_dir)
     fixture = _measure_fixture_eps()
+    scaling = _measure_scaling_large()
     total = round(sum(r["times"].values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_suite_wall_clock",
         "value": total,
         "unit": "sec",
@@ -237,17 +329,18 @@ def main() -> None:
         # headline metric: steady-state superstep rate on the 5.9M-edge
         # powerlaw fixture (VERDICT r2 target); the sf-suite rate below it
         # includes per-call setup on the much smaller sf graph
-        "pagerank_edges_per_sec_per_superstep": fixture["pagerank_edges_per_sec_per_superstep"],
-        "pagerank_eps_mean_20steps": fixture["pagerank_eps_mean_20steps"],
-        "pagerank_fixture_m_edges": fixture["pagerank_fixture_m_edges"],
         "pagerank_eps_sf_suite": r["extras"]["edges_per_sec_per_superstep"],
         "lsh_recall_at5": r["extras"].get("lsh_recall_at5"),
+        "ivf_recall_at5": r["extras"].get("ivf_recall_at5"),
         "fsm_rf": r["extras"]["rf"],
         "fsm_s_v": r["extras"]["s_v"],
         "fsm_s_e": r["extras"]["s_e"],
         "m_edges": r["extras"]["m_edges"],
         "sf": sf,
-    }))
+    }
+    out.update(fixture)
+    out.update(scaling)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
