@@ -24,10 +24,18 @@ execution order — so every path yields bit-identical registers and the driver
 oracle can recompute N(t) in DuckDB from an all-pairs recursive-CTE BFS
 (__spark_entry__.oracle_sql "hyperanf_nf").
 
-Scale notes (100 TB): the shuffle path moves n*64 int rows per superstep with
-partial aggregation; registers would pack into 6 longs (6-bit lanes) on a real
-deployment — documented trade, kept as array<int> here for JVM-expression
-clarity.  The estimate is one extra agg job per superstep (pure JVM).
+Scale notes (100 TB): the shuffle path's default state layout is PACKED — the
+64 registers (values <= 59) live as 7 byte-lanes in each of 10 longs
+(array<bigint>(10), ~80B payload vs ~270B for array<int>(64); 7 lanes keep
+the SWAR guards clear of the int64 sign bit — ANSI-mode-safe).  The register
+max-merge is a SWAR expression (guard-bit compare per byte lane, pure bitwise
+JVM ops) applied via groupBy(vertex).agg(collect_list) + reduce/zip_with.
+Why collect_list and not 64 columnar MAXes: on an average-degree graph each
+map task sees mostly-distinct vertices, so hash partial aggregation barely
+reduces ROW count while inflating row WIDTH to the 64-slot agg buffer —
+shipping the 10-long packed rows uncombined is the smaller shuffle (measured:
+see BENCH/BASELINE.md r4 shuffle-bytes table).  The unpacked 64-column-MAX
+path is kept as the oracle twin (packed==unpacked bit-exact, tested).
 """
 
 from __future__ import annotations
@@ -158,6 +166,124 @@ from pyspark.sql.types import ArrayType, IntegerType  # noqa: E402
 def _init_regs_udf(vertex: pd.Series) -> pd.Series:
     regs = init_registers(vertex.to_numpy(np.int64))
     return pd.Series(list(regs.astype(np.int32)))
+
+
+# --- packed register layout (7 byte-lanes per long, 10 longs) --------------
+# 7 lanes (not 8) keeps every intermediate POSITIVE: the SWAR guard bits top
+# out at bit 55, so (a|G) - b can never wrap int64 — required because Spark 4
+# runs ANSI mode (long overflow throws) and the sign bit is untouchable.
+# Payload: 10 longs ~ 80B/row vs ~270B for array<int>(64).
+_N_LONGS = 10
+_LANES = 7  # byte lanes per long; register i -> long i//7, lane i%7
+_GUARDS = 0x0080808080808080  # guard bit per lane (bits 7,15,...,55)
+
+
+def _pack_expr(regs_col):
+    """array<int>(64) -> array<bigint>(10): lane value in the LOW 7 bits of
+    each byte (register values <= 59 < 127; guard bit 0x80 stays clear);
+    lanes past register 63 stay zero."""
+    return F.array(*[
+        sum(
+            (F.shiftleft(regs_col[j * _LANES + i].cast("long"), 8 * i))
+            for i in range(_LANES)
+            if j * _LANES + i < _M
+        )
+        for j in range(_N_LONGS)
+    ])
+
+
+def _unpack_lane(pk_col, i: int):
+    """register i from the packed array (JVM expression)."""
+    return F.shiftrightunsigned(pk_col[i // _LANES], 8 * (i % _LANES)).bitwiseAND(
+        F.lit(0x7F)
+    )
+
+
+def _swar_max(a, b):
+    """Per-byte-lane max of two packed longs — the classic guard-bit SWAR:
+    t = ((a|G) - b) & G has the guard bit set exactly where a_lane >= b_lane
+    (no inter-byte borrow: (0x80 + a) - b stays in [1, 255] per byte); the
+    full-byte winner mask is (t - (t >>> 7)) | t."""
+    G = F.lit(_GUARDS)
+    t = (a.bitwiseOR(G) - b).bitwiseAND(G)
+    full = (t - F.shiftrightunsigned(t, 7)).bitwiseOR(t)
+    return a.bitwiseAND(full).bitwiseOR(b.bitwiseAND(full.bitwiseXOR(F.lit(-1))))
+
+
+def _packed_merge_expr(list_col):
+    """Reduce a collected list of packed register arrays to their lane-wise
+    max — all bitwise JVM expressions, no Python."""
+    zero = F.array(*[F.lit(0).cast("long") for _ in range(_N_LONGS)])
+    return F.reduce(
+        list_col, zero, lambda acc, x: F.zip_with(acc, x, _swar_max)
+    )
+
+
+def _packed_estimate_sum_expr():
+    """Sum-over-vertices HLL estimate straight off the packed longs
+    (identical formula to estimate_cardinalities)."""
+    lanes = [_unpack_lane(F.col("pk"), i).cast("double") for i in range(_M)]
+    s = sum(F.pow(F.lit(2.0), -r) for r in lanes)
+    V = sum(F.when(r == 0.0, 1).otherwise(0) for r in lanes)
+    E = F.lit(_ALPHA * _M * _M) / s
+    est = F.when(
+        (E <= F.lit(2.5 * _M)) & (V > 0),
+        F.lit(float(_M)) * F.log(F.lit(float(_M)) / V.cast("double")),
+    ).otherwise(E)
+    return F.sum(est).alias("nf")
+
+
+def _hyperanf_shuffle_packed(spark, edges: DataFrame, n_steps: int, stop_early: bool):
+    """Packed-state distributed path: state is (vertex, pk array<bigint>(10));
+    each superstep unions neighbor packed rows both directions plus the state
+    itself, then ONE groupBy(vertex) with collect_list + SWAR-reduce (module
+    docstring: the uncombined ~80B packed rows are the smaller shuffle than
+    64-int agg buffers on mostly-distinct-keys-per-task graphs)."""
+    from ..sources.edges import vertices_of
+
+    state = (
+        vertices_of(edges)
+        .select("vertex", _pack_expr(_init_regs_udf("vertex")).alias("pk"))
+        .localCheckpoint(eager=True)
+    )
+    est_expr = _packed_estimate_sum_expr()
+    history = [state.agg(est_expr).collect()[0][0]]
+    info = {"iterations": 0, "converged": False, "mode": "shuffle_packed"}
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    try:
+        for _t in range(n_steps):
+            nb = (
+                e.join(state.withColumnRenamed("vertex", "src"), "src")
+                .select(F.col("dst").alias("vertex"), "pk")
+                .unionAll(
+                    e.join(state.withColumnRenamed("vertex", "dst"), "dst").select(
+                        F.col("src").alias("vertex"), "pk"
+                    )
+                )
+                .unionAll(state)
+            )
+            new_state = (
+                nb.groupBy("vertex")
+                .agg(F.collect_list("pk").alias("ps"))
+                .select("vertex", _packed_merge_expr(F.col("ps")).alias("pk"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_state.join(state.withColumnRenamed("pk", "old"), "vertex")
+                .where(F.col("pk") != F.col("old"))
+                .count()
+            )
+            state.unpersist()
+            state = new_state
+            info["iterations"] += 1
+            if changed == 0:
+                info["converged"] = True
+                break
+            history.append(state.agg(est_expr).collect()[0][0])
+    finally:
+        state.unpersist()
+        e.unpersist()
+    return history, info
 
 
 def _hyperanf_shuffle(spark, edges: DataFrame, n_steps: int, stop_early: bool):
@@ -313,6 +439,7 @@ def hyperanf(
     n_steps: int = 32,
     stop_early: bool = True,
     broadcast_threshold: int = 2_000_000,
+    packed: bool = True,
 ) -> tuple[DataFrame, dict]:
     """Approximate neighborhood function N(t) for t = 0..n_steps.
 
@@ -341,6 +468,8 @@ def hyperanf(
         if assigned is not None and n <= broadcast_threshold:
             verts = np.sort(verts_df.toPandas()["vertex"].to_numpy(np.int64))
             history, info = _hyperanf_broadcast(spark, verts, assigned, n_steps)
+        elif packed:
+            history, info = _hyperanf_shuffle_packed(spark, edges, n_steps, stop_early)
         else:
             history, info = _hyperanf_shuffle(spark, edges, n_steps, stop_early)
     finally:

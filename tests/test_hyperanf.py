@@ -50,15 +50,53 @@ def test_paths_agree_bit_exact(spark):
     pairs = list({(int(a), int(b)) for a, b in rng.integers(0, 60, size=(150, 2)) if a != b})
     e = _edges_df(spark, pairs).persist()
     nf_b, info_b = hyperanf(e, assigned=dbh_partition(e, 4), n_steps=16)
-    nf_s, info_s = hyperanf(e, n_steps=16, broadcast_threshold=0)
+    nf_s, info_s = hyperanf(e, n_steps=16, broadcast_threshold=0, packed=False)
+    nf_p, info_p = hyperanf(e, n_steps=16, broadcast_threshold=0, packed=True)
     assert info_b["mode"] == "broadcast" and info_s["mode"] == "shuffle"
+    assert info_p["mode"] == "shuffle_packed"
     pb = nf_b.toPandas().sort_values("t").reset_index(drop=True)
     ps = nf_s.toPandas().sort_values("t").reset_index(drop=True)
-    # registers are bit-identical on both paths; estimates are the same
+    pp = nf_p.toPandas().sort_values("t").reset_index(drop=True)
+    # registers are bit-identical on all three paths; estimates are the same
     # deterministic doubles (numpy vs JVM evaluate the identical formula)
-    assert len(pb) == len(ps)
+    assert len(pb) == len(ps) == len(pp)
     np.testing.assert_allclose(pb["neighborhood"], ps["neighborhood"], rtol=1e-12)
+    np.testing.assert_allclose(pb["neighborhood"], pp["neighborhood"], rtol=1e-12)
     assert abs(info_b["effective_diameter_90"] - info_s["effective_diameter_90"]) < 1e-9
+    assert abs(info_b["effective_diameter_90"] - info_p["effective_diameter_90"]) < 1e-9
+
+
+def test_packed_swar_max_matches_numpy():
+    """The SWAR byte-lane max (guard-bit compare) against NumPy max over
+    random register vectors, including lane values 0 and the 59 cap — packed
+    state must reproduce the unpacked registers bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from split_merge_partitioner_spark.graph.hyperanf import (
+        _pack_expr,
+        _swar_max,
+        _unpack_lane,
+    )
+    from split_merge_partitioner_spark.session import get_spark
+
+    spark = get_spark(master="local[2]", app_name="swar-test")
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 60, size=(50, 64)).astype(np.int32)
+    b = rng.integers(0, 60, size=(50, 64)).astype(np.int32)
+    a[0, :] = 0
+    b[1, :] = 59
+    pdf = pd.DataFrame({"ra": list(a), "rb": list(b)})
+    df = spark.createDataFrame(pdf).select(
+        F.zip_with(
+            _pack_expr(F.col("ra")), _pack_expr(F.col("rb")), _swar_max
+        ).alias("pk")
+    )
+    got = df.select(
+        F.array(*[_unpack_lane(F.col("pk"), i) for i in range(64)]).alias("mx")
+    ).toPandas()
+    exp = np.maximum(a, b)
+    got_m = np.stack(got["mx"].to_numpy())
+    np.testing.assert_array_equal(got_m, exp)
 
 
 def test_neighborhood_function_tracks_exact(spark):
