@@ -16,6 +16,17 @@ branch at cpp:190), with partition-local stream state like our Fennel
 rejected buckets, which at Spark scale is better served by the FSM
 split-merge this repo centers on — BPart is kept as the paper's Table-4
 comparison baseline).
+
+Blocked variant (the default, ``block_size`` knob — the hdrf.py/fennel.py
+recipe): the overlap matrix for a block of B vertices is ONE np.add.at
+scatter over the flattened adjacency against block-start placements, and
+the weight penalty one frozen (2p)-vector; per-vertex work is an argmax
+read plus live n_v/n_e/placement updates.  Placement state is fennel.py's
+dense int16 array (one fancy-index lookup per block, dict fallback for
+hash-space ids).  In-block placements are invisible to later in-block
+overlap terms (documented stream variant; the reference is
+stream-order-sensitive anyway).  block_size=1 reproduces the per-vertex
+kernel exactly (tested).
 """
 
 from __future__ import annotations
@@ -29,6 +40,37 @@ from pyspark.sql import functions as F
 
 GAMMA = 1.5   # bpart_partitioner.hpp:45
 ALPHA = 1.5   # bpart_partitioner.hpp:46
+
+
+def _phase2_final_of(n_v: np.ndarray, nf: int, hub_map: dict[int, int] | None):
+    """Phase 2: pair-merge smallest+largest fine bucket by vertex count
+    (cpp:150-166), then (with hubs) permute final labels so fine bucket 2b —
+    seeded with hub b's neighbors — lands on fission bucket b where possible
+    (the pair-merge's labels are an arbitrary bijection onto [0, p))."""
+    order = np.argsort(n_v, kind="stable")
+    final_of = np.empty(nf, dtype=np.int64)
+    for i in range(nf // 2):
+        final_of[order[i]] = i
+        final_of[order[nf - i - 1]] = i
+    if hub_map:
+        want = {}
+        for b in set(hub_map.values()):
+            want.setdefault(int(final_of[2 * b]), b)
+        relabel = {}
+        taken = set()
+        for cur, tgt in sorted(want.items()):
+            if tgt not in taken:
+                relabel[cur] = tgt
+                taken.add(tgt)
+        free = iter(x for x in range(nf // 2) if x not in taken)
+        lab_perm = np.empty(nf // 2, dtype=np.int64)
+        for lab in range(nf // 2):
+            lab_perm[lab] = relabel.get(lab, -1)
+        for lab in range(nf // 2):
+            if lab_perm[lab] < 0:
+                lab_perm[lab] = next(free)
+        final_of = lab_perm[final_of]
+    return final_of
 
 
 def _bpart_task(p: int, avg_degree: float, hub_map: dict[int, int] | None = None):
@@ -60,34 +102,65 @@ def _bpart_task(p: int, avg_degree: float, hub_map: dict[int, int] | None = None
             rows.append(pd.DataFrame({"vertex": verts, "fine": out}))
         if not rows:
             return
-        # phase 2: pair-merge smallest+largest by vertex count (cpp:150-166)
-        order = np.argsort(n_v, kind="stable")
-        final_of = np.empty(nf, dtype=np.int64)
-        for i in range(nf // 2):
-            final_of[order[i]] = i
-            final_of[order[nf - i - 1]] = i
-        if hub_map:
-            # final labels are an arbitrary bijection onto [0, p); permute
-            # them so the fine bucket seeded with hub b's neighbors lands on
-            # the hub's fission bucket b wherever possible — otherwise the
-            # pair-merge would scatter the seeding's co-location
-            want = {}
-            for b in set(hub_map.values()):
-                want.setdefault(int(final_of[2 * b]), b)
-            relabel = {}
-            taken = set()
-            for cur, tgt in sorted(want.items()):
-                if tgt not in taken:
-                    relabel[cur] = tgt
-                    taken.add(tgt)
-            free = iter(x for x in range(nf // 2) if x not in taken)
-            lab_perm = np.empty(nf // 2, dtype=np.int64)
-            for lab in range(nf // 2):
-                lab_perm[lab] = relabel.get(lab, -1)
-            for lab in range(nf // 2):
-                if lab_perm[lab] < 0:
-                    lab_perm[lab] = next(free)
-            final_of = lab_perm[final_of]
+        final_of = _phase2_final_of(n_v, nf, hub_map)
+        allrows = pd.concat(rows)
+        yield pd.DataFrame(
+            {"vertex": allrows["vertex"], "bucket": final_of[allrows["fine"].to_numpy()]}
+        )
+
+    return run
+
+
+def _bpart_task_blocked(
+    p: int, avg_degree: float, block_size: int, hub_map: dict[int, int] | None = None
+):
+    """Blocked phase-1 stream kernel (module docstring): frozen block-start
+    weight penalty + ONE scatter-add overlap matrix per block; live n_v/n_e/
+    placement updates per vertex (n_e grows by the FROZEN overlap[best], the
+    same value the frozen score saw)."""
+    nf = 2 * p
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .fennel import _DensePlacement
+
+        n_v = np.zeros(nf, dtype=np.int64)
+        n_e = np.zeros(nf, dtype=np.int64)
+        rows: list[pd.DataFrame] = []
+        state = _DensePlacement(
+            {v: 2 * b for v, b in hub_map.items()} if hub_map else None
+        )
+        for pdf in batches:
+            verts = pdf["vertex"].to_numpy(np.int64)
+            nbrs_col = pdf["nbrs"]
+            out = np.empty(len(verts), dtype=np.int64)
+            for lo in range(0, len(verts), block_size):
+                hi = min(lo + block_size, len(verts))
+                lst = list(nbrs_col.iloc[lo:hi])
+                counts = np.fromiter((len(x) for x in lst), np.int64, hi - lo)
+                flat = (
+                    np.concatenate(lst).astype(np.int64, copy=False)
+                    if lst
+                    else np.empty(0, np.int64)
+                )
+                pb = state.lookup(flat)
+                rrows = np.repeat(np.arange(hi - lo, dtype=np.int32), counts)
+                placed = pb >= 0
+                inter = np.zeros((hi - lo, nf), dtype=np.float64)
+                np.add.at(inter, (rrows[placed], pb[placed]), 1.0)
+                w = n_v + 2.0 * n_e / avg_degree
+                s = inter - (ALPHA * GAMMA) * np.power(w, GAMMA - 1.0)[None, :]
+                top = np.argmax(s, axis=1).tolist()
+                vlist = verts[lo:hi].tolist()
+                for i in range(hi - lo):
+                    best = top[i]
+                    out[lo + i] = best
+                    state.set(vlist[i], best)
+                    n_v[best] += 1
+                    n_e[best] += int(inter[i, best])
+            rows.append(pd.DataFrame({"vertex": verts, "fine": out}))
+        if not rows:
+            return
+        final_of = _phase2_final_of(n_v, nf, hub_map)
         allrows = pd.concat(rows)
         yield pd.DataFrame(
             {"vertex": allrows["vertex"], "bucket": final_of[allrows["fine"].to_numpy()]}
@@ -97,12 +170,14 @@ def _bpart_task(p: int, avg_degree: float, hub_map: dict[int, int] | None = None
 
 
 def bpart_partition(
-    edges: DataFrame, p: int, hub_threshold: int | None = None
+    edges: DataFrame, p: int, hub_threshold: int | None = None,
+    block_size: int = 256,
 ) -> DataFrame:
     """(vertex, bucket) BPart vertex partition into p buckets (first-pass
     flavor; partition-local stream state; degree > hub_threshold vertices
     take the fission path — see fennel._hub_split_adjacency).  Feed
-    ``vertex2edge_partition`` for an edge-cut."""
+    ``vertex2edge_partition`` for an edge-cut.  block_size: scoring-state
+    refresh granularity (module docstring); 1 = exact per-vertex streaming."""
     from .fennel import DEFAULT_HUB_THRESHOLD, _hub_split_adjacency
 
     m = edges.count()
@@ -110,7 +185,12 @@ def bpart_partition(
         edges, p, hub_threshold if hub_threshold is not None else DEFAULT_HUB_THRESHOLD
     )
     avg_degree = 2.0 * m / max(n, 1)
+    kernel = (
+        _bpart_task(p, avg_degree, hub_map)
+        if block_size <= 1
+        else _bpart_task_blocked(p, avg_degree, block_size, hub_map)
+    )
     streamed = adj.orderBy("vertex").mapInPandas(
-        _bpart_task(p, avg_degree, hub_map), schema="vertex long, bucket long"
+        kernel, schema="vertex long, bucket long"
     )
     return streamed.unionAll(hub_df) if hub_map else streamed

@@ -21,6 +21,15 @@ faithful analog and keeps the balance term at the same magnitude as s_u+s_v.
 
 Scoring is vectorized over the p buckets (bool[p] membership rows + one NumPy
 expression per edge) — no Python loop over p.
+
+Blocked variant (the default, ``block_size`` knob — the hdrf.py recipe):
+edges are scored in blocks of B against replica/balance state FROZEN at
+block start — membership as uint64 bitmasks, the whole block's scores ONE
+(B x p) NumPy expression, per-edge work an argmin read plus live
+e_cnt/v_cnt/replica updates.  EBV has no hard capacity cut-off (the balance
+terms are soft), so the per-edge step is pure bookkeeping.  block_size=1
+reproduces the per-edge kernel exactly (tested); p > 64 falls back to the
+per-edge kernel.
 """
 
 from __future__ import annotations
@@ -77,8 +86,67 @@ def _ebv_task(p: int):
     return run
 
 
-def ebv_partition(edges: DataFrame, p: int, deg: DataFrame | None = None) -> DataFrame:
-    """(src, dst, bucket) — EBV with degree-sum-ordered streaming."""
+def _ebv_task_blocked(p: int, block_size: int):
+    """Blocked stream kernel (module docstring)."""
+    assert p <= 64, "blocked kernel packs membership in uint64 (use block_size=1 beyond)"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bits = np.arange(p, dtype=np.uint64)
+        e_cnt = np.zeros(p, dtype=np.int64)
+        v_cnt = np.zeros(p, dtype=np.int64)
+        rep: dict[int, int] = {}  # vertex -> bucket bitmask
+        seen = 0
+        total_replicas = 0
+        get = rep.get
+        for pdf in batches:
+            src = pdf["src"].to_numpy(np.int64)
+            dst = pdf["dst"].to_numpy(np.int64)
+            out = np.empty(len(src), dtype=np.int64)
+            for lo in range(0, len(src), block_size):
+                hi = min(lo + block_size, len(src))
+                ulist = src[lo:hi].tolist()
+                vlist = dst[lo:hi].tolist()
+                mu = np.fromiter((get(u, 0) for u in ulist), np.uint64, hi - lo)
+                mv = np.fromiter((get(v, 0) for v in vlist), np.uint64, hi - lo)
+                # frozen block-start state: replica terms (2 - mu - mv) +
+                # both balance terms, one (B, p) expression (:91-125)
+                avg_e = max(seen, 1) / p
+                avg_v = max(total_replicas, 1) / p
+                bal = e_cnt / avg_e + v_cnt / avg_v
+                s = (
+                    (bal[None, :] + 2.0)
+                    - ((mu[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.float64)
+                    - ((mv[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.float64)
+                )
+                best = np.argmin(s, axis=1).tolist()
+                for i in range(hi - lo):
+                    b = best[i]
+                    out[lo + i] = b
+                    e_cnt[b] += 1
+                    seen += 1
+                    u, v = ulist[i], vlist[i]
+                    bbit = 1 << b
+                    m_u = get(u, 0)
+                    if not m_u & bbit:
+                        rep[u] = m_u | bbit
+                        v_cnt[b] += 1
+                        total_replicas += 1
+                    m_v = get(v, 0)
+                    if not m_v & bbit:
+                        rep[v] = m_v | bbit
+                        v_cnt[b] += 1
+                        total_replicas += 1
+            yield pd.DataFrame({"src": src, "dst": dst, "bucket": out})
+
+    return run
+
+
+def ebv_partition(
+    edges: DataFrame, p: int, deg: DataFrame | None = None, block_size: int = 256
+) -> DataFrame:
+    """(src, dst, bucket) — EBV with degree-sum-ordered streaming.
+    block_size: scoring-state refresh granularity (module docstring);
+    1 = exact per-edge reference semantics."""
     if deg is None:
         # materialized: the degree agg feeds BOTH endpoint joins
         deg = degrees_of(edges).localCheckpoint(eager=True)
@@ -89,4 +157,9 @@ def ebv_partition(edges: DataFrame, p: int, deg: DataFrame | None = None) -> Dat
         .orderBy((F.col("deg_src") + F.col("deg_dst")).asc(), "src", "dst")
         .select("src", "dst")
     )
-    return e.mapInPandas(_ebv_task(p), schema="src long, dst long, bucket long")
+    kernel = (
+        _ebv_task(p)
+        if (block_size <= 1 or p > 64)
+        else _ebv_task_blocked(p, block_size)
+    )
+    return e.mapInPandas(kernel, schema="src long, dst long, bucket long")

@@ -170,3 +170,154 @@ def test_kernels_batch_invariant():
     chunks = [pdf.iloc[i : i + 500] for i in range(0, len(pdf), 500)]
     split = pd.concat(list(_hdrf_task(p, 1.1)(iter(chunks))))["bucket"].to_numpy()
     assert (whole == split).all()
+
+
+def test_ebv_blocked_block1_is_reference_semantics():
+    from split_merge_partitioner_spark.operators.ebv import _ebv_task_blocked
+
+    p = 8
+    pdf = _stream(seed=11)
+    pdf = pdf.assign(ds=pdf.deg_src + pdf.deg_dst).sort_values(
+        ["ds", "src", "dst"]
+    ).drop(columns="ds").reset_index(drop=True)
+    ref = pd.concat(list(_ebv_task(p)(iter([pdf]))))["bucket"].to_numpy()
+    got = pd.concat(list(_ebv_task_blocked(p, 1)(iter([pdf]))))["bucket"].to_numpy()
+    assert (got == ref).all()
+
+
+def test_ebv_blocked_balance_holds_at_large_blocks():
+    """EBV has no hard cap, but the frozen balance terms still steer: at
+    block_size >> p no bucket may run away (both count terms re-freeze each
+    block, so a pile-up is corrected at the next boundary)."""
+    from split_merge_partitioner_spark.operators.ebv import _ebv_task_blocked
+
+    p = 4
+    pdf = _stream(n_edges=4000, n_vertices=40, seed=3)
+    got = pd.concat(list(_ebv_task_blocked(p, 512)(iter([pdf]))))["bucket"].to_numpy()
+    sizes = np.bincount(got, minlength=p)
+    assert sizes.max() <= 1.3 * len(pdf) / p
+
+
+def _vertex_stream(n_vertices=400, n_edges=2400, seed=5):
+    """Grouped (vertex, nbrs) adjacency frame, ascending vertex order — the
+    layout fennel/bpart kernels receive from _hub_split_adjacency."""
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n_vertices, n_edges)
+    dst = rng.integers(0, n_vertices, n_edges)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    adj: dict[int, list[int]] = {}
+    for u, v in zip(src.tolist(), dst.tolist()):
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    verts = sorted(adj)
+    return (
+        pd.DataFrame(
+            {"vertex": verts, "nbrs": [np.array(adj[v], dtype=np.int64) for v in verts]}
+        ),
+        len(src),
+    )
+
+
+def test_fennel_blocked_block1_is_per_vertex_semantics():
+    import math
+
+    from split_merge_partitioner_spark.operators.fennel import (
+        _fennel_task,
+        _fennel_task_blocked,
+    )
+
+    p = 8
+    pdf, m = _vertex_stream()
+    n = len(pdf)
+    alpha = math.sqrt(p) * m / (n**1.5)
+    ref = pd.concat(list(_fennel_task(p, alpha)(iter([pdf]))))["bucket"].to_numpy()
+    got = pd.concat(list(_fennel_task_blocked(p, alpha, 1)(iter([pdf]))))[
+        "bucket"
+    ].to_numpy()
+    assert (got == ref).all()
+
+
+def test_fennel_blocked_capacity_live_at_large_blocks():
+    import math
+
+    from split_merge_partitioner_spark.operators.fennel import _fennel_task_blocked
+
+    p = 4
+    pdf, m = _vertex_stream(n_vertices=80, n_edges=2000, seed=9)
+    n = len(pdf)
+    alpha = math.sqrt(p) * m / (n**1.5)
+    got = pd.concat(list(_fennel_task_blocked(p, alpha, 4096)(iter([pdf]))))[
+        "bucket"
+    ].to_numpy()
+    sizes = np.bincount(got, minlength=p)
+    assert sizes.max() <= 1.1 * n / p + 2  # fennel_partitioner.cpp:49 bound
+
+
+def test_bpart_blocked_block1_is_per_vertex_semantics():
+    from split_merge_partitioner_spark.operators.bpart import (
+        _bpart_task,
+        _bpart_task_blocked,
+    )
+
+    p = 8
+    pdf, m = _vertex_stream(seed=17)
+    n = len(pdf)
+    avg_degree = 2.0 * m / n
+    ref = pd.concat(list(_bpart_task(p, avg_degree)(iter([pdf]))))["bucket"].to_numpy()
+    got = pd.concat(list(_bpart_task_blocked(p, avg_degree, 1)(iter([pdf]))))[
+        "bucket"
+    ].to_numpy()
+    assert (got == ref).all()
+
+
+def test_vertex_kernels_blocked_hub_seeding():
+    """Blocked kernels must honor the fission hub_map seeding exactly like
+    the per-vertex kernels: low vertices score against the pre-placed hubs."""
+    import math
+
+    from split_merge_partitioner_spark.operators.fennel import (
+        _fennel_task,
+        _fennel_task_blocked,
+    )
+
+    p = 4
+    pdf, m = _vertex_stream(seed=21)
+    hub_map = {int(pdf.vertex.iloc[0]): 3, int(pdf.vertex.iloc[1]): 1}
+    pdf = pdf.iloc[2:].reset_index(drop=True)
+    n = len(pdf)
+    alpha = math.sqrt(p) * m / (n**1.5)
+    ref = pd.concat(list(_fennel_task(p, alpha, hub_map)(iter([pdf]))))[
+        "bucket"
+    ].to_numpy()
+    got = pd.concat(list(_fennel_task_blocked(p, alpha, 1, hub_map)(iter([pdf]))))[
+        "bucket"
+    ].to_numpy()
+    assert (got == ref).all()
+
+
+def test_dense_placement_dict_fallback_equivalence():
+    """Hash-space (huge/sparse) vertex ids must flip _DensePlacement into
+    dict mode mid-stream without changing a single assignment."""
+    import math
+
+    from split_merge_partitioner_spark.operators.fennel import (
+        _DENSE_ID_LIMIT,
+        _fennel_task,
+        _fennel_task_blocked,
+    )
+
+    p = 4
+    pdf, m = _vertex_stream(seed=29)
+    # push every id into hash space (beyond the dense limit)
+    shift = _DENSE_ID_LIMIT + 17
+    pdf = pdf.assign(
+        vertex=pdf.vertex + shift, nbrs=[x + shift for x in pdf.nbrs]
+    )
+    n = len(pdf)
+    alpha = math.sqrt(p) * m / (n**1.5)
+    ref = pd.concat(list(_fennel_task(p, alpha)(iter([pdf]))))["bucket"].to_numpy()
+    got = pd.concat(list(_fennel_task_blocked(p, alpha, 1)(iter([pdf]))))[
+        "bucket"
+    ].to_numpy()
+    assert (got == ref).all()
