@@ -289,8 +289,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_link_suggestions(spark, sf):
         # top-5 non-adjacent candidates per vertex by common-neighbor count;
         # integer-only ranking keeps the window cross-engine deterministic.
-        # Default "auto" hub cap (max(16, ceil(sqrt(2m)))) — replayed by the
-        # oracle; _edges output is canonical so the canonicalize pass is skipped
+        # Default "auto" volume-budget hub cap (linkpred._auto_center_cap) —
+        # replayed by the oracle in integer-exact doubles; _edges output is
+        # canonical so the canonicalize pass is skipped
         from split_merge_partitioner_spark.graph import link_suggestions
 
         return link_suggestions(_edges(spark, sf), k=5, min_common=2,
@@ -807,14 +808,28 @@ FROM deg d LEFT JOIN tpv t ON t.vertex = d.vertex
 WITH {_EDGES_CTE},
 und AS (SELECT src AS w, dst AS n FROM edges UNION ALL SELECT dst, src FROM edges),
 deg AS (SELECT w AS vertex, COUNT(*) AS degree FROM und GROUP BY w),
--- the "auto" hub cap (graph/linkpred.py): centers above sqrt(2m) degree are
--- excluded from wedge generation (documented underestimate semantics)
-cap AS (SELECT GREATEST(16, CAST(CEIL(SQRT(2.0 * COUNT(*))) AS BIGINT)) AS c FROM edges),
+-- the "auto" volume-budget hub cap (graph/linkpred.py::_auto_center_cap):
+-- NULL (no cap) when the full wedge volume fits max(2m*sqrt(2m), 2^26);
+-- else the largest distinct degree whose truncated volume fits (floor 16).
+-- All terms are integer-valued doubles < 2^53 — bit-identical cross-engine.
+budget AS (SELECT GREATEST(2.0 * COUNT(*) * SQRT(2.0 * COUNT(*)), 67108864.0) AS b
+           FROM edges),
+deghist AS (SELECT degree AS c, CAST(COUNT(*) AS DOUBLE) AS nv FROM deg GROUP BY degree),
+vol AS (
+    SELECT h.c, SUM(g.nv * LEAST(g.c, h.c) * LEAST(g.c, h.c)) AS f
+    FROM deghist h CROSS JOIN deghist g GROUP BY h.c
+),
+cap AS (
+    SELECT CASE WHEN (SELECT MAX(f) FROM vol) <= (SELECT b FROM budget) THEN NULL
+                ELSE GREATEST(16, COALESCE(
+                    (SELECT MAX(c) FROM vol WHERE f <= (SELECT b FROM budget)), 16))
+           END AS c
+),
 wed AS (
     SELECT x.n AS a, y.n AS b, d.degree AS dw
     FROM und x JOIN und y ON x.w = y.w AND x.n < y.n
     JOIN deg d ON d.vertex = x.w
-    WHERE d.degree <= (SELECT c FROM cap)
+    WHERE (SELECT c FROM cap) IS NULL OR d.degree <= (SELECT c FROM cap)
 ),
 scores AS (
     SELECT a, b, CAST(COUNT(*) AS BIGINT) AS common,

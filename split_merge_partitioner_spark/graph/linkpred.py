@@ -19,11 +19,18 @@ Scale: wedge volume is Σ_w deg(w)² — power-law hubs dominate it while
 contributing the LEAST per-wedge evidence (1/ln(deg) → small), so
 ``max_center_degree`` drops hub centers from wedge generation (the standard
 truncation; scores become slight underestimates for pairs whose only shared
-neighbors are hubs — documented semantics).  The DEFAULT is "auto" =
-max(16, ceil(sqrt(2m))) — the same O(√m) bound the oriented triangle join
-relies on, which caps wedge volume at O(m·√m) on any graph.  Pass an int to
-choose the cap, or None to opt in to unbounded wedges (safe only on graphs
-with no high-degree hubs).
+neighbors are hubs — documented semantics).  The DEFAULT is "auto", a
+volume-BUDGET rule rather than a fixed degree rule: cap only when the
+actual wedge volume Σ_w min(deg(w), c)² would exceed
+max(2m·sqrt(2m), 2^26) — the same O(m^1.5) asymptotic bound the oriented
+triangle join relies on, with an absolute floor (2^26 ≈ 67M wedge rows is
+one task's worth of join work — never worth losing evidence over; the cap
+exists to stop the deg(hub)² ~ 10^12 blowups).  Within budget nothing is
+capped (small/hub-free graphs keep exact scores); over budget the cap is
+the LARGEST distinct degree whose truncated volume fits (floor 16),
+computed from the degree histogram on the driver (histogram size is
+O(#distinct degrees) — tiny even at 10^12 edges).  Pass an int to choose
+the cap, or None to opt in to unbounded wedges.
 """
 
 from __future__ import annotations
@@ -32,6 +39,35 @@ import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+WEDGE_BUDGET_FLOOR = 1 << 26  # never cap below ~67M wedge rows of join work
+
+
+def _auto_center_cap(edges: DataFrame, deg: DataFrame) -> int | None:
+    """The "auto" volume-budget cap (module docstring): None when the full
+    wedge volume Σ deg² fits max(2m·sqrt(2m), 2^26); else the largest
+    distinct degree c with Σ min(deg, c)² within budget (floor 16).  All
+    arithmetic is integer-valued doubles < 2^53, so the DuckDB oracle replay
+    is bit-identical."""
+    import numpy as np
+
+    m = edges.count()
+    budget = max(2.0 * m * math.sqrt(2.0 * m), float(WEDGE_BUDGET_FLOOR))
+    hist = (
+        deg.groupBy("degree").agg(F.count(F.lit(1)).alias("nv")).toPandas()
+    )
+    ds = hist["degree"].to_numpy(np.float64)
+    order = np.argsort(ds)
+    ds = ds[order]
+    nv = hist["nv"].to_numpy(np.float64)[order]
+    # f(c_i) = Σ_{d<=c_i} nv·d² + c_i²·Σ_{d>c_i} nv, for every distinct c_i
+    head = np.cumsum(nv * ds * ds)
+    tail = nv.sum() - np.cumsum(nv)
+    f = head + ds * ds * tail
+    if len(f) == 0 or f[-1] <= budget:
+        return None
+    ok = np.nonzero(f <= budget)[0]
+    return max(16, int(ds[ok[-1]])) if len(ok) else 16
 
 
 def link_suggestions(
@@ -58,10 +94,6 @@ def link_suggestions(
             .where(F.col("src") != F.col("dst"))
             .dropDuplicates(["src", "dst"])
         )
-    if max_center_degree == "auto":
-        # O(√m) hub cap: bounds wedge volume Σ_w min(deg(w), cap)² ≤ 2m·cap
-        m = edges.count()
-        max_center_degree = max(16, math.ceil(math.sqrt(2.0 * m)))
     und = edges.select(F.col("src").alias("w"), F.col("dst").alias("n")).unionAll(
         edges.select(F.col("dst").alias("w"), F.col("src").alias("n"))
     )
@@ -73,6 +105,8 @@ def link_suggestions(
         .agg(F.count(F.lit(1)).alias("degree"))
         .localCheckpoint(eager=True)
     )
+    if max_center_degree == "auto":
+        max_center_degree = _auto_center_cap(edges, deg)
     centers = und.join(F.broadcast(deg), "w")
     if max_center_degree is not None:
         centers = centers.where(F.col("degree") <= max_center_degree)

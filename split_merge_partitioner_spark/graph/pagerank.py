@@ -14,6 +14,12 @@ Two execution modes:
     and gather with groupBy(vertex).sum — three JVM operators per superstep
     (the kcore.py::_coreness_shuffle pattern), zero Python in the loop, one
     map-side-combined shuffle per superstep (the contrib join is co-located).
+  * "mirror": PowerGraph-volume pure-JVM superstep — exchanges carry
+    2*RF*n rows (mirror contribs in, per-bucket partials out), the
+    RF-governed cost the FSM partitioner minimizes, at the price of two
+    exchanges + within-bucket joins; A/B'd vs "jvm" in BENCH/BASELINE.md
+    (shuffle-bound clusters want this one; the sandbox's CPU-bound local
+    mode favors "jvm").
   * "cogroup": per-bucket CSR scatter inside cogroup().applyInPandas (Arrow
     blocks), mirror-rank shuffle O(RF*n) — the PowerGraph-literal kernel,
     kept as the A/B floor (BENCH/BASELINE.md records the comparison).
@@ -414,7 +420,7 @@ def pagerank(
     # cost, O(RF*n) rows) — this threshold is the only sandbox-vs-cluster knob.
     # Explicitly requesting a distributed combine ("jvm"/"cogroup") forces the
     # distributed superstep even under the threshold (A/B + scale testing).
-    broadcast_state = n <= broadcast_threshold and combine not in ("jvm", "cogroup")
+    broadcast_state = n <= broadcast_threshold and combine not in ("jvm", "cogroup", "mirror")
 
     if mode == "gas" and broadcast_state:
         assert assigned is not None, "gas mode needs the partition assignment"
@@ -443,6 +449,7 @@ def pagerank(
 
     und_jvm = None
     edges_by_bucket = None
+    replicas_by_vertex = None
     if mode == "gas":
         # distributed default: the JVM-only superstep (A/B-measured faster
         # than the cogroup Python kernel at local[32] on the powerlaw
@@ -462,6 +469,30 @@ def pagerank(
                     edges.select(F.col("dst").alias("vertex"), F.col("src").alias("nb"))
                 )
                 .repartition(shuffle_n, "nb")
+                .localCheckpoint(eager=True)
+            )
+        elif combine == "mirror":
+            # PowerGraph-volume JVM superstep: per-superstep exchanges carry
+            # 2*RF*n rows (mirror contribs in, per-bucket partials out) — the
+            # RF-governed cost the FSM partitioner minimizes — instead of the
+            # 2m rows of combine="jvm".  Statics: the doubled edge relation
+            # AND the replica relation both hash-partitioned by bucket; the
+            # within-bucket joins/partial-aggs are exchange-free because
+            # hash(bucket) satisfies clustering on (bucket, vertex).
+            assert assigned is not None, "gas/mirror needs the partition assignment"
+            from ..operators.stats import replica_sets
+
+            und_jvm = (
+                assigned.select("bucket", F.col("src").alias("v"), F.col("dst").alias("nb"))
+                .unionAll(
+                    assigned.select("bucket", F.col("dst").alias("v"), F.col("src").alias("nb"))
+                )
+                .repartition(shuffle_n, "bucket")
+                .localCheckpoint(eager=True)
+            )
+            replicas_by_vertex = (
+                replica_sets(assigned)
+                .repartition(shuffle_n, "vertex")
                 .localCheckpoint(eager=True)
             )
         else:
@@ -515,6 +546,31 @@ def pagerank(
                     und_jvm.join(contrib_df.hint("shuffle_hash"), "nb")
                     .groupBy("vertex")
                     .agg(F.sum("c").alias("gathered"))
+                )
+            elif mode == "gas" and combine == "mirror":
+                # (1) mirror contribs: replicas(vertex-partitioned) join the
+                #     vertex-partitioned contribs — exchange-free join, then
+                #     the ONE RF*n-row exchange into hash(bucket);
+                # (2) within-bucket gather: join on (bucket, nb) against the
+                #     static doubled edges + partial sum per (bucket, v) —
+                #     both satisfied by hash(bucket), zero exchange;
+                # (3) global combine: groupBy(v) over RF*n partial rows.
+                contrib_df = state.select(
+                    "vertex", (F.col("rank") / F.col("degree")).alias("c")
+                )
+                mirror = (
+                    replicas_by_vertex.join(contrib_df.hint("shuffle_hash"), "vertex")
+                    .select("bucket", F.col("vertex").alias("nb"), "c")
+                    .repartition(shuffle_n, "bucket")
+                )
+                partials = (
+                    und_jvm.join(mirror.hint("shuffle_hash"), ["bucket", "nb"])
+                    .groupBy("bucket", "v")
+                    .agg(F.sum("c").alias("p"))
+                )
+                gathered = (
+                    partials.groupBy(F.col("v").alias("vertex"))
+                    .agg(F.sum("p").alias("gathered"))
                 )
             elif mode == "gas":
                 # slim mirror payload: contrib = rank/degree is all the kernel needs
@@ -589,6 +645,8 @@ def pagerank(
         spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
         if und_jvm is not None:
             und_jvm.unpersist()
+        if replicas_by_vertex is not None:
+            replicas_by_vertex.unpersist()
         if edges_by_bucket is not None:
             edges_by_bucket.unpersist()
             replicas.unpersist()

@@ -62,16 +62,19 @@ def test_pagerank_converged_allclose_1e6(spark, graph):
     [
         ("gas", 5_000_000, "auto"),
         ("gas", 0, "jvm"),
+        ("gas", 0, "mirror"),
         ("gas", 0, "cogroup"),
         ("join", 5_000_000, "auto"),
     ],
-    ids=["gas-broadcast", "gas-shuffle-jvm", "gas-shuffle-cogroup", "join"],
+    ids=["gas-broadcast", "gas-shuffle-jvm", "gas-shuffle-mirror",
+         "gas-shuffle-cogroup", "join"],
 )
 def test_pagerank_fixed_iterations_exact(spark, graph, mode, thr, combine):
     """Step-for-step computational equivalence with the oracle (20 supersteps,
     no convergence short-circuit) — catches any semantic drift.  Covers all
-    four execution paths: broadcast-GAS (raw RDD), distributed JVM superstep
-    (the cluster-scale default), distributed cogroup kernel (A/B floor), join."""
+    five execution paths: broadcast-GAS (raw RDD), distributed JVM superstep
+    (the cluster-scale default), PowerGraph-volume mirror superstep,
+    distributed cogroup kernel (A/B floor), join."""
     pdf, edges, assigned = graph
     ranks, _ = pagerank(
         edges, assigned=assigned, mode=mode, tol=0.0, max_iter=20,
@@ -265,24 +268,42 @@ def test_link_suggestions_canonicalizes_dirty_input(spark):
 
 
 def test_link_suggestions_default_cap_bounds_hub_wedges(spark):
-    """Planted 1000-degree star + a small clique: the default 'auto' cap
-    (max(16, ceil(sqrt(2m)))) excludes the hub from wedge centers, so the
-    hub's spokes produce NO candidate pairs — wedge volume stays O(m*sqrt(m))
-    instead of deg(hub)^2 — while clique-internal suggestions survive."""
+    """Planted 10^4-degree star (deg² = 10^8 wedges, over the 2^26 budget
+    floor) + a small clique: the default 'auto' volume-budget cap excludes
+    the hub from wedge centers, so its spokes produce NO candidate pairs —
+    wedge volume stays within max(2m·sqrt(2m), 2^26) — while clique-internal
+    suggestions survive (the cap lands at the clique degree, the largest
+    distinct degree whose truncated volume fits)."""
     import numpy as np
     import pandas as pd
 
     from split_merge_partitioner_spark.graph import link_suggestions
 
-    hub = pd.DataFrame({"src": np.zeros(1000, np.int64),
-                        "dst": np.arange(1, 1001, dtype=np.int64)})
+    nspoke = 10_000
+    hub = pd.DataFrame({"src": np.zeros(nspoke, np.int64),
+                        "dst": np.arange(1, nspoke + 1, dtype=np.int64)})
     # clique on 5 fresh vertices minus one edge -> that pair is a suggestion
-    cl = [(a, b) for a in range(2001, 2006) for b in range(a + 1, 2006)
-          if (a, b) != (2001, 2002)]
+    base = nspoke + 1001
+    cl = [(a, b) for a in range(base, base + 5) for b in range(a + 1, base + 5)
+          if (a, b) != (base, base + 1)]
     pdf = pd.concat([hub, pd.DataFrame(cl, columns=["src", "dst"])], ignore_index=True)
     got = link_suggestions(spark.createDataFrame(pdf), k=3, min_common=2).toPandas()
     pairs = set(zip(got.vertex, got.candidate))
-    # hub spokes (common neighbor = only the 1000-degree hub) are NOT paired
-    assert not any(v <= 1000 and c <= 1000 for v, c in pairs)
+    # hub spokes (common neighbor = only the 10^4-degree hub) are NOT paired
+    assert not any(v <= nspoke and c <= nspoke for v, c in pairs)
     # clique pair via 3 low-degree common neighbors IS found
-    assert (2001, 2002) in pairs and (2002, 2001) in pairs
+    assert (base, base + 1) in pairs and (base + 1, base) in pairs
+
+
+def test_link_suggestions_auto_cap_uncaps_within_budget(spark):
+    """On a small hub-dominated graph whose FULL wedge volume fits the 2^26
+    budget floor, 'auto' must apply NO cap (round-4 regression: the old
+    sqrt(2m) degree rule silently emptied linkpred on hub-dominated test
+    graphs — every wedge ran through an excluded hub)."""
+    from split_merge_partitioner_spark.sources import powerlaw_edges_pdf
+    from split_merge_partitioner_spark.graph import link_suggestions
+
+    e = spark.createDataFrame(powerlaw_edges_pdf(n=300, m_per_node=4))
+    capped = link_suggestions(e).toPandas()
+    uncapped = link_suggestions(e, max_center_degree=None).toPandas()
+    assert len(capped) == len(uncapped) > 0
