@@ -297,6 +297,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return link_suggestions(_edges(spark, sf), k=5, min_common=2,
                                 assume_canonical=True)
 
+    def q_random_walks(spark, sf):
+        # deterministic node2vec-style walk corpus (graph/walks.py): next hop
+        # = splitmix64 hash chain mod degree over the ascending neighbor list
+        # — a pure function of (edges, seed), so the DuckDB oracle replays the
+        # whole corpus bit-for-bit (HUGEINT splitmix64, the hyperanf recipe).
+        # _edges output is canonical (distinct, disjoint id spaces) so the
+        # canonicalize pass is skipped.
+        from split_merge_partitioner_spark.graph import random_walks
+
+        return random_walks(_edges(spark, sf), walk_length=6, walks_per_vertex=2,
+                            seed=42, assume_canonical=True)
+
     def q_corpus_clean(spark, sf):
         # the fused end-to-end cleaning pipeline (functions/pipeline.py):
         # exact-dedup keepers ∩ language ∩ quality floor ∩ token window —
@@ -567,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": q_corpus_clean,
         "local_clustering": q_local_clustering,
         "link_suggestions": q_link_suggestions,
+        "random_walks": q_random_walks,
         "embedding_dups_exact": q_embedding_dups_exact,
         "embedding_dups_lsh": q_embedding_dups_lsh,
         "ebv_bucket_sizes": q_ebv_bucket_sizes,
@@ -1306,6 +1319,55 @@ SELECT CAST(t AS BIGINT) AS t, vertex, reg_sum, zero_regs FROM (
 
     hyperanf_regs_sql = _hyperanf_regs_sql_for(_EDGES_CTE)
 
+    # -- random-walk corpus oracle ------------------------------------------
+    # graph/walks.py is a pure function of (edges, seed): next hop =
+    # splitmix64 hash chain (HUGEINT modmul replay, same machinery as
+    # hyperanf) masked to 63 bits, mod degree, indexed into the ascending
+    # neighbor list.  One chained CTE per step replays the whole corpus.
+    def _sm64_sql(x: str) -> str:
+        """splitmix64 over a (HUGEINT-castable, < 2^64) SQL expression; the
+        expression tree references `x` ~32 times, so callers pass short
+        column names and stage longer inputs through their own CTE."""
+        z0 = f"CAST((CAST({x} AS HUGEINT) + {_HC1}) % {_HM64} AS UBIGINT)"
+        y1 = f"CAST(xor({z0}, {z0} >> 30) AS HUGEINT)"
+        z1 = f"CAST({_modmul(y1, 0xBF58476D1CE4E5B9)} AS UBIGINT)"
+        y2 = f"CAST(xor({z1}, {z1} >> 27) AS HUGEINT)"
+        z2 = f"CAST({_modmul(y2, 0x94D049BB133111EB)} AS UBIGINT)"
+        return f"CAST(xor({z2}, {z2} >> 31) AS UBIGINT)"
+
+    _WALK_L, _WALK_W, _WALK_SEED = 6, 2, 42
+    _walk_ctes = [
+        "wund AS (SELECT src AS w, dst AS n FROM edges"
+        " UNION ALL SELECT dst, src FROM edges)",
+        "wdeg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS degree FROM wund GROUP BY w)",
+        "wadj AS (SELECT w, n, ROW_NUMBER() OVER (PARTITION BY w ORDER BY n) - 1"
+        " AS idx FROM wund)",
+        f"hseed AS (SELECT w, {_sm64_sql(f'(w + {_WALK_SEED})')} AS h1 FROM wdeg)",
+        f"""ws0 AS (
+  SELECT d.w AS start, wk.walk, d.w AS vertex, d.degree AS deg_cur,
+         {_sm64_sql('(CAST(hs.h1 AS HUGEINT) + wk.walk)')} AS h
+  FROM wdeg d JOIN hseed hs ON hs.w = d.w
+  CROSS JOIN (SELECT UNNEST(range({_WALK_W})) AS walk) wk)""",
+    ]
+    for _t in range(1, _WALK_L + 1):
+        _walk_ctes.append(f"""ws{_t} AS (
+  SELECT s.start, s.walk, a.n AS vertex, dn.degree AS deg_cur,
+         {_sm64_sql('s.h')} AS h
+  FROM ws{_t - 1} s
+  JOIN wadj a ON a.w = s.vertex
+   AND a.idx = CAST((CAST(s.h AS HUGEINT) % 9223372036854775808) % s.deg_cur AS BIGINT)
+  JOIN wdeg dn ON dn.w = a.n)""")
+    _walk_union = "\n  UNION ALL ".join(
+        f"SELECT start, walk, {t} AS step, vertex FROM ws{t}"
+        for t in range(_WALK_L + 1)
+    )
+    random_walks_sql = f"""
+WITH {_EDGES_CTE},
+{','.join(_walk_ctes)}
+SELECT start, CAST(walk AS BIGINT) AS walk, CAST(step AS BIGINT) AS step, vertex
+FROM ({_walk_union})
+"""
+
     # -- coreness oracle ----------------------------------------------------
     # 8 chained h-operator sweeps (graph/kcore.py): h-index as
     # ROW_NUMBER-over-desc-value + MAX(LEAST(rn, value)) — tie-order
@@ -1378,6 +1440,7 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 6
         "triangles_per_vertex": triangles_per_vertex_sql,
         "local_clustering": local_clustering_sql,
         "link_suggestions": link_suggestions_sql,
+        "random_walks": random_walks_sql,
         "connected_components": components_sql,
         "exact_dedup": exact_dedup_sql,
         "token_stats": token_stats_sql,

@@ -6,3 +6,4 @@ from .diameter import approximate_diameter, bfs_distances  # noqa: F401
 from .hyperanf import hyperanf, hyperanf_register_moments  # noqa: F401
 from .kcore import coreness  # noqa: F401
 from .linkpred import link_suggestions  # noqa: F401
+from .walks import random_walks  # noqa: F401

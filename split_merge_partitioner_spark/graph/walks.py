@@ -1,0 +1,164 @@
+"""Deterministic random-walk corpus generation — the node2vec/DeepWalk-style
+sequence generator a link-graph training pipeline feeds to embedding models
+(walk sequences are the "documents" of graph skip-gram training).
+
+Semantics: ``walks_per_vertex`` walks of ``walk_length`` steps start at every
+vertex of the undirected canonical graph.  At each step the walker at vertex
+v moves to neighbor number ``(h & (2^63-1)) % deg(v)`` of v's neighbor list
+sorted ascending by neighbor id, where h is a per-(start, walk, step)
+splitmix64 hash chain:
+
+    h_0 = sm64(sm64(start + seed) + walk)        (uint64 wraparound adds)
+    h_t = sm64(h_{t-1})
+
+Everything is a pure function of (edges, seed) — no RNG state, no sampling
+nondeterminism — so the DuckDB oracle replays the whole corpus bit-for-bit
+(the hyperanf.py splitmix64/HUGEINT recipe) and re-runs are identical for
+checkpoint/resume.
+
+Execution (pure JVM loop):
+- static input: the neighbor list indexed ONCE — (w, idx, n, deg_n) with
+  idx = dense rank of n within w's ascending neighbor list and deg_n the
+  NEIGHBOR's degree (carrying it here is what keeps the step to a single
+  join: the post-step state needs the new vertex's degree and gets it from
+  the adjacency row itself) — hash-partitioned by the join key (w, idx) and
+  localCheckpointed, so it never re-exchanges.
+- per step, ONE shuffle: the walker state (start, walk, cur, deg_cur, h)
+  computes j = (h & MASK63) % deg_cur and joins the static adjacency on
+  (cur, j) = (w, idx); splitmix64 is four wrapping BIGINT expressions
+  inside whole-stage codegen (spark.sql.ansi.enabled is flipped off for the
+  loop and restored — Java wraparound IS uint64 mod-2^64 arithmetic,
+  bit-verified against the NumPy reference in tests).
+- state is localCheckpointed per step (constant-size plans, no lineage
+  growth); the result is the union of per-step projections of those
+  materialized states, so total storage is one copy of the output —
+  n·walks_per_vertex·(walk_length+1) rows, the same order as the corpus a
+  caller would write to parquet anyway.
+
+Scale: state rows = n·walks_per_vertex regardless of step; each step's
+shuffle moves exactly that many slim rows.  Hub vertices cost nothing extra
+(the walker indexes into the hub's list; it never materializes it), so no
+skew handling is needed beyond the adjacency build's window.
+
+Reference basis: DeepWalk (Perozzi 2014) / node2vec (Grover 2016) uniform
+walks; determinism-by-hash follows the hyperanf.py oracle discipline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_MASK63 = (1 << 63) - 1
+
+
+def _i64(u: int) -> int:
+    """uint64 constant -> the signed two's-complement BIGINT literal."""
+    return int(np.int64(np.uint64(u)))
+
+
+_C1 = _i64(0x9E3779B97F4A7C15)
+_C2 = _i64(0xBF58476D1CE4E5B9)
+_C3 = _i64(0x94D049BB133111EB)
+
+
+def _sm64(col):
+    """splitmix64 finalizer as wrapping BIGINT Catalyst expressions
+    (requires spark.sql.ansi.enabled=false for Java wraparound; bit-exact
+    vs hyperanf.splitmix64 — tested)."""
+    z = col + F.lit(_C1)
+    z = (z.bitwiseXOR(F.shiftrightunsigned(z, 30))) * F.lit(_C2)
+    z = (z.bitwiseXOR(F.shiftrightunsigned(z, 27))) * F.lit(_C3)
+    return z.bitwiseXOR(F.shiftrightunsigned(z, 31))
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_length: int = 16,
+    walks_per_vertex: int = 2,
+    seed: int = 42,
+    assume_canonical: bool = False,
+) -> DataFrame:
+    """(start, walk, step, vertex) — the deterministic uniform-walk corpus
+    (module docstring).  step runs 0..walk_length with step 0 = start.
+
+    assume_canonical: the neighbor indexing requires canonical deduped
+    src<dst edges; by default the input is canonicalized here (one extra
+    shuffle) — pass True when the input is known-canonical."""
+    spark = edges.sparkSession
+    if not assume_canonical:
+        edges = (
+            edges.select(
+                F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+            )
+            .where(F.col("src") != F.col("dst"))
+            .dropDuplicates(["src", "dst"])
+        )
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ansi_was = spark.conf.get("spark.sql.ansi.enabled")
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    adj = None
+    try:
+        und = edges.select(F.col("src").alias("w"), F.col("dst").alias("n")).unionAll(
+            edges.select(F.col("dst").alias("w"), F.col("src").alias("n"))
+        )
+        deg = und.groupBy("w").agg(F.count(F.lit(1)).alias("degree"))
+        # static indexed adjacency carrying the NEIGHBOR's degree (docstring)
+        wdw = Window.partitionBy("w").orderBy("n")
+        adj = (
+            # idx cast to LONG so the static hash partitioning satisfies the
+            # (cur: long, j: long) join requirement — an int idx would be
+            # wrapped in cast() at the join and force a per-step re-exchange
+            und.withColumn("idx", (F.row_number().over(wdw) - F.lit(1)).cast("long"))
+            .join(
+                deg.select(F.col("w").alias("n"), F.col("degree").alias("deg_n")), "n"
+            )
+            .select("w", "idx", "n", "deg_n")
+            .repartition(shuffle_n, "w", "idx")
+            .localCheckpoint(eager=True)
+        )
+        state = (
+            deg.select(F.col("w").alias("start"), F.col("degree").alias("deg_cur"))
+            .withColumn(
+                "walk", F.explode(F.sequence(F.lit(0), F.lit(walks_per_vertex - 1)))
+            )
+            .select(
+                "start",
+                F.col("walk").cast("long").alias("walk"),
+                F.col("start").alias("vertex"),
+                "deg_cur",
+                _sm64(_sm64(F.col("start") + F.lit(seed)) + F.col("walk")).alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        steps = [state]
+        for _ in range(walk_length):
+            prev = steps[-1]
+            j = (F.col("h").bitwiseAND(F.lit(_MASK63)) % F.col("deg_cur")).alias("j")
+            moved = (
+                prev.select("start", "walk", F.col("vertex").alias("cur"), j, _sm64(F.col("h")).alias("h"))
+                .hint("shuffle_hash")
+                .join(adj, (F.col("cur") == F.col("w")) & (F.col("j") == F.col("idx")))
+                .select(
+                    "start",
+                    "walk",
+                    F.col("n").alias("vertex"),
+                    F.col("deg_n").alias("deg_cur"),
+                    "h",
+                )
+                .localCheckpoint(eager=True)
+            )
+            steps.append(moved)
+        out = None
+        for t, st in enumerate(steps):
+            proj = st.select(
+                "start", "walk", F.lit(t).cast("long").alias("step"), "vertex"
+            )
+            out = proj if out is None else out.unionAll(proj)
+        return out
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi_was)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
