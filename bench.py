@@ -200,8 +200,10 @@ def _measure_fixture_eps(attempts: int = 3) -> dict:
       of `attempts` runs of 20 supersteps, loop-only clock
       (info["superstep_seconds"], excluding one-time degree/pack setup).
     - 5.9M-edge fixture, DISTRIBUTED superstep A/B (broadcast_threshold=0):
-      combine="jvm" vs combine="cogroup", interleaved best-of-2 — the
-      VERDICT r3 item-1 table; jvm is the above-threshold default.
+      combine="jvm" vs "mirror" vs "cogroup", interleaved best-of-2 — the
+      VERDICT r3 item-1 table; jvm is the above-threshold default, mirror is
+      the PowerGraph-volume (2*RF*n rows/superstep) alternative for
+      shuffle-bound clusters.
     - 23.9M-edge fixture (4x), raw-RDD path, best-of-2 — eps should hold or
       rise as the fixed per-job floor amortizes (the 100-TB direction).
 
@@ -229,8 +231,8 @@ def _measure_fixture_eps(attempts: int = 3) -> dict:
 
     # distributed-path A/B on the same fixture (interleaved best-of-2)
     n_ab = 10
-    ab = {"jvm": 0.0, "cogroup": 0.0}
-    for combine in ("jvm", "cogroup", "jvm", "cogroup"):
+    ab = {"jvm": 0.0, "mirror": 0.0, "cogroup": 0.0}
+    for combine in ("jvm", "mirror", "cogroup", "jvm", "mirror", "cogroup"):
         _, info = pagerank(edges, assigned=assigned, mode="gas", tol=0.0,
                            max_iter=n_ab, combine=combine)
         ab[combine] = max(ab[combine], m * n_ab / info["superstep_seconds"])
@@ -255,6 +257,7 @@ def _measure_fixture_eps(attempts: int = 3) -> dict:
         "pagerank_eps_mean_20steps": round(best_mean, 1),
         "pagerank_fixture_m_edges": m,
         "pagerank_eps_shuffle_jvm": round(ab["jvm"], 1),
+        "pagerank_eps_shuffle_mirror": round(ab["mirror"], 1),
         "pagerank_eps_shuffle_cogroup": round(ab["cogroup"], 1),
         "pagerank_eps_large_mean_20steps": round(best_large, 1),
         "pagerank_eps_large_min_superstep": round(best_large_min, 1),
@@ -262,33 +265,99 @@ def _measure_fixture_eps(attempts: int = 3) -> dict:
     }
 
 
+def _host_probe() -> float:
+    """Single-threaded NumPy matmul probe (healthy-window baseline ~0.31 s).
+    Every scaling figure ships with its host-window context — this sandbox's
+    hypervisor caps multi-thread grants unpredictably (BENCH/BASELINE.md)."""
+    import numpy as np
+
+    a = np.random.default_rng(1).random((2000, 2000))
+    t0 = time.monotonic()
+    for _ in range(5):
+        a @ a
+    return round(time.monotonic() - t0, 2)
+
+
 def _measure_scaling_large(n_iter: int = 6) -> dict:
-    """8->32-core scaling efficiency of the DISTRIBUTED (jvm) superstep on
-    the 23.9M-edge fixture — the north-rule two-cluster-size criterion,
-    evidenced at two parallelism levels on identical input (interleaved
-    best-of-2, loop-only clocks)."""
+    """N -> 4N scaling efficiency of the DISTRIBUTED (jvm) superstep on the
+    23.9M-edge fixture — the north-rule two-cluster-size criterion, evidenced
+    at two parallelism levels on identical input.  The span is 2 -> 8 cores:
+    the one this host can actually grant (the round-3 finding — at 8 -> 32 a
+    single shared-memory JVM saturates memory bandwidth and the hypervisor
+    rarely grants 32 real cores, so in-VM 8 -> 32 numbers measure the host,
+    not the engine; BENCH/BASELINE.md).  Protocol: 2-superstep warm-up, then
+    a measured n_iter-superstep run, interleaved best-of-2, loop-only clocks,
+    matmul probe between samples."""
     m = _prepare_large_fixture()
     from split_merge_partitioner_spark.graph import pagerank
     from split_merge_partitioner_spark.session import get_spark
 
-    best = {"8": 0.0, "32": 0.0}
-    for cpus in ("8", "32", "8", "32"):
+    best = {"2": 0.0, "8": 0.0}
+    probes = [_host_probe()]
+    for cpus in ("2", "8", "2", "8"):
         os.environ["SPARK_GRAFT_CPUS"] = cpus
         spark = get_spark(app_name=f"smp-scale-{cpus}", master=f"local[{cpus}]")
         edges = spark.read.parquet(f"{LARGE_DIR}/edges.parquet").localCheckpoint(eager=True)
         assigned = spark.read.parquet(f"{LARGE_DIR}/assigned.parquet").localCheckpoint(eager=True)
+        pagerank(edges, assigned=assigned, mode="gas", tol=0.0, max_iter=2, combine="jvm")
         _, info = pagerank(edges, assigned=assigned, mode="gas", tol=0.0,
                            max_iter=n_iter, combine="jvm")
         best[cpus] = max(best[cpus], m * n_iter / info["superstep_seconds"])
         spark.stop()
-    eff = best["32"] / (4 * best["8"]) if best["8"] else 0.0
+        probes.append(_host_probe())
+    eff = best["8"] / (4 * best["2"]) if best["2"] else 0.0
     return {
+        "scaling_throughput_local2": round(best["2"], 1),
         "scaling_throughput_local8": round(best["8"], 1),
-        "scaling_throughput_local32": round(best["32"], 1),
-        "scaling_efficiency_8_to_32": round(eff, 3),
+        "scaling_efficiency_2_to_8": round(eff, 3),
         "scaling_fixture_m_edges": m,
         "scaling_path": "distributed jvm superstep",
+        "scaling_host_probe_sec": probes,
     }
+
+
+def _measure_hyperanf_shuffle(n_steps: int = 3) -> dict:
+    """Per-superstep shuffle bytes of the HyperANF distributed path, packed
+    (7-lane/10-long SWAR registers, the default) vs unpacked (64-column MAX,
+    the oracle twin), from the Spark UI REST API on the 5.9M-edge fixture
+    (VERDICT r3 item 3: 'per-superstep shuffle bytes reported in BENCH_r04')."""
+    import urllib.request
+
+    _prepare_scaling_fixture()
+    from split_merge_partitioner_spark.graph import hyperanf
+    from split_merge_partitioner_spark.session import get_spark
+
+    os.environ["SPARK_GRAFT_CPUS"] = "32"
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:  # a leftover UI-less session would win getOrCreate
+        active.stop()
+    spark = get_spark(app_name="smp-hanf-shuffle", master="local[32]",
+                      extra_conf={"spark.ui.enabled": "true"})
+    if spark.sparkContext.uiWebUrl is None:  # no REST source -> skip, don't die
+        spark.stop()
+        return {}
+
+    def shuffle_write() -> int:
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        url = f"{base}/api/v1/applications/{app}/stages?status=complete"
+        with urllib.request.urlopen(url) as r:
+            return sum(s.get("shuffleWriteBytes", 0) for s in json.load(r))
+
+    edges = spark.read.parquet(f"{SCALING_DIR}/edges.parquet").localCheckpoint(eager=True)
+    out = {}
+    for packed in (True, False):
+        b0 = shuffle_write()
+        hyperanf(edges, n_steps=n_steps, stop_early=False,
+                 broadcast_threshold=0, packed=packed)
+        key = "packed" if packed else "unpacked"
+        out[f"hyperanf_shuffle_mb_per_superstep_{key}"] = round(
+            (shuffle_write() - b0) / n_steps / 1e6, 1
+        )
+    spark.stop()
+    return out
 
 
 def main() -> None:
@@ -319,6 +388,7 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     r = run_suite(cpus, sf_dir)
     fixture = _measure_fixture_eps()
+    hanf = _measure_hyperanf_shuffle()
     scaling = _measure_scaling_large()
     total = round(sum(r["times"].values()), 3)
     out = {
@@ -339,6 +409,7 @@ def main() -> None:
         "sf": sf,
     }
     out.update(fixture)
+    out.update(hanf)
     out.update(scaling)
     print(json.dumps(out))
 

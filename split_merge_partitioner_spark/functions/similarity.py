@@ -388,7 +388,7 @@ def ivf_knn(
     emb: DataFrame,
     k: int = 5,
     n_centroids: int = 16,
-    n_probes: int = 4,
+    n_probes: int = 10,
     train_sample: int = 100_000,
     lloyd_iter: int = 10,
     seed: int = 42,
@@ -406,7 +406,12 @@ def ivf_knn(
     n_vectors * (1 + n_probes) rows partitioned by list id; scoring is
     chunked BLAS per list (never a per-pair row explosion).  With
     n_probes = n_centroids the candidate set is complete, so the result is
-    exactly brute force (tested) — recall is a dial, not a hope.
+    exactly brute force (tested) — recall is a dial, not a hope.  The default
+    probes 10 of 16 lists: on quasi-random (worst-case, unclustered)
+    embeddings like the driver fixture that measures recall@5 ~ 0.85
+    (BENCH_r04) while still skipping a third of the candidates; genuinely
+    clustered corpora reach the same recall at far fewer probes — tune down
+    there.
 
     ``seed`` is accepted for API symmetry with lsh_knn (sampling is
     hash-deterministic, so re-runs are identical regardless)."""

@@ -33,9 +33,13 @@ JVM ops) applied via groupBy(vertex).agg(collect_list) + reduce/zip_with.
 Why collect_list and not 64 columnar MAXes: on an average-degree graph each
 map task sees mostly-distinct vertices, so hash partial aggregation barely
 reduces ROW count while inflating row WIDTH to the 64-slot agg buffer —
-shipping the 10-long packed rows uncombined is the smaller shuffle (measured:
-see BENCH/BASELINE.md r4 shuffle-bytes table).  The unpacked 64-column-MAX
-path is kept as the oracle twin (packed==unpacked bit-exact, tested).
+shipping the 10-long packed rows uncombined is the smaller shuffle (measured
+1.76x fewer shuffle bytes/superstep — BENCH/BASELINE.md r4 shuffle-bytes
+table).  The trade is CPU: the SWAR reduce costs ~1.7x more wall clock than
+the 64-MAX plan in a single network-free JVM (same table), so the default
+optimizes the cluster bottleneck (network shuffle) — pass ``packed=False``
+on CPU-bound local deployments.  The unpacked 64-column-MAX path doubles as
+the oracle twin (packed==unpacked bit-exact, tested).
 """
 
 from __future__ import annotations
