@@ -297,6 +297,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return link_suggestions(_edges(spark, sf), k=5, min_common=2,
                                 assume_canonical=True)
 
+    def q_personalized_pagerank(spark, sf):
+        # random-walk-with-restart mass around the 5 smallest vertex ids
+        # (deterministic seed choice both engines can derive); 10 fixed
+        # supersteps, replayed by the oracle as chained CTEs rounded to 9
+        # decimals (the pagerank_10iter recipe)
+        from split_merge_partitioner_spark.graph import personalized_pagerank
+
+        e = _edges(spark, sf)
+        seeds = [
+            r.vertex
+            for r in e.select(F.col("src").alias("vertex"))
+            .unionAll(e.select(F.col("dst").alias("vertex")))
+            .distinct()
+            .orderBy("vertex")
+            .limit(5)
+            .collect()
+        ]
+        return personalized_pagerank(e, seeds, n_iter=10)
+
     def q_random_walks(spark, sf):
         # deterministic node2vec-style walk corpus (graph/walks.py): next hop
         # = splitmix64 hash chain mod degree over the ascending neighbor list
@@ -580,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_clustering": q_local_clustering,
         "link_suggestions": q_link_suggestions,
         "random_walks": q_random_walks,
+        "personalized_pagerank": q_personalized_pagerank,
         "embedding_dups_exact": q_embedding_dups_exact,
         "embedding_dups_lsh": q_embedding_dups_lsh,
         "ebv_bucket_sizes": q_ebv_bucket_sizes,
@@ -1319,6 +1339,32 @@ SELECT CAST(t AS BIGINT) AS t, vertex, reg_sum, zero_regs FROM (
 
     hyperanf_regs_sql = _hyperanf_regs_sql_for(_EDGES_CTE)
 
+    # -- personalized pagerank oracle ---------------------------------------
+    # 10 seeded supersteps as chained CTEs (graph/ppr.py; the pagerank_10iter
+    # recipe): teleport = uniform over the 5 smallest vertex ids.
+    _ppr_iters = []
+    for _i in range(1, 11):
+        _ppr_iters.append(f"""
+pp{_i} AS (
+  SELECT sv.vertex, sv.degree, sv.s,
+         0.15 * sv.s + 0.85 * COALESCE(g.g, 0.0) AS ppr
+  FROM sv LEFT JOIN (
+     SELECT u.v AS vertex, SUM(p.ppr / p.degree) AS g
+     FROM und u JOIN pp{_i - 1} p ON p.vertex = u.w GROUP BY u.v
+  ) g ON g.vertex = sv.vertex
+)""")
+    personalized_pagerank_sql = f"""
+WITH {_DEGREES_CTE},
+und AS (SELECT src AS v, dst AS w FROM edges UNION ALL SELECT dst, src FROM edges),
+sds AS (SELECT vertex FROM degrees ORDER BY vertex LIMIT 5),
+sv AS (SELECT d.vertex, d.degree,
+              CASE WHEN s.vertex IS NULL THEN 0.0 ELSE 0.2 END AS s
+       FROM degrees d LEFT JOIN sds s ON s.vertex = d.vertex),
+pp0 AS (SELECT vertex, degree, s, s AS ppr FROM sv),
+{','.join(_ppr_iters)}
+SELECT vertex, ROUND(ppr, 9) AS ppr FROM pp10
+"""
+
     # -- random-walk corpus oracle ------------------------------------------
     # graph/walks.py is a pure function of (edges, seed): next hop =
     # splitmix64 hash chain (HUGEINT modmul replay, same machinery as
@@ -1441,6 +1487,7 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 6
         "local_clustering": local_clustering_sql,
         "link_suggestions": link_suggestions_sql,
         "random_walks": random_walks_sql,
+        "personalized_pagerank": personalized_pagerank_sql,
         "connected_components": components_sql,
         "exact_dedup": exact_dedup_sql,
         "token_stats": token_stats_sql,

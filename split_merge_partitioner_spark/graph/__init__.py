@@ -7,3 +7,4 @@ from .hyperanf import hyperanf, hyperanf_register_moments  # noqa: F401
 from .kcore import coreness  # noqa: F401
 from .linkpred import link_suggestions  # noqa: F401
 from .walks import random_walks  # noqa: F401
+from .ppr import personalized_pagerank  # noqa: F401
