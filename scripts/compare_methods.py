@@ -64,7 +64,7 @@ def main() -> None:
         "dbh": lambda: dbh_partition(edges, p),
         "hybrid (PowerLyra)": lambda: hybrid_partition(edges, p),
         "hdrf (partition-local)": lambda: hdrf_partition(edges, p),
-        "ebv (partition-local)": lambda: ebv_partition(edges, p),
+        "ebv (partition-local, blocked-256)": lambda: ebv_partition(edges, p),
         "ne (sequential)": lambda: ne_partition(edges, p),
         "hep (sequential, hdf=10)": lambda: hep_partition(edges, p, hdf=10.0),
         "hybridbl": lambda: hybridbl_partition(edges, p),

@@ -29,7 +29,11 @@ block start — membership as uint64 bitmasks, the whole block's scores ONE
 e_cnt/v_cnt/replica updates.  EBV has no hard capacity cut-off (the balance
 terms are soft), so the per-edge step is pure bookkeeping.  block_size=1
 reproduces the per-edge kernel exactly (tested); p > 64 falls back to the
-per-edge kernel.
+per-edge kernel.  Measured quality cost of the frozen replica masks (zipf
+n=50k m=400k, p=32, single stream): RF 3.72 -> 3.88 (~4.5%), flat in block
+size from 32 up, for ~4x kernel wall-clock — pass block_size=1 when RF
+matters more than throughput (BENCH/METHODS.md tracks the partition-local
+deployment's numbers).
 """
 
 from __future__ import annotations
