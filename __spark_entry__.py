@@ -297,6 +297,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return link_suggestions(_edges(spark, sf), k=5, min_common=2,
                                 assume_canonical=True)
 
+    def q_degree_assortativity(spark, sf):
+        # Newman assortativity of the raw bipartite co-occurrence graph
+        # (expected negative: supplier hubs pair with low-degree customers).
+        # Integer moments + one rounded division -> hash-exact cross-engine.
+        from split_merge_partitioner_spark.graph import degree_assortativity
+
+        return degree_assortativity(_edges(spark, sf))
+
+    def q_global_clustering(spark, sf):
+        # transitivity of the customer projection (the raw bipartite graph
+        # is triangle-free by construction — vacuous there)
+        from split_merge_partitioner_spark.graph import global_clustering
+
+        return global_clustering(_proj_edges(spark, sf))
+
     def q_personalized_pagerank(spark, sf):
         # random-walk-with-restart mass around the 5 smallest vertex ids
         # (deterministic seed choice both engines can derive); 10 fixed
@@ -600,6 +615,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_suggestions": q_link_suggestions,
         "random_walks": q_random_walks,
         "personalized_pagerank": q_personalized_pagerank,
+        "degree_assortativity": q_degree_assortativity,
+        "global_clustering": q_global_clustering,
         "embedding_dups_exact": q_embedding_dups_exact,
         "embedding_dups_lsh": q_embedding_dups_lsh,
         "ebv_bucket_sizes": q_ebv_bucket_sizes,
@@ -1339,6 +1356,37 @@ SELECT CAST(t AS BIGINT) AS t, vertex, reg_sum, zero_regs FROM (
 
     hyperanf_regs_sql = _hyperanf_regs_sql_for(_EDGES_CTE)
 
+    # -- graph summary oracles ----------------------------------------------
+    # exact BIGINT/HUGEINT moments, ONE rounded float division at the end
+    # (graph/summary.py) — no float-reduction-order exposure.
+    degree_assortativity_sql = f"""
+WITH {_EDGES_CTE},
+und AS (SELECT src AS v, dst AS w FROM edges UNION ALL SELECT dst, src FROM edges),
+deg AS (SELECT v AS x, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY v),
+paired AS (
+    SELECT dv.d AS dv, dw.d AS dw
+    FROM und JOIN deg dv ON dv.x = und.v JOIN deg dw ON dw.x = und.w),
+mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS n2, SUM(dv) AS sx,
+               SUM(dv * dv) AS sxx, SUM(dv * dw) AS sxy FROM paired)
+SELECT ROUND(CAST(n2 * sxy - sx * sx AS DOUBLE)
+             / CAST(n2 * sxx - sx * sx AS DOUBLE), 6) AS assortativity,
+       CAST(n2 / 2 AS BIGINT) AS m_edges
+FROM mom
+"""
+
+    global_clustering_sql = f"""
+WITH {_EDGES_CTE}, {_PROJ_CTE},
+tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM proj ab JOIN proj bc ON ab.dst = bc.src JOIN proj ac
+             ON ac.src = ab.src AND ac.dst = bc.dst),
+pund AS (SELECT src AS v FROM proj UNION ALL SELECT dst FROM proj),
+wed AS (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+        FROM (SELECT COUNT(*) AS d FROM pund GROUP BY v))
+SELECT ROUND(3.0 * tri.n_triangles / GREATEST(wed.n_wedges, 1), 6) AS global_clustering,
+       tri.n_triangles, wed.n_wedges
+FROM tri, wed
+"""
+
     # -- personalized pagerank oracle ---------------------------------------
     # 10 seeded supersteps as chained CTEs (graph/ppr.py; the pagerank_10iter
     # recipe): teleport = uniform over the 5 smallest vertex ids.
@@ -1488,6 +1536,8 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 6
         "link_suggestions": link_suggestions_sql,
         "random_walks": random_walks_sql,
         "personalized_pagerank": personalized_pagerank_sql,
+        "degree_assortativity": degree_assortativity_sql,
+        "global_clustering": global_clustering_sql,
         "connected_components": components_sql,
         "exact_dedup": exact_dedup_sql,
         "token_stats": token_stats_sql,

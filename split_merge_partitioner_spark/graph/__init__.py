@@ -8,3 +8,4 @@ from .kcore import coreness  # noqa: F401
 from .linkpred import link_suggestions  # noqa: F401
 from .walks import random_walks  # noqa: F401
 from .ppr import personalized_pagerank  # noqa: F401
+from .summary import degree_assortativity, global_clustering  # noqa: F401

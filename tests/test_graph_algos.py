@@ -307,3 +307,38 @@ def test_link_suggestions_auto_cap_uncaps_within_budget(spark):
     capped = link_suggestions(e).toPandas()
     uncapped = link_suggestions(e, max_center_degree=None).toPandas()
     assert len(capped) == len(uncapped) > 0
+
+
+def test_degree_assortativity_known_structures(spark):
+    """Star graph: perfectly disassortative (r = -1).  Cycle: every endpoint
+    degree equal -> r undefined (0/0 -> NULL/NaN surfaced, not masked)."""
+    import math
+
+    import pandas as pd
+
+    from split_merge_partitioner_spark.graph import degree_assortativity
+
+    star = pd.DataFrame({"src": [0] * 6, "dst": range(1, 7)})
+    row = degree_assortativity(spark.createDataFrame(star)).collect()[0]
+    assert abs(row.assortativity + 1.0) < 1e-9
+    assert row.m_edges == 6
+    cyc = pd.DataFrame({"src": [0, 1, 2, 3], "dst": [1, 2, 3, 0]})
+    r = degree_assortativity(spark.createDataFrame(cyc)).collect()[0].assortativity
+    assert r is None or math.isnan(r)
+
+
+def test_global_clustering_known_structures(spark):
+    """K4: transitivity exactly 1.  Star: 0 triangles over many wedges."""
+    import pandas as pd
+
+    from split_merge_partitioner_spark.graph import global_clustering
+
+    k4 = pd.DataFrame(
+        {"src": [1, 1, 1, 2, 2, 3], "dst": [2, 3, 4, 3, 4, 4]}
+    )
+    row = global_clustering(spark.createDataFrame(k4)).collect()[0]
+    assert row.n_triangles == 4 and row.n_wedges == 12
+    assert abs(row.global_clustering - 1.0) < 1e-9
+    star = pd.DataFrame({"src": [0] * 5, "dst": range(1, 6)})
+    row = global_clustering(spark.createDataFrame(star)).collect()[0]
+    assert row.n_triangles == 0 and row.global_clustering == 0.0
