@@ -19,9 +19,10 @@ comparison baseline).
 
 Blocked variant (the default, ``block_size`` knob — the hdrf.py/fennel.py
 recipe): the overlap matrix for a block of B vertices is ONE np.add.at
-scatter over the flattened adjacency against block-start placements, and
-the weight penalty one frozen (2p)-vector; per-vertex work is an argmax
-read plus live n_v/n_e/placement updates.  Placement state is fennel.py's
+scatter over the flattened adjacency against block-start placements (the
+per-neighbor cost, i.e. the speedup source); the weight penalty, n_v/n_e
+bumps, and placement state stay LIVE per vertex (a frozen penalty would
+sequential-fill one fine bucket per block of tie-scored vertices).  Placement state is fennel.py's
 dense int16 array (one fancy-index lookup per block, dict fallback for
 hash-space ids).  In-block placements are invisible to later in-block
 overlap terms (documented stream variant; the reference is
@@ -114,10 +115,12 @@ def _bpart_task(p: int, avg_degree: float, hub_map: dict[int, int] | None = None
 def _bpart_task_blocked(
     p: int, avg_degree: float, block_size: int, hub_map: dict[int, int] | None = None
 ):
-    """Blocked phase-1 stream kernel (module docstring): frozen block-start
-    weight penalty + ONE scatter-add overlap matrix per block; live n_v/n_e/
-    placement updates per vertex (n_e grows by the FROZEN overlap[best], the
-    same value the frozen score saw)."""
+    """Blocked phase-1 stream kernel (module docstring): ONE scatter-add
+    overlap matrix per block; weight penalty and n_v/n_e/placement updates
+    live per vertex (n_e grows by the FROZEN overlap[best], the same value
+    the frozen score saw).  Geometric block warm-up as in fennel.py — early
+    placements are the locality anchors, so first blocks start at 1 and
+    double up to block_size."""
     nf = 2 * p
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -129,12 +132,15 @@ def _bpart_task_blocked(
         state = _DensePlacement(
             {v: 2 * b for v, b in hub_map.items()} if hub_map else None
         )
+        cur_bs = 1
         for pdf in batches:
             verts = pdf["vertex"].to_numpy(np.int64)
             nbrs_col = pdf["nbrs"]
             out = np.empty(len(verts), dtype=np.int64)
-            for lo in range(0, len(verts), block_size):
-                hi = min(lo + block_size, len(verts))
+            lo = 0
+            while lo < len(verts):
+                hi = min(lo + cur_bs, len(verts))
+                cur_bs = min(cur_bs * 2, block_size)
                 lst = list(nbrs_col.iloc[lo:hi])
                 counts = np.fromiter((len(x) for x in lst), np.int64, hi - lo)
                 flat = (
@@ -147,16 +153,26 @@ def _bpart_task_blocked(
                 placed = pb >= 0
                 inter = np.zeros((hi - lo, nf), dtype=np.float64)
                 np.add.at(inter, (rrows[placed], pb[placed]), 1.0)
-                w = n_v + 2.0 * n_e / avg_degree
-                s = inter - (ALPHA * GAMMA) * np.power(w, GAMMA - 1.0)[None, :]
-                top = np.argmax(s, axis=1).tolist()
                 vlist = verts[lo:hi].tolist()
+                # weight penalty LIVE per vertex (a frozen penalty sends
+                # every tie-scored vertex to the same argmax fine bucket for
+                # a whole block — sequential fill, caught by the balance
+                # tests); maintained incrementally — one placement changes
+                # one fine bucket's (n_v, n_e), so one scalar pow per vertex
+                pen = (ALPHA * GAMMA) * np.power(
+                    n_v + 2.0 * n_e / avg_degree, GAMMA - 1.0
+                )
                 for i in range(hi - lo):
-                    best = top[i]
+                    s_i = inter[i] - pen
+                    best = int(np.argmax(s_i))
                     out[lo + i] = best
                     state.set(vlist[i], best)
                     n_v[best] += 1
                     n_e[best] += int(inter[i, best])
+                    pen[best] = (ALPHA * GAMMA) * (
+                        n_v[best] + 2.0 * n_e[best] / avg_degree
+                    ) ** (GAMMA - 1.0)
+                lo = hi
             rows.append(pd.DataFrame({"vertex": verts, "fine": out}))
         if not rows:
             return

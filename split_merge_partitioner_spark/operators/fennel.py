@@ -14,11 +14,13 @@ loop.  Returns a VERTEX partition (vertex, bucket) — feed
 ``vertex2edge_partition`` for an edge-cut.
 
 Blocked variant (the default, ``block_size`` knob — the hdrf.py recipe):
-vertices are scored in blocks of B against state FROZEN at block start —
-the neighbor-intersection matrix is ONE np.add.at scatter over the block's
-flattened (np.concatenate, C-speed) adjacency and the size penalty ONE
-p-vector power — while the capacity check, size bumps, and placement state
-stay LIVE per vertex.  Placement state is a DENSE int16 array indexed by
+the NEIGHBOR-INTERSECTION matrix for a block of B vertices is ONE
+np.add.at scatter over the block's flattened (np.concatenate, C-speed)
+adjacency against block-start placements — that term is the per-neighbor
+cost and the speedup source — while the size penalty, capacity check, size
+bumps, and placement state stay LIVE per vertex (a frozen size penalty
+would send every tie-scored vertex to the same argmax bucket for a whole
+block — sequential fill; caught by the balance tests).  Placement state is a DENSE int16 array indexed by
 vertex id (placed-neighbor lookup = one fancy-index op, ~2ns/neighbor vs
 ~150ns/dict hit; per-task memory 2*max_id bytes, renumbered ids assumed —
 automatic per-element dict fallback beyond ``_DENSE_ID_LIMIT`` or for
@@ -26,8 +28,10 @@ negative ids).  Deviation vs per-vertex streaming: placements made INSIDE
 the current block are invisible to later in-block intersection terms (the
 reference is stream-order-sensitive anyway, so block-boundary state is a
 legitimate stream variant, same argument as hdrf.py).  block_size=1
-reproduces the per-vertex kernel exactly (tested); ~4-5x kernel wall-clock
-at p=32 on a 2M-edge zipf stream.
+reproduces the per-vertex kernel exactly (tested); ~2.4x kernel wall-clock
+at p=32 on a 2.3M-edge random stream (the batched scatter is the win; the
+penalty/capacity stay per-vertex for correctness, held to one scalar pow
+each via incremental maintenance).
 """
 
 from __future__ import annotations
@@ -180,21 +184,33 @@ def _fennel_task_blocked(
 ):
     """Blocked stream kernel (module docstring): intersection counts for a
     whole block come from ONE np.add.at scatter over the flattened adjacency
-    against block-start placements; the size penalty is one frozen p-vector.
-    Capacity stays LIVE per vertex (frozen-score preference order walked
-    until an under-capacity bucket, exactly hdrf.py's discipline)."""
+    against block-start placements.  The size penalty and the capacity check
+    stay LIVE per vertex — freezing the penalty too would send every
+    tie-scored vertex (no placed neighbors yet) to the SAME argmax bucket
+    for a whole block, i.e. sequential fill (caught by the balance tests).
+    The batched scatter is the speedup; the per-vertex p-vector penalty is
+    cheap."""
     assert p < (1 << 15), "placement state is int16"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        sizes: list[int] = [0] * p
+        sizes = np.zeros(p, dtype=np.int64)
         state = _DensePlacement(hub_map)
         seen = 0
+        # geometric warm-up (1, 2, 4, ... block_size): the stream's EARLY
+        # placements are the locality anchors every later vertex scores
+        # against — full-size first blocks would make a short task's whole
+        # stream mutually invisible (quality ~ random hash, caught by the
+        # cut-ratio test), while on long tasks the warm-up is O(log B) of
+        # the work and everything after runs at full block size
+        cur_bs = 1
         for pdf in batches:
             verts = pdf["vertex"].to_numpy(np.int64)
             nbrs_col = pdf["nbrs"]
             out = np.empty(len(verts), dtype=np.int64)
-            for lo in range(0, len(verts), block_size):
-                hi = min(lo + block_size, len(verts))
+            lo = 0
+            while lo < len(verts):
+                hi = min(lo + cur_bs, len(verts))
+                cur_bs = min(cur_bs * 2, block_size)
                 lst = list(nbrs_col.iloc[lo:hi])
                 counts = np.fromiter((len(x) for x in lst), np.int64, hi - lo)
                 flat = (
@@ -207,27 +223,35 @@ def _fennel_task_blocked(
                 placed = pb >= 0
                 inter = np.zeros((hi - lo, p), dtype=np.float64)
                 np.add.at(inter, (rows[placed], pb[placed]), 1.0)
-                sz = np.asarray(sizes, dtype=np.float64)
-                s = inter - (alpha * GAMMA) * np.power(sz, GAMMA - 1.0)[None, :]
-                top = np.argmax(s, axis=1).tolist()
                 obuf = [0] * (hi - lo)
                 vlist = verts[lo:hi].tolist()
+                # penalty vector maintained INCREMENTALLY: one placement
+                # changes one bucket's size, so one scalar pow per vertex
+                # (a full p-vector np.power per vertex halves the speedup)
+                pen = (alpha * GAMMA) * np.power(
+                    sizes.astype(np.float64), GAMMA - 1.0
+                )
                 for i in range(hi - lo):
+                    s_i = inter[i] - pen
                     capacity = 1.1 * (seen if seen > p else p) / p + 1
-                    best_b = top[i]
+                    best_b = int(np.argmax(s_i))
                     if sizes[best_b] >= capacity:
                         best_b = -1
-                        for b in np.argsort(-s[i], kind="stable").tolist():
+                        for b in np.argsort(-s_i, kind="stable").tolist():
                             if sizes[b] < capacity:
                                 best_b = b
                                 break
                         if best_b < 0:
-                            best_b = sizes.index(min(sizes))
+                            best_b = int(np.argmin(sizes))
                     obuf[i] = best_b
                     sizes[best_b] += 1
+                    pen[best_b] = (alpha * GAMMA) * float(sizes[best_b]) ** (
+                        GAMMA - 1.0
+                    )
                     state.set(vlist[i], best_b)
                     seen += 1
                 out[lo:hi] = obuf
+                lo = hi
             yield pd.DataFrame({"vertex": verts, "bucket": out})
 
     return run
