@@ -297,6 +297,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return link_suggestions(_edges(spark, sf), k=5, min_common=2,
                                 assume_canonical=True)
 
+    def q_betweenness(spark, sf):
+        # Brandes subset estimator from the 3 smallest vertex ids; both
+        # engines run the SAME fixed level budget (8) so truncation, if any,
+        # is identical.  Sigma counts are integer-exact; the only floats are
+        # the dependency ratios, rounded at the end (pagerank_10iter rule).
+        from split_merge_partitioner_spark.graph import betweenness
+
+        e = _edges(spark, sf)
+        seeds = [
+            r.vertex
+            for r in e.select(F.col("src").alias("vertex"))
+            .unionAll(e.select(F.col("dst").alias("vertex")))
+            .distinct()
+            .orderBy("vertex")
+            .limit(3)
+            .collect()
+        ]
+        return betweenness(e, seeds, max_levels=8)
+
     def q_degree_assortativity(spark, sf):
         # Newman assortativity of the raw bipartite co-occurrence graph
         # (expected negative: supplier hubs pair with low-degree customers).
@@ -617,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "personalized_pagerank": q_personalized_pagerank,
         "degree_assortativity": q_degree_assortativity,
         "global_clustering": q_global_clustering,
+        "betweenness": q_betweenness,
         "embedding_dups_exact": q_embedding_dups_exact,
         "embedding_dups_lsh": q_embedding_dups_lsh,
         "ebv_bucket_sizes": q_ebv_bucket_sizes,
@@ -1356,6 +1376,52 @@ SELECT CAST(t AS BIGINT) AS t, vertex, reg_sum, zero_regs FROM (
 
     hyperanf_regs_sql = _hyperanf_regs_sql_for(_EDGES_CTE)
 
+    # -- betweenness oracle -------------------------------------------------
+    # Brandes replay as generated chained CTEs (graph/betweenness.py):
+    # forward levels f0..f8 carry integer-exact sigma; backward levels d8..d1
+    # accumulate delta = sigma_u * Σ (1+delta_w)/sigma_w over DAG edges.
+    # Every chained CTE is AS MATERIALIZED: DuckDB inlines CTEs by default,
+    # and bf{t}/bs{t} reference each other recursively — inlining expands
+    # the tree EXPONENTIALLY in t (thousands of parquet re-opens -> EMFILE).
+    _BT = 8
+    _bt_fwd = []
+    for _t in range(1, _BT + 1):
+        _bt_fwd.append(f"""
+bf{_t} AS MATERIALIZED (
+  SELECT f.seed, u.nb AS v, SUM(f.sigma) AS sigma
+  FROM bf{_t - 1} f JOIN bund u ON u.v = f.v
+  WHERE NOT EXISTS (SELECT 1 FROM bs{_t - 1} s WHERE s.seed = f.seed AND s.v = u.nb)
+  GROUP BY f.seed, u.nb),
+bs{_t} AS MATERIALIZED (SELECT seed, v FROM bs{_t - 1} UNION ALL SELECT seed, v FROM bf{_t})""")
+    _bt_bwd = [f"bd{_BT} AS MATERIALIZED (SELECT seed, v, sigma, 0.0 AS delta FROM bf{_BT})"]
+    for _t in range(_BT, 0, -1):
+        _bt_bwd.append(f"""
+bc{_t} AS MATERIALIZED (
+  SELECT d.seed, f.v, MIN(f.sigma) * SUM((1.0 + d.delta) / d.sigma) AS delta
+  FROM bd{_t} d JOIN bund u ON u.v = d.v
+  JOIN bf{_t - 1} f ON f.seed = d.seed AND f.v = u.nb
+  GROUP BY d.seed, f.v),
+bd{_t - 1} AS MATERIALIZED (
+  SELECT f.seed, f.v, f.sigma, COALESCE(c.delta, 0.0) AS delta
+  FROM bf{_t - 1} f LEFT JOIN bc{_t} c ON c.seed = f.seed AND c.v = f.v)""")
+    _bt_levels = "\n UNION ALL ".join(
+        f"SELECT seed, v, delta FROM bd{t}" for t in range(1, _BT + 1)
+    )
+    betweenness_sql = f"""
+WITH {_EDGES_CTE},
+bund AS MATERIALIZED (SELECT src AS v, dst AS nb FROM edges UNION ALL SELECT dst, src FROM edges),
+bverts AS (SELECT DISTINCT v AS vertex FROM bund),
+bseeds AS (SELECT vertex FROM bverts ORDER BY vertex LIMIT 3),
+bf0 AS (SELECT vertex AS seed, vertex AS v, CAST(1 AS BIGINT) AS sigma FROM bseeds),
+bs0 AS (SELECT seed, v FROM bf0),
+{','.join(_bt_fwd)},
+{','.join(_bt_bwd)},
+ball AS ({_bt_levels}),
+bsum AS (SELECT v AS vertex, SUM(delta) / 2.0 AS bc_raw FROM ball GROUP BY v)
+SELECT bv.vertex, ROUND(COALESCE(bs.bc_raw, 0.0), 6) AS bc
+FROM bverts bv LEFT JOIN bsum bs ON bs.vertex = bv.vertex
+"""
+
     # -- graph summary oracles ----------------------------------------------
     # exact BIGINT/HUGEINT moments, ONE rounded float division at the end
     # (graph/summary.py) — no float-reduction-order exposure.
@@ -1538,6 +1604,7 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 6
         "personalized_pagerank": personalized_pagerank_sql,
         "degree_assortativity": degree_assortativity_sql,
         "global_clustering": global_clustering_sql,
+        "betweenness": betweenness_sql,
         "connected_components": components_sql,
         "exact_dedup": exact_dedup_sql,
         "token_stats": token_stats_sql,

@@ -1,0 +1,126 @@
+"""Betweenness centrality — Brandes' dependency accumulation (Brandes 2001),
+seed-sampled: exact when ``seeds`` covers every vertex, otherwise the
+standard subset estimator (Brandes & Pich 2007) summed over the sample (an
+unbiased n/k rescale is the caller's one multiplication).
+
+For each seed s, forward phase = level-synchronous BFS carrying shortest-path
+counts sigma; backward phase walks levels deepest-first accumulating
+
+    delta(u) += sigma(u)/sigma(w) * (1 + delta(w))   for DAG edges u -> w
+
+and bc(v) = Σ_s delta_s(v) / 2 (undirected halving; seeds' own rows excluded
+per Brandes).
+
+Execution (all seeds batched in one state relation — the cluster shape):
+- static input: the doubled edge relation (v, nb) hash-partitioned by v and
+  localCheckpointed (never re-exchanged).
+- forward, per level: frontier (seed, v, sigma) joins the static relation,
+  groupBy(seed, nb) sums sigma — one exchange — then an anti-join against
+  the settled set drops already-finalized vertices; settled and frontier
+  are localCheckpointed per level (constant plans).  Level-synchronous BFS
+  finalizes sigma per level on an unweighted graph, so no re-relaxation.
+- backward, per level: the DAG edges at depth t (settled@t join und join
+  settled@t+1) carry sigma(u)/sigma(w)*(1+delta(w)); groupBy(seed, u) sums
+  — one exchange per level.  Levels run T..1 where T = deepest non-empty
+  frontier (known from the forward phase, no extra job).
+
+State is |seeds| * n rows; pick |seeds| to the wedge of cluster memory —
+the estimator quality grows like sqrt(k) (Brandes-Pich).  Per-level
+frontier counts come back with the checkpoint materialization; total jobs
+= 2 * eccentricity-bound, the same envelope as diameter.py's sweeps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def betweenness(
+    edges: DataFrame,
+    seeds: list[int],
+    max_levels: int = 64,
+) -> DataFrame:
+    """(vertex, bc) — summed Brandes dependencies over ``seeds`` (module
+    docstring), undirected halving applied; vertices unreachable from every
+    seed report bc = 0.  Canonical deduped src<dst edges expected."""
+    if not seeds:
+        raise ValueError("betweenness needs a non-empty seed set")
+    spark = edges.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    und = None
+    try:
+        und = (
+            edges.select(F.col("src").alias("v"), F.col("dst").alias("nb"))
+            .unionAll(edges.select(F.col("dst").alias("v"), F.col("src").alias("nb")))
+            .repartition(shuffle_n, "v")
+            .localCheckpoint(eager=True)
+        )
+        seed_rows = [(int(s),) for s in sorted(set(seeds))]
+        frontier = (
+            spark.createDataFrame(seed_rows, "seed long")
+            .select("seed", F.col("seed").alias("v"), F.lit(1).cast("long").alias("sigma"))
+            .localCheckpoint(eager=True)
+        )
+        # settled layers, one DataFrame per BFS level (sigma final per level)
+        layers = [frontier]
+        settled = frontier
+        for _ in range(max_levels):
+            nxt = (
+                frontier.hint("shuffle_hash")
+                .join(und, "v")
+                .groupBy("seed", F.col("nb").alias("v"))
+                .agg(F.sum("sigma").alias("sigma"))
+                .join(settled.select("seed", "v"), ["seed", "v"], "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            layers.append(nxt)
+            settled = settled.unionAll(nxt.select("seed", "v", "sigma")).localCheckpoint(
+                eager=True
+            )
+            frontier = nxt
+        # backward accumulation, deepest level first
+        delta = None  # (seed, v, delta) for levels > current
+        out = None
+        for t in range(len(layers) - 1, 0, -1):
+            wlayer = layers[t]
+            if delta is not None:
+                wlayer = wlayer.join(delta, ["seed", "v"], "left").select(
+                    "seed", "v", "sigma", F.coalesce("delta", F.lit(0.0)).alias("delta")
+                )
+            else:
+                wlayer = wlayer.select("seed", "v", "sigma", F.lit(0.0).alias("delta"))
+            contrib = (
+                wlayer.select(
+                    "seed",
+                    F.col("v").alias("nb"),
+                    ((1.0 + F.col("delta")) / F.col("sigma")).alias("ratio"),
+                )
+                .hint("shuffle_hash")
+                .join(und, "nb")
+                .select("seed", "v", "ratio")
+                .join(layers[t - 1].hint("shuffle_hash"), ["seed", "v"])
+                .groupBy("seed", "v")
+                .agg((F.sum("ratio") * F.first("sigma")).alias("delta"))
+                .localCheckpoint(eager=True)
+            )
+            delta = contrib
+            proj = wlayer.select("seed", "v", "delta")
+            out = proj if out is None else out.unionAll(proj)
+        universe = und.select(F.col("v").alias("vertex")).distinct()
+        if out is None:  # no seed reached anything (isolated seeds)
+            return universe.select("vertex", F.lit(0.0).alias("bc"))
+        summed = out.groupBy(F.col("v").alias("vertex")).agg(
+            (F.sum("delta") / 2.0).alias("bc_raw")
+        )
+        return universe.join(summed, "vertex", "left").select(
+            "vertex", F.round(F.coalesce("bc_raw", F.lit(0.0)), 6).alias("bc")
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        if und is not None:
+            und.unpersist()
