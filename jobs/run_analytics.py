@@ -12,7 +12,10 @@ Algos: cc (connected components), lp (label propagation), triangles
 (per-vertex triangle counts), tricount (single global count), clustering
 (local clustering coefficient), linkpred (top-k common-neighbor
 suggestions), bfs (--source vertex), diameter (double-sweep), hyperanf
-(neighborhood function + effective diameter), kcore (coreness).  Partition-aware algos (cc, lp,
+(neighborhood function + effective diameter), kcore (coreness), walks
+(deterministic random-walk corpus), ppr (personalized pagerank from
+--seeds), betweenness (Brandes from --seeds), summary (assortativity +
+global clustering one-row table).  Partition-aware algos (cc, lp,
 bfs, diameter, hyperanf) partition the edges with DBH first (cheap, pure
 expression) unless --no-partition is given.
 """
@@ -35,7 +38,8 @@ def main(argv=None, stop: bool = True) -> None:
     ap.add_argument(
         "--algo", required=True,
         choices=["cc", "lp", "triangles", "tricount", "clustering", "linkpred", "bfs",
-                 "diameter", "hyperanf", "kcore"],
+                 "diameter", "hyperanf", "kcore", "walks", "ppr", "betweenness",
+                 "summary"],
     )
     ap.add_argument("--output", default=None, help="result parquet")
     ap.add_argument("--json-out", default=None, help="write the info dict here")
@@ -55,6 +59,12 @@ def main(argv=None, stop: bool = True) -> None:
                          "without power-law hubs; see linkpred.py)")
     ap.add_argument("--no-partition", action="store_true",
                     help="skip DBH pre-partitioning (forces shuffle paths)")
+    ap.add_argument("--seeds", default=None,
+                    help="comma-separated vertex ids for ppr/betweenness "
+                         "(default: the 5 smallest vertex ids)")
+    ap.add_argument("--walk-length", type=int, default=16)
+    ap.add_argument("--walks-per-vertex", type=int, default=2)
+    ap.add_argument("--seed", type=int, default=42, help="walks hash seed")
     args = ap.parse_args(argv)
 
     from split_merge_partitioner_spark.graph import (
@@ -113,6 +123,52 @@ def main(argv=None, stop: bool = True) -> None:
         out, info = hyperanf(edges, assigned=assigned, n_steps=args.n_steps)
     elif args.algo == "kcore":
         out, info = coreness(edges, max_iter=args.max_iter)
+    elif args.algo in ("walks", "ppr", "betweenness", "summary"):
+        from pyspark.sql import functions as F
+
+        from split_merge_partitioner_spark.graph import (
+            betweenness,
+            degree_assortativity,
+            global_clustering,
+            personalized_pagerank,
+            random_walks,
+        )
+
+        if args.algo == "walks":
+            out = random_walks(edges, walk_length=args.walk_length,
+                               walks_per_vertex=args.walks_per_vertex,
+                               seed=args.seed)
+        elif args.algo == "summary":
+            out = degree_assortativity(edges).crossJoin(global_clustering(edges))
+        else:
+            if args.seeds:
+                seeds = [int(x) for x in args.seeds.split(",")]
+            else:
+                seeds = [
+                    r.v
+                    for r in edges.select(F.col("src").alias("v"))
+                    .unionAll(edges.select(F.col("dst").alias("v")))
+                    .distinct()
+                    .orderBy("v")
+                    .limit(5)
+                    .collect()
+                ]
+            # ppr/betweenness document a canonical-edge input contract;
+            # arbitrary external parquet gets canonicalized here (the
+            # linkpred ADVICE-r3 rule)
+            canon = (
+                edges.select(
+                    F.least("src", "dst").alias("src"),
+                    F.greatest("src", "dst").alias("dst"),
+                )
+                .where(F.col("src") != F.col("dst"))
+                .dropDuplicates(["src", "dst"])
+            )
+            if args.algo == "ppr":
+                out = personalized_pagerank(canon, seeds, n_iter=args.n_iter)
+            else:
+                out = betweenness(canon, seeds)
+            info = {"seeds": seeds}
 
     if args.output:
         out.write.mode("overwrite").parquet(args.output)

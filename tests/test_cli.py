@@ -97,6 +97,10 @@ def test_build_pyfiles_zip_importable(tmp_path):
     ("clustering", []),
     ("linkpred", []),
     ("bfs", ["--source", "0"]),
+    ("walks", ["--walk-length", "4", "--walks-per-vertex", "1"]),
+    ("ppr", ["--seeds", "0,1"]),
+    ("betweenness", ["--seeds", "0"]),
+    ("summary", []),
 ])
 def test_run_analytics_cli(spark, edges_parquet, tmp_path, capsys, algo, extra):
     from jobs.run_analytics import main as analytics_main
