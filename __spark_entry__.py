@@ -316,6 +316,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return betweenness(e, seeds, max_levels=8)
 
+    def q_eigencentrality(spark, sf):
+        # exact integer power iteration (graph/eigencentrality.py): 6 steps
+        # of x = A·x in DECIMAL(38,0) / HUGEINT, one rounded float division
+        # at the end — hash-exact cross-engine.  On the projection (the raw
+        # graph is bipartite, where the power direction oscillates)
+        from split_merge_partitioner_spark.graph import eigenvector_centrality
+
+        return eigenvector_centrality(_proj_edges(spark, sf), n_iter=6)
+
     def q_degree_assortativity(spark, sf):
         # Newman assortativity of the raw bipartite co-occurrence graph
         # (expected negative: supplier hubs pair with low-degree customers).
@@ -637,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity": q_degree_assortativity,
         "global_clustering": q_global_clustering,
         "betweenness": q_betweenness,
+        "eigencentrality": q_eigencentrality,
         "embedding_dups_exact": q_embedding_dups_exact,
         "embedding_dups_lsh": q_embedding_dups_lsh,
         "ebv_bucket_sizes": q_ebv_bucket_sizes,
@@ -1550,6 +1560,28 @@ SELECT vertex, CAST(c AS BIGINT) AS coreness FROM ck8
 
     coreness_sql = _coreness_sql_for(_EDGES_CTE)
 
+    # -- eigenvector centrality oracle --------------------------------------
+    # exact integer power iteration (graph/eigencentrality.py): x stays a
+    # HUGEINT walk count for all 6 steps; the single float op is the final
+    # max-normalized division, rounded to 6 on both engines.
+    _ev_ctes = [
+        "evu AS (SELECT src AS v, dst AS nb FROM proj"
+        " UNION ALL SELECT dst, src FROM proj)",
+        "ev0 AS (SELECT v AS vertex, CAST(1 AS HUGEINT) AS x FROM evu GROUP BY v)",
+    ]
+    for _t in range(1, 7):
+        _ev_ctes.append(
+            f"ev{_t} AS (SELECT u.v AS vertex, SUM(p.x) AS x"
+            f" FROM evu u JOIN ev{_t - 1} p ON p.vertex = u.nb GROUP BY u.v)"
+        )
+    eigencentrality_sql = f"""
+WITH {_EDGES_CTE}, {_PROJ_CTE},
+{','.join(_ev_ctes)},
+evm AS (SELECT MAX(x) AS mx FROM ev6)
+SELECT vertex, ROUND(CAST(x AS DOUBLE) / CAST(mx AS DOUBLE), 6) AS score
+FROM ev6, evm
+"""
+
     simhash_pairs_sql = f"""
 WITH tok AS (
     SELECT DISTINCT doc_id, tok FROM (
@@ -1602,6 +1634,7 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 6
         "link_suggestions": link_suggestions_sql,
         "random_walks": random_walks_sql,
         "personalized_pagerank": personalized_pagerank_sql,
+        "eigencentrality": eigencentrality_sql,
         "degree_assortativity": degree_assortativity_sql,
         "global_clustering": global_clustering_sql,
         "betweenness": betweenness_sql,

@@ -10,3 +10,4 @@ from .walks import random_walks  # noqa: F401
 from .ppr import personalized_pagerank  # noqa: F401
 from .summary import degree_assortativity, global_clustering  # noqa: F401
 from .betweenness import betweenness  # noqa: F401
+from .eigencentrality import eigenvector_centrality  # noqa: F401
