@@ -325,6 +325,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return eigenvector_centrality(_proj_edges(spark, sf), n_iter=6)
 
+    def q_hits(spark, sf):
+        # HITS hubs/authorities (graph/hits.py): 4 exact integer rounds over
+        # the DIRECTED bipartite customer->supplier graph — the centrality
+        # that separates the two roles (customers: hub>0/auth=0, suppliers
+        # the reverse); all-integer until one rounded division per column
+        from split_merge_partitioner_spark.graph import hits
+
+        return hits(_edges(spark, sf), n_rounds=4)
+
     def q_degree_assortativity(spark, sf):
         # Newman assortativity of the raw bipartite co-occurrence graph
         # (expected negative: supplier hubs pair with low-degree customers).
@@ -647,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_clustering": q_global_clustering,
         "betweenness": q_betweenness,
         "eigencentrality": q_eigencentrality,
+        "hits": q_hits,
         "embedding_dups_exact": q_embedding_dups_exact,
         "embedding_dups_lsh": q_embedding_dups_lsh,
         "ebv_bucket_sizes": q_ebv_bucket_sizes,
@@ -1582,6 +1592,31 @@ SELECT vertex, ROUND(CAST(x AS DOUBLE) / CAST(mx AS DOUBLE), 6) AS score
 FROM ev6, evm
 """
 
+    # -- HITS oracle ---------------------------------------------------------
+    # exact integer half-steps (graph/hits.py): a_t = A^T h_{t-1}, h_t = A a_t
+    # in HUGEINT for 4 rounds over the directed bipartite edge table; the only
+    # float ops are the two final max-normalized divisions, rounded to 6.
+    _hits_ctes = ["h0 AS (SELECT DISTINCT src AS vertex, CAST(1 AS HUGEINT) AS x FROM edges)"]
+    for _t in range(1, 5):
+        _hits_ctes.append(
+            f"a{_t} AS (SELECT e.dst AS vertex, SUM(h.x) AS x"
+            f" FROM edges e JOIN h{_t - 1} h ON h.vertex = e.src GROUP BY e.dst)"
+        )
+        _hits_ctes.append(
+            f"h{_t} AS (SELECT e.src AS vertex, SUM(a.x) AS x"
+            f" FROM edges e JOIN a{_t} a ON a.vertex = e.dst GROUP BY e.src)"
+        )
+    hits_sql = f"""
+WITH {_EDGES_CTE},
+{','.join(_hits_ctes)},
+mh AS (SELECT MAX(x) AS m FROM h4),
+ma AS (SELECT MAX(x) AS m FROM a4)
+SELECT COALESCE(h.vertex, a.vertex) AS vertex,
+       ROUND(CAST(COALESCE(h.x, 0) AS DOUBLE) / CAST(mh.m AS DOUBLE), 6) AS hub,
+       ROUND(CAST(COALESCE(a.x, 0) AS DOUBLE) / CAST(ma.m AS DOUBLE), 6) AS auth
+FROM h4 h FULL OUTER JOIN a4 a ON h.vertex = a.vertex, mh, ma
+"""
+
     simhash_pairs_sql = f"""
 WITH tok AS (
     SELECT DISTINCT doc_id, tok FROM (
@@ -1635,6 +1670,7 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 6
         "random_walks": random_walks_sql,
         "personalized_pagerank": personalized_pagerank_sql,
         "eigencentrality": eigencentrality_sql,
+        "hits": hits_sql,
         "degree_assortativity": degree_assortativity_sql,
         "global_clustering": global_clustering_sql,
         "betweenness": betweenness_sql,

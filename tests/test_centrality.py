@@ -64,3 +64,67 @@ def test_eigenvector_centrality_overflow_guard(spark):
     df = spark.createDataFrame(star)
     with pytest.raises(ValueError, match="overflow"):
         eigenvector_centrality(df, n_iter=40)
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (directed, exact integer half-steps)
+# ---------------------------------------------------------------------------
+
+from split_merge_partitioner_spark.graph import hits  # noqa: E402
+
+
+def _hits_replay(pdf: pd.DataFrame, n_rounds: int):
+    """Exact arbitrary-precision replay of the integer HITS half-steps."""
+    out_adj: dict[int, list[int]] = {}
+    in_adj: dict[int, list[int]] = {}
+    for s, d in zip(pdf["src"], pdf["dst"]):
+        out_adj.setdefault(int(s), []).append(int(d))
+        in_adj.setdefault(int(d), []).append(int(s))
+    h = {u: 1 for u in out_adj}
+    a: dict[int, int] = {}
+    for _ in range(n_rounds):
+        a = {v: sum(h.get(u, 0) for u in ins) for v, ins in in_adj.items()}
+        h = {u: sum(a.get(v, 0) for v in outs) for u, outs in out_adj.items()}
+    mh, ma = max(h.values()), max(a.values())
+    verts = set(out_adj) | set(in_adj)
+    return {
+        v: (round(h.get(v, 0) / mh, 6), round(a.get(v, 0) / ma, 6)) for v in verts
+    }
+
+
+def test_hits_exact_replay_directed(spark):
+    # directed power-law-ish graph: reuse the undirected generator's pairs AS
+    # directed src->dst edges (no doubling)
+    pdf = powerlaw_edges_pdf(n=60, m_per_node=3)
+    got = hits(spark.createDataFrame(pdf), n_rounds=4).toPandas().sort_values("vertex")
+    exp = _hits_replay(pdf, 4)
+    assert set(got["vertex"]) == set(exp)
+    for v, hub, auth in zip(got["vertex"], got["hub"], got["auth"]):
+        assert hub == pytest.approx(exp[int(v)][0], abs=1e-9), ("hub", v)
+        assert auth == pytest.approx(exp[int(v)][1], abs=1e-9), ("auth", v)
+
+
+def test_hits_bipartite_roles(spark):
+    # pure bipartite customer->supplier shape: srcs are hubs only (auth 0),
+    # dsts authorities only (hub 0); supplier 10 has 3 in-edges vs 1 -> top auth
+    pdf = pd.DataFrame({"src": [0, 1, 2, 2], "dst": [10, 10, 10, 11]})
+    got = hits(spark.createDataFrame(pdf), n_rounds=3).toPandas().set_index("vertex")
+    assert np.all(got.loc[[0, 1, 2], "auth"].to_numpy() == 0.0)
+    assert np.all(got.loc[[10, 11], "hub"].to_numpy() == 0.0)
+    assert got.loc[10, "auth"] == 1.0
+    assert got.loc[11, "auth"] < 1.0
+    # vertex 2 points at both suppliers -> strictly the top hub
+    assert got.loc[2, "hub"] == 1.0
+    assert got.loc[0, "hub"] < 1.0
+
+
+def test_hits_overflow_guard(spark):
+    pdf = pd.DataFrame({"src": [0] * 12 + list(range(1, 13)),
+                        "dst": list(range(1, 13)) + [0] * 12})
+    with pytest.raises(ValueError, match="overflow"):
+        hits(spark.createDataFrame(pdf), n_rounds=40)
+
+
+def test_hits_empty(spark):
+    df = spark.createDataFrame(pd.DataFrame({"src": [], "dst": []}), "src long, dst long")
+    assert hits(df, n_rounds=3).count() == 0
