@@ -521,6 +521,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return bfs_distances(e, int(seed), assigned=dbh_partition(e, P_DEFAULT))
 
+    def q_sssp_weighted(spark, sf):
+        # weighted shortest paths (graph/sssp.py): deterministic integer
+        # weights w = (src+dst) % 7 + 1, seed = max-degree vertex (min id on
+        # ties, the BFS recipe), 8 Bellman-Ford supersteps — distances stay
+        # exact BIGINTs so the chained-CTE replay hash-matches
+        from split_merge_partitioner_spark.graph.sssp import shortest_paths
+        from split_merge_partitioner_spark.sources import degrees as degrees_of
+
+        e = _edges(spark, sf).persist()
+        seed = (
+            degrees_of(e).orderBy(F.desc("degree"), F.asc("vertex")).first()["vertex"]
+        )
+        ew = e.withColumn(
+            "w", (F.col("src") + F.col("dst")) % F.lit(7) + F.lit(1)
+        )
+        return shortest_paths(ew, [int(seed)], max_supersteps=8, weight_col="w")
+
     def q_approx_diameter(spark, sf):
         from split_merge_partitioner_spark.graph import approximate_diameter
 
@@ -657,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness": q_betweenness,
         "eigencentrality": q_eigencentrality,
         "hits": q_hits,
+        "sssp_weighted": q_sssp_weighted,
         "embedding_dups_exact": q_embedding_dups_exact,
         "embedding_dups_lsh": q_embedding_dups_lsh,
         "ebv_bucket_sizes": q_ebv_bucket_sizes,
@@ -1238,6 +1256,28 @@ d1 AS (SELECT v, MIN(d) AS d FROM bfs1 GROUP BY v)
 SELECT v AS vertex, CAST(d AS BIGINT) AS dist FROM d1
 """
 
+    # -- weighted SSSP oracle -------------------------------------------------
+    # exact replay of graph/sssp.py's Bellman-Ford supersteps: 8 chained
+    # min-merge CTEs over the doubled weighted relation (weights and distances
+    # are BIGINTs throughout — hash-exact, no float anywhere)
+    _sssp_ctes = ["s0 AS (SELECT vertex, CAST(0 AS BIGINT) AS dist FROM seed)"]
+    for _t in range(1, 9):
+        _sssp_ctes.append(
+            f"s{_t} AS (SELECT vertex, MIN(dist) AS dist FROM ("
+            f"SELECT vertex, dist FROM s{_t - 1}"
+            f" UNION ALL SELECT u.t AS vertex, p.dist + u.w AS dist"
+            f" FROM undw u JOIN s{_t - 1} p ON p.vertex = u.frm"
+            f") GROUP BY vertex)"
+        )
+    sssp_weighted_sql = f"""
+WITH {_DEGREES_CTE},
+w AS (SELECT src, dst, (src + dst) % 7 + 1 AS w FROM edges),
+undw AS (SELECT src AS frm, dst AS t, w FROM w UNION ALL SELECT dst, src, w FROM w),
+seed AS (SELECT vertex FROM degrees ORDER BY degree DESC, vertex ASC LIMIT 1),
+{','.join(_sssp_ctes)}
+SELECT vertex, CAST(dist AS BIGINT) AS dist FROM s8
+"""
+
     approx_diameter_sql = bfs_common + """,
 far AS (SELECT v FROM d1 ORDER BY d DESC, v ASC LIMIT 1),
 bfs2(v, d) AS (
@@ -1671,6 +1711,7 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 6
         "personalized_pagerank": personalized_pagerank_sql,
         "eigencentrality": eigencentrality_sql,
         "hits": hits_sql,
+        "sssp_weighted": sssp_weighted_sql,
         "degree_assortativity": degree_assortativity_sql,
         "global_clustering": global_clustering_sql,
         "betweenness": betweenness_sql,
