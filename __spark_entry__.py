@@ -504,6 +504,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         e = _edges(spark, sf).persist()
         return label_propagation(e, assigned=dbh_partition(e, P_DEFAULT), n_iter=5)
 
+    def q_modularity(spark, sf):
+        # Newman modularity of the 5-superstep labelprop communities
+        # (graph/modularity.py): exact DECIMAL(38,0)/HUGEINT moments —
+        # Q = (4m*sum m_c - sum d_c^2) / (4m^2) — one rounded float division
+        from split_merge_partitioner_spark.graph import label_propagation
+        from split_merge_partitioner_spark.graph.modularity import modularity
+
+        e = _edges(spark, sf).persist()
+        labels = label_propagation(e, assigned=dbh_partition(e, P_DEFAULT), n_iter=5)
+        return modularity(e, labels)
+
     def q_core_boundary_stats(spark, sf):
         from split_merge_partitioner_spark.operators import core_boundary_stats
         from split_merge_partitioner_spark.sources import degrees as degrees_of
@@ -675,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigencentrality": q_eigencentrality,
         "hits": q_hits,
         "sssp_weighted": q_sssp_weighted,
+        "modularity": q_modularity,
         "embedding_dups_exact": q_embedding_dups_exact,
         "embedding_dups_lsh": q_embedding_dups_lsh,
         "ebv_bucket_sizes": q_ebv_bucket_sizes,
@@ -1208,6 +1220,35 @@ l0 AS (SELECT DISTINCT v AS vertex, v AS label FROM und),
 SELECT vertex, CAST(label AS BIGINT) AS label FROM l5
 """
 
+    # -- modularity oracle ----------------------------------------------------
+    # Newman Q of the labelprop-l5 communities in exact HUGEINT moments; the
+    # only float op is the final rounded division (graph/modularity.py twin)
+    modularity_sql = f"""
+WITH {_EDGES_CTE},
+und AS (SELECT src AS v, dst AS w FROM edges UNION ALL SELECT dst, src FROM edges),
+l0 AS (SELECT DISTINCT v AS vertex, v AS label FROM und),
+{','.join(lp_iters)},
+lab AS (SELECT vertex, label FROM l5),
+deg AS (SELECT v AS vertex, COUNT(*) AS degree FROM und GROUP BY v),
+dc AS (SELECT l.label, SUM(d.degree) AS d_c
+       FROM lab l JOIN deg d ON d.vertex = l.vertex GROUP BY l.label),
+mc AS (SELECT ls.label, COUNT(*) AS m_c
+       FROM edges e
+       JOIN lab ls ON ls.vertex = e.src
+       JOIN lab ld ON ld.vertex = e.dst AND ld.label = ls.label
+       GROUP BY ls.label),
+mm AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m FROM edges),
+agg AS (SELECT SUM(CAST(COALESCE(mc.m_c, 0) AS HUGEINT)) AS sum_mc,
+               SUM(CAST(dc.d_c AS HUGEINT) * CAST(dc.d_c AS HUGEINT)) AS sum_d2,
+               COUNT(*) AS n_communities
+        FROM dc LEFT JOIN mc ON mc.label = dc.label)
+SELECT ROUND(CAST(4 * mm.m * agg.sum_mc - agg.sum_d2 AS DOUBLE)
+             / CAST(4 * mm.m * mm.m AS DOUBLE), 6) AS modularity,
+       CAST(agg.n_communities AS BIGINT) AS n_communities,
+       CAST(mm.m AS BIGINT) AS m_edges
+FROM agg, mm
+"""
+
     core_boundary_sql = dbh_assign_core + """
 , reps AS (
     SELECT DISTINCT bucket, vertex FROM (
@@ -1712,6 +1753,7 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 6
         "eigencentrality": eigencentrality_sql,
         "hits": hits_sql,
         "sssp_weighted": sssp_weighted_sql,
+        "modularity": modularity_sql,
         "degree_assortativity": degree_assortativity_sql,
         "global_clustering": global_clustering_sql,
         "betweenness": betweenness_sql,

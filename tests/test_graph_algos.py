@@ -342,3 +342,88 @@ def test_global_clustering_known_structures(spark):
     star = pd.DataFrame({"src": [0] * 5, "dst": range(1, 6)})
     row = global_clustering(spark.createDataFrame(star)).collect()[0]
     assert row.n_triangles == 0 and row.global_clustering == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Modularity (graph/modularity.py)
+# ---------------------------------------------------------------------------
+
+def _modularity_replay(pairs, labels):
+    """Exact fraction replay of Newman modularity with Python ints."""
+    from fractions import Fraction
+
+    m = len(pairs)
+    deg: dict[int, int] = {}
+    for s, d in pairs:
+        deg[s] = deg.get(s, 0) + 1
+        deg[d] = deg.get(d, 0) + 1
+    mc: dict[int, int] = {}
+    dc: dict[int, int] = {}
+    for v, degree in deg.items():
+        dc[labels[v]] = dc.get(labels[v], 0) + degree
+    for s, d in pairs:
+        if labels[s] == labels[d]:
+            mc[labels[s]] = mc.get(labels[s], 0) + 1
+    q = sum(Fraction(mc.get(c, 0), m) - Fraction(dc[c], 2 * m) ** 2 for c in dc)
+    return round(float(q), 6), len(dc)
+
+
+def test_modularity_two_cliques_bridge(spark):
+    import pandas as pd
+
+    from split_merge_partitioner_spark.graph.modularity import modularity
+
+    # two K4s joined by one bridge; ground-truth communities
+    cl1 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    cl2 = [(i, j) for i in range(10, 14) for j in range(i + 1, 14)]
+    pairs = cl1 + cl2 + [(0, 10)]
+    labels = {v: 0 for v in range(4)} | {v: 1 for v in range(10, 14)}
+    e = spark.createDataFrame(pd.DataFrame(pairs, columns=["src", "dst"]))
+    lab = spark.createDataFrame(
+        pd.DataFrame(labels.items(), columns=["vertex", "label"])
+    )
+    got = modularity(e, lab).collect()[0]
+    exp_q, exp_nc = _modularity_replay(pairs, labels)
+    assert got["modularity"] == exp_q
+    assert got["n_communities"] == exp_nc
+    assert got["m_edges"] == len(pairs)
+    # good community structure scores high
+    assert got["modularity"] > 0.4
+
+
+def test_modularity_single_community_is_zero(spark):
+    import pandas as pd
+
+    from split_merge_partitioner_spark.graph.modularity import modularity
+
+    # all vertices in one community: Q = m/m - (2m/2m)^2 = 0 exactly
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    e = spark.createDataFrame(pd.DataFrame(pairs, columns=["src", "dst"]))
+    lab = spark.createDataFrame(
+        pd.DataFrame({"vertex": [0, 1, 2, 3], "label": [7, 7, 7, 7]})
+    )
+    got = modularity(e, lab).collect()[0]
+    assert got["modularity"] == 0.0
+    assert got["n_communities"] == 1
+
+
+def test_modularity_labelprop_composition(spark):
+    import pandas as pd
+
+    from split_merge_partitioner_spark.graph import label_propagation
+    from split_merge_partitioner_spark.graph.modularity import modularity
+    from split_merge_partitioner_spark.operators import dbh_partition
+    from split_merge_partitioner_spark.sources import powerlaw_edges_pdf
+
+    pdf = powerlaw_edges_pdf(n=60, m_per_node=3)
+    e = spark.createDataFrame(pdf).persist()
+    labels = label_propagation(e, assigned=dbh_partition(e, 4), n_iter=5)
+    got = modularity(e, labels).collect()[0]
+    lab_map = {
+        int(r["vertex"]): int(r["label"]) for r in labels.collect()
+    }
+    exp_q, exp_nc = _modularity_replay(
+        list(zip(pdf["src"].astype(int), pdf["dst"].astype(int))), lab_map
+    )
+    assert got["modularity"] == exp_q
+    assert got["n_communities"] == exp_nc
