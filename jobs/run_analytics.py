@@ -15,9 +15,13 @@ suggestions), bfs (--source vertex), diameter (double-sweep), hyperanf
 (neighborhood function + effective diameter), kcore (coreness), walks
 (deterministic random-walk corpus), ppr (personalized pagerank from
 --seeds), betweenness (Brandes from --seeds), summary (assortativity +
-global clustering one-row table).  Partition-aware algos (cc, lp,
-bfs, diameter, hyperanf) partition the edges with DBH first (cheap, pure
-expression) unless --no-partition is given.
+global clustering one-row table), eigen (eigenvector centrality, exact
+integer power iteration), hits (hubs/authorities over the DIRECTED edge
+table — direction is semantic, no canonicalization), sssp (weighted
+shortest paths from --source; --weight-col names an integer edge weight),
+modularity (Newman Q of the labelprop communities).  Partition-aware algos
+(cc, lp, bfs, diameter, hyperanf) partition the edges with DBH first
+(cheap, pure expression) unless --no-partition is given.
 """
 
 from __future__ import annotations
@@ -39,7 +43,7 @@ def main(argv=None, stop: bool = True) -> None:
         "--algo", required=True,
         choices=["cc", "lp", "triangles", "tricount", "clustering", "linkpred", "bfs",
                  "diameter", "hyperanf", "kcore", "walks", "ppr", "betweenness",
-                 "summary"],
+                 "summary", "eigen", "hits", "sssp", "modularity"],
     )
     ap.add_argument("--output", default=None, help="result parquet")
     ap.add_argument("--json-out", default=None, help="write the info dict here")
@@ -62,6 +66,14 @@ def main(argv=None, stop: bool = True) -> None:
     ap.add_argument("--seeds", default=None,
                     help="comma-separated vertex ids for ppr/betweenness "
                          "(default: the 5 smallest vertex ids)")
+    ap.add_argument("--n-rounds", type=int, default=4, help="hits rounds")
+    ap.add_argument("--n-power-iter", type=int, default=6,
+                    help="eigen power-iteration steps (integer-exact; the "
+                         "module fail-fasts if dmax^steps overflows)")
+    ap.add_argument("--max-supersteps", type=int, default=8,
+                    help="sssp Bellman-Ford horizon (stops early at fixpoint)")
+    ap.add_argument("--weight-col", default=None,
+                    help="sssp: integer edge-weight column (default: unit)")
     ap.add_argument("--walk-length", type=int, default=16)
     ap.add_argument("--walks-per-vertex", type=int, default=2)
     ap.add_argument("--seed", type=int, default=42, help="walks hash seed")
@@ -123,7 +135,28 @@ def main(argv=None, stop: bool = True) -> None:
         out, info = hyperanf(edges, assigned=assigned, n_steps=args.n_steps)
     elif args.algo == "kcore":
         out, info = coreness(edges, max_iter=args.max_iter)
-    elif args.algo in ("walks", "ppr", "betweenness", "summary"):
+    elif args.algo == "hits":
+        # DIRECTED semantics: src->dst direction is the hub->authority
+        # relation, so the input is taken as-is (no canonicalization)
+        from split_merge_partitioner_spark.graph import hits
+
+        out = hits(edges, n_rounds=args.n_rounds)
+    elif args.algo == "sssp":
+        if args.source is None:
+            ap.error("--algo sssp requires --source")
+        from split_merge_partitioner_spark.graph.sssp import shortest_paths
+
+        out = shortest_paths(edges, [args.source],
+                             max_supersteps=args.max_supersteps,
+                             weight_col=args.weight_col)
+    elif args.algo == "modularity":
+        from split_merge_partitioner_spark.graph import label_propagation
+        from split_merge_partitioner_spark.graph.modularity import modularity
+
+        labels = label_propagation(edges, assigned=assigned, mode=cc_lp_mode,
+                                   n_iter=args.n_iter)
+        out = modularity(edges, labels)
+    elif args.algo in ("walks", "ppr", "betweenness", "summary", "eigen"):
         from pyspark.sql import functions as F
 
         from split_merge_partitioner_spark.graph import (
@@ -140,6 +173,19 @@ def main(argv=None, stop: bool = True) -> None:
                                seed=args.seed)
         elif args.algo == "summary":
             out = degree_assortativity(edges).crossJoin(global_clustering(edges))
+        elif args.algo == "eigen":
+            from split_merge_partitioner_spark.graph import eigenvector_centrality
+
+            # canonical-edge contract (same rule as ppr/betweenness below)
+            canon = (
+                edges.select(
+                    F.least("src", "dst").alias("src"),
+                    F.greatest("src", "dst").alias("dst"),
+                )
+                .where(F.col("src") != F.col("dst"))
+                .dropDuplicates(["src", "dst"])
+            )
+            out = eigenvector_centrality(canon, n_iter=args.n_power_iter)
         else:
             if args.seeds:
                 seeds = [int(x) for x in args.seeds.split(",")]

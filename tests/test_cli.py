@@ -101,6 +101,10 @@ def test_build_pyfiles_zip_importable(tmp_path):
     ("ppr", ["--seeds", "0,1"]),
     ("betweenness", ["--seeds", "0"]),
     ("summary", []),
+    ("eigen", ["--n-power-iter", "4"]),
+    ("hits", ["--n-rounds", "2"]),
+    ("sssp", ["--source", "0", "--max-supersteps", "6"]),
+    ("modularity", ["--n-iter", "3"]),
 ])
 def test_run_analytics_cli(spark, edges_parquet, tmp_path, capsys, algo, extra):
     from jobs.run_analytics import main as analytics_main
