@@ -334,6 +334,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return hits(_edges(spark, sf), n_rounds=4)
 
+    def q_ktruss(spark, sf):
+        # 4-truss of the projection graph (graph/truss.py): 4 peeling rounds
+        # (fixpoint-early-stop is idempotent, so the fixed-horizon oracle
+        # replay matches either way); all-integer support counting
+        from split_merge_partitioner_spark.graph.truss import ktruss
+
+        return ktruss(_proj_edges(spark, sf), k=4, max_rounds=4)
+
     def q_degree_assortativity(spark, sf):
         # Newman assortativity of the raw bipartite co-occurrence graph
         # (expected negative: supplier hubs pair with low-degree customers).
@@ -687,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "sssp_weighted": q_sssp_weighted,
         "modularity": q_modularity,
+        "ktruss": q_ktruss,
         "embedding_dups_exact": q_embedding_dups_exact,
         "embedding_dups_lsh": q_embedding_dups_lsh,
         "ebv_bucket_sizes": q_ebv_bucket_sizes,
@@ -1673,6 +1682,48 @@ SELECT vertex, ROUND(CAST(x AS DOUBLE) / CAST(mx AS DOUBLE), 6) AS score
 FROM ev6, evm
 """
 
+    # -- k-truss oracle -------------------------------------------------------
+    # exact replay of graph/truss.py's peeling: 4 rounds of (triangle
+    # enumeration -> per-edge support -> filter >= k-2) as chained CTEs over
+    # the projection graph, then one final within-truss support recount.
+    # All-integer counting — hash-exact.
+    _KT = 2  # k - 2 for k = 4
+    # AS MATERIALIZED: each e{t} is referenced 4x per round (3 triangle legs
+    # + the filter), so DuckDB's default CTE inlining goes exponential in the
+    # round count (the betweenness-oracle finding, commit f531f92)
+    _truss_ctes = ["e0 AS MATERIALIZED (SELECT src, dst FROM proj)"]
+    for _t in range(1, 5):
+        _p = _t - 1
+        _truss_ctes.append(
+            f"tri{_t} AS MATERIALIZED (SELECT x.src AS a, x.dst AS b, y.dst AS c"
+            f" FROM e{_p} x JOIN e{_p} y ON y.src = x.dst"
+            f" JOIN e{_p} z ON z.src = x.src AND z.dst = y.dst)"
+        )
+        _truss_ctes.append(
+            f"sup{_t} AS MATERIALIZED (SELECT src, dst, COUNT(*) AS sup FROM ("
+            f"SELECT a AS src, b AS dst FROM tri{_t}"
+            f" UNION ALL SELECT b, c FROM tri{_t}"
+            f" UNION ALL SELECT a, c FROM tri{_t}) GROUP BY src, dst)"
+        )
+        _truss_ctes.append(
+            f"e{_t} AS MATERIALIZED (SELECT e.src, e.dst FROM e{_p} e"
+            f" LEFT JOIN sup{_t} s ON s.src = e.src AND s.dst = e.dst"
+            f" WHERE COALESCE(s.sup, 0) >= {_KT})"
+        )
+    ktruss_sql = f"""
+WITH {_EDGES_CTE}, {_PROJ_CTE},
+{','.join(_truss_ctes)},
+trif AS MATERIALIZED (SELECT x.src AS a, x.dst AS b, y.dst AS c
+         FROM e4 x JOIN e4 y ON y.src = x.dst
+         JOIN e4 z ON z.src = x.src AND z.dst = y.dst),
+supf AS MATERIALIZED (SELECT src, dst, COUNT(*) AS sup FROM (
+         SELECT a AS src, b AS dst FROM trif
+         UNION ALL SELECT b, c FROM trif
+         UNION ALL SELECT a, c FROM trif) GROUP BY src, dst)
+SELECT e.src, e.dst, CAST(COALESCE(s.sup, 0) AS BIGINT) AS support
+FROM e4 e LEFT JOIN supf s ON s.src = e.src AND s.dst = e.dst
+"""
+
     # -- HITS oracle ---------------------------------------------------------
     # exact integer half-steps (graph/hits.py): a_t = A^T h_{t-1}, h_t = A a_t
     # in HUGEINT for 4 rounds over the directed bipartite edge table; the only
@@ -1754,6 +1805,7 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 6
         "hits": hits_sql,
         "sssp_weighted": sssp_weighted_sql,
         "modularity": modularity_sql,
+        "ktruss": ktruss_sql,
         "degree_assortativity": degree_assortativity_sql,
         "global_clustering": global_clustering_sql,
         "betweenness": betweenness_sql,

@@ -19,7 +19,9 @@ global clustering one-row table), eigen (eigenvector centrality, exact
 integer power iteration), hits (hubs/authorities over the DIRECTED edge
 table — direction is semantic, no canonicalization), sssp (weighted
 shortest paths from --source; --weight-col names an integer edge weight),
-modularity (Newman Q of the labelprop communities).  Partition-aware algos
+modularity (Newman Q of the labelprop communities), ktruss (support
+peeling; --k, canonical-edge input canonicalized internally via the
+triangle path's orientation).  Partition-aware algos
 (cc, lp, bfs, diameter, hyperanf) partition the edges with DBH first
 (cheap, pure expression) unless --no-partition is given.
 """
@@ -43,7 +45,7 @@ def main(argv=None, stop: bool = True) -> None:
         "--algo", required=True,
         choices=["cc", "lp", "triangles", "tricount", "clustering", "linkpred", "bfs",
                  "diameter", "hyperanf", "kcore", "walks", "ppr", "betweenness",
-                 "summary", "eigen", "hits", "sssp", "modularity"],
+                 "summary", "eigen", "hits", "sssp", "modularity", "ktruss"],
     )
     ap.add_argument("--output", default=None, help="result parquet")
     ap.add_argument("--json-out", default=None, help="write the info dict here")
@@ -67,6 +69,7 @@ def main(argv=None, stop: bool = True) -> None:
                     help="comma-separated vertex ids for ppr/betweenness "
                          "(default: the 5 smallest vertex ids)")
     ap.add_argument("--n-rounds", type=int, default=4, help="hits rounds")
+    ap.add_argument("--k-truss", type=int, default=4, help="ktruss k (>= 3)")
     ap.add_argument("--n-power-iter", type=int, default=6,
                     help="eigen power-iteration steps (integer-exact; the "
                          "module fail-fasts if dmax^steps overflows)")
@@ -149,6 +152,20 @@ def main(argv=None, stop: bool = True) -> None:
         out = shortest_paths(edges, [args.source],
                              max_supersteps=args.max_supersteps,
                              weight_col=args.weight_col)
+    elif args.algo == "ktruss":
+        from pyspark.sql import functions as F
+
+        from split_merge_partitioner_spark.graph.truss import ktruss
+
+        canon = (
+            edges.select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .dropDuplicates(["src", "dst"])
+        )
+        out = ktruss(canon, k=args.k_truss, max_rounds=args.max_iter)
     elif args.algo == "modularity":
         from split_merge_partitioner_spark.graph import label_propagation
         from split_merge_partitioner_spark.graph.modularity import modularity

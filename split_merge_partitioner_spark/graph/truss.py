@@ -1,0 +1,99 @@
+"""k-truss decomposition (edge-level cohesion) via support peeling.
+
+The k-truss of an undirected graph (Cohen 2008) is the maximal subgraph in
+which every edge participates in >= k-2 triangles *within the subgraph* —
+the edge analog of graph/kcore.py's coreness, and a much stronger
+community signal than degree (it survives hub spokes that k-core keeps).
+
+Algorithm: iterated support peeling.  Each round recounts per-edge
+triangle support with the same oriented two-join wedge enumeration as
+graph/triangles.py (orient="degree" caps wedge out-degree at O(sqrt m) on
+power-law hubs — the skew-killer, since a peeling round is a full
+recount), drops edges with support < k-2, and stops at the fixpoint
+(|E| is strictly decreasing until then, so an unchanged count IS the
+fixpoint — detection costs one scalar off a relation that was being
+checkpointed anyway).  ``max_rounds`` bounds the horizon; a fixpoint is
+idempotent, so a fixed-horizon SQL replay (the DuckDB oracle) lands on the
+identical relation whether or not the loop stopped early.
+
+All arithmetic is integer counting — hash-exact cross-engine.  Support in
+the returned relation is recomputed once on the final edge set, so it is
+the within-truss support (>= k-2 at a fixpoint, by construction).
+
+Plan shape per round: three localCheckpointed scans of the current edge
+set feed the wedge self-join (two shuffles on the join keys) + one
+groupBy(edge) exchange for the support count — the identical shape
+Catalyst picks for triangle_count, reused unchanged at every scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .triangles import _oriented
+
+
+def _edge_support(e_canon: DataFrame, orient: str) -> DataFrame:
+    """(src, dst, sup) per canonical (src<dst) edge of ``e_canon``; edges in
+    no triangle are absent (join back with a left join + coalesce 0)."""
+    e = _oriented(e_canon, orient)
+    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])  # one row per triangle
+    # credit the triangle to its three edges, re-canonicalized (degree
+    # orientation may have flipped them relative to src<dst)
+    pairs = (
+        tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
+        .unionAll(tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
+    )
+    return (
+        pairs.select(
+            F.least("u", "v").alias("src"), F.greatest("u", "v").alias("dst")
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("sup"))
+    )
+
+
+def ktruss(
+    edges: DataFrame, k: int, max_rounds: int = 10, orient: str = "degree"
+) -> DataFrame:
+    """(src, dst, support) of the k-truss reached within ``max_rounds``
+    peeling rounds over the canonical (src<dst, deduped) edge table;
+    support is the within-subgraph triangle count of each surviving edge.
+    k >= 3 (k-2 >= 1); k=3 keeps exactly the edges in >= 1 triangle.
+    """
+    if k < 3:
+        raise ValueError("k must be >= 3 (a k-truss needs support k-2 >= 1)")
+    if max_rounds < 1:
+        raise ValueError("max_rounds must be >= 1")
+    spark = edges.sparkSession
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    n_edges = e.count()
+    thresh = k - 2
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        sup = _edge_support(e, orient)
+        prev = e
+        e = (
+            prev.join(sup, ["src", "dst"], "left")
+            .where(F.coalesce(F.col("sup"), F.lit(0)) >= thresh)
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        prev.unpersist()
+        n_new = e.count()
+        if n_new == n_edges:  # |E| strictly decreases until the fixpoint
+            break
+        n_edges = n_new
+    if n_edges == 0:
+        e.unpersist()
+        return spark.createDataFrame([], "src long, dst long, support long")
+    out = e.join(_edge_support(e, orient), ["src", "dst"], "left").select(
+        "src", "dst", F.coalesce(F.col("sup"), F.lit(0)).cast("long").alias("support")
+    )
+    return out
