@@ -257,6 +257,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_token_stats(spark, sf):
         return token_stats(_docs(spark, sf))
 
+    def q_tfidf_top_terms(spark, sf):
+        # top-5 distinctive terms per doc; linear idf (tf*N/df) keeps the
+        # score an exact rational -> IEEE-deterministic cross-engine
+        # (functions/text.py::tfidf_top_terms)
+        from split_merge_partitioner_spark.functions import tfidf_top_terms
+
+        return tfidf_top_terms(_docs(spark, sf), k=5)
+
+    def q_hash_sample_docs(spark, sf):
+        # deterministic ~25% coordinated sample (functions/sampling.py):
+        # membership is a pure function of (doc_id, seed) — identical under
+        # any partitioning, replayed exactly in integer SQL
+        from split_merge_partitioner_spark.functions import hash_sample
+        from split_merge_partitioner_spark.functions.sampling import sample_hash
+
+        return hash_sample(_docs(spark, sf), 0.25).select(
+            "doc_id", sample_hash("doc_id").alias("h")
+        )
+
+    def q_hash_split_docs(spark, sf):
+        # disjoint, exhaustive train/valid/test assignment (80/10/10)
+        from split_merge_partitioner_spark.functions import hash_split
+
+        return hash_split(_docs(spark, sf)).select("doc_id", "split")
+
+    def q_stratified_sample_docs(spark, sf):
+        # at most 20 docs per lang, chosen by ascending key hash — the
+        # per-class rebalancing cap, deterministic under any partitioning
+        from split_merge_partitioner_spark.functions import stratified_sample
+
+        return stratified_sample(_docs(spark, sf), "lang", 20).select(
+            "doc_id", "lang", "rn"
+        )
+
     def q_text_quality(spark, sf):
         return text_quality(_docs(spark, sf))
 
@@ -696,6 +730,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_weighted": q_sssp_weighted,
         "modularity": q_modularity,
         "ktruss": q_ktruss,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "hash_sample_docs": q_hash_sample_docs,
+        "hash_split_docs": q_hash_split_docs,
+        "stratified_sample_docs": q_stratified_sample_docs,
         "embedding_dups_exact": q_embedding_dups_exact,
         "embedding_dups_lsh": q_embedding_dups_lsh,
         "ebv_bucket_sizes": q_ebv_bucket_sizes,
@@ -1007,6 +1045,62 @@ SELECT md5(text) AS text_md5,
        CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
        CAST(COUNT(*) AS BIGINT) AS n_copies
 FROM documents GROUP BY md5(text)
+"""
+
+    # -- deterministic sampling oracles (functions/sampling.py) --------------
+    # the keyed Lehmer hash is pure ANSI-safe BIGINT arithmetic (max
+    # intermediate < 2^48), so the SQL replay is the same integer expression
+    from split_merge_partitioner_spark.functions.sampling import M31 as _M31S
+
+    _HS_CTE = """
+hs AS (SELECT doc_id, lang,
+       (((((doc_id % 2147483647 + 2147483647) % 2147483647 + 43) % 2147483647)
+         * 48271 % 2147483647) + 1) * 69621 % 2147483647 AS h
+       FROM documents)
+"""
+    hash_sample_docs_sql = f"""
+WITH {_HS_CTE}
+SELECT doc_id, CAST(h AS BIGINT) AS h FROM hs WHERE h < {int(0.25 * _M31S)}
+"""
+    hash_split_docs_sql = f"""
+WITH {_HS_CTE}
+SELECT doc_id,
+       CASE WHEN h < {int(0.8 * _M31S)} THEN 'train'
+            WHEN h < {int((0.8 + 0.1) * _M31S)} THEN 'valid'
+            ELSE 'test' END AS split
+FROM hs
+"""
+    stratified_sample_docs_sql = f"""
+WITH {_HS_CTE}
+SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn FROM (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h ASC, doc_id ASC) AS rn
+    FROM hs
+) WHERE rn <= 20
+"""
+
+    # linear-idf tf-idf (functions/text.py::tfidf_top_terms): tf*N/df is an
+    # exact rational, so double multiply/divide are IEEE-deterministic in
+    # both engines (no transcendental -> no libm-ulp flake)
+    tfidf_top_terms_sql = r"""
+WITH tok AS (
+    SELECT doc_id, UNNEST(regexp_split_to_array(lower(text), '\s+')) AS term
+    FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE term <> '' GROUP BY doc_id, term),
+dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, dfr.df,
+           ROUND(CAST(tf.tf AS DOUBLE) * CAST(nn.n AS DOUBLE) / CAST(dfr.df AS DOUBLE), 6) AS score
+    FROM tf JOIN dfr ON dfr.term = tf.term, nn
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score,
+       CAST(rn AS BIGINT) AS rn
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
+    FROM scored
+) WHERE rn <= 5
 """
 
     token_stats_sql = """
@@ -1812,6 +1906,10 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 6
         "connected_components": components_sql,
         "exact_dedup": exact_dedup_sql,
         "token_stats": token_stats_sql,
+        "tfidf_top_terms": tfidf_top_terms_sql,
+        "hash_sample_docs": hash_sample_docs_sql,
+        "hash_split_docs": hash_split_docs_sql,
+        "stratified_sample_docs": stratified_sample_docs_sql,
         "regex_token_stats": """
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)

@@ -8,4 +8,16 @@ from .dedup import (  # noqa: F401
 from .pipeline import clean_corpus  # noqa: F401
 from .hashing import rolling_fingerprint, sha256_udf, verify_content_sha256  # noqa: F401
 from .similarity import brute_force_knn, ivf_knn, lsh_knn  # noqa: F401
-from .text import language_id, regex_token_count, text_quality, token_stats  # noqa: F401
+from .text import (  # noqa: F401
+    language_id,
+    regex_token_count,
+    text_quality,
+    tfidf_top_terms,
+    token_stats,
+)
+from .sampling import (  # noqa: F401
+    hash_sample,
+    hash_split,
+    sample_hash,
+    stratified_sample,
+)

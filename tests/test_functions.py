@@ -409,3 +409,53 @@ def test_clean_corpus_semantics(spark):
     assert set(capped["doc_id"]) == set(
         got.loc[toks.loc[got["doc_id"]].to_numpy() <= cap, "doc_id"]
     )
+
+
+def test_tfidf_top_terms_exact_replay(spark):
+    from collections import Counter
+
+    from split_merge_partitioner_spark.functions import tfidf_top_terms
+
+    rows = [
+        (0, "apple banana apple cherry"),
+        (1, "banana banana date"),
+        (2, "apple cherry cherry cherry"),
+        (3, "unique   words  only"),
+    ]
+    d = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = tfidf_top_terms(d, k=2).toPandas().sort_values(["doc_id", "rn"])
+
+    # exact replay
+    n = len(rows)
+    tf = {i: Counter(t.lower().split()) for i, t in rows}
+    df_ = Counter(term for c in tf.values() for term in c)
+    exp = {}
+    for i, c in tf.items():
+        scored = sorted(
+            ((round(float(cnt) * n / df_[t], 6), t, cnt) for t, cnt in c.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:2]
+        exp[i] = [(t, cnt, df_[t], s, r + 1) for r, (s, t, cnt) in enumerate(scored)]
+    for _, row in got.iterrows():
+        t, cnt, dfv, s, rn = exp[int(row["doc_id"])][int(row["rn"]) - 1]
+        assert (row["term"], row["tf"], row["df"], row["rn"]) == (t, cnt, dfv, rn)
+        assert row["score"] == pytest.approx(s, abs=0)
+    # doc 3's only-here terms score highest possible (tf=1, df=1 -> N)
+    assert all(got[got["doc_id"] == 3]["score"] == float(n))
+
+
+def test_tfidf_top_terms_k_bound_and_determinism(spark, docs):
+    from split_merge_partitioner_spark.functions import tfidf_top_terms
+
+    out = tfidf_top_terms(docs, k=3).persist()
+    per_doc = out.groupBy("doc_id").count().toPandas()
+    assert per_doc["count"].max() <= 3
+    a = out.toPandas().sort_values(["doc_id", "rn"]).reset_index(drop=True)
+    b = (
+        tfidf_top_terms(docs, k=3)
+        .toPandas()
+        .sort_values(["doc_id", "rn"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    out.unpersist()
