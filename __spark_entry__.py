@@ -265,6 +265,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return tfidf_top_terms(_docs(spark, sf), k=5)
 
+    def q_repetition_stats(spark, sf):
+        # Gopher-style repetition signals over word sequences
+        # (functions/text.py::repetition_stats); dup_n=2 because the
+        # synthetic corpus repeats 2-grams but almost never 5-grams —
+        # exact integers + one rounded division per ratio
+        from split_merge_partitioner_spark.functions import repetition_stats
+
+        return repetition_stats(_docs(spark, sf), dup_n=2)
+
+    def q_ngram_decontam(spark, sf):
+        # benchmark decontamination (functions/decontam.py): docs with
+        # doc_id % 50 == 0 act as the held-out eval suite; flag training
+        # docs sharing any word 3-gram with it (n=3: non-vacuous on the
+        # small-vocab synthetic corpus; production default is 8)
+        from pyspark.sql import functions as SF
+
+        from split_merge_partitioner_spark.functions import ngram_contamination
+
+        docs = _docs(spark, sf)
+        train = docs.where(SF.col("doc_id") % 50 != 0)
+        evald = docs.where(SF.col("doc_id") % 50 == 0)
+        return ngram_contamination(train, evald, n=3)
+
     def q_hash_sample_docs(spark, sf):
         # deterministic ~25% coordinated sample (functions/sampling.py):
         # membership is a pure function of (doc_id, seed) — identical under
@@ -731,6 +754,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity": q_modularity,
         "ktruss": q_ktruss,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "repetition_stats": q_repetition_stats,
+        "ngram_decontam": q_ngram_decontam,
         "hash_sample_docs": q_hash_sample_docs,
         "hash_split_docs": q_hash_split_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
@@ -1101,6 +1126,76 @@ FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
     FROM scored
 ) WHERE rn <= 5
+"""
+
+    # Gopher repetition signals (functions/text.py::repetition_stats,
+    # dup_n=2): exact integer counts from list_distinct over
+    # list_transform-built gram arrays, one ROUND()ed division per ratio;
+    # top-2-gram tie broken lexicographically in both engines
+    repetition_stats_sql = r"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS arr,
+         CAST(length(trim(text)) AS BIGINT) AS n_chars_trim
+  FROM documents
+),
+scal AS (
+  SELECT doc_id, n_chars_trim,
+         CAST(len(arr) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(arr)) AS BIGINT) AS n_distinct_tokens,
+         CASE WHEN len(arr) < 2 THEN CAST([] AS VARCHAR[])
+              ELSE list_transform(range(1, len(arr)), i -> arr[i] || ' ' || arr[i+1]) END AS gd
+  FROM base
+),
+g2 AS (
+  SELECT doc_id, n_chars_trim,
+         UNNEST(CASE WHEN len(arr) < 2 THEN CAST([] AS VARCHAR[])
+                ELSE list_transform(range(1, len(arr)), i -> arr[i] || ' ' || arr[i+1]) END) AS gram
+  FROM base
+),
+c2 AS (SELECT doc_id, n_chars_trim, gram, COUNT(*) AS c FROM g2 GROUP BY 1, 2, 3),
+t2 AS (SELECT doc_id, gram, c, n_chars_trim,
+              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn FROM c2)
+SELECT s.doc_id, s.n_tokens, s.n_distinct_tokens,
+       ROUND(s.n_distinct_tokens / GREATEST(s.n_tokens, 1), 6) AS ttr,
+       CAST(len(s.gd) AS BIGINT) AS dup_total,
+       CAST(len(list_distinct(s.gd)) AS BIGINT) AS dup_distinct,
+       ROUND((len(s.gd) - len(list_distinct(s.gd))) / GREATEST(len(s.gd), 1), 6) AS dup_frac,
+       COALESCE(t2.gram, '') AS top2_gram,
+       CAST(COALESCE(t2.c, 0) AS BIGINT) AS top2_count,
+       ROUND(COALESCE(t2.c * length(t2.gram) / GREATEST(s.n_chars_trim, 1), 0.0), 6) AS top2_char_frac
+FROM scal s LEFT JOIN (SELECT * FROM t2 WHERE rn = 1) t2 USING (doc_id)
+"""
+
+    # benchmark decontamination (functions/decontam.py::ngram_contamination,
+    # n=3, eval = doc_id % 50 == 0): per-training-doc DISTINCT 3-grams
+    # left-joined against the distinct eval gram set — integer hit counts,
+    # one rounded division
+    ngram_decontam_sql = r"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS arr
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(arr) < 3 THEN CAST([] AS VARCHAR[])
+              ELSE list_transform(range(1, len(arr) - 1), i -> array_to_string(arr[i:i+2], ' ')) END) AS grams
+  FROM base
+),
+ev AS (SELECT DISTINCT UNNEST(grams) AS gram FROM grams WHERE doc_id % 50 = 0),
+tr AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+              UNNEST(CASE WHEN len(grams) = 0 THEN [NULL]::VARCHAR[] ELSE grams END) AS gram
+       FROM grams WHERE doc_id % 50 <> 0)
+SELECT tr.doc_id, MAX(tr.n_grams) AS n_grams,
+       CAST(COALESCE(SUM(CASE WHEN ev.gram IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hit_grams,
+       ROUND(COALESCE(SUM(CASE WHEN ev.gram IS NOT NULL THEN 1 END), 0)
+             / GREATEST(MAX(tr.n_grams), 1), 6) AS contaminated_frac,
+       COALESCE(SUM(CASE WHEN ev.gram IS NOT NULL THEN 1 END), 0) >= 1 AS is_contaminated
+FROM tr LEFT JOIN ev ON ev.gram = tr.gram
+GROUP BY tr.doc_id
 """
 
     token_stats_sql = """
@@ -1907,6 +2002,8 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 6
         "exact_dedup": exact_dedup_sql,
         "token_stats": token_stats_sql,
         "tfidf_top_terms": tfidf_top_terms_sql,
+        "repetition_stats": repetition_stats_sql,
+        "ngram_decontam": ngram_decontam_sql,
         "hash_sample_docs": hash_sample_docs_sql,
         "hash_split_docs": hash_split_docs_sql,
         "stratified_sample_docs": stratified_sample_docs_sql,

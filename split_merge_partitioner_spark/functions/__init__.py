@@ -5,12 +5,14 @@ from .dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     simhash_near_duplicates,
 )
+from .decontam import ngram_contamination  # noqa: F401
 from .pipeline import clean_corpus  # noqa: F401
 from .hashing import rolling_fingerprint, sha256_udf, verify_content_sha256  # noqa: F401
 from .similarity import brute_force_knn, ivf_knn, lsh_knn  # noqa: F401
 from .text import (  # noqa: F401
     language_id,
     regex_token_count,
+    repetition_stats,
     text_quality,
     tfidf_top_terms,
     token_stats,

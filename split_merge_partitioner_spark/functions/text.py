@@ -187,3 +187,120 @@ def tfidf_top_terms(
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .where(F.col("rn") <= k)
     )
+
+
+def _token_array(text_col: str):
+    """Lowercased whitespace token array of the trimmed text; empty array
+    (never ['']) for blank documents, so n-gram windows degrade to zero
+    grams instead of phantom empty-string tokens."""
+    t = F.trim(F.col(text_col))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(F.lower(t), r"\s+")
+    )
+
+
+def _word_ngrams(arr_name: str, n: int):
+    """Array of space-joined word ``n``-grams of the token-array column
+    ``arr_name`` as a pure JVM expression.  Guarded for size < n because
+    Spark's sequence(1, 0) counts DOWN ([1, 0]) rather than returning
+    empty — an unguarded transform would fabricate wrap-around grams on
+    short documents."""
+    return F.when(F.size(F.col(arr_name)) < n, F.array().cast("array<string>")).otherwise(
+        F.expr(
+            f"transform(sequence(1, size({arr_name}) - {n - 1}), "
+            f"i -> array_join(slice({arr_name}, i, {n}), ' '))"
+        )
+    )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text", dup_n: int = 5) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, §A1.1),
+    restated over word sequences so they are non-vacuous on single-line
+    documents: (doc_id, n_tokens, n_distinct_tokens, ttr, dup_total,
+    dup_distinct, dup_frac, top2_gram, top2_count, top2_char_frac).
+
+    - ttr: type-token ratio (distinct/total tokens) — low = repetitive.
+    - dup_frac: fraction of word ``dup_n``-gram occurrences that are
+      repeats of an earlier occurrence within the document,
+      (total − distinct)/total — the word-sequence analog of Gopher's
+      duplicate-line fraction.
+    - top2_char_frac: characters covered by occurrences of the most
+      frequent word 2-gram divided by the trimmed document length —
+      Gopher's "fraction of characters in the most common n-gram".
+      Ties break lexicographically for cross-engine determinism.
+
+    Everything is exact integer arithmetic plus one ROUND()ed IEEE
+    division per ratio, so the DuckDB oracle hash-matches.
+
+    Plan: the scalar signals (ttr, dup) are pure array expressions —
+    array_distinct over transform-built gram arrays — ONE scan, ZERO
+    shuffles.  Only the top-2-gram mode needs data movement: explode →
+    groupBy(doc_id, gram) → Window(doc_id) row_number, two exchanges on
+    (doc, gram)-sized rows.  At 100 TB the scalar path dominates coverage
+    and costs nothing beyond the scan; the mode path's shuffle is the
+    same (doc, term) exchange tf-idf already pays.
+    """
+    from pyspark.sql import Window
+
+    base = docs.select(
+        "doc_id",
+        _token_array(text_col).alias("arr"),
+        F.length(F.trim(F.col(text_col))).cast("long").alias("n_chars_trim"),
+    )
+    scal = base.select(
+        "doc_id",
+        "n_chars_trim",
+        F.size("arr").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("arr")).cast("long").alias("n_distinct_tokens"),
+        _word_ngrams("arr", dup_n).alias("gd"),
+    ).select(
+        "doc_id",
+        "n_chars_trim",
+        "n_tokens",
+        "n_distinct_tokens",
+        F.round(
+            F.col("n_distinct_tokens") / F.greatest(F.col("n_tokens"), F.lit(1)), 6
+        ).alias("ttr"),
+        F.size("gd").cast("long").alias("dup_total"),
+        F.size(F.array_distinct("gd")).cast("long").alias("dup_distinct"),
+    ).withColumn(
+        "dup_frac",
+        F.round(
+            (F.col("dup_total") - F.col("dup_distinct"))
+            / F.greatest(F.col("dup_total"), F.lit(1)),
+            6,
+        ),
+    )
+    g2 = base.select(
+        "doc_id", "n_chars_trim", F.explode(_word_ngrams("arr", 2)).alias("gram")
+    )
+    c2 = g2.groupBy("doc_id", "n_chars_trim", "gram").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("gram"))
+    top2 = (
+        c2.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("gram").alias("top2_gram"),
+            F.col("c").cast("long").alias("top2_count"),
+            F.round(
+                F.col("c") * F.length("gram") / F.greatest(F.col("n_chars_trim"), F.lit(1)),
+                6,
+            ).alias("top2_char_frac"),
+        )
+    )
+    return (
+        scal.join(top2, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct_tokens",
+            "ttr",
+            "dup_total",
+            "dup_distinct",
+            "dup_frac",
+            F.coalesce(F.col("top2_gram"), F.lit("")).alias("top2_gram"),
+            F.coalesce(F.col("top2_count"), F.lit(0).cast("long")).alias("top2_count"),
+            F.coalesce(F.col("top2_char_frac"), F.lit(0.0)).alias("top2_char_frac"),
+        )
+    )
