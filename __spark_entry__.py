@@ -614,6 +614,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return shortest_paths(ew, [int(seed)], max_supersteps=8, weight_col="w")
 
+    def q_harmonic_closeness(spark, sf):
+        # seed-sampled harmonic centrality (graph/closeness.py): top-4
+        # degree seeds (min id on ties), 8-hop horizon; the lcm(1..8)=840
+        # numerator keeps every score an exact BIGINT until one final
+        # rounded division, so the chained min-merge CTE replay hash-matches
+        from split_merge_partitioner_spark.graph import harmonic_closeness
+        from split_merge_partitioner_spark.sources import degrees as degrees_of
+
+        e = _edges(spark, sf).persist()
+        seeds = [
+            int(r["vertex"])
+            for r in degrees_of(e)
+            .orderBy(F.desc("degree"), F.asc("vertex"))
+            .limit(4)
+            .collect()
+        ]
+        return harmonic_closeness(e, seeds, max_dist=8)
+
     def q_approx_diameter(spark, sf):
         from split_merge_partitioner_spark.graph import approximate_diameter
 
@@ -751,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigencentrality": q_eigencentrality,
         "hits": q_hits,
         "sssp_weighted": q_sssp_weighted,
+        "harmonic_closeness": q_harmonic_closeness,
         "modularity": q_modularity,
         "ktruss": q_ktruss,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -1517,6 +1536,43 @@ seed AS (SELECT vertex FROM degrees ORDER BY degree DESC, vertex ASC LIMIT 1),
 SELECT vertex, CAST(dist AS BIGINT) AS dist FROM s8
 """
 
+    # -- harmonic/closeness centrality oracle ---------------------------------
+    # graph/closeness.py: 8 chained multi-seed min-merge BFS CTEs keyed
+    # (seed, vertex); harmonic_num = SUM(840 // dist) stays BIGINT (840 =
+    # lcm(1..8) is divisible by every distance), one rounded division at
+    # the end — hash-exact
+    _hc_ctes = [
+        "b0 AS (SELECT seed, seed AS vertex, CAST(0 AS BIGINT) AS dist FROM hseeds)"
+    ]
+    for _t in range(1, 9):
+        _hc_ctes.append(
+            f"b{_t} AS (SELECT seed, vertex, MIN(dist) AS dist FROM ("
+            f"SELECT seed, vertex, dist FROM b{_t - 1}"
+            f" UNION ALL SELECT p.seed, u.t AS vertex, p.dist + 1 AS dist"
+            f" FROM und u JOIN b{_t - 1} p ON p.vertex = u.frm"
+            f") GROUP BY seed, vertex)"
+        )
+    harmonic_closeness_sql = f"""
+WITH {_DEGREES_CTE},
+und AS (SELECT src AS frm, dst AS t FROM edges UNION ALL SELECT dst, src FROM edges),
+hseeds AS (SELECT vertex AS seed FROM degrees ORDER BY degree DESC, vertex ASC LIMIT 4),
+{','.join(_hc_ctes)},
+scores AS (
+  SELECT vertex,
+         CAST(COUNT(*) AS BIGINT) AS n_seeds_reached,
+         CAST(SUM(dist) AS BIGINT) AS sum_dist,
+         CAST(SUM(840 // dist) AS BIGINT) AS harmonic_num
+  FROM b8 WHERE dist >= 1 GROUP BY vertex
+),
+universe AS (SELECT DISTINCT frm AS vertex FROM und)
+SELECT u.vertex,
+       COALESCE(s.n_seeds_reached, 0) AS n_seeds_reached,
+       COALESCE(s.sum_dist, 0) AS sum_dist,
+       COALESCE(s.harmonic_num, 0) AS harmonic_num,
+       ROUND(COALESCE(s.harmonic_num, 0) / 840.0, 6) AS harmonic
+FROM universe u LEFT JOIN scores s ON s.vertex = u.vertex
+"""
+
     approx_diameter_sql = bfs_common + """,
 far AS (SELECT v FROM d1 ORDER BY d DESC, v ASC LIMIT 1),
 bfs2(v, d) AS (
@@ -1993,6 +2049,7 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 6
         "eigencentrality": eigencentrality_sql,
         "hits": hits_sql,
         "sssp_weighted": sssp_weighted_sql,
+        "harmonic_closeness": harmonic_closeness_sql,
         "modularity": modularity_sql,
         "ktruss": ktruss_sql,
         "degree_assortativity": degree_assortativity_sql,

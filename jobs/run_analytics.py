@@ -14,7 +14,8 @@ Algos: cc (connected components), lp (label propagation), triangles
 suggestions), bfs (--source vertex), diameter (double-sweep), hyperanf
 (neighborhood function + effective diameter), kcore (coreness), walks
 (deterministic random-walk corpus), ppr (personalized pagerank from
---seeds), betweenness (Brandes from --seeds), summary (assortativity +
+--seeds), betweenness (Brandes from --seeds), closeness (seed-sampled
+harmonic centrality, exact lcm-numerator BFS to --max-dist), summary (assortativity +
 global clustering one-row table), eigen (eigenvector centrality, exact
 integer power iteration), hits (hubs/authorities over the DIRECTED edge
 table — direction is semantic, no canonicalization), sssp (weighted
@@ -45,7 +46,8 @@ def main(argv=None, stop: bool = True) -> None:
         "--algo", required=True,
         choices=["cc", "lp", "triangles", "tricount", "clustering", "linkpred", "bfs",
                  "diameter", "hyperanf", "kcore", "walks", "ppr", "betweenness",
-                 "summary", "eigen", "hits", "sssp", "modularity", "ktruss"],
+                 "summary", "eigen", "hits", "sssp", "modularity", "ktruss",
+                 "closeness"],
     )
     ap.add_argument("--output", default=None, help="result parquet")
     ap.add_argument("--json-out", default=None, help="write the info dict here")
@@ -53,6 +55,8 @@ def main(argv=None, stop: bool = True) -> None:
     ap.add_argument("--max-iter", type=int, default=200)
     ap.add_argument("--source", type=int, default=None, help="bfs source vertex")
     ap.add_argument("--n-steps", type=int, default=32, help="hyperanf supersteps")
+    ap.add_argument("--max-dist", type=int, default=16,
+                    help="closeness BFS horizon (harmonic sum truncation)")
     ap.add_argument("--n-iter", type=int, default=5,
                     help="lp synchronous supersteps (lp runs EXACTLY this many)")
     ap.add_argument("--k", type=int, default=5, help="linkpred suggestions per vertex")
@@ -173,7 +177,7 @@ def main(argv=None, stop: bool = True) -> None:
         labels = label_propagation(edges, assigned=assigned, mode=cc_lp_mode,
                                    n_iter=args.n_iter)
         out = modularity(edges, labels)
-    elif args.algo in ("walks", "ppr", "betweenness", "summary", "eigen"):
+    elif args.algo in ("walks", "ppr", "betweenness", "summary", "eigen", "closeness"):
         from pyspark.sql import functions as F
 
         from split_merge_partitioner_spark.graph import (
@@ -229,6 +233,10 @@ def main(argv=None, stop: bool = True) -> None:
             )
             if args.algo == "ppr":
                 out = personalized_pagerank(canon, seeds, n_iter=args.n_iter)
+            elif args.algo == "closeness":
+                from split_merge_partitioner_spark.graph import harmonic_closeness
+
+                out = harmonic_closeness(canon, seeds, max_dist=args.max_dist)
             else:
                 out = betweenness(canon, seeds)
             info = {"seeds": seeds}

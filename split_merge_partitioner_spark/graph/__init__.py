@@ -12,3 +12,4 @@ from .summary import degree_assortativity, global_clustering  # noqa: F401
 from .betweenness import betweenness  # noqa: F401
 from .eigencentrality import eigenvector_centrality  # noqa: F401
 from .hits import hits  # noqa: F401
+from .closeness import harmonic_closeness  # noqa: F401

@@ -1,0 +1,116 @@
+"""Harmonic and closeness centrality from a sampled seed set.
+
+Harmonic centrality h(v) = Σ_{u≠v} 1/d(u, v) (Boldi & Vigna, "Axioms for
+Centrality", 2014 — the well-behaved closeness variant on disconnected
+graphs); estimated from k sampled seeds the standard way (Eppstein-Wang
+2004): ĥ(v) = Σ_{s∈S} 1/d(s, v), unbiased after the caller's n/k rescale.
+This is the exact-BFS companion to HyperBall (graph/hyperanf.py), which
+estimates the same quantity probabilistically when even k·n state is too
+much — here distances are EXACT and per-seed.
+
+Exactness trick (the eigencentrality/summary recipe): 1/d is not exactly
+representable, so the engine returns the INTEGER numerator over the common
+denominator L = lcm(1, …, max_dist): harmonic_num(v) = Σ_s L/d(s, v) —
+every term divides L exactly, all arithmetic is BIGINT, and the one
+ROUND()ed IEEE division harmonic = harmonic_num/L happens once at the end.
+The DuckDB oracle replays the BFS as chained min-merge CTEs and
+hash-matches every row.  n_seeds_reached and sum_dist ride along so
+callers can form any closeness variant (classic, Wasserman-Faust) from
+exact integers.
+
+Execution — the betweenness forward shape: all seeds batched in ONE state
+relation keyed (seed, v); static doubled relation hash-partitioned by v
+and localCheckpointed.  Per BFS level: frontier ⋈ und (co-located,
+shuffle_hash), distinct on (seed, nb) — one exchange — then an anti-join
+against the visited set; visited/frontier localCheckpointed per level
+(constant, lineage-free plans).  Job count = min(eccentricity, max_dist),
+state |S|·n rows; pick |S| to cluster memory, estimator error falls as
+1/√k.  max_dist truncates the sum exactly like HyperBall's horizon — a
+documented underestimate on graphs with eccentricity > max_dist (set it
+to the approx_diameter output when that matters).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def harmonic_closeness(
+    edges: DataFrame,
+    seeds: list[int],
+    max_dist: int = 16,
+) -> DataFrame:
+    """(vertex, n_seeds_reached, sum_dist, harmonic_num, harmonic) over the
+    undirected canonical edge table: exact per-seed BFS distances from
+    ``seeds``, truncated at ``max_dist`` hops; harmonic_num = Σ L/d with
+    L = lcm(1..max_dist), harmonic = round(harmonic_num/L, 6).  Seed self
+    rows (d = 0) are excluded; vertices no seed reaches report zeros."""
+    if not seeds:
+        raise ValueError("harmonic_closeness needs a non-empty seed set")
+    if max_dist < 1:
+        raise ValueError("max_dist must be >= 1")
+    big_l = math.lcm(*range(1, max_dist + 1))
+    spark = edges.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    und = None
+    try:
+        und = (
+            edges.select(F.col("src").alias("v"), F.col("dst").alias("nb"))
+            .unionAll(edges.select(F.col("dst").alias("v"), F.col("src").alias("nb")))
+            .repartition(shuffle_n, "v")
+            .localCheckpoint(eager=True)
+        )
+        seed_rows = [(int(s),) for s in sorted(set(seeds))]
+        frontier = (
+            spark.createDataFrame(seed_rows, "seed long")
+            .select("seed", F.col("seed").alias("v"))
+            .localCheckpoint(eager=True)
+        )
+        visited = frontier.select("seed", "v", F.lit(0).cast("long").alias("dist"))
+        for t in range(1, max_dist + 1):
+            nxt = (
+                frontier.hint("shuffle_hash")
+                .join(und, "v")
+                .select("seed", F.col("nb").alias("v"))
+                .distinct()
+                .join(visited.select("seed", "v"), ["seed", "v"], "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            visited = visited.unionAll(
+                nxt.select("seed", "v", F.lit(t).cast("long").alias("dist"))
+            ).localCheckpoint(eager=True)
+            frontier = nxt
+        scores = (
+            visited.where(F.col("dist") >= 1)
+            .groupBy(F.col("v").alias("vertex"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_seeds_reached"),
+                F.sum("dist").cast("long").alias("sum_dist"),
+                # L is divisible by every dist <= max_dist, so integer
+                # division is exact — no float enters until the final round
+                F.sum(F.expr(f"CAST({big_l} AS BIGINT) div dist"))
+                .cast("long")
+                .alias("harmonic_num"),
+            )
+        )
+        universe = und.select(F.col("v").alias("vertex")).distinct()
+        return universe.join(scores, "vertex", "left").select(
+            "vertex",
+            F.coalesce("n_seeds_reached", F.lit(0).cast("long")).alias("n_seeds_reached"),
+            F.coalesce("sum_dist", F.lit(0).cast("long")).alias("sum_dist"),
+            F.coalesce("harmonic_num", F.lit(0).cast("long")).alias("harmonic_num"),
+            F.round(
+                F.coalesce("harmonic_num", F.lit(0).cast("long")) / F.lit(big_l), 6
+            ).alias("harmonic"),
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        if und is not None:
+            und.unpersist()

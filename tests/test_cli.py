@@ -100,6 +100,7 @@ def test_build_pyfiles_zip_importable(tmp_path):
     ("walks", ["--walk-length", "4", "--walks-per-vertex", "1"]),
     ("ppr", ["--seeds", "0,1"]),
     ("betweenness", ["--seeds", "0"]),
+    ("closeness", ["--seeds", "0,1", "--max-dist", "6"]),
     ("summary", []),
     ("eigen", ["--n-power-iter", "4"]),
     ("hits", ["--n-rounds", "2"]),
