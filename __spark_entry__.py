@@ -228,6 +228,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_triangles_per_vertex(spark, sf):
         return triangles_per_vertex(_proj_edges(spark, sf))
 
+    def q_triangle_count_sampled(spark, sf):
+        # Doulion p=3 on the projection (graph/triangles.py): the edge coin
+        # flip is the Lehmer hash of src*1000003+dst, so both engines count
+        # the SAME sparsified subgraph and estimate = tri*27 is exact BIGINT
+        from split_merge_partitioner_spark.graph import triangle_count_sampled
+
+        return triangle_count_sampled(_proj_edges(spark, sf), p=3, seed=42)
+
     def q_components(spark, sf):
         e = _edges(spark, sf).persist()
         from split_merge_partitioner_spark.operators import dbh_partition as dbh
@@ -742,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fsm_stats_portable": q_fsm_stats_portable,
         "hdrf_bucket_sizes": q_hdrf_bucket_sizes,
         "triangle_count": q_triangles,
+        "triangle_count_sampled": q_triangle_count_sampled,
         "triangles_per_vertex": q_triangles_per_vertex,
         "connected_components": q_components,
         "pagerank": q_pagerank,
@@ -977,6 +986,25 @@ FROM sizes
 WITH {_EDGES_CTE}, {_PROJ_CTE}
 SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
 FROM proj ab JOIN proj bc ON ab.dst = bc.src JOIN proj ac
+     ON ac.src = ab.src AND ac.dst = bc.dst
+"""
+
+    # Doulion p=3 (graph/triangles.py::triangle_count_sampled): replay the
+    # deterministic Lehmer coin flip (seed 42 -> +43 in the first round) on
+    # src*1000003+dst, count triangles on the surviving subgraph, scale by 27
+    triangle_count_sampled_sql = f"""
+WITH {_EDGES_CTE}, {_PROJ_CTE},
+samp AS (
+  SELECT src, dst FROM proj
+  WHERE ((((src * 1000003 + dst) % 2147483647 + 2147483647) % 2147483647 + 43)
+         % 2147483647 * 48271 % 2147483647 + 1) * 69621 % 2147483647
+        < 2147483647 // 3
+)
+SELECT CAST(3 AS BIGINT) AS p,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM samp) AS n_edges_sampled,
+       CAST(COUNT(*) AS BIGINT) AS tri_sampled,
+       CAST(COUNT(*) * 27 AS BIGINT) AS estimate
+FROM samp ab JOIN samp bc ON ab.dst = bc.src JOIN samp ac
      ON ac.src = ab.src AND ac.dst = bc.dst
 """
 
@@ -2041,6 +2069,7 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 6
         "fsm_assign_portable": fsm_assign_portable_sql,
         "fsm_stats_portable": fsm_stats_portable_sql,
         "triangle_count": triangle_count_sql,
+        "triangle_count_sampled": triangle_count_sampled_sql,
         "triangles_per_vertex": triangles_per_vertex_sql,
         "local_clustering": local_clustering_sql,
         "link_suggestions": link_suggestions_sql,

@@ -1,7 +1,12 @@
 from .components import connected_components  # noqa: F401
 from .labelprop import label_propagation  # noqa: F401
 from .pagerank import pagerank  # noqa: F401
-from .triangles import local_clustering, triangle_count, triangles_per_vertex  # noqa: F401
+from .triangles import (  # noqa: F401
+    local_clustering,
+    triangle_count,
+    triangle_count_sampled,
+    triangles_per_vertex,
+)
 from .diameter import approximate_diameter, bfs_distances  # noqa: F401
 from .hyperanf import hyperanf, hyperanf_register_moments  # noqa: F401
 from .kcore import coreness  # noqa: F401

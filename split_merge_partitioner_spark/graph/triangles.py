@@ -85,3 +85,51 @@ def local_clustering(edges: DataFrame, orient: str = "degree") -> DataFrame:
     return deg.join(tri, "vertex", "left").select(
         "vertex", "degree", t.alias("triangles"), lcc.alias("lcc")
     )
+
+
+def triangle_count_sampled(
+    edges: DataFrame,
+    p: int = 3,
+    seed: int = 42,
+    orient: str = "degree",
+) -> DataFrame:
+    """Doulion sampled triangle estimate (Tsourakakis et al., KDD 2009):
+    keep each edge with probability 1/``p`` and scale the exact sample
+    count by p³.  One row: (p, n_edges_sampled, tri_sampled, estimate).
+
+    This is the 100-TB approximate path: sparsifying FIRST cuts the wedge
+    join's shuffle volume by ~p² (wedges scale with the square of degree)
+    while the estimator stays unbiased with variance ~1/p³ of the count —
+    on graphs where even the degree-oriented exact kernel's O(m^1.5) is
+    too much, p=10 buys a 100× cheaper plan for a few percent error.
+
+    Determinism contract (the sampling.py discipline): the coin flip is
+    the Lehmer hash of src·1000003 + dst — a pure function of the edge, so
+    the SAME subgraph is selected under any partitioning/retry/cluster
+    size and the DuckDB oracle replays it bit-exactly.  The key mix is not
+    injective at extreme id ranges; a collision only correlates two edges'
+    coin flips, which perturbs variance, not unbiasedness.  estimate =
+    tri_sampled · p³ stays exact BIGINT (no float anywhere).
+    """
+    if p < 1:
+        raise ValueError("p must be >= 1")
+    from ..functions.sampling import M31, sample_hash
+
+    keyed = edges.withColumn(
+        "__ekey__", F.col("src").cast("long") * F.lit(1000003) + F.col("dst").cast("long")
+    )
+    sampled = keyed.where(sample_hash("__ekey__", seed) < F.lit(M31 // p)).select(
+        "src", "dst"
+    )
+    e = _oriented(sampled, orient)
+    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    spark = edges.sparkSession
+    n_sampled = sampled.count()
+    tri_sampled = tri.count()
+    return spark.createDataFrame(
+        [(int(p), int(n_sampled), int(tri_sampled), int(tri_sampled) * int(p) ** 3)],
+        "p long, n_edges_sampled long, tri_sampled long, estimate long",
+    )

@@ -135,6 +135,43 @@ def test_triangles_exact(spark, graph):
     assert per_v == 3 * triangle_count_oracle(pdf)
 
 
+def test_triangle_count_sampled_doulion(spark, graph):
+    """Doulion semantics: p=1 keeps every edge (estimate == exact count);
+    p>1 counts triangles on the deterministic hash-sparsified subgraph and
+    scales by p^3 — replayed edge-by-edge in Python."""
+    from split_merge_partitioner_spark.functions.sampling import M31, _A1, _A2
+    from split_merge_partitioner_spark.graph import triangle_count_sampled
+
+    pdf, edges, _ = graph
+    exact = triangle_count_oracle(pdf)
+    r1 = triangle_count_sampled(edges, p=1, seed=42).collect()[0]
+    assert r1["estimate"] == r1["tri_sampled"] == exact
+
+    def lehmer(k, seed=42):
+        h = ((k % M31 + M31) % M31 + seed % M31 + 1) % M31
+        return ((h * _A1) % M31 + 1) * _A2 % M31
+
+    p = 3
+    kept = {
+        (a, b)
+        for a, b in zip(pdf["src"], pdf["dst"])
+        if lehmer(int(a) * 1000003 + int(b)) < M31 // p
+    }
+    # exact triangle count on the kept subgraph (python reference)
+    adj = {}
+    for a, b in kept:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # count each triangle once: edge (a, b) closed by a common neighbor
+    # c greater than both corners
+    tri = sum(1 for a, b in kept for c in (adj[a] & adj[b]) if c > max(a, b))
+    rp = triangle_count_sampled(edges, p=p, seed=42).collect()[0]
+    assert rp["p"] == p
+    assert rp["n_edges_sampled"] == len(kept)
+    assert rp["tri_sampled"] == tri
+    assert rp["estimate"] == tri * p**3
+
+
 def test_triangles_tiny_by_hand(spark):
     # tiny graph: square A (0,1,2,3 + chords 0-2, 1-3) has 4 triangles;
     # square B (4,5,6,7 + chord 5-7) has 2; bridge adds none.
