@@ -243,6 +243,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         comps, _ = connected_components(e, assigned=dbh(e, P_DEFAULT), mode="gas")
         return comps
 
+    def q_components_stars(spark, sf):
+        # alternating large-star/small-star contraction (Kiveris SoCC 2014)
+        # — the diameter-independent O(log^2 n)-round pure-JVM CC path;
+        # same (vertex, component-min) contract as connected_components, so
+        # it reuses the recursive-reachability oracle
+        from split_merge_partitioner_spark.graph import connected_components_stars
+
+        comps, _ = connected_components_stars(_edges(spark, sf))
+        return comps
+
     def q_pagerank(spark, sf):
         e = _edges(spark, sf).persist()
         from split_merge_partitioner_spark.operators import dbh_partition as dbh
@@ -753,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count_sampled": q_triangle_count_sampled,
         "triangles_per_vertex": q_triangles_per_vertex,
         "connected_components": q_components,
+        "connected_components_stars": q_components_stars,
         "pagerank": q_pagerank,
         "pagerank_10iter": q_pagerank_10iter,
         "exact_dedup": q_exact_dedup,
@@ -2085,6 +2096,7 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 6
         "global_clustering": global_clustering_sql,
         "betweenness": betweenness_sql,
         "connected_components": components_sql,
+        "connected_components_stars": components_sql,
         "exact_dedup": exact_dedup_sql,
         "token_stats": token_stats_sql,
         "tfidf_top_terms": tfidf_top_terms_sql,

@@ -1,4 +1,4 @@
-from .components import connected_components  # noqa: F401
+from .components import connected_components, connected_components_stars  # noqa: F401
 from .labelprop import label_propagation  # noqa: F401
 from .pagerank import pagerank  # noqa: F401
 from .triangles import (  # noqa: F401

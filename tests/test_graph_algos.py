@@ -127,6 +127,37 @@ def test_label_propagation_exact(spark, graph, mode, thr):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
+def test_connected_components_stars_exact(spark, graph):
+    """Star contraction (Kiveris SoCC 2014) matches the union-find oracle on
+    the power-law + planted-component fixture, converging in O(log^2 n)
+    rounds (far below the 50 cap)."""
+    from split_merge_partitioner_spark.graph import connected_components_stars
+
+    pdf, edges, _ = graph
+    comps, info = connected_components_stars(edges)
+    assert info["converged"] and info["rounds"] <= 10
+    got = comps.toPandas().sort_values("vertex").reset_index(drop=True)
+    exp = components_oracle(pdf).sort_values("vertex").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_connected_components_stars_high_diameter(spark):
+    """The case star contraction exists for: a 200-vertex path (diameter
+    199) resolves in a handful of rounds where label propagation would
+    need ~200 supersteps; plus disconnected pieces and reversed/dup edges."""
+    from split_merge_partitioner_spark.graph import connected_components_stars
+
+    path = [(i, i + 1) for i in range(199)]
+    messy = [(500, 400), (400, 500), (600, 600)]  # reversed dup + self-loop
+    e = spark.createDataFrame(path + messy, "src long, dst long")
+    comps, info = connected_components_stars(e)
+    assert info["converged"] and info["rounds"] <= 12
+    got = {r["vertex"]: r["component"] for r in comps.collect()}
+    assert all(got[v] == 0 for v in range(200))
+    assert got[400] == got[500] == 400
+    assert got[600] == 600  # self-loop-only vertex is its own component
+
+
 def test_triangles_exact(spark, graph):
     pdf, edges, _ = graph
     assert triangle_count(edges) == triangle_count_oracle(pdf)
