@@ -55,6 +55,9 @@ def main(argv=None, stop: bool = True) -> None:
     ap.add_argument("--max-iter", type=int, default=200)
     ap.add_argument("--source", type=int, default=None, help="bfs source vertex")
     ap.add_argument("--n-steps", type=int, default=32, help="hyperanf supersteps")
+    ap.add_argument("--cc-algo", choices=["label", "stars"], default="label",
+                    help="cc: min-label supersteps (O(diameter)) or "
+                         "large/small-star contraction (O(log^2 n) rounds)")
     ap.add_argument("--max-dist", type=int, default=16,
                     help="closeness BFS horizon (harmonic sum truncation)")
     ap.add_argument("--n-iter", type=int, default=5,
@@ -110,8 +113,14 @@ def main(argv=None, stop: bool = True) -> None:
     cc_lp_mode = "join" if assigned is None else "gas"
     info: dict = {}
     if args.algo == "cc":
-        out, info = connected_components(edges, assigned=assigned,
-                                         mode=cc_lp_mode, max_iter=args.max_iter)
+        if args.cc_algo == "stars":
+            # diameter-independent star contraction; needs no partition
+            from split_merge_partitioner_spark.graph import connected_components_stars
+
+            out, info = connected_components_stars(edges)
+        else:
+            out, info = connected_components(edges, assigned=assigned,
+                                             mode=cc_lp_mode, max_iter=args.max_iter)
     elif args.algo == "lp":
         out = label_propagation(edges, assigned=assigned, mode=cc_lp_mode,
                                 n_iter=args.n_iter)

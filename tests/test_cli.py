@@ -91,6 +91,7 @@ def test_build_pyfiles_zip_importable(tmp_path):
 
 @pytest.mark.parametrize("algo,extra", [
     ("cc", []),
+    ("cc", ["--cc-algo", "stars"]),
     ("kcore", []),
     ("hyperanf", ["--n-steps", "4"]),
     ("tricount", []),
