@@ -243,6 +243,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         comps, _ = connected_components(e, assigned=dbh(e, P_DEFAULT), mode="gas")
         return comps
 
+    def q_densest_subgraph(spark, sf):
+        # Bahmani et al. (2+2eps)-approx densest subgraph on the projection:
+        # 5 peel rounds, eps=0.1 (11/10) — integer peel thresholds + one
+        # rounded division per density, replayed round-for-round in DuckDB
+        from split_merge_partitioner_spark.graph import densest_subgraph_peel
+
+        return densest_subgraph_peel(_proj_edges(spark, sf), rounds=5)
+
     def q_components_stars(spark, sf):
         # alternating large-star/small-star contraction (Kiveris SoCC 2014)
         # — the diameter-independent O(log^2 n)-round pure-JVM CC path;
@@ -764,6 +772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_vertex": q_triangles_per_vertex,
         "connected_components": q_components,
         "connected_components_stars": q_components_stars,
+        "densest_subgraph": q_densest_subgraph,
         "pagerank": q_pagerank,
         "pagerank_10iter": q_pagerank_10iter,
         "exact_dedup": q_exact_dedup,
@@ -1003,6 +1012,49 @@ FROM proj ab JOIN proj bc ON ab.dst = bc.src JOIN proj ac
     # Doulion p=3 (graph/triangles.py::triangle_count_sampled): replay the
     # deterministic Lehmer coin flip (seed 42 -> +43 in the first round) on
     # src*1000003+dst, count triangles on the surviving subgraph, scale by 27
+    # densest-subgraph peel (graph/densest.py): 5 materialized peel rounds,
+    # integer keep-test c*n*10 > 2*m*11 (eps = 0.1), density = ROUND(m/n, 6),
+    # best = highest density, earliest round on ties
+    densest_subgraph_sql = f"""
+WITH {_EDGES_CTE}, {_PROJ_CTE},
+e0 AS MATERIALIZED (SELECT src, dst FROM proj),
+nb0 AS MATERIALIZED (SELECT src AS u FROM e0 UNION ALL SELECT dst FROM e0),
+d0 AS MATERIALIZED (SELECT u, COUNT(*) AS c FROM nb0 GROUP BY u),
+s0 AS MATERIALIZED (SELECT (SELECT COUNT(*) FROM d0) AS n, (SELECT COUNT(*) FROM e0) AS m),
+k0 AS MATERIALIZED (SELECT u FROM d0, s0 WHERE c * n * 10 > 2 * m * 11),
+e1 AS MATERIALIZED (SELECT src, dst FROM e0 WHERE src IN (SELECT u FROM k0) AND dst IN (SELECT u FROM k0)),
+nb1 AS MATERIALIZED (SELECT src AS u FROM e1 UNION ALL SELECT dst FROM e1),
+d1 AS MATERIALIZED (SELECT u, COUNT(*) AS c FROM nb1 GROUP BY u),
+s1 AS MATERIALIZED (SELECT (SELECT COUNT(*) FROM d1) AS n, (SELECT COUNT(*) FROM e1) AS m),
+k1 AS MATERIALIZED (SELECT u FROM d1, s1 WHERE c * n * 10 > 2 * m * 11),
+e2 AS MATERIALIZED (SELECT src, dst FROM e1 WHERE src IN (SELECT u FROM k1) AND dst IN (SELECT u FROM k1)),
+nb2 AS MATERIALIZED (SELECT src AS u FROM e2 UNION ALL SELECT dst FROM e2),
+d2 AS MATERIALIZED (SELECT u, COUNT(*) AS c FROM nb2 GROUP BY u),
+s2 AS MATERIALIZED (SELECT (SELECT COUNT(*) FROM d2) AS n, (SELECT COUNT(*) FROM e2) AS m),
+k2 AS MATERIALIZED (SELECT u FROM d2, s2 WHERE c * n * 10 > 2 * m * 11),
+e3 AS MATERIALIZED (SELECT src, dst FROM e2 WHERE src IN (SELECT u FROM k2) AND dst IN (SELECT u FROM k2)),
+nb3 AS MATERIALIZED (SELECT src AS u FROM e3 UNION ALL SELECT dst FROM e3),
+d3 AS MATERIALIZED (SELECT u, COUNT(*) AS c FROM nb3 GROUP BY u),
+s3 AS MATERIALIZED (SELECT (SELECT COUNT(*) FROM d3) AS n, (SELECT COUNT(*) FROM e3) AS m),
+k3 AS MATERIALIZED (SELECT u FROM d3, s3 WHERE c * n * 10 > 2 * m * 11),
+e4 AS MATERIALIZED (SELECT src, dst FROM e3 WHERE src IN (SELECT u FROM k3) AND dst IN (SELECT u FROM k3)),
+nb4 AS MATERIALIZED (SELECT src AS u FROM e4 UNION ALL SELECT dst FROM e4),
+d4 AS MATERIALIZED (SELECT u, COUNT(*) AS c FROM nb4 GROUP BY u),
+s4 AS MATERIALIZED (SELECT (SELECT COUNT(*) FROM d4) AS n, (SELECT COUNT(*) FROM e4) AS m),
+k4 AS MATERIALIZED (SELECT u FROM d4, s4 WHERE c * n * 10 > 2 * m * 11),
+e5 AS MATERIALIZED (SELECT src, dst FROM e4 WHERE src IN (SELECT u FROM k4) AND dst IN (SELECT u FROM k4)),
+nb5 AS MATERIALIZED (SELECT src AS u FROM e5 UNION ALL SELECT dst FROM e5),
+d5 AS MATERIALIZED (SELECT u, COUNT(*) AS c FROM nb5 GROUP BY u),
+s5 AS MATERIALIZED (SELECT (SELECT COUNT(*) FROM d5) AS n, (SELECT COUNT(*) FROM e5) AS m),
+allr AS (SELECT 0 AS round, n, m FROM s0 WHERE n > 0 UNION ALL SELECT 1 AS round, n, m FROM s1 WHERE n > 0 UNION ALL SELECT 2 AS round, n, m FROM s2 WHERE n > 0 UNION ALL SELECT 3 AS round, n, m FROM s3 WHERE n > 0 UNION ALL SELECT 4 AS round, n, m FROM s4 WHERE n > 0 UNION ALL SELECT 5 AS round, n, m FROM s5 WHERE n > 0)
+SELECT CAST(round AS BIGINT) AS round,
+       CAST(n AS BIGINT) AS n_vertices,
+       CAST(m AS BIGINT) AS n_edges,
+       ROUND(m / n, 6) AS density,
+       ROW_NUMBER() OVER (ORDER BY ROUND(m / n, 6) DESC, round ASC) = 1 AS is_best
+FROM allr
+"""
+
     triangle_count_sampled_sql = f"""
 WITH {_EDGES_CTE}, {_PROJ_CTE},
 samp AS (
@@ -2097,6 +2149,7 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 6
         "betweenness": betweenness_sql,
         "connected_components": components_sql,
         "connected_components_stars": components_sql,
+        "densest_subgraph": densest_subgraph_sql,
         "exact_dedup": exact_dedup_sql,
         "token_stats": token_stats_sql,
         "tfidf_top_terms": tfidf_top_terms_sql,

@@ -18,3 +18,4 @@ from .betweenness import betweenness  # noqa: F401
 from .eigencentrality import eigenvector_centrality  # noqa: F401
 from .hits import hits  # noqa: F401
 from .closeness import harmonic_closeness  # noqa: F401
+from .densest import densest_subgraph_peel  # noqa: F401
