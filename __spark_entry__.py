@@ -352,6 +352,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_minhash_pairs(spark, sf):
         return minhash_near_duplicates(_docs(spark, sf), threshold=0.4)
 
+    def q_minhash_dedup_clusters(spark, sf):
+        # transitive near-dup clusters: CC (star contraction) over the
+        # minhash pair graph, min-id canonical reps; same portable hash
+        # family as minhash_pairs, threshold 0.4, so the DuckDB replay
+        # (pair CTEs + recursive reachability) hash-matches
+        from split_merge_partitioner_spark.functions import near_duplicate_clusters
+
+        return near_duplicate_clusters(_docs(spark, sf), threshold=0.4)
+
     def q_simhash_pairs(spark, sf):
         return simhash_near_duplicates(_docs(spark, sf), max_hamming=6)
 
@@ -782,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_pairs": q_minhash_pairs,
+        "minhash_dedup_clusters": q_minhash_dedup_clusters,
         "simhash_pairs": q_simhash_pairs,
         "fingerprints": q_fingerprints,
         "knn_bruteforce": q_knn,
@@ -1760,6 +1770,30 @@ est AS (
 SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.4
 """
 
+    # near-dup clustering oracle: the SAME pair pipeline, then recursive
+    # min-reachability over the pair graph; cluster = component min,
+    # canonical = doc that equals its cluster id (dedup.py::
+    # near_duplicate_clusters).  Reuses the pair CTE text verbatim so the
+    # two oracles can never drift apart.
+    _mh_prefix = minhash_pairs_sql[: minhash_pairs_sql.rindex("SELECT doc_a")]
+    minhash_dedup_clusters_sql = (
+        _mh_prefix.replace("WITH pos AS", "WITH RECURSIVE pos AS", 1)
+        + """,
+pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.4),
+du AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(v, r) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM du)
+    UNION
+    SELECT reach.v, du.b FROM reach JOIN du ON reach.r = du.a
+),
+comp AS (SELECT v, MIN(r) AS component FROM reach GROUP BY v)
+SELECT d.doc_id,
+       CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS cluster,
+       COALESCE(c.component, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN comp c ON c.v = d.doc_id
+"""
+    )
+
     # -- HyperANF oracle ----------------------------------------------------
     # Recomputes the HLL neighborhood function from first principles: the
     # registers at superstep t are exactly max over the distance-<=t ball, so
@@ -2184,6 +2218,7 @@ SELECT e.src, e.dst,
 FROM edges e JOIN vp vs ON vs.vertex = e.src JOIN vp vd ON vd.vertex = e.dst
 """,
         "minhash_pairs": minhash_pairs_sql,
+        "minhash_dedup_clusters": minhash_dedup_clusters_sql,
         "simhash_pairs": simhash_pairs_sql,
         "hyperanf_regs": hyperanf_regs_sql,
         "hyperanf_regs_cp": _hyperanf_regs_sql_for(_EDGES_CP_CTE),

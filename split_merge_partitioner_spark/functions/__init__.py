@@ -1,7 +1,9 @@
 from .dedup import (  # noqa: F401
+    dedup_corpus,
     embedding_near_duplicates,
     exact_dedup,
     minhash_near_duplicates,
+    near_duplicate_clusters,
     ngram_jaccard_pairs,
     simhash_near_duplicates,
 )

@@ -459,3 +459,69 @@ def embedding_near_duplicates(
         return out.localCheckpoint(eager=True)
     finally:
         normed.unpersist()
+
+
+def near_duplicate_clusters(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, cluster, is_canonical): transitive near-duplicate CLUSTERS —
+    connected components over the minhash candidate-pair graph, each cluster
+    labeled by its minimum doc id, the canonical survivor.
+
+    Pair lists are not what a dedup pipeline ships: if A≈B and B≈C the
+    corpus must keep ONE of {A, B, C} even when A and C never pair directly
+    (the standard production setup — e.g. the C4/RefinedWeb/SlimPajama
+    pipelines cluster candidate pairs before dropping).  Components are
+    computed with the star-contraction CC (graph/components.py) — pure
+    JVM, diameter-independent, so a pathological duplicate CHAIN (each doc
+    pairing only with its neighbor) costs O(log² n) rounds, not O(chain).
+
+    Every document appears in the output; singletons are their own
+    canonical cluster.  Deterministic end to end (portable minhash family
+    + min-labeling), hence the chained DuckDB replay hash-matches.
+    """
+    from ..graph.components import connected_components_stars
+
+    pairs = minhash_near_duplicates(
+        docs,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        threshold=threshold,
+        seed=seed,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comps, _ = connected_components_stars(edges)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(comps.withColumnRenamed("vertex", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("cluster"),
+            (F.coalesce("component", F.col("doc_id")) == F.col("doc_id")).alias(
+                "is_canonical"
+            ),
+        )
+    )
+
+
+def dedup_corpus(docs: DataFrame, id_col: str = "doc_id", **cluster_kwargs) -> DataFrame:
+    """The filtered corpus: one representative (minimum id) per near-duplicate
+    cluster, all original columns preserved — the keep-one composition of
+    near_duplicate_clusters, semi-joined back so document payloads never
+    ride through the clustering shuffles."""
+    keep = near_duplicate_clusters(docs, id_col=id_col, **cluster_kwargs).where(
+        F.col("is_canonical")
+    )
+    return docs.join(
+        keep.select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
+    )

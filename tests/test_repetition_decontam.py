@@ -137,3 +137,30 @@ def test_registered_queries_non_vacuous(spark):
     dec = qs["ngram_decontam"](spark, "/root/testdata/sf0.001").collect()
     flagged = sum(r["is_contaminated"] for r in dec)
     assert 0 < flagged < len(dec)
+
+
+def test_near_duplicate_clusters_and_dedup_corpus(spark):
+    """Identical-text groups cluster to their min id (signature equality
+    guarantees pairing), singletons stay canonical, and dedup_corpus keeps
+    exactly one full row per cluster.  (Transitive chaining through
+    intermediate docs is the star-contraction CC's tested property.)"""
+    from split_merge_partitioner_spark.functions import (
+        dedup_corpus,
+        near_duplicate_clusters,
+    )
+
+    t1 = "the quick brown fox jumps over the lazy dog again and again " * 3
+    t2 = "completely different content about spark partitioning at scale " * 3
+    rows = [(1, t1), (2, t1), (3, t1), (10, t2), (11, t2), (20, "unique tiny doc here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["cluster"], r["is_canonical"])
+        for r in near_duplicate_clusters(docs, threshold=0.4).collect()
+    }
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        10: (10, True), 11: (10, False), 20: (20, True),
+    }
+    kept = dedup_corpus(docs, threshold=0.4).orderBy("doc_id").collect()
+    assert [r["doc_id"] for r in kept] == [1, 10, 20]
+    assert kept[0]["text"] == t1  # payload columns survive the semi-join
