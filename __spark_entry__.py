@@ -243,6 +243,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         comps, _ = connected_components(e, assigned=dbh(e, P_DEFAULT), mode="gas")
         return comps
 
+    def q_scc(spark, sf):
+        # strongly connected components (graph/scc.py, FW-BW coloring) on a
+        # deterministic directed functional graph over doc ids (v -> 7v+3
+        # mod 500, plus a second branch on every 5th vertex): 46 SCCs at
+        # sf0.01, largest 20 — real cycle structure, cheap exact
+        # reachability oracle
+        from split_merge_partitioner_spark.graph import strongly_connected_components
+
+        dv = _docs(spark, sf).select(F.col("doc_id").alias("v"))
+        dir_edges = dv.select(
+            F.col("v").alias("src"), ((F.lit(7) * F.col("v") + 3) % 500).alias("dst")
+        ).unionAll(
+            dv.where(F.col("v") % 5 == 0).select(
+                F.col("v").alias("src"),
+                ((F.lit(31) * F.col("v") + 17) % 500).alias("dst"),
+            )
+        )
+        out, _ = strongly_connected_components(dir_edges)
+        return out
+
     def q_densest_subgraph(spark, sf):
         # Bahmani et al. (2+2eps)-approx densest subgraph on the projection:
         # 5 peel rounds, eps=0.1 (11/10) — integer peel thresholds + one
@@ -781,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_vertex": q_triangles_per_vertex,
         "connected_components": q_components,
         "connected_components_stars": q_components_stars,
+        "scc": q_scc,
         "densest_subgraph": q_densest_subgraph,
         "pagerank": q_pagerank,
         "pagerank_10iter": q_pagerank_10iter,
@@ -1022,6 +1043,27 @@ FROM proj ab JOIN proj bc ON ab.dst = bc.src JOIN proj ac
     # Doulion p=3 (graph/triangles.py::triangle_count_sampled): replay the
     # deterministic Lehmer coin flip (seed 42 -> +43 in the first round) on
     # src*1000003+dst, count triangles on the surviving subgraph, scale by 27
+    # SCC oracle (graph/scc.py): exact transitive closure on the same
+    # functional graph — v,u share an SCC iff reach(v,u) AND reach(u,v);
+    # component = MIN over mutually-reachable partners (includes self)
+    scc_sql = """
+WITH RECURSIVE dv AS (SELECT doc_id AS v FROM documents),
+dir AS (
+    SELECT v AS a, (7 * v + 3) % 500 AS b FROM dv
+    UNION ALL
+    SELECT v, (31 * v + 17) % 500 FROM dv WHERE v % 5 = 0
+),
+verts AS (SELECT DISTINCT a AS v FROM dir UNION SELECT b FROM dir),
+reach(v, r) AS (
+    SELECT v, v FROM verts
+    UNION
+    SELECT reach.v, dir.b FROM reach JOIN dir ON reach.r = dir.a
+)
+SELECT f.v AS vertex, CAST(MIN(f.r) AS BIGINT) AS component
+FROM reach f JOIN reach b ON f.v = b.r AND f.r = b.v
+GROUP BY f.v
+"""
+
     # densest-subgraph peel (graph/densest.py): 5 materialized peel rounds,
     # integer keep-test c*n*10 > 2*m*11 (eps = 0.1), density = ROUND(m/n, 6),
     # best = highest density, earliest round on ties
@@ -2183,6 +2225,7 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 6
         "betweenness": betweenness_sql,
         "connected_components": components_sql,
         "connected_components_stars": components_sql,
+        "scc": scc_sql,
         "densest_subgraph": densest_subgraph_sql,
         "exact_dedup": exact_dedup_sql,
         "token_stats": token_stats_sql,

@@ -18,7 +18,8 @@ suggestions), bfs (--source vertex), diameter (double-sweep), hyperanf
 harmonic centrality, exact lcm-numerator BFS to --max-dist), summary (assortativity +
 global clustering one-row table), eigen (eigenvector centrality, exact
 integer power iteration), hits (hubs/authorities over the DIRECTED edge
-table — direction is semantic, no canonicalization), sssp (weighted
+table — direction is semantic, no canonicalization), scc (strongly
+connected components, FW-BW coloring, directed as-is), sssp (weighted
 shortest paths from --source; --weight-col names an integer edge weight),
 modularity (Newman Q of the labelprop communities), ktruss (support
 peeling; --k, canonical-edge input canonicalized internally via the
@@ -47,7 +48,7 @@ def main(argv=None, stop: bool = True) -> None:
         choices=["cc", "lp", "triangles", "tricount", "clustering", "linkpred", "bfs",
                  "diameter", "hyperanf", "kcore", "walks", "ppr", "betweenness",
                  "summary", "eigen", "hits", "sssp", "modularity", "ktruss",
-                 "closeness"],
+                 "closeness", "scc"],
     )
     ap.add_argument("--output", default=None, help="result parquet")
     ap.add_argument("--json-out", default=None, help="write the info dict here")
@@ -151,6 +152,11 @@ def main(argv=None, stop: bool = True) -> None:
         out, info = hyperanf(edges, assigned=assigned, n_steps=args.n_steps)
     elif args.algo == "kcore":
         out, info = coreness(edges, max_iter=args.max_iter)
+    elif args.algo == "scc":
+        # DIRECTED semantics like hits: src->dst as given, no canonicalization
+        from split_merge_partitioner_spark.graph import strongly_connected_components
+
+        out, info = strongly_connected_components(edges)
     elif args.algo == "hits":
         # DIRECTED semantics: src->dst direction is the hub->authority
         # relation, so the input is taken as-is (no canonicalization)

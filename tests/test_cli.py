@@ -105,6 +105,7 @@ def test_build_pyfiles_zip_importable(tmp_path):
     ("summary", []),
     ("eigen", ["--n-power-iter", "4"]),
     ("hits", ["--n-rounds", "2"]),
+    ("scc", []),
     ("sssp", ["--source", "0", "--max-supersteps", "6"]),
     ("modularity", ["--n-iter", "3"]),
     ("ktruss", ["--k-truss", "3"]),
