@@ -19,7 +19,8 @@ harmonic centrality, exact lcm-numerator BFS to --max-dist), summary (assortativ
 global clustering one-row table), eigen (eigenvector centrality, exact
 integer power iteration), hits (hubs/authorities over the DIRECTED edge
 table — direction is semantic, no canonicalization), scc (strongly
-connected components, FW-BW coloring, directed as-is), sssp (weighted
+connected components, FW-BW coloring, directed as-is), densest
+(batched Charikar peel round stats), sssp (weighted
 shortest paths from --source; --weight-col names an integer edge weight),
 modularity (Newman Q of the labelprop communities), ktruss (support
 peeling; --k, canonical-edge input canonicalized internally via the
@@ -48,7 +49,7 @@ def main(argv=None, stop: bool = True) -> None:
         choices=["cc", "lp", "triangles", "tricount", "clustering", "linkpred", "bfs",
                  "diameter", "hyperanf", "kcore", "walks", "ppr", "betweenness",
                  "summary", "eigen", "hits", "sssp", "modularity", "ktruss",
-                 "closeness", "scc"],
+                 "closeness", "scc", "densest"],
     )
     ap.add_argument("--output", default=None, help="result parquet")
     ap.add_argument("--json-out", default=None, help="write the info dict here")
@@ -59,6 +60,8 @@ def main(argv=None, stop: bool = True) -> None:
     ap.add_argument("--cc-algo", choices=["label", "stars"], default="label",
                     help="cc: min-label supersteps (O(diameter)) or "
                          "large/small-star contraction (O(log^2 n) rounds)")
+    ap.add_argument("--peel-rounds", type=int, default=8,
+                    help="densest: peeling rounds (best density tracked)")
     ap.add_argument("--max-dist", type=int, default=16,
                     help="closeness BFS horizon (harmonic sum truncation)")
     ap.add_argument("--n-iter", type=int, default=5,
@@ -152,6 +155,10 @@ def main(argv=None, stop: bool = True) -> None:
         out, info = hyperanf(edges, assigned=assigned, n_steps=args.n_steps)
     elif args.algo == "kcore":
         out, info = coreness(edges, max_iter=args.max_iter)
+    elif args.algo == "densest":
+        from split_merge_partitioner_spark.graph import densest_subgraph_peel
+
+        out = densest_subgraph_peel(edges, rounds=args.peel_rounds)
     elif args.algo == "scc":
         # DIRECTED semantics like hits: src->dst as given, no canonicalization
         from split_merge_partitioner_spark.graph import strongly_connected_components
