@@ -297,6 +297,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ranks, _ = pagerank(e, assigned=dbh(e, P_DEFAULT), mode="gas", tol=0.0, max_iter=10)
         return ranks.select("vertex", F.round("rank", 9).alias("rank"))
 
+    def q_pagerank_weighted(spark, sf):
+        # weighted PageRank (graph/wpagerank.py): deterministic integer
+        # weights (src+dst)%7+1, 8 fixed iterations, ROUND(rank, 9) — the
+        # pagerank_10iter oracle precedent for float superstep chains
+        from split_merge_partitioner_spark.graph import weighted_pagerank
+
+        ew = _edges(spark, sf).withColumn(
+            "w", (F.col("src") + F.col("dst")) % F.lit(7) + F.lit(1)
+        )
+        return weighted_pagerank(ew, n_iter=8).select(
+            "vertex", F.round("rank", 9).alias("rank")
+        )
+
     def q_exact_dedup(spark, sf):
         return exact_dedup(_docs(spark, sf))
 
@@ -805,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densest_subgraph": q_densest_subgraph,
         "pagerank": q_pagerank,
         "pagerank_10iter": q_pagerank_10iter,
+        "pagerank_weighted": q_pagerank_weighted,
         "exact_dedup": q_exact_dedup,
         "token_stats": q_token_stats,
         "regex_token_stats": q_regex_token_stats,
@@ -1043,6 +1057,29 @@ FROM proj ab JOIN proj bc ON ab.dst = bc.src JOIN proj ac
     # Doulion p=3 (graph/triangles.py::triangle_count_sampled): replay the
     # deterministic Lehmer coin flip (seed 42 -> +43 in the first round) on
     # src*1000003+dst, count triangles on the surviving subgraph, scale by 27
+    # weighted PageRank oracle (graph/wpagerank.py): 8 chained CTEs over
+    # the doubled weighted relation carrying the neighbor's weight sum;
+    # ROUND(rank, 9) absorbs the last-ulp sum-order difference (the
+    # pagerank_10iter precedent)
+    pagerank_weighted_sql = f"""
+WITH {_EDGES_CTE},
+ww AS (SELECT src, dst, (src + dst) % 7 + 1 AS w FROM edges),
+wdbl AS (SELECT src AS v, dst AS nb, w FROM ww UNION ALL SELECT dst, src, w FROM ww),
+wsw AS (SELECT v AS nb, SUM(w) AS s_nb FROM wdbl GROUP BY v),
+undww AS (SELECT d.v, d.nb, d.w, s.s_nb FROM wdbl d JOIN wsw s ON s.nb = d.nb),
+wnv AS (SELECT COUNT(*) AS n FROM wsw),
+wr0 AS (SELECT nb AS vertex, 1.0 / (SELECT n FROM wnv) AS rank FROM wsw),
+wr1 AS (SELECT u.v AS vertex, 0.15 / (SELECT n FROM wnv) + 0.85 * SUM(p.rank * u.w / u.s_nb) AS rank FROM undww u JOIN wr0 p ON p.vertex = u.nb GROUP BY u.v),
+wr2 AS (SELECT u.v AS vertex, 0.15 / (SELECT n FROM wnv) + 0.85 * SUM(p.rank * u.w / u.s_nb) AS rank FROM undww u JOIN wr1 p ON p.vertex = u.nb GROUP BY u.v),
+wr3 AS (SELECT u.v AS vertex, 0.15 / (SELECT n FROM wnv) + 0.85 * SUM(p.rank * u.w / u.s_nb) AS rank FROM undww u JOIN wr2 p ON p.vertex = u.nb GROUP BY u.v),
+wr4 AS (SELECT u.v AS vertex, 0.15 / (SELECT n FROM wnv) + 0.85 * SUM(p.rank * u.w / u.s_nb) AS rank FROM undww u JOIN wr3 p ON p.vertex = u.nb GROUP BY u.v),
+wr5 AS (SELECT u.v AS vertex, 0.15 / (SELECT n FROM wnv) + 0.85 * SUM(p.rank * u.w / u.s_nb) AS rank FROM undww u JOIN wr4 p ON p.vertex = u.nb GROUP BY u.v),
+wr6 AS (SELECT u.v AS vertex, 0.15 / (SELECT n FROM wnv) + 0.85 * SUM(p.rank * u.w / u.s_nb) AS rank FROM undww u JOIN wr5 p ON p.vertex = u.nb GROUP BY u.v),
+wr7 AS (SELECT u.v AS vertex, 0.15 / (SELECT n FROM wnv) + 0.85 * SUM(p.rank * u.w / u.s_nb) AS rank FROM undww u JOIN wr6 p ON p.vertex = u.nb GROUP BY u.v),
+wr8 AS (SELECT u.v AS vertex, 0.15 / (SELECT n FROM wnv) + 0.85 * SUM(p.rank * u.w / u.s_nb) AS rank FROM undww u JOIN wr7 p ON p.vertex = u.nb GROUP BY u.v)
+SELECT vertex, ROUND(rank, 9) AS rank FROM wr8
+"""
+
     # SCC oracle (graph/scc.py): exact transitive closure on the same
     # functional graph — v,u share an SCC iff reach(v,u) AND reach(u,v);
     # component = MIN over mutually-reachable partners (includes self)
@@ -2250,6 +2287,7 @@ FROM documents
         "replication_by_degree_decade": replication_by_decade_sql,
         "label_propagation": label_propagation_sql,
         "pagerank_10iter": pagerank_10iter_sql,
+        "pagerank_weighted": pagerank_weighted_sql,
         "v2e_assign_portable": f"""
 WITH {_EDGES_CTE},
 verts AS (SELECT DISTINCT vertex FROM (

@@ -20,7 +20,8 @@ global clustering one-row table), eigen (eigenvector centrality, exact
 integer power iteration), hits (hubs/authorities over the DIRECTED edge
 table — direction is semantic, no canonicalization), scc (strongly
 connected components, FW-BW coloring, directed as-is), densest
-(batched Charikar peel round stats), sssp (weighted
+(batched Charikar peel round stats), wpagerank (weighted rank
+splitting, --weight-col), sssp (weighted
 shortest paths from --source; --weight-col names an integer edge weight),
 modularity (Newman Q of the labelprop communities), ktruss (support
 peeling; --k, canonical-edge input canonicalized internally via the
@@ -49,7 +50,7 @@ def main(argv=None, stop: bool = True) -> None:
         choices=["cc", "lp", "triangles", "tricount", "clustering", "linkpred", "bfs",
                  "diameter", "hyperanf", "kcore", "walks", "ppr", "betweenness",
                  "summary", "eigen", "hits", "sssp", "modularity", "ktruss",
-                 "closeness", "scc", "densest"],
+                 "closeness", "scc", "densest", "wpagerank"],
     )
     ap.add_argument("--output", default=None, help="result parquet")
     ap.add_argument("--json-out", default=None, help="write the info dict here")
@@ -87,7 +88,7 @@ def main(argv=None, stop: bool = True) -> None:
     ap.add_argument("--max-supersteps", type=int, default=8,
                     help="sssp Bellman-Ford horizon (stops early at fixpoint)")
     ap.add_argument("--weight-col", default=None,
-                    help="sssp: integer edge-weight column (default: unit)")
+                    help="sssp/wpagerank: edge-weight column (default: unit / derived)")
     ap.add_argument("--walk-length", type=int, default=16)
     ap.add_argument("--walks-per-vertex", type=int, default=2)
     ap.add_argument("--seed", type=int, default=42, help="walks hash seed")
@@ -170,6 +171,15 @@ def main(argv=None, stop: bool = True) -> None:
         from split_merge_partitioner_spark.graph import hits
 
         out = hits(edges, n_rounds=args.n_rounds)
+    elif args.algo == "wpagerank":
+        from pyspark.sql import functions as F
+
+        from split_merge_partitioner_spark.graph import weighted_pagerank
+
+        we = (edges if args.weight_col
+              else edges.withColumn("w", (F.col("src") + F.col("dst")) % 7 + 1))
+        out = weighted_pagerank(we, n_iter=args.n_iter,
+                                weight_col=args.weight_col or "w")
     elif args.algo == "sssp":
         if args.source is None:
             ap.error("--algo sssp requires --source")

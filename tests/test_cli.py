@@ -107,6 +107,7 @@ def test_build_pyfiles_zip_importable(tmp_path):
     ("hits", ["--n-rounds", "2"]),
     ("scc", []),
     ("densest", ["--peel-rounds", "3"]),
+    ("wpagerank", ["--n-iter", "3"]),
     ("sssp", ["--source", "0", "--max-supersteps", "6"]),
     ("modularity", ["--n-iter", "3"]),
     ("ktruss", ["--k-truss", "3"]),
