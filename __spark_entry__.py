@@ -62,17 +62,9 @@ def _proj_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     spaces), so every triangle count on it is structurally zero — the
     triangle-family oracles run on this projection so they compare real
     nonzero arithmetic (1.1k edges / 3.4k triangles at sf0.01)."""
-    e = _edges(spark, sf_dir)
-    a = e.select(F.col("src").alias("u"), F.col("dst").alias("shared_dst"))
-    b = e.select(F.col("src").alias("v"), F.col("dst").alias("shared_dst"))
-    return (
-        a.join(b, "shared_dst")
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .where(F.col("shared") >= 30)
-        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
-    )
+    from split_merge_partitioner_spark.sources import bipartite_project
+
+    return bipartite_project(_edges(spark, sf_dir), min_shared=30)
 
 
 # second-fixture graph (VERDICT r3 item 8): customer--part co-occurrence —

@@ -1,4 +1,5 @@
 from .edges import (  # noqa: F401
+    bipartite_project,
     canonicalize_edges,
     degrees,
     edges_from_lineitem,

@@ -187,3 +187,36 @@ def degrees(edges: DataFrame) -> DataFrame:
         .groupBy("vertex")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
+
+
+def bipartite_project(
+    edges: DataFrame,
+    min_shared: int = 1,
+    weighted: bool = False,
+) -> DataFrame:
+    """One-mode projection of a bipartite edge table: canonical (src, dst)
+    pairs of LEFT-side vertices sharing ≥ ``min_shared`` right-side
+    neighbors (plus a ``shared`` count column when ``weighted``).
+
+    The standard bipartite→unimodal step (customer-customer via shared
+    suppliers, repo-repo via shared files): self-join on the right key,
+    orient src < dst, count, threshold.  ``min_shared`` is the projection's
+    scale valve — a right-side hub with degree d contributes d² pairs
+    before thresholding, so on power-law data raise ``min_shared`` (or
+    pre-cap hub degrees) rather than projecting at 1.  The shuffle is one
+    exchange on the shared key + the groupBy on the pair."""
+    if min_shared < 1:
+        raise ValueError("min_shared must be >= 1")
+    a = edges.select(F.col("src").alias("u"), F.col("dst").alias("shared_dst"))
+    b = edges.select(F.col("src").alias("v"), F.col("dst").alias("shared_dst"))
+    proj = (
+        a.join(b, "shared_dst")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+    cols = [F.col("u").alias("src"), F.col("v").alias("dst")]
+    if weighted:
+        cols.append(F.col("shared").cast("long").alias("shared"))
+    return proj.select(*cols)

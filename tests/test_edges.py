@@ -96,3 +96,24 @@ def test_powerlaw_generator_properties():
     avg = 2 * len(e) / deg.size
     # power-law shape: a genuine hub well above average
     assert deg.max() > 10 * avg
+
+
+def test_bipartite_project_by_hand(spark):
+    """3 customers sharing suppliers: (1,2) share {10,11}, (1,3) share {10},
+    (2,3) share {10} — threshold 2 keeps only (1,2); weighted carries the
+    shared count."""
+    from split_merge_partitioner_spark.sources import bipartite_project
+
+    e = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 11), (3, 10)], "src long, dst long"
+    )
+    import pytest as _pt
+
+    all_pairs = sorted(
+        map(tuple, bipartite_project(e, min_shared=1, weighted=True).collect())
+    )
+    assert all_pairs == [(1, 2, 2), (1, 3, 1), (2, 3, 1)]
+    thresh = sorted(map(tuple, bipartite_project(e, min_shared=2).collect()))
+    assert thresh == [(1, 2)]
+    with _pt.raises(ValueError):
+        bipartite_project(e, min_shared=0)
