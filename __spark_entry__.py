@@ -339,6 +339,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         evald = docs.where(SF.col("doc_id") % 50 == 0)
         return ngram_contamination(train, evald, n=3)
 
+    def q_quality_filter(spark, sf):
+        # the keep/drop decision over the quality signals (functions/
+        # pipeline.py::quality_filter): fixed-order failed-rule reasons
+        # string, pure column logic over repetition_stats + quality score
+        from split_merge_partitioner_spark.functions.pipeline import quality_filter
+
+        return quality_filter(_docs(spark, sf))
+
     def q_hash_sample_docs(spark, sf):
         # deterministic ~25% coordinated sample (functions/sampling.py):
         # membership is a pure function of (doc_id, seed) — identical under
@@ -840,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss": q_ktruss,
         "tfidf_top_terms": q_tfidf_top_terms,
         "repetition_stats": q_repetition_stats,
+        "quality_filter": q_quality_filter,
         "ngram_decontam": q_ngram_decontam,
         "hash_sample_docs": q_hash_sample_docs,
         "hash_split_docs": q_hash_split_docs,
@@ -1387,6 +1396,34 @@ SELECT tr.doc_id, MAX(tr.n_grams) AS n_grams,
        COALESCE(SUM(CASE WHEN ev.gram IS NOT NULL THEN 1 END), 0) >= 1 AS is_contaminated
 FROM tr LEFT JOIN ev ON ev.gram = tr.gram
 GROUP BY tr.doc_id
+"""
+
+    # quality_filter oracle: repetition signals as a derived table (the
+    # repetition_stats_sql text reused verbatim) joined to the inline
+    # quality score; CONCAT_WS skips NULL CASE arms in both engines, so
+    # the fixed-order reasons string is bit-identical
+    quality_filter_sql = f"""
+SELECT doc_id, (reasons = '') AS keep, reasons
+FROM (
+  SELECT r.doc_id, CONCAT_WS(',',
+      CASE WHEN r.n_tokens < 30 THEN 'too_short' END,
+      CASE WHEN r.n_tokens > 100000 THEN 'too_long' END,
+      CASE WHEN r.ttr < 0.35 THEN 'low_ttr' END,
+      CASE WHEN r.dup_frac > 0.3 THEN 'dup_ngrams' END,
+      CASE WHEN r.top2_char_frac > 0.1 THEN 'top_ngram' END,
+      CASE WHEN q.quality_score < 0.5 THEN 'low_quality' END) AS reasons
+  FROM ({repetition_stats_sql}) r
+  JOIN (
+    SELECT doc_id,
+           ROUND(1.0
+             - LEAST(1.0, (LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                          / GREATEST(LENGTH(text), 1) * 10.0) * 0.3
+             - LEAST(1.0, (LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')))
+                          / GREATEST(LENGTH(text), 1) * 10.0) * 0.3
+             - CASE WHEN LENGTH(text) < 100 THEN 0.4 ELSE 0.0 END, 6) AS quality_score
+    FROM documents
+  ) q USING (doc_id)
+)
 """
 
     token_stats_sql = """
@@ -2260,6 +2297,7 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 6
         "token_stats": token_stats_sql,
         "tfidf_top_terms": tfidf_top_terms_sql,
         "repetition_stats": repetition_stats_sql,
+        "quality_filter": quality_filter_sql,
         "ngram_decontam": ngram_decontam_sql,
         "hash_sample_docs": hash_sample_docs_sql,
         "hash_split_docs": hash_split_docs_sql,

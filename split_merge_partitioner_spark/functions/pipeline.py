@@ -61,3 +61,55 @@ def clean_corpus(
         )
         .select("doc_id", "lang_pred", "n_tokens", "quality_score", "n_copies")
     )
+
+
+def quality_filter(
+    docs,
+    min_tokens: int = 30,
+    max_tokens: int = 100_000,
+    min_ttr: float = 0.35,
+    max_dup_frac: float = 0.3,
+    max_top2_frac: float = 0.1,
+    min_quality: float = 0.5,
+    text_col: str = "text",
+):
+    """(doc_id, keep, reasons): the keep/drop DECISION over the quality
+    signals — Gopher's §A1 rule table made executable (length window,
+    type-token ratio floor, duplicate-2-gram ceiling, top-2-gram coverage
+    ceiling, punctuation/digit quality floor).
+
+    ``reasons`` is the comma-joined list of failed rules in a FIXED order
+    (too_short, too_long, low_ttr, dup_ngrams, top_ngram, low_quality) —
+    deterministic, so the DuckDB replay hash-matches; empty string means
+    keep.  Pipelines filter on ``keep`` and audit the drop histogram on
+    ``reasons`` (the standard data-quality dashboard cut).
+
+    Plan: repetition_stats' scalar leg is zero-shuffle; its top-2-gram leg
+    is the one (doc, gram) exchange; the quality-score expressions ride
+    the same scan.  The decision itself is pure column logic.
+    """
+    from pyspark.sql import functions as F
+
+    from .text import quality_score_col, repetition_stats
+
+    rep = repetition_stats(docs, text_col=text_col, dup_n=2)
+    q = docs.select(
+        "doc_id", F.round(quality_score_col(text_col), 6).alias("quality_score")
+    )
+    j = rep.join(q, "doc_id")
+    rules = [
+        ("too_short", F.col("n_tokens") < min_tokens),
+        ("too_long", F.col("n_tokens") > max_tokens),
+        ("low_ttr", F.col("ttr") < min_ttr),
+        ("dup_ngrams", F.col("dup_frac") > max_dup_frac),
+        ("top_ngram", F.col("top2_char_frac") > max_top2_frac),
+        ("low_quality", F.col("quality_score") < min_quality),
+    ]
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in rules]
+    )
+    return j.select(
+        "doc_id",
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"),
+    )

@@ -164,3 +164,31 @@ def test_near_duplicate_clusters_and_dedup_corpus(spark):
     kept = dedup_corpus(docs, threshold=0.4).orderBy("doc_id").collect()
     assert [r["doc_id"] for r in kept] == [1, 10, 20]
     assert kept[0]["text"] == t1  # payload columns survive the semi-join
+
+
+def test_quality_filter_rules_and_reasons(spark):
+    """Each rule fires on its designed violator; reasons keep the fixed
+    order; the clean doc passes with an empty reasons string."""
+    from split_merge_partitioner_spark.functions.pipeline import quality_filter
+
+    good = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+        "lima mike november oscar papa quebec romeo sierra tango uniform victor "
+        "whiskey xray yankee zulu amber birch cedar dogwood elm fig ginkgo "
+        "hazel ironwood juniper"
+    )  # 36 distinct tokens: passes length, ttr=1.0, no repeated 2-grams
+    docs = spark.createDataFrame(
+        [
+            (0, good),                                   # keeps
+            (1, "short doc"),                            # too_short (+len<100 quality hit)
+            (2, ("dup dup " * 40).strip()),              # low_ttr + dup_ngrams + top_ngram
+            (3, "1,2.3!4?5;6:7!" * 10),                  # punct+digit caps stack: 1-0.3-0.3 < 0.5
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["keep"], r["reasons"]) for r in quality_filter(docs).collect()}
+    assert got[0] == (True, "")
+    assert not got[1][0] and "too_short" in got[1][1]
+    assert not got[2][0]
+    assert got[2][1] == "low_ttr,dup_ngrams,top_ngram"  # fixed rule order
+    assert not got[3][0] and "low_quality" in got[3][1]
