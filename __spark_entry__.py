@@ -700,6 +700,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return harmonic_closeness(e, seeds, max_dist=8)
 
+    def q_harmonic_closeness_cp(spark, sf):
+        # second-fixture twin (customer--part graph: 2.2x the vertices, a
+        # different degree profile) — catches regressions the small graph
+        # can't (the VERDICT-r3 item-8 pattern)
+        from split_merge_partitioner_spark.graph import harmonic_closeness
+        from split_merge_partitioner_spark.sources import degrees as degrees_of
+
+        e = _edges_cp(spark, sf).persist()
+        seeds = [
+            int(r["vertex"])
+            for r in degrees_of(e)
+            .orderBy(F.desc("degree"), F.asc("vertex"))
+            .limit(4)
+            .collect()
+        ]
+        return harmonic_closeness(e, seeds, max_dist=8)
+
     def q_approx_diameter(spark, sf):
         from split_merge_partitioner_spark.graph import approximate_diameter
 
@@ -844,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "sssp_weighted": q_sssp_weighted,
         "harmonic_closeness": q_harmonic_closeness,
+        "harmonic_closeness_cp": q_harmonic_closeness_cp,
         "modularity": q_modularity,
         "ktruss": q_ktruss,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -1761,8 +1779,13 @@ SELECT vertex, CAST(dist AS BIGINT) AS dist FROM s8
             f" FROM und u JOIN b{_t - 1} p ON p.vertex = u.frm"
             f") GROUP BY seed, vertex)"
         )
-    harmonic_closeness_sql = f"""
-WITH {_DEGREES_CTE},
+    def _harmonic_sql_for(edges_cte: str) -> str:
+        degrees_cte = edges_cte + """,
+verts AS (SELECT src AS vertex FROM edges UNION ALL SELECT dst FROM edges),
+degrees AS (SELECT vertex, CAST(COUNT(*) AS BIGINT) AS degree FROM verts GROUP BY vertex)
+"""
+        return f"""
+WITH {degrees_cte},
 und AS (SELECT src AS frm, dst AS t FROM edges UNION ALL SELECT dst, src FROM edges),
 hseeds AS (SELECT vertex AS seed FROM degrees ORDER BY degree DESC, vertex ASC LIMIT 4),
 {','.join(_hc_ctes)},
@@ -1781,6 +1804,8 @@ SELECT u.vertex,
        ROUND(COALESCE(s.harmonic_num, 0) / 840.0, 6) AS harmonic
 FROM universe u LEFT JOIN scores s ON s.vertex = u.vertex
 """
+
+    harmonic_closeness_sql = _harmonic_sql_for(_EDGES_CTE)
 
     approx_diameter_sql = bfs_common + """,
 far AS (SELECT v FROM d1 ORDER BY d DESC, v ASC LIMIT 1),
@@ -2284,6 +2309,7 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 6
         "hits": hits_sql,
         "sssp_weighted": sssp_weighted_sql,
         "harmonic_closeness": harmonic_closeness_sql,
+        "harmonic_closeness_cp": _harmonic_sql_for(_EDGES_CP_CTE),
         "modularity": modularity_sql,
         "ktruss": ktruss_sql,
         "degree_assortativity": degree_assortativity_sql,
