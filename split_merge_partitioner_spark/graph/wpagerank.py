@@ -56,6 +56,13 @@ def weighted_pagerank(
                 F.col("dst").alias("v"), F.col("src").alias("nb"), F.col(weight_col).alias("w")
             )
         )
+        bad = edges.where(F.col(weight_col) <= 0).count()
+        if bad:
+            raise ValueError(
+                f"{bad} edges have non-positive '{weight_col}' — a zero weight"
+                " sum would silently leak rank mass (S(u)=0 division);"
+                " filter or reweight first"
+            )
         sw = dbl.groupBy(F.col("v").alias("nb")).agg(F.sum("w").alias("s_nb"))
         und = (
             dbl.join(sw, "nb")

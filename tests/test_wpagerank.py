@@ -72,3 +72,9 @@ def test_weighted_pagerank_validation(spark):
         weighted_pagerank(df, n_iter=0)
     with pytest.raises(ValueError):
         weighted_pagerank(df, damping=1.0)
+
+
+def test_weighted_pagerank_rejects_nonpositive_weights(spark):
+    df = spark.createDataFrame([(0, 1, 0), (1, 2, 3)], "src long, dst long, w long")
+    with pytest.raises(ValueError, match="non-positive"):
+        weighted_pagerank(df)
