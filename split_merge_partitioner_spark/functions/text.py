@@ -240,6 +240,8 @@ def repetition_stats(docs: DataFrame, text_col: str = "text", dup_n: int = 5) ->
     and costs nothing beyond the scan; the mode path's shuffle is the
     same (doc, term) exchange tf-idf already pays.
     """
+    if dup_n < 1:
+        raise ValueError("dup_n must be >= 1")
     from pyspark.sql import Window
 
     base = docs.select(

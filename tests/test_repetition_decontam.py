@@ -192,3 +192,8 @@ def test_quality_filter_rules_and_reasons(spark):
     assert not got[2][0]
     assert got[2][1] == "low_ttr,dup_ngrams,top_ngram"  # fixed rule order
     assert not got[3][0] and "low_quality" in got[3][1]
+
+
+def test_repetition_stats_rejects_bad_dup_n(spark, tiny):
+    with pytest.raises(ValueError, match="dup_n"):
+        repetition_stats(tiny, dup_n=0)
