@@ -255,6 +255,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out, _ = strongly_connected_components(dir_edges)
         return out
 
+    def q_mis(spark, sf):
+        # Luby maximal independent set (graph/mis.py) on the projection:
+        # per-round Lehmer priorities make every round a pure function of
+        # (vertex, round) — 3 rounds / 207-vertex MIS at sf0.01, replayed
+        # round-for-round in the oracle
+        from split_merge_partitioner_spark.graph import maximal_independent_set
+
+        out, _ = maximal_independent_set(_proj_edges(spark, sf))
+        return out
+
     def q_densest_subgraph(spark, sf):
         # Bahmani et al. (2+2eps)-approx densest subgraph on the projection:
         # 5 peel rounds, eps=0.1 (11/10) — integer peel thresholds + one
@@ -832,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_components,
         "connected_components_stars": q_components_stars,
         "scc": q_scc,
+        "mis": q_mis,
         "densest_subgraph": q_densest_subgraph,
         "pagerank": q_pagerank,
         "pagerank_10iter": q_pagerank_10iter,
@@ -1118,6 +1129,63 @@ reach(v, r) AS (
 SELECT f.v AS vertex, CAST(MIN(f.r) AS BIGINT) AS component
 FROM reach f JOIN reach b ON f.v = b.r AND f.r = b.v
 GROUP BY f.v
+"""
+
+    # Luby MIS oracle (graph/mis.py): 6 materialized rounds of the
+    # derandomized priority rule; (p, id) lexicographic compare encoded
+    # as p * 2^32 + id (exact in BIGINT for ids < 2^32); extra rounds on
+    # the emptied graph are no-ops
+    mis_sql = f"""
+WITH {_EDGES_CTE}, {_PROJ_CTE},
+a0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM proj UNION SELECT DISTINCT dst FROM proj),
+me0 AS MATERIALIZED (SELECT src, dst FROM proj),
+mp1 AS MATERIALIZED (SELECT v, (((v % 2147483647 + 2147483647) % 2147483647 + 44) % 2147483647 * 48271 % 2147483647 + 1) * 69621 % 2147483647 AS p FROM a0),
+mn1 AS MATERIALIZED (SELECT src AS v, dst AS nb FROM me0 UNION ALL SELECT dst, src FROM me0),
+mm1 AS MATERIALIZED (SELECT n.v, MIN(q.p * 4294967296 + q.nb_id) AS mkey FROM mn1 n JOIN (SELECT v AS nb_id, p FROM mp1) q ON q.nb_id = n.nb GROUP BY n.v),
+mw1 AS MATERIALIZED (SELECT pp.v FROM mp1 pp LEFT JOIN mm1 m ON m.v = pp.v WHERE m.v IS NULL OR pp.p * 4294967296 + pp.v < m.mkey),
+md1 AS MATERIALIZED (SELECT DISTINCT n.v FROM mn1 n JOIN mw1 w ON w.v = n.nb),
+a1 AS MATERIALIZED (SELECT v FROM a0 WHERE v NOT IN (SELECT v FROM mw1) AND v NOT IN (SELECT v FROM md1)),
+me1 AS MATERIALIZED (SELECT src, dst FROM me0 WHERE src IN (SELECT v FROM a1) AND dst IN (SELECT v FROM a1)),
+mp2 AS MATERIALIZED (SELECT v, (((v % 2147483647 + 2147483647) % 2147483647 + 45) % 2147483647 * 48271 % 2147483647 + 1) * 69621 % 2147483647 AS p FROM a1),
+mn2 AS MATERIALIZED (SELECT src AS v, dst AS nb FROM me1 UNION ALL SELECT dst, src FROM me1),
+mm2 AS MATERIALIZED (SELECT n.v, MIN(q.p * 4294967296 + q.nb_id) AS mkey FROM mn2 n JOIN (SELECT v AS nb_id, p FROM mp2) q ON q.nb_id = n.nb GROUP BY n.v),
+mw2 AS MATERIALIZED (SELECT pp.v FROM mp2 pp LEFT JOIN mm2 m ON m.v = pp.v WHERE m.v IS NULL OR pp.p * 4294967296 + pp.v < m.mkey),
+md2 AS MATERIALIZED (SELECT DISTINCT n.v FROM mn2 n JOIN mw2 w ON w.v = n.nb),
+a2 AS MATERIALIZED (SELECT v FROM a1 WHERE v NOT IN (SELECT v FROM mw2) AND v NOT IN (SELECT v FROM md2)),
+me2 AS MATERIALIZED (SELECT src, dst FROM me1 WHERE src IN (SELECT v FROM a2) AND dst IN (SELECT v FROM a2)),
+mp3 AS MATERIALIZED (SELECT v, (((v % 2147483647 + 2147483647) % 2147483647 + 46) % 2147483647 * 48271 % 2147483647 + 1) * 69621 % 2147483647 AS p FROM a2),
+mn3 AS MATERIALIZED (SELECT src AS v, dst AS nb FROM me2 UNION ALL SELECT dst, src FROM me2),
+mm3 AS MATERIALIZED (SELECT n.v, MIN(q.p * 4294967296 + q.nb_id) AS mkey FROM mn3 n JOIN (SELECT v AS nb_id, p FROM mp3) q ON q.nb_id = n.nb GROUP BY n.v),
+mw3 AS MATERIALIZED (SELECT pp.v FROM mp3 pp LEFT JOIN mm3 m ON m.v = pp.v WHERE m.v IS NULL OR pp.p * 4294967296 + pp.v < m.mkey),
+md3 AS MATERIALIZED (SELECT DISTINCT n.v FROM mn3 n JOIN mw3 w ON w.v = n.nb),
+a3 AS MATERIALIZED (SELECT v FROM a2 WHERE v NOT IN (SELECT v FROM mw3) AND v NOT IN (SELECT v FROM md3)),
+me3 AS MATERIALIZED (SELECT src, dst FROM me2 WHERE src IN (SELECT v FROM a3) AND dst IN (SELECT v FROM a3)),
+mp4 AS MATERIALIZED (SELECT v, (((v % 2147483647 + 2147483647) % 2147483647 + 47) % 2147483647 * 48271 % 2147483647 + 1) * 69621 % 2147483647 AS p FROM a3),
+mn4 AS MATERIALIZED (SELECT src AS v, dst AS nb FROM me3 UNION ALL SELECT dst, src FROM me3),
+mm4 AS MATERIALIZED (SELECT n.v, MIN(q.p * 4294967296 + q.nb_id) AS mkey FROM mn4 n JOIN (SELECT v AS nb_id, p FROM mp4) q ON q.nb_id = n.nb GROUP BY n.v),
+mw4 AS MATERIALIZED (SELECT pp.v FROM mp4 pp LEFT JOIN mm4 m ON m.v = pp.v WHERE m.v IS NULL OR pp.p * 4294967296 + pp.v < m.mkey),
+md4 AS MATERIALIZED (SELECT DISTINCT n.v FROM mn4 n JOIN mw4 w ON w.v = n.nb),
+a4 AS MATERIALIZED (SELECT v FROM a3 WHERE v NOT IN (SELECT v FROM mw4) AND v NOT IN (SELECT v FROM md4)),
+me4 AS MATERIALIZED (SELECT src, dst FROM me3 WHERE src IN (SELECT v FROM a4) AND dst IN (SELECT v FROM a4)),
+mp5 AS MATERIALIZED (SELECT v, (((v % 2147483647 + 2147483647) % 2147483647 + 48) % 2147483647 * 48271 % 2147483647 + 1) * 69621 % 2147483647 AS p FROM a4),
+mn5 AS MATERIALIZED (SELECT src AS v, dst AS nb FROM me4 UNION ALL SELECT dst, src FROM me4),
+mm5 AS MATERIALIZED (SELECT n.v, MIN(q.p * 4294967296 + q.nb_id) AS mkey FROM mn5 n JOIN (SELECT v AS nb_id, p FROM mp5) q ON q.nb_id = n.nb GROUP BY n.v),
+mw5 AS MATERIALIZED (SELECT pp.v FROM mp5 pp LEFT JOIN mm5 m ON m.v = pp.v WHERE m.v IS NULL OR pp.p * 4294967296 + pp.v < m.mkey),
+md5 AS MATERIALIZED (SELECT DISTINCT n.v FROM mn5 n JOIN mw5 w ON w.v = n.nb),
+a5 AS MATERIALIZED (SELECT v FROM a4 WHERE v NOT IN (SELECT v FROM mw5) AND v NOT IN (SELECT v FROM md5)),
+me5 AS MATERIALIZED (SELECT src, dst FROM me4 WHERE src IN (SELECT v FROM a5) AND dst IN (SELECT v FROM a5)),
+mp6 AS MATERIALIZED (SELECT v, (((v % 2147483647 + 2147483647) % 2147483647 + 49) % 2147483647 * 48271 % 2147483647 + 1) * 69621 % 2147483647 AS p FROM a5),
+mn6 AS MATERIALIZED (SELECT src AS v, dst AS nb FROM me5 UNION ALL SELECT dst, src FROM me5),
+mm6 AS MATERIALIZED (SELECT n.v, MIN(q.p * 4294967296 + q.nb_id) AS mkey FROM mn6 n JOIN (SELECT v AS nb_id, p FROM mp6) q ON q.nb_id = n.nb GROUP BY n.v),
+mw6 AS MATERIALIZED (SELECT pp.v FROM mp6 pp LEFT JOIN mm6 m ON m.v = pp.v WHERE m.v IS NULL OR pp.p * 4294967296 + pp.v < m.mkey),
+md6 AS MATERIALIZED (SELECT DISTINCT n.v FROM mn6 n JOIN mw6 w ON w.v = n.nb),
+a6 AS MATERIALIZED (SELECT v FROM a5 WHERE v NOT IN (SELECT v FROM mw6) AND v NOT IN (SELECT v FROM md6)),
+me6 AS MATERIALIZED (SELECT src, dst FROM me5 WHERE src IN (SELECT v FROM a6) AND dst IN (SELECT v FROM a6)),
+msel AS (SELECT v, 1 AS rr FROM mw1 UNION ALL SELECT v, 2 AS rr FROM mw2 UNION ALL SELECT v, 3 AS rr FROM mw3 UNION ALL SELECT v, 4 AS rr FROM mw4 UNION ALL SELECT v, 5 AS rr FROM mw5 UNION ALL SELECT v, 6 AS rr FROM mw6),
+muniv AS (SELECT v AS vertex FROM a0)
+SELECT u.vertex, msel.rr IS NOT NULL AS in_mis,
+       CAST(COALESCE(msel.rr, 0) AS BIGINT) AS round_selected
+FROM muniv u LEFT JOIN msel ON msel.v = u.vertex
 """
 
     # densest-subgraph peel (graph/densest.py): 5 materialized peel rounds,
@@ -2318,6 +2386,7 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 6
         "connected_components": components_sql,
         "connected_components_stars": components_sql,
         "scc": scc_sql,
+        "mis": mis_sql,
         "densest_subgraph": densest_subgraph_sql,
         "exact_dedup": exact_dedup_sql,
         "token_stats": token_stats_sql,

@@ -20,7 +20,8 @@ global clustering one-row table), eigen (eigenvector centrality, exact
 integer power iteration), hits (hubs/authorities over the DIRECTED edge
 table — direction is semantic, no canonicalization), scc (strongly
 connected components, FW-BW coloring, directed as-is), densest
-(batched Charikar peel round stats), wpagerank (weighted rank
+(batched Charikar peel round stats), mis (Luby maximal independent
+set, derandomized priorities), wpagerank (weighted rank
 splitting, --weight-col), sssp (weighted
 shortest paths from --source; --weight-col names an integer edge weight),
 modularity (Newman Q of the labelprop communities), ktruss (support
@@ -50,7 +51,7 @@ def main(argv=None, stop: bool = True) -> None:
         choices=["cc", "lp", "triangles", "tricount", "clustering", "linkpred", "bfs",
                  "diameter", "hyperanf", "kcore", "walks", "ppr", "betweenness",
                  "summary", "eigen", "hits", "sssp", "modularity", "ktruss",
-                 "closeness", "scc", "densest", "wpagerank"],
+                 "closeness", "scc", "densest", "wpagerank", "mis"],
     )
     ap.add_argument("--output", default=None, help="result parquet")
     ap.add_argument("--json-out", default=None, help="write the info dict here")
@@ -91,7 +92,7 @@ def main(argv=None, stop: bool = True) -> None:
                     help="sssp/wpagerank: edge-weight column (default: unit / derived)")
     ap.add_argument("--walk-length", type=int, default=16)
     ap.add_argument("--walks-per-vertex", type=int, default=2)
-    ap.add_argument("--seed", type=int, default=42, help="walks hash seed")
+    ap.add_argument("--seed", type=int, default=42, help="walks/mis hash seed")
     args = ap.parse_args(argv)
 
     from split_merge_partitioner_spark.graph import (
@@ -156,6 +157,10 @@ def main(argv=None, stop: bool = True) -> None:
         out, info = hyperanf(edges, assigned=assigned, n_steps=args.n_steps)
     elif args.algo == "kcore":
         out, info = coreness(edges, max_iter=args.max_iter)
+    elif args.algo == "mis":
+        from split_merge_partitioner_spark.graph import maximal_independent_set
+
+        out, info = maximal_independent_set(edges, seed=args.seed)
     elif args.algo == "densest":
         from split_merge_partitioner_spark.graph import densest_subgraph_peel
 
