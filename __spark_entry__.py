@@ -255,6 +255,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out, _ = strongly_connected_components(dir_edges)
         return out
 
+    def q_matching(spark, sf):
+        # Luby-style maximal matching (graph/matching.py) on the projection:
+        # per-round edge priorities are a pure function of (edge, round) —
+        # 3 rounds / 42 matched edges at sf0.01, replayed in the oracle
+        from split_merge_partitioner_spark.graph import maximal_matching
+
+        out, _ = maximal_matching(_proj_edges(spark, sf))
+        return out
+
     def q_mis(spark, sf):
         # Luby maximal independent set (graph/mis.py) on the projection:
         # per-round Lehmer priorities make every round a pure function of
@@ -842,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_components,
         "connected_components_stars": q_components_stars,
         "scc": q_scc,
+        "matching": q_matching,
         "mis": q_mis,
         "densest_subgraph": q_densest_subgraph,
         "pagerank": q_pagerank,
@@ -1129,6 +1139,52 @@ reach(v, r) AS (
 SELECT f.v AS vertex, CAST(MIN(f.r) AS BIGINT) AS component
 FROM reach f JOIN reach b ON f.v = b.r AND f.r = b.v
 GROUP BY f.v
+"""
+
+    # maximal matching oracle (graph/matching.py): 6 materialized Luby
+    # rounds on the line graph; the (p, src, dst) lexicographic compare
+    # is encoded as a HUGEINT p*2^42 + src*2^21 + dst (exact for the
+    # projection's sub-2^21 ids); no-op rounds on the emptied graph
+    matching_sql = f"""
+WITH {_EDGES_CTE}, {_PROJ_CTE},
+te0 AS MATERIALIZED (SELECT src, dst FROM proj),
+tp1 AS MATERIALIZED (SELECT src, dst, CAST(((((src * 1000003 + dst) % 2147483647 + 2147483647) % 2147483647 + 44) % 2147483647 * 48271 % 2147483647 + 1) * 69621 % 2147483647 AS HUGEINT) * 4398046511104::HUGEINT + src * 2097152 + dst AS k FROM te0),
+ti1 AS MATERIALIZED (SELECT src AS v, k FROM tp1 UNION ALL SELECT dst, k FROM tp1),
+tv1 AS MATERIALIZED (SELECT v, MIN(k) AS mk FROM ti1 GROUP BY v),
+tw1 AS MATERIALIZED (SELECT p.src, p.dst FROM tp1 p JOIN tv1 a ON a.v = p.src JOIN tv1 b ON b.v = p.dst WHERE p.k = a.mk AND p.k = b.mk),
+tg1 AS MATERIALIZED (SELECT src AS v FROM tw1 UNION SELECT dst FROM tw1),
+te1 AS MATERIALIZED (SELECT src, dst FROM te0 WHERE src NOT IN (SELECT v FROM tg1) AND dst NOT IN (SELECT v FROM tg1)),
+tp2 AS MATERIALIZED (SELECT src, dst, CAST(((((src * 1000003 + dst) % 2147483647 + 2147483647) % 2147483647 + 45) % 2147483647 * 48271 % 2147483647 + 1) * 69621 % 2147483647 AS HUGEINT) * 4398046511104::HUGEINT + src * 2097152 + dst AS k FROM te1),
+ti2 AS MATERIALIZED (SELECT src AS v, k FROM tp2 UNION ALL SELECT dst, k FROM tp2),
+tv2 AS MATERIALIZED (SELECT v, MIN(k) AS mk FROM ti2 GROUP BY v),
+tw2 AS MATERIALIZED (SELECT p.src, p.dst FROM tp2 p JOIN tv2 a ON a.v = p.src JOIN tv2 b ON b.v = p.dst WHERE p.k = a.mk AND p.k = b.mk),
+tg2 AS MATERIALIZED (SELECT src AS v FROM tw2 UNION SELECT dst FROM tw2),
+te2 AS MATERIALIZED (SELECT src, dst FROM te1 WHERE src NOT IN (SELECT v FROM tg2) AND dst NOT IN (SELECT v FROM tg2)),
+tp3 AS MATERIALIZED (SELECT src, dst, CAST(((((src * 1000003 + dst) % 2147483647 + 2147483647) % 2147483647 + 46) % 2147483647 * 48271 % 2147483647 + 1) * 69621 % 2147483647 AS HUGEINT) * 4398046511104::HUGEINT + src * 2097152 + dst AS k FROM te2),
+ti3 AS MATERIALIZED (SELECT src AS v, k FROM tp3 UNION ALL SELECT dst, k FROM tp3),
+tv3 AS MATERIALIZED (SELECT v, MIN(k) AS mk FROM ti3 GROUP BY v),
+tw3 AS MATERIALIZED (SELECT p.src, p.dst FROM tp3 p JOIN tv3 a ON a.v = p.src JOIN tv3 b ON b.v = p.dst WHERE p.k = a.mk AND p.k = b.mk),
+tg3 AS MATERIALIZED (SELECT src AS v FROM tw3 UNION SELECT dst FROM tw3),
+te3 AS MATERIALIZED (SELECT src, dst FROM te2 WHERE src NOT IN (SELECT v FROM tg3) AND dst NOT IN (SELECT v FROM tg3)),
+tp4 AS MATERIALIZED (SELECT src, dst, CAST(((((src * 1000003 + dst) % 2147483647 + 2147483647) % 2147483647 + 47) % 2147483647 * 48271 % 2147483647 + 1) * 69621 % 2147483647 AS HUGEINT) * 4398046511104::HUGEINT + src * 2097152 + dst AS k FROM te3),
+ti4 AS MATERIALIZED (SELECT src AS v, k FROM tp4 UNION ALL SELECT dst, k FROM tp4),
+tv4 AS MATERIALIZED (SELECT v, MIN(k) AS mk FROM ti4 GROUP BY v),
+tw4 AS MATERIALIZED (SELECT p.src, p.dst FROM tp4 p JOIN tv4 a ON a.v = p.src JOIN tv4 b ON b.v = p.dst WHERE p.k = a.mk AND p.k = b.mk),
+tg4 AS MATERIALIZED (SELECT src AS v FROM tw4 UNION SELECT dst FROM tw4),
+te4 AS MATERIALIZED (SELECT src, dst FROM te3 WHERE src NOT IN (SELECT v FROM tg4) AND dst NOT IN (SELECT v FROM tg4)),
+tp5 AS MATERIALIZED (SELECT src, dst, CAST(((((src * 1000003 + dst) % 2147483647 + 2147483647) % 2147483647 + 48) % 2147483647 * 48271 % 2147483647 + 1) * 69621 % 2147483647 AS HUGEINT) * 4398046511104::HUGEINT + src * 2097152 + dst AS k FROM te4),
+ti5 AS MATERIALIZED (SELECT src AS v, k FROM tp5 UNION ALL SELECT dst, k FROM tp5),
+tv5 AS MATERIALIZED (SELECT v, MIN(k) AS mk FROM ti5 GROUP BY v),
+tw5 AS MATERIALIZED (SELECT p.src, p.dst FROM tp5 p JOIN tv5 a ON a.v = p.src JOIN tv5 b ON b.v = p.dst WHERE p.k = a.mk AND p.k = b.mk),
+tg5 AS MATERIALIZED (SELECT src AS v FROM tw5 UNION SELECT dst FROM tw5),
+te5 AS MATERIALIZED (SELECT src, dst FROM te4 WHERE src NOT IN (SELECT v FROM tg5) AND dst NOT IN (SELECT v FROM tg5)),
+tp6 AS MATERIALIZED (SELECT src, dst, CAST(((((src * 1000003 + dst) % 2147483647 + 2147483647) % 2147483647 + 49) % 2147483647 * 48271 % 2147483647 + 1) * 69621 % 2147483647 AS HUGEINT) * 4398046511104::HUGEINT + src * 2097152 + dst AS k FROM te5),
+ti6 AS MATERIALIZED (SELECT src AS v, k FROM tp6 UNION ALL SELECT dst, k FROM tp6),
+tv6 AS MATERIALIZED (SELECT v, MIN(k) AS mk FROM ti6 GROUP BY v),
+tw6 AS MATERIALIZED (SELECT p.src, p.dst FROM tp6 p JOIN tv6 a ON a.v = p.src JOIN tv6 b ON b.v = p.dst WHERE p.k = a.mk AND p.k = b.mk),
+tg6 AS MATERIALIZED (SELECT src AS v FROM tw6 UNION SELECT dst FROM tw6),
+te6 AS MATERIALIZED (SELECT src, dst FROM te5 WHERE src NOT IN (SELECT v FROM tg6) AND dst NOT IN (SELECT v FROM tg6))
+SELECT * FROM (SELECT src, dst, CAST(1 AS BIGINT) AS round_matched FROM tw1 UNION ALL SELECT src, dst, CAST(2 AS BIGINT) AS round_matched FROM tw2 UNION ALL SELECT src, dst, CAST(3 AS BIGINT) AS round_matched FROM tw3 UNION ALL SELECT src, dst, CAST(4 AS BIGINT) AS round_matched FROM tw4 UNION ALL SELECT src, dst, CAST(5 AS BIGINT) AS round_matched FROM tw5 UNION ALL SELECT src, dst, CAST(6 AS BIGINT) AS round_matched FROM tw6)
 """
 
     # Luby MIS oracle (graph/mis.py): 6 materialized rounds of the
@@ -2386,6 +2442,7 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 6
         "connected_components": components_sql,
         "connected_components_stars": components_sql,
         "scc": scc_sql,
+        "matching": matching_sql,
         "mis": mis_sql,
         "densest_subgraph": densest_subgraph_sql,
         "exact_dedup": exact_dedup_sql,

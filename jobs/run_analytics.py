@@ -21,7 +21,8 @@ integer power iteration), hits (hubs/authorities over the DIRECTED edge
 table — direction is semantic, no canonicalization), scc (strongly
 connected components, FW-BW coloring, directed as-is), densest
 (batched Charikar peel round stats), mis (Luby maximal independent
-set, derandomized priorities), wpagerank (weighted rank
+set) / matching (maximal matching, the coarsening primitive) —
+both derandomized keyed-hash priorities, wpagerank (weighted rank
 splitting, --weight-col), sssp (weighted
 shortest paths from --source; --weight-col names an integer edge weight),
 modularity (Newman Q of the labelprop communities), ktruss (support
@@ -51,7 +52,7 @@ def main(argv=None, stop: bool = True) -> None:
         choices=["cc", "lp", "triangles", "tricount", "clustering", "linkpred", "bfs",
                  "diameter", "hyperanf", "kcore", "walks", "ppr", "betweenness",
                  "summary", "eigen", "hits", "sssp", "modularity", "ktruss",
-                 "closeness", "scc", "densest", "wpagerank", "mis"],
+                 "closeness", "scc", "densest", "wpagerank", "mis", "matching"],
     )
     ap.add_argument("--output", default=None, help="result parquet")
     ap.add_argument("--json-out", default=None, help="write the info dict here")
@@ -157,6 +158,10 @@ def main(argv=None, stop: bool = True) -> None:
         out, info = hyperanf(edges, assigned=assigned, n_steps=args.n_steps)
     elif args.algo == "kcore":
         out, info = coreness(edges, max_iter=args.max_iter)
+    elif args.algo == "matching":
+        from split_merge_partitioner_spark.graph import maximal_matching
+
+        out, info = maximal_matching(edges, seed=args.seed)
     elif args.algo == "mis":
         from split_merge_partitioner_spark.graph import maximal_independent_set
 

@@ -109,6 +109,7 @@ def test_build_pyfiles_zip_importable(tmp_path):
     ("densest", ["--peel-rounds", "3"]),
     ("wpagerank", ["--n-iter", "3"]),
     ("mis", []),
+    ("matching", []),
     ("sssp", ["--source", "0", "--max-supersteps", "6"]),
     ("modularity", ["--n-iter", "3"]),
     ("ktruss", ["--k-truss", "3"]),
