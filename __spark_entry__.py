@@ -255,6 +255,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out, _ = strongly_connected_components(dir_edges)
         return out
 
+    def q_coarsen_once(spark, sf):
+        # one METIS-style coarsening level (graph/matching.py::coarsen_graph)
+        # on the WEIGHTED projection (weights = shared-supplier counts):
+        # heavy-edge matching + contraction, parallel edges weight-summed
+        from split_merge_partitioner_spark.graph import coarsen_graph
+        from split_merge_partitioner_spark.sources import bipartite_project
+
+        wproj = bipartite_project(_edges(spark, sf), min_shared=30, weighted=True)
+        coarse, _, _ = coarsen_graph(wproj, weight_col="shared")
+        return coarse
+
     def q_matching(spark, sf):
         # Luby-style maximal matching (graph/matching.py) on the projection:
         # per-round edge priorities are a pure function of (edge, round) —
@@ -852,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components_stars": q_components_stars,
         "scc": q_scc,
         "matching": q_matching,
+        "coarsen_once": q_coarsen_once,
         "mis": q_mis,
         "densest_subgraph": q_densest_subgraph,
         "pagerank": q_pagerank,
@@ -1139,6 +1151,84 @@ reach(v, r) AS (
 SELECT f.v AS vertex, CAST(MIN(f.r) AS BIGINT) AS component
 FROM reach f JOIN reach b ON f.v = b.r AND f.r = b.v
 GROUP BY f.v
+"""
+
+    # coarsening oracle (graph/matching.py::coarsen_graph): 10 materialized
+    # heavy-edge matching rounds ((WCAP - w, hash, src, dst) key as HUGEINT
+    # wneg*2^84 + p*2^42 + src*2^21 + dst), then contraction: matched pairs
+    # collapse to their smaller id, parallel coarse edges SUM weights
+    coarsen_once_sql = f"""
+WITH {_EDGES_CTE},
+projw AS MATERIALIZED (SELECT a.src AS src, b.src AS dst, CAST(COUNT(*) AS BIGINT) AS shared FROM edges a JOIN edges b ON a.dst = b.dst AND a.src < b.src GROUP BY a.src, b.src HAVING COUNT(*) >= 30),
+ce0 AS MATERIALIZED (SELECT src, dst, shared FROM projw),
+cp1 AS MATERIALIZED (SELECT src, dst, shared, (2097151 - shared)::HUGEINT * 19342813113834066795298816::HUGEINT + CAST(((((src * 1000003 + dst) % 2147483647 + 2147483647) % 2147483647 + 44) % 2147483647 * 48271 % 2147483647 + 1) * 69621 % 2147483647 AS HUGEINT) * 4398046511104::HUGEINT + src * 2097152 + dst AS k FROM ce0),
+ci1 AS MATERIALIZED (SELECT src AS v, k FROM cp1 UNION ALL SELECT dst, k FROM cp1),
+cv1 AS MATERIALIZED (SELECT v, MIN(k) AS mk FROM ci1 GROUP BY v),
+cw1 AS MATERIALIZED (SELECT p.src, p.dst FROM cp1 p JOIN cv1 a ON a.v = p.src JOIN cv1 b ON b.v = p.dst WHERE p.k = a.mk AND p.k = b.mk),
+cg1 AS MATERIALIZED (SELECT src AS v FROM cw1 UNION SELECT dst FROM cw1),
+ce1 AS MATERIALIZED (SELECT src, dst, shared FROM ce0 WHERE src NOT IN (SELECT v FROM cg1) AND dst NOT IN (SELECT v FROM cg1)),
+cp2 AS MATERIALIZED (SELECT src, dst, shared, (2097151 - shared)::HUGEINT * 19342813113834066795298816::HUGEINT + CAST(((((src * 1000003 + dst) % 2147483647 + 2147483647) % 2147483647 + 45) % 2147483647 * 48271 % 2147483647 + 1) * 69621 % 2147483647 AS HUGEINT) * 4398046511104::HUGEINT + src * 2097152 + dst AS k FROM ce1),
+ci2 AS MATERIALIZED (SELECT src AS v, k FROM cp2 UNION ALL SELECT dst, k FROM cp2),
+cv2 AS MATERIALIZED (SELECT v, MIN(k) AS mk FROM ci2 GROUP BY v),
+cw2 AS MATERIALIZED (SELECT p.src, p.dst FROM cp2 p JOIN cv2 a ON a.v = p.src JOIN cv2 b ON b.v = p.dst WHERE p.k = a.mk AND p.k = b.mk),
+cg2 AS MATERIALIZED (SELECT src AS v FROM cw2 UNION SELECT dst FROM cw2),
+ce2 AS MATERIALIZED (SELECT src, dst, shared FROM ce1 WHERE src NOT IN (SELECT v FROM cg2) AND dst NOT IN (SELECT v FROM cg2)),
+cp3 AS MATERIALIZED (SELECT src, dst, shared, (2097151 - shared)::HUGEINT * 19342813113834066795298816::HUGEINT + CAST(((((src * 1000003 + dst) % 2147483647 + 2147483647) % 2147483647 + 46) % 2147483647 * 48271 % 2147483647 + 1) * 69621 % 2147483647 AS HUGEINT) * 4398046511104::HUGEINT + src * 2097152 + dst AS k FROM ce2),
+ci3 AS MATERIALIZED (SELECT src AS v, k FROM cp3 UNION ALL SELECT dst, k FROM cp3),
+cv3 AS MATERIALIZED (SELECT v, MIN(k) AS mk FROM ci3 GROUP BY v),
+cw3 AS MATERIALIZED (SELECT p.src, p.dst FROM cp3 p JOIN cv3 a ON a.v = p.src JOIN cv3 b ON b.v = p.dst WHERE p.k = a.mk AND p.k = b.mk),
+cg3 AS MATERIALIZED (SELECT src AS v FROM cw3 UNION SELECT dst FROM cw3),
+ce3 AS MATERIALIZED (SELECT src, dst, shared FROM ce2 WHERE src NOT IN (SELECT v FROM cg3) AND dst NOT IN (SELECT v FROM cg3)),
+cp4 AS MATERIALIZED (SELECT src, dst, shared, (2097151 - shared)::HUGEINT * 19342813113834066795298816::HUGEINT + CAST(((((src * 1000003 + dst) % 2147483647 + 2147483647) % 2147483647 + 47) % 2147483647 * 48271 % 2147483647 + 1) * 69621 % 2147483647 AS HUGEINT) * 4398046511104::HUGEINT + src * 2097152 + dst AS k FROM ce3),
+ci4 AS MATERIALIZED (SELECT src AS v, k FROM cp4 UNION ALL SELECT dst, k FROM cp4),
+cv4 AS MATERIALIZED (SELECT v, MIN(k) AS mk FROM ci4 GROUP BY v),
+cw4 AS MATERIALIZED (SELECT p.src, p.dst FROM cp4 p JOIN cv4 a ON a.v = p.src JOIN cv4 b ON b.v = p.dst WHERE p.k = a.mk AND p.k = b.mk),
+cg4 AS MATERIALIZED (SELECT src AS v FROM cw4 UNION SELECT dst FROM cw4),
+ce4 AS MATERIALIZED (SELECT src, dst, shared FROM ce3 WHERE src NOT IN (SELECT v FROM cg4) AND dst NOT IN (SELECT v FROM cg4)),
+cp5 AS MATERIALIZED (SELECT src, dst, shared, (2097151 - shared)::HUGEINT * 19342813113834066795298816::HUGEINT + CAST(((((src * 1000003 + dst) % 2147483647 + 2147483647) % 2147483647 + 48) % 2147483647 * 48271 % 2147483647 + 1) * 69621 % 2147483647 AS HUGEINT) * 4398046511104::HUGEINT + src * 2097152 + dst AS k FROM ce4),
+ci5 AS MATERIALIZED (SELECT src AS v, k FROM cp5 UNION ALL SELECT dst, k FROM cp5),
+cv5 AS MATERIALIZED (SELECT v, MIN(k) AS mk FROM ci5 GROUP BY v),
+cw5 AS MATERIALIZED (SELECT p.src, p.dst FROM cp5 p JOIN cv5 a ON a.v = p.src JOIN cv5 b ON b.v = p.dst WHERE p.k = a.mk AND p.k = b.mk),
+cg5 AS MATERIALIZED (SELECT src AS v FROM cw5 UNION SELECT dst FROM cw5),
+ce5 AS MATERIALIZED (SELECT src, dst, shared FROM ce4 WHERE src NOT IN (SELECT v FROM cg5) AND dst NOT IN (SELECT v FROM cg5)),
+cp6 AS MATERIALIZED (SELECT src, dst, shared, (2097151 - shared)::HUGEINT * 19342813113834066795298816::HUGEINT + CAST(((((src * 1000003 + dst) % 2147483647 + 2147483647) % 2147483647 + 49) % 2147483647 * 48271 % 2147483647 + 1) * 69621 % 2147483647 AS HUGEINT) * 4398046511104::HUGEINT + src * 2097152 + dst AS k FROM ce5),
+ci6 AS MATERIALIZED (SELECT src AS v, k FROM cp6 UNION ALL SELECT dst, k FROM cp6),
+cv6 AS MATERIALIZED (SELECT v, MIN(k) AS mk FROM ci6 GROUP BY v),
+cw6 AS MATERIALIZED (SELECT p.src, p.dst FROM cp6 p JOIN cv6 a ON a.v = p.src JOIN cv6 b ON b.v = p.dst WHERE p.k = a.mk AND p.k = b.mk),
+cg6 AS MATERIALIZED (SELECT src AS v FROM cw6 UNION SELECT dst FROM cw6),
+ce6 AS MATERIALIZED (SELECT src, dst, shared FROM ce5 WHERE src NOT IN (SELECT v FROM cg6) AND dst NOT IN (SELECT v FROM cg6)),
+cp7 AS MATERIALIZED (SELECT src, dst, shared, (2097151 - shared)::HUGEINT * 19342813113834066795298816::HUGEINT + CAST(((((src * 1000003 + dst) % 2147483647 + 2147483647) % 2147483647 + 50) % 2147483647 * 48271 % 2147483647 + 1) * 69621 % 2147483647 AS HUGEINT) * 4398046511104::HUGEINT + src * 2097152 + dst AS k FROM ce6),
+ci7 AS MATERIALIZED (SELECT src AS v, k FROM cp7 UNION ALL SELECT dst, k FROM cp7),
+cv7 AS MATERIALIZED (SELECT v, MIN(k) AS mk FROM ci7 GROUP BY v),
+cw7 AS MATERIALIZED (SELECT p.src, p.dst FROM cp7 p JOIN cv7 a ON a.v = p.src JOIN cv7 b ON b.v = p.dst WHERE p.k = a.mk AND p.k = b.mk),
+cg7 AS MATERIALIZED (SELECT src AS v FROM cw7 UNION SELECT dst FROM cw7),
+ce7 AS MATERIALIZED (SELECT src, dst, shared FROM ce6 WHERE src NOT IN (SELECT v FROM cg7) AND dst NOT IN (SELECT v FROM cg7)),
+cp8 AS MATERIALIZED (SELECT src, dst, shared, (2097151 - shared)::HUGEINT * 19342813113834066795298816::HUGEINT + CAST(((((src * 1000003 + dst) % 2147483647 + 2147483647) % 2147483647 + 51) % 2147483647 * 48271 % 2147483647 + 1) * 69621 % 2147483647 AS HUGEINT) * 4398046511104::HUGEINT + src * 2097152 + dst AS k FROM ce7),
+ci8 AS MATERIALIZED (SELECT src AS v, k FROM cp8 UNION ALL SELECT dst, k FROM cp8),
+cv8 AS MATERIALIZED (SELECT v, MIN(k) AS mk FROM ci8 GROUP BY v),
+cw8 AS MATERIALIZED (SELECT p.src, p.dst FROM cp8 p JOIN cv8 a ON a.v = p.src JOIN cv8 b ON b.v = p.dst WHERE p.k = a.mk AND p.k = b.mk),
+cg8 AS MATERIALIZED (SELECT src AS v FROM cw8 UNION SELECT dst FROM cw8),
+ce8 AS MATERIALIZED (SELECT src, dst, shared FROM ce7 WHERE src NOT IN (SELECT v FROM cg8) AND dst NOT IN (SELECT v FROM cg8)),
+cp9 AS MATERIALIZED (SELECT src, dst, shared, (2097151 - shared)::HUGEINT * 19342813113834066795298816::HUGEINT + CAST(((((src * 1000003 + dst) % 2147483647 + 2147483647) % 2147483647 + 52) % 2147483647 * 48271 % 2147483647 + 1) * 69621 % 2147483647 AS HUGEINT) * 4398046511104::HUGEINT + src * 2097152 + dst AS k FROM ce8),
+ci9 AS MATERIALIZED (SELECT src AS v, k FROM cp9 UNION ALL SELECT dst, k FROM cp9),
+cv9 AS MATERIALIZED (SELECT v, MIN(k) AS mk FROM ci9 GROUP BY v),
+cw9 AS MATERIALIZED (SELECT p.src, p.dst FROM cp9 p JOIN cv9 a ON a.v = p.src JOIN cv9 b ON b.v = p.dst WHERE p.k = a.mk AND p.k = b.mk),
+cg9 AS MATERIALIZED (SELECT src AS v FROM cw9 UNION SELECT dst FROM cw9),
+ce9 AS MATERIALIZED (SELECT src, dst, shared FROM ce8 WHERE src NOT IN (SELECT v FROM cg9) AND dst NOT IN (SELECT v FROM cg9)),
+cp10 AS MATERIALIZED (SELECT src, dst, shared, (2097151 - shared)::HUGEINT * 19342813113834066795298816::HUGEINT + CAST(((((src * 1000003 + dst) % 2147483647 + 2147483647) % 2147483647 + 53) % 2147483647 * 48271 % 2147483647 + 1) * 69621 % 2147483647 AS HUGEINT) * 4398046511104::HUGEINT + src * 2097152 + dst AS k FROM ce9),
+ci10 AS MATERIALIZED (SELECT src AS v, k FROM cp10 UNION ALL SELECT dst, k FROM cp10),
+cv10 AS MATERIALIZED (SELECT v, MIN(k) AS mk FROM ci10 GROUP BY v),
+cw10 AS MATERIALIZED (SELECT p.src, p.dst FROM cp10 p JOIN cv10 a ON a.v = p.src JOIN cv10 b ON b.v = p.dst WHERE p.k = a.mk AND p.k = b.mk),
+cg10 AS MATERIALIZED (SELECT src AS v FROM cw10 UNION SELECT dst FROM cw10),
+ce10 AS MATERIALIZED (SELECT src, dst, shared FROM ce9 WHERE src NOT IN (SELECT v FROM cg10) AND dst NOT IN (SELECT v FROM cg10)),
+csel AS (SELECT src, dst FROM cw1 UNION ALL SELECT src, dst FROM cw2 UNION ALL SELECT src, dst FROM cw3 UNION ALL SELECT src, dst FROM cw4 UNION ALL SELECT src, dst FROM cw5 UNION ALL SELECT src, dst FROM cw6 UNION ALL SELECT src, dst FROM cw7 UNION ALL SELECT src, dst FROM cw8 UNION ALL SELECT src, dst FROM cw9 UNION ALL SELECT src, dst FROM cw10),
+cmap AS (SELECT src AS v, LEAST(src, dst) AS rep FROM csel UNION ALL SELECT dst, LEAST(src, dst) FROM csel),
+cuniv AS (SELECT DISTINCT src AS v FROM projw UNION SELECT DISTINCT dst FROM projw),
+cmapping AS (SELECT u.v, COALESCE(c.rep, u.v) AS rep FROM cuniv u LEFT JOIN cmap c ON c.v = u.v)
+SELECT LEAST(a.rep, b.rep) AS src, GREATEST(a.rep, b.rep) AS dst,
+       CAST(SUM(e.shared) AS BIGINT) AS weight
+FROM projw e JOIN cmapping a ON a.v = e.src JOIN cmapping b ON b.v = e.dst
+WHERE a.rep <> b.rep GROUP BY 1, 2
 """
 
     # maximal matching oracle (graph/matching.py): 6 materialized Luby
@@ -2443,6 +2533,7 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 6
         "connected_components_stars": components_sql,
         "scc": scc_sql,
         "matching": matching_sql,
+        "coarsen_once": coarsen_once_sql,
         "mis": mis_sql,
         "densest_subgraph": densest_subgraph_sql,
         "exact_dedup": exact_dedup_sql,

@@ -22,4 +22,4 @@ from .densest import densest_subgraph_peel  # noqa: F401
 from .scc import strongly_connected_components  # noqa: F401
 from .wpagerank import weighted_pagerank  # noqa: F401
 from .mis import maximal_independent_set  # noqa: F401
-from .matching import maximal_matching  # noqa: F401
+from .matching import coarsen_graph, maximal_matching  # noqa: F401

@@ -28,23 +28,42 @@ from pyspark.sql import functions as F
 from ..functions.sampling import sample_hash
 
 
+WEIGHT_CAP = 2_097_151  # 2^21 - 1: keeps the oracle's HUGEINT key encoding exact
+
+
 def maximal_matching(
     edges: DataFrame,
     seed: int = 42,
     max_rounds: int = 64,
+    weight_col: str | None = None,
 ) -> tuple[DataFrame, dict]:
     """((src, dst, round_matched), info): the matched edges of a maximal
     matching over the undirected canonical edge table; ``round_matched``
     is 1-based.  Guarantees: no two matched edges share an endpoint; every
-    unmatched input edge has a matched endpoint (maximality)."""
+    unmatched input edge has a matched endpoint (maximality).
+
+    With ``weight_col`` (positive integer weights < 2^21) the priority
+    becomes (−weight, hash, src, dst): heavier edges win their
+    neighborhoods first — METIS's heavy-edge matching rule, the quality
+    heuristic for multilevel coarsening (contracting heavy edges keeps cut
+    weight in the coarse graph)."""
+    cols = [
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    ]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("long").alias("__w__"))
     e = (
-        edges.select(
-            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
-        )
+        edges.select(*cols)
         .where(F.col("src") != F.col("dst"))
         .dropDuplicates(["src", "dst"])
         .localCheckpoint(eager=True)
     )
+    if weight_col is not None:
+        bad = e.where((F.col("__w__") <= 0) | (F.col("__w__") >= WEIGHT_CAP)).count()
+        if bad:
+            raise ValueError(
+                f"{bad} edges have weights outside (0, {WEIGHT_CAP}) — rescale first"
+            )
     matched: DataFrame | None = None
     info = {"rounds": 0, "converged": False}
     for r in range(1, max_rounds + 1):
@@ -55,12 +74,18 @@ def maximal_matching(
         pr = e.withColumn(
             "__ekey__",
             F.col("src").cast("long") * F.lit(1000003) + F.col("dst").cast("long"),
-        ).select("src", "dst", sample_hash("__ekey__", seed + r).alias("p"))
-        inc = pr.select(F.col("src").alias("v"), "p", "src", "dst").unionAll(
-            pr.select(F.col("dst").alias("v"), "p", "src", "dst")
+        ).withColumn("p", sample_hash("__ekey__", seed + r))
+        if weight_col is not None:
+            pr = pr.withColumn("wneg", F.lit(WEIGHT_CAP) - F.col("__w__"))
+            key_cols = ["wneg", "p", "src", "dst"]
+        else:
+            key_cols = ["p", "src", "dst"]
+        pr = pr.select("src", "dst", *[c for c in key_cols if c not in ("src", "dst")])
+        inc = pr.select(F.col("src").alias("v"), *key_cols).unionAll(
+            pr.select(F.col("dst").alias("v"), *key_cols)
         )
-        vmin = inc.groupBy("v").agg(F.min(F.struct("p", "src", "dst")).alias("m"))
-        key = F.struct("p", "src", "dst")
+        vmin = inc.groupBy("v").agg(F.min(F.struct(*key_cols)).alias("m"))
+        key = F.struct(*key_cols)
         winners = (
             pr.join(vmin.select(F.col("v").alias("src"), F.col("m").alias("ms")), "src")
             .join(vmin.select(F.col("v").alias("dst"), F.col("m").alias("md")), "dst")
@@ -91,3 +116,55 @@ def maximal_matching(
         spark = edges.sparkSession
         return spark.createDataFrame([], "src long, dst long, round_matched long"), info
     return matched, info
+
+
+def coarsen_graph(
+    edges: DataFrame,
+    weight_col: str = "shared",
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame, dict]:
+    """One multilevel coarsening step (the METIS inner loop): heavy-edge
+    maximal matching, then contraction of each matched pair into a
+    supervertex named by its smaller id.
+
+    Returns (coarse_edges, mapping, info): ``coarse_edges`` is the
+    contracted weighted graph (src, dst, weight) with parallel edges
+    merged by weight SUM and intra-pair edges dropped; ``mapping`` is
+    (vertex, rep) for every input vertex (unmatched vertices map to
+    themselves).  Iterating this halves-ish the graph per level while the
+    heavy-edge rule keeps cut weight representable in the coarse graph —
+    the standard multilevel prelude to any partitioner refinement.
+
+    Cost on top of the matching: one broadcast-eligible mapping join per
+    endpoint + one groupBy(coarse pair) SUM — two exchanges.
+    """
+    m, info = maximal_matching(edges, seed=seed, weight_col=weight_col)
+    pairs = m.select(
+        F.least("src", "dst").alias("rep"), F.col("src"), F.col("dst")
+    )
+    vmap = pairs.select(F.col("src").alias("v"), "rep").unionAll(
+        pairs.select(F.col("dst").alias("v"), "rep")
+    )
+    universe = (
+        edges.select(F.col("src").alias("v"))
+        .unionAll(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    mapping = universe.join(vmap, "v", "left").select(
+        F.col("v").alias("vertex"), F.coalesce("rep", F.col("v")).alias("rep")
+    )
+    ms = mapping.select(F.col("vertex").alias("src"), F.col("rep").alias("rs"))
+    md = mapping.select(F.col("vertex").alias("dst"), F.col("rep").alias("rd"))
+    coarse = (
+        edges.join(ms, "src")
+        .join(md, "dst")
+        .where(F.col("rs") != F.col("rd"))
+        .select(
+            F.least("rs", "rd").alias("src"),
+            F.greatest("rs", "rd").alias("dst"),
+            F.col(weight_col).alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").cast("long").alias("weight"))
+    )
+    return coarse, mapping, info
