@@ -255,6 +255,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out, _ = strongly_connected_components(dir_edges)
         return out
 
+    def _snapshot_b(spark, sf):
+        # deterministic "next ingestion snapshot" of the co-occurrence graph:
+        # drop ~5% of edges by Lehmer hash (seed 7), add one fresh edge per
+        # 97th customer into the disjoint 3M+ id range
+        from split_merge_partitioner_spark.functions.sampling import sample_hash
+
+        e = _edges(spark, sf)
+        kept = (
+            e.withColumn(
+                "__k__",
+                F.col("src").cast("long") * F.lit(1000003) + F.col("dst").cast("long"),
+            )
+            .where(sample_hash("__k__", 7) % 20 != 0)
+            .select("src", "dst")
+        )
+        adds = (
+            e.select("src")
+            .distinct()
+            .where(F.col("src") % 97 == 0)
+            .select("src", (F.col("src") + F.lit(3000000)).alias("dst"))
+        )
+        return kept.unionAll(adds)
+
+    def q_graph_diff(spark, sf):
+        # snapshot diff (graph/diff.py): per-edge added/removed/persisted
+        # against the deterministic next snapshot
+        from split_merge_partitioner_spark.graph import graph_diff
+
+        return graph_diff(_edges(spark, sf), _snapshot_b(spark, sf))
+
+    def q_degree_deltas(spark, sf):
+        from split_merge_partitioner_spark.graph import degree_deltas
+
+        return degree_deltas(_edges(spark, sf), _snapshot_b(spark, sf))
+
     def q_coarsen_once(spark, sf):
         # one METIS-style coarsening level (graph/matching.py::coarsen_graph)
         # on the WEIGHTED projection (weights = shared-supplier counts):
@@ -863,6 +898,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components_stars": q_components_stars,
         "scc": q_scc,
         "matching": q_matching,
+        "graph_diff": q_graph_diff,
+        "degree_deltas": q_degree_deltas,
         "coarsen_once": q_coarsen_once,
         "mis": q_mis,
         "densest_subgraph": q_densest_subgraph,
@@ -1151,6 +1188,57 @@ reach(v, r) AS (
 SELECT f.v AS vertex, CAST(MIN(f.r) AS BIGINT) AS component
 FROM reach f JOIN reach b ON f.v = b.r AND f.r = b.v
 GROUP BY f.v
+"""
+
+    # snapshot-diff oracles (graph/diff.py): pure set algebra — full
+    # outer join on the canonical pair; degree deltas from the signed
+    # status rows.  The 'next snapshot' replays the Lehmer drop (seed 7)
+    # and the deterministic additions
+    graph_diff_sql = f"""
+WITH {_EDGES_CTE},
+snapb AS (
+    SELECT src, dst FROM edges
+    WHERE ((((src * 1000003 + dst) % 2147483647 + 2147483647) % 2147483647 + 8) % 2147483647
+           * 48271 % 2147483647 + 1) * 69621 % 2147483647 % 20 <> 0
+    UNION ALL
+    SELECT DISTINCT src, src + 3000000 FROM edges WHERE src % 97 = 0
+),
+dold AS (SELECT DISTINCT src, dst FROM edges),
+dnew AS (SELECT DISTINCT src, dst FROM snapb),
+ddiff AS (
+    SELECT COALESCE(o.src, n.src) AS src, COALESCE(o.dst, n.dst) AS dst,
+           CASE WHEN o.src IS NULL THEN 'added'
+                WHEN n.src IS NULL THEN 'removed'
+                ELSE 'persisted' END AS status
+    FROM dold o FULL OUTER JOIN dnew n ON o.src = n.src AND o.dst = n.dst
+)
+SELECT src, dst, status FROM ddiff
+"""
+
+    degree_deltas_sql = f"""
+WITH {_EDGES_CTE},
+snapb AS (
+    SELECT src, dst FROM edges
+    WHERE ((((src * 1000003 + dst) % 2147483647 + 2147483647) % 2147483647 + 8) % 2147483647
+           * 48271 % 2147483647 + 1) * 69621 % 2147483647 % 20 <> 0
+    UNION ALL
+    SELECT DISTINCT src, src + 3000000 FROM edges WHERE src % 97 = 0
+),
+dold AS (SELECT DISTINCT src, dst FROM edges),
+dnew AS (SELECT DISTINCT src, dst FROM snapb),
+ddiff AS (
+    SELECT COALESCE(o.src, n.src) AS src, COALESCE(o.dst, n.dst) AS dst,
+           CASE WHEN o.src IS NULL THEN 'added'
+                WHEN n.src IS NULL THEN 'removed'
+                ELSE 'persisted' END AS status
+    FROM dold o FULL OUTER JOIN dnew n ON o.src = n.src AND o.dst = n.dst
+),
+dsides AS (SELECT src AS vertex, status FROM ddiff UNION ALL SELECT dst, status FROM ddiff)
+SELECT vertex,
+       CAST(SUM(CASE WHEN status <> 'added' THEN 1 ELSE 0 END) AS BIGINT) AS deg_old,
+       CAST(SUM(CASE WHEN status <> 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS deg_new,
+       CAST(SUM(CASE WHEN status = 'added' THEN 1 WHEN status = 'removed' THEN -1 ELSE 0 END) AS BIGINT) AS delta
+FROM dsides GROUP BY vertex
 """
 
     # coarsening oracle (graph/matching.py::coarsen_graph): 10 materialized
@@ -2533,6 +2621,8 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 6
         "connected_components_stars": components_sql,
         "scc": scc_sql,
         "matching": matching_sql,
+        "graph_diff": graph_diff_sql,
+        "degree_deltas": degree_deltas_sql,
         "coarsen_once": coarsen_once_sql,
         "mis": mis_sql,
         "densest_subgraph": densest_subgraph_sql,

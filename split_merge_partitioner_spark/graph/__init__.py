@@ -23,3 +23,4 @@ from .scc import strongly_connected_components  # noqa: F401
 from .wpagerank import weighted_pagerank  # noqa: F401
 from .mis import maximal_independent_set  # noqa: F401
 from .matching import coarsen_graph, maximal_matching  # noqa: F401
+from .diff import degree_deltas, graph_diff  # noqa: F401
