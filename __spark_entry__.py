@@ -320,6 +320,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out, _ = maximal_independent_set(_proj_edges(spark, sf))
         return out
 
+    def q_pagerank_directed(spark, sf):
+        # canonical directed PageRank with dangling redistribution
+        # (graph/dpagerank.py) on the functional doc-id graph, with
+        # out-edges of every 83rd vertex dropped so genuine dangling
+        # sinks exist; ROUND(rank, 9), the pagerank_10iter precedent
+        from split_merge_partitioner_spark.graph import directed_pagerank
+
+        dv = _docs(spark, sf).select(F.col("doc_id").alias("v"))
+        dir_edges = (
+            dv.select(
+                F.col("v").alias("src"), ((F.lit(7) * F.col("v") + 3) % 500).alias("dst")
+            )
+            .unionAll(
+                dv.where(F.col("v") % 5 == 0).select(
+                    F.col("v").alias("src"),
+                    ((F.lit(31) * F.col("v") + 17) % 500).alias("dst"),
+                )
+            )
+            .where(F.col("src") % 83 != 0)
+        )
+        return directed_pagerank(dir_edges, n_iter=8).select(
+            "vertex", F.round("rank", 9).alias("rank")
+        )
+
     def q_densest_subgraph(spark, sf):
         # Bahmani et al. (2+2eps)-approx densest subgraph on the projection:
         # 5 peel rounds, eps=0.1 (11/10) — integer peel thresholds + one
@@ -902,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_deltas": q_degree_deltas,
         "coarsen_once": q_coarsen_once,
         "mis": q_mis,
+        "pagerank_directed": q_pagerank_directed,
         "densest_subgraph": q_densest_subgraph,
         "pagerank": q_pagerank,
         "pagerank_10iter": q_pagerank_10iter,
@@ -1420,6 +1445,42 @@ muniv AS (SELECT v AS vertex FROM a0)
 SELECT u.vertex, msel.rr IS NOT NULL AS in_mis,
        CAST(COALESCE(msel.rr, 0) AS BIGINT) AS round_selected
 FROM muniv u LEFT JOIN msel ON msel.v = u.vertex
+"""
+
+    # directed PageRank oracle (graph/dpagerank.py): 8 chained CTEs with
+    # a per-round dangling-sum scalar; ROUND(rank, 9) absorbs sum-order
+    # ulp (the pagerank_10iter precedent)
+    pagerank_directed_sql = """
+WITH dv AS (SELECT doc_id AS v FROM documents),
+ddir AS MATERIALIZED (
+    SELECT a, b FROM (
+        SELECT v AS a, (7 * v + 3) % 500 AS b FROM dv
+        UNION ALL
+        SELECT v, (31 * v + 17) % 500 FROM dv WHERE v % 5 = 0
+    ) WHERE a % 83 <> 0 GROUP BY a, b
+),
+duniv AS (SELECT DISTINCT a AS vertex FROM ddir UNION SELECT DISTINCT b FROM ddir),
+dnv AS (SELECT COUNT(*) AS n FROM duniv),
+dout AS (SELECT a AS v, COUNT(*) AS od FROM ddir GROUP BY a),
+dhasout AS (SELECT DISTINCT a AS v FROM ddir),
+dr0 AS MATERIALIZED (SELECT vertex, 1.0 / (SELECT n FROM dnv) AS rank FROM duniv),
+dang1 AS MATERIALIZED (SELECT COALESCE(SUM(rank), 0) AS dsum FROM dr0 WHERE vertex NOT IN (SELECT v FROM dhasout)),
+dr1 AS MATERIALIZED (SELECT u.vertex, 0.15 / (SELECT n FROM dnv) + 0.85 * ((SELECT dsum FROM dang1) / (SELECT n FROM dnv) + COALESCE(g.inf, 0)) AS rank FROM duniv u LEFT JOIN (SELECT e.b AS vertex, SUM(p.rank / o.od) AS inf FROM ddir e JOIN dr0 p ON p.vertex = e.a JOIN dout o ON o.v = e.a GROUP BY e.b) g ON g.vertex = u.vertex),
+dang2 AS MATERIALIZED (SELECT COALESCE(SUM(rank), 0) AS dsum FROM dr1 WHERE vertex NOT IN (SELECT v FROM dhasout)),
+dr2 AS MATERIALIZED (SELECT u.vertex, 0.15 / (SELECT n FROM dnv) + 0.85 * ((SELECT dsum FROM dang2) / (SELECT n FROM dnv) + COALESCE(g.inf, 0)) AS rank FROM duniv u LEFT JOIN (SELECT e.b AS vertex, SUM(p.rank / o.od) AS inf FROM ddir e JOIN dr1 p ON p.vertex = e.a JOIN dout o ON o.v = e.a GROUP BY e.b) g ON g.vertex = u.vertex),
+dang3 AS MATERIALIZED (SELECT COALESCE(SUM(rank), 0) AS dsum FROM dr2 WHERE vertex NOT IN (SELECT v FROM dhasout)),
+dr3 AS MATERIALIZED (SELECT u.vertex, 0.15 / (SELECT n FROM dnv) + 0.85 * ((SELECT dsum FROM dang3) / (SELECT n FROM dnv) + COALESCE(g.inf, 0)) AS rank FROM duniv u LEFT JOIN (SELECT e.b AS vertex, SUM(p.rank / o.od) AS inf FROM ddir e JOIN dr2 p ON p.vertex = e.a JOIN dout o ON o.v = e.a GROUP BY e.b) g ON g.vertex = u.vertex),
+dang4 AS MATERIALIZED (SELECT COALESCE(SUM(rank), 0) AS dsum FROM dr3 WHERE vertex NOT IN (SELECT v FROM dhasout)),
+dr4 AS MATERIALIZED (SELECT u.vertex, 0.15 / (SELECT n FROM dnv) + 0.85 * ((SELECT dsum FROM dang4) / (SELECT n FROM dnv) + COALESCE(g.inf, 0)) AS rank FROM duniv u LEFT JOIN (SELECT e.b AS vertex, SUM(p.rank / o.od) AS inf FROM ddir e JOIN dr3 p ON p.vertex = e.a JOIN dout o ON o.v = e.a GROUP BY e.b) g ON g.vertex = u.vertex),
+dang5 AS MATERIALIZED (SELECT COALESCE(SUM(rank), 0) AS dsum FROM dr4 WHERE vertex NOT IN (SELECT v FROM dhasout)),
+dr5 AS MATERIALIZED (SELECT u.vertex, 0.15 / (SELECT n FROM dnv) + 0.85 * ((SELECT dsum FROM dang5) / (SELECT n FROM dnv) + COALESCE(g.inf, 0)) AS rank FROM duniv u LEFT JOIN (SELECT e.b AS vertex, SUM(p.rank / o.od) AS inf FROM ddir e JOIN dr4 p ON p.vertex = e.a JOIN dout o ON o.v = e.a GROUP BY e.b) g ON g.vertex = u.vertex),
+dang6 AS MATERIALIZED (SELECT COALESCE(SUM(rank), 0) AS dsum FROM dr5 WHERE vertex NOT IN (SELECT v FROM dhasout)),
+dr6 AS MATERIALIZED (SELECT u.vertex, 0.15 / (SELECT n FROM dnv) + 0.85 * ((SELECT dsum FROM dang6) / (SELECT n FROM dnv) + COALESCE(g.inf, 0)) AS rank FROM duniv u LEFT JOIN (SELECT e.b AS vertex, SUM(p.rank / o.od) AS inf FROM ddir e JOIN dr5 p ON p.vertex = e.a JOIN dout o ON o.v = e.a GROUP BY e.b) g ON g.vertex = u.vertex),
+dang7 AS MATERIALIZED (SELECT COALESCE(SUM(rank), 0) AS dsum FROM dr6 WHERE vertex NOT IN (SELECT v FROM dhasout)),
+dr7 AS MATERIALIZED (SELECT u.vertex, 0.15 / (SELECT n FROM dnv) + 0.85 * ((SELECT dsum FROM dang7) / (SELECT n FROM dnv) + COALESCE(g.inf, 0)) AS rank FROM duniv u LEFT JOIN (SELECT e.b AS vertex, SUM(p.rank / o.od) AS inf FROM ddir e JOIN dr6 p ON p.vertex = e.a JOIN dout o ON o.v = e.a GROUP BY e.b) g ON g.vertex = u.vertex),
+dang8 AS MATERIALIZED (SELECT COALESCE(SUM(rank), 0) AS dsum FROM dr7 WHERE vertex NOT IN (SELECT v FROM dhasout)),
+dr8 AS MATERIALIZED (SELECT u.vertex, 0.15 / (SELECT n FROM dnv) + 0.85 * ((SELECT dsum FROM dang8) / (SELECT n FROM dnv) + COALESCE(g.inf, 0)) AS rank FROM duniv u LEFT JOIN (SELECT e.b AS vertex, SUM(p.rank / o.od) AS inf FROM ddir e JOIN dr7 p ON p.vertex = e.a JOIN dout o ON o.v = e.a GROUP BY e.b) g ON g.vertex = u.vertex)
+SELECT vertex, ROUND(rank, 9) AS rank FROM dr8
 """
 
     # densest-subgraph peel (graph/densest.py): 5 materialized peel rounds,
@@ -2625,6 +2686,7 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 6
         "degree_deltas": degree_deltas_sql,
         "coarsen_once": coarsen_once_sql,
         "mis": mis_sql,
+        "pagerank_directed": pagerank_directed_sql,
         "densest_subgraph": densest_subgraph_sql,
         "exact_dedup": exact_dedup_sql,
         "token_stats": token_stats_sql,

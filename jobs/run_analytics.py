@@ -19,7 +19,8 @@ harmonic centrality, exact lcm-numerator BFS to --max-dist), summary (assortativ
 global clustering one-row table), eigen (eigenvector centrality, exact
 integer power iteration), hits (hubs/authorities over the DIRECTED edge
 table — direction is semantic, no canonicalization), scc (strongly
-connected components, FW-BW coloring, directed as-is), densest
+connected components, FW-BW coloring, directed as-is), dpagerank
+(directed PageRank with dangling redistribution), densest
 (batched Charikar peel round stats), mis (Luby maximal independent
 set) / matching (maximal matching, the coarsening primitive) —
 both derandomized keyed-hash priorities, wpagerank (weighted rank
@@ -52,7 +53,8 @@ def main(argv=None, stop: bool = True) -> None:
         choices=["cc", "lp", "triangles", "tricount", "clustering", "linkpred", "bfs",
                  "diameter", "hyperanf", "kcore", "walks", "ppr", "betweenness",
                  "summary", "eigen", "hits", "sssp", "modularity", "ktruss",
-                 "closeness", "scc", "densest", "wpagerank", "mis", "matching"],
+                 "closeness", "scc", "densest", "wpagerank", "mis", "matching",
+                 "dpagerank"],
     )
     ap.add_argument("--output", default=None, help="result parquet")
     ap.add_argument("--json-out", default=None, help="write the info dict here")
@@ -158,6 +160,11 @@ def main(argv=None, stop: bool = True) -> None:
         out, info = hyperanf(edges, assigned=assigned, n_steps=args.n_steps)
     elif args.algo == "kcore":
         out, info = coreness(edges, max_iter=args.max_iter)
+    elif args.algo == "dpagerank":
+        # DIRECTED semantics like hits/scc: src->dst as given
+        from split_merge_partitioner_spark.graph import directed_pagerank
+
+        out = directed_pagerank(edges, n_iter=args.n_iter)
     elif args.algo == "matching":
         from split_merge_partitioner_spark.graph import maximal_matching
 

@@ -1,0 +1,101 @@
+"""Directed PageRank with dangling-mass redistribution — the canonical
+web-graph form (Page et al. 1999; direction is semantic, src → dst).
+
+r_{t+1}(v) = (1−d)/n + d·( Σ_{u→v} r_t(u)/outdeg(u) + D_t/n ),
+D_t = Σ_{outdeg(u)=0} r_t(u) — dangling vertices spread their rank
+uniformly, keeping Σr = 1 exactly (up to float ulp) instead of leaking
+mass every step.  The undirected engine paths (pagerank.py, five
+execution modes) double the edge relation so dangling never arises; this
+module is the directed variant on the shared one-exchange superstep
+recipe, with the dangling sum as ONE extra scalar aggregate per step
+(a driver double, not a relation).
+
+Execution: static relation (dst gather key) carries the SOURCE's
+out-degree (the walks.py no-second-join trick), hash-partitioned by src
+and localCheckpointed; per superstep one co-located shuffle_hash join +
+one map-side-combined groupBy(dst) + one 1-row dangling aggregate.
+Vertices with in-degree 0 still receive base + dangling share via the
+left join against the universe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def directed_pagerank(
+    edges: DataFrame,
+    n_iter: int = 8,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(vertex, rank) after ``n_iter`` directed power-iteration steps over
+    (src, dst) edges taken AS GIVEN (no canonicalization; parallel edges
+    deduped); ranks sum to 1."""
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    if not 0.0 < damping < 1.0:
+        raise ValueError("damping must be in (0, 1)")
+    spark = edges.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    rel = None
+    universe = None
+    try:
+        e = edges.select("src", "dst").dropDuplicates(["src", "dst"])
+        outdeg = e.groupBy(F.col("src").alias("u")).agg(
+            F.count(F.lit(1)).alias("od")
+        )
+        rel = (
+            e.join(outdeg, e.src == outdeg.u)
+            .select("src", "dst", "od")
+            .repartition(shuffle_n, "src")
+            .localCheckpoint(eager=True)
+        )
+        universe = (
+            e.select(F.col("src").alias("vertex"))
+            .unionAll(e.select(F.col("dst").alias("vertex")))
+            .distinct()
+            .repartition(shuffle_n, "vertex")
+            .localCheckpoint(eager=True)
+        )
+        n = universe.count()
+        if n == 0:
+            return spark.createDataFrame([], "vertex long, rank double")
+        base = (1.0 - damping) / n
+        has_out = rel.select(F.col("src").alias("vertex")).distinct()
+        state = universe.select("vertex", F.lit(1.0 / n).alias("rank")).localCheckpoint(
+            eager=True
+        )
+        for _ in range(n_iter):
+            dangling = (
+                state.join(has_out, "vertex", "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d"))
+                .collect()[0]["d"]
+            )
+            contribs = state.select(F.col("vertex").alias("src"), F.col("rank").alias("r"))
+            gathered = (
+                rel.join(contribs.hint("shuffle_hash"), "src")
+                .groupBy(F.col("dst").alias("vertex"))
+                .agg(F.sum(F.col("r") / F.col("od")).alias("inflow"))
+            )
+            prev = state
+            state = (
+                universe.join(gathered, "vertex", "left")
+                .select(
+                    "vertex",
+                    (
+                        F.lit(base + damping * dangling / n)
+                        + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            prev.unpersist()
+        return state
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        for df in (rel, universe):
+            if df is not None:
+                df.unpersist()

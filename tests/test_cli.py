@@ -110,6 +110,7 @@ def test_build_pyfiles_zip_importable(tmp_path):
     ("wpagerank", ["--n-iter", "3"]),
     ("mis", []),
     ("matching", []),
+    ("dpagerank", ["--n-iter", "3"]),
     ("sssp", ["--source", "0", "--max-supersteps", "6"]),
     ("modularity", ["--n-iter", "3"]),
     ("ktruss", ["--k-truss", "3"]),
