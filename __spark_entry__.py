@@ -255,6 +255,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out, _ = strongly_connected_components(dir_edges)
         return out
 
+    def q_scc_cp(spark, sf):
+        # second-fixture SCC (VERDICT r5 item 6: data-dependent round counts
+        # are the class where a second fixture catches real bugs): 80
+        # independent block-local functional graphs over the 2000 part keys
+        # (block b = v div 25; x -> 3x+1 mod 25, every 5th vertex also
+        # x -> 7x+2) — 240 SCCs, largest 20, a structurally different shape
+        # (parallel shallow blocks) from q_scc's single 500-vertex chain
+        from split_merge_partitioner_spark.graph import strongly_connected_components
+
+        pv = spark.read.parquet(f"{sf}/part.parquet").select(
+            F.col("p_partkey").cast("long").alias("v")
+        )
+        blk = F.expr("v DIV 25") * 25
+        x = F.col("v") % 25
+        dir_edges = pv.select(
+            F.col("v").alias("src"), (blk + (3 * x + 1) % 25).alias("dst")
+        ).unionAll(
+            pv.where(F.col("v") % 5 == 0).select(
+                F.col("v").alias("src"), (blk + (7 * x + 2) % 25).alias("dst")
+            )
+        )
+        out, _ = strongly_connected_components(dir_edges)
+        return out
+
     def _snapshot_b(spark, sf):
         # deterministic "next ingestion snapshot" of the co-occurrence graph:
         # drop ~5% of edges by Lehmer hash (seed 7), add one fresh edge per
@@ -555,6 +579,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from split_merge_partitioner_spark.graph.truss import ktruss
 
         return ktruss(_proj_edges(spark, sf), k=4, max_rounds=4)
+
+    def q_ktruss_cp(spark, sf):
+        # second-fixture 4-truss on the customer--customer projection of the
+        # customer--part graph (pairs sharing >= 5 parts: 4.1k edges / 927
+        # triangles at sf0.01 vs the primary fixture's 1.1k / 3.4k — a much
+        # sparser triangle profile, so the peel actually removes edges in
+        # different rounds)
+        from split_merge_partitioner_spark.graph.truss import ktruss
+        from split_merge_partitioner_spark.sources import bipartite_project
+
+        projcp = bipartite_project(_edges_cp(spark, sf), min_shared=5)
+        return ktruss(projcp, k=4, max_rounds=4)
 
     def q_degree_assortativity(spark, sf):
         # Newman assortativity of the raw bipartite co-occurrence graph
@@ -921,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_components,
         "connected_components_stars": q_components_stars,
         "scc": q_scc,
+        "scc_cp": q_scc_cp,
         "matching": q_matching,
         "graph_diff": q_graph_diff,
         "degree_deltas": q_degree_deltas,
@@ -959,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_closeness_cp": q_harmonic_closeness_cp,
         "modularity": q_modularity,
         "ktruss": q_ktruss,
+        "ktruss_cp": q_ktruss_cp,
         "tfidf_top_terms": q_tfidf_top_terms,
         "repetition_stats": q_repetition_stats,
         "quality_filter": q_quality_filter,
@@ -1203,6 +1241,27 @@ dir AS (
     SELECT v AS a, (7 * v + 3) % 500 AS b FROM dv
     UNION ALL
     SELECT v, (31 * v + 17) % 500 FROM dv WHERE v % 5 = 0
+),
+verts AS (SELECT DISTINCT a AS v FROM dir UNION SELECT b FROM dir),
+reach(v, r) AS (
+    SELECT v, v FROM verts
+    UNION
+    SELECT reach.v, dir.b FROM reach JOIN dir ON reach.r = dir.a
+)
+SELECT f.v AS vertex, CAST(MIN(f.r) AS BIGINT) AS component
+FROM reach f JOIN reach b ON f.v = b.r AND f.r = b.v
+GROUP BY f.v
+"""
+
+    # second-fixture SCC twin: 80 block-local functional graphs over part
+    # keys (v div 25 blocks; x -> 3x+1 mod 25, every 5th also x -> 7x+2);
+    # same exact-transitive-closure contract, bounded reach (<= 25/vertex)
+    scc_cp_sql = """
+WITH RECURSIVE pv AS (SELECT CAST(p_partkey AS BIGINT) AS v FROM part),
+dir AS (
+    SELECT v AS a, (v // 25) * 25 + ((3 * (v % 25) + 1) % 25) AS b FROM pv
+    UNION ALL
+    SELECT v, (v // 25) * 25 + ((7 * (v % 25) + 2) % 25) FROM pv WHERE v % 5 = 0
 ),
 verts AS (SELECT DISTINCT a AS v FROM dir UNION SELECT b FROM dir),
 reach(v, r) AS (
@@ -2554,30 +2613,33 @@ FROM ev6, evm
     # the projection graph, then one final within-truss support recount.
     # All-integer counting — hash-exact.
     _KT = 2  # k - 2 for k = 4
-    # AS MATERIALIZED: each e{t} is referenced 4x per round (3 triangle legs
-    # + the filter), so DuckDB's default CTE inlining goes exponential in the
-    # round count (the betweenness-oracle finding, commit f531f92)
-    _truss_ctes = ["e0 AS MATERIALIZED (SELECT src, dst FROM proj)"]
-    for _t in range(1, 5):
-        _p = _t - 1
-        _truss_ctes.append(
-            f"tri{_t} AS MATERIALIZED (SELECT x.src AS a, x.dst AS b, y.dst AS c"
-            f" FROM e{_p} x JOIN e{_p} y ON y.src = x.dst"
-            f" JOIN e{_p} z ON z.src = x.src AND z.dst = y.dst)"
-        )
-        _truss_ctes.append(
-            f"sup{_t} AS MATERIALIZED (SELECT src, dst, COUNT(*) AS sup FROM ("
-            f"SELECT a AS src, b AS dst FROM tri{_t}"
-            f" UNION ALL SELECT b, c FROM tri{_t}"
-            f" UNION ALL SELECT a, c FROM tri{_t}) GROUP BY src, dst)"
-        )
-        _truss_ctes.append(
-            f"e{_t} AS MATERIALIZED (SELECT e.src, e.dst FROM e{_p} e"
-            f" LEFT JOIN sup{_t} s ON s.src = e.src AND s.dst = e.dst"
-            f" WHERE COALESCE(s.sup, 0) >= {_KT})"
-        )
-    ktruss_sql = f"""
-WITH {_EDGES_CTE}, {_PROJ_CTE},
+
+    def _truss_sql(prelude_ctes: str, proj_name: str) -> str:
+        # AS MATERIALIZED: each e{t} is referenced 4x per round (3 triangle
+        # legs + the filter), so DuckDB's default CTE inlining goes
+        # exponential in the round count (the betweenness-oracle finding,
+        # commit f531f92).  Shared by the primary and _cp fixtures.
+        _truss_ctes = [f"e0 AS MATERIALIZED (SELECT src, dst FROM {proj_name})"]
+        for _t in range(1, 5):
+            _p = _t - 1
+            _truss_ctes.append(
+                f"tri{_t} AS MATERIALIZED (SELECT x.src AS a, x.dst AS b, y.dst AS c"
+                f" FROM e{_p} x JOIN e{_p} y ON y.src = x.dst"
+                f" JOIN e{_p} z ON z.src = x.src AND z.dst = y.dst)"
+            )
+            _truss_ctes.append(
+                f"sup{_t} AS MATERIALIZED (SELECT src, dst, COUNT(*) AS sup FROM ("
+                f"SELECT a AS src, b AS dst FROM tri{_t}"
+                f" UNION ALL SELECT b, c FROM tri{_t}"
+                f" UNION ALL SELECT a, c FROM tri{_t}) GROUP BY src, dst)"
+            )
+            _truss_ctes.append(
+                f"e{_t} AS MATERIALIZED (SELECT e.src, e.dst FROM e{_p} e"
+                f" LEFT JOIN sup{_t} s ON s.src = e.src AND s.dst = e.dst"
+                f" WHERE COALESCE(s.sup, 0) >= {_KT})"
+            )
+        return f"""
+WITH {prelude_ctes},
 {','.join(_truss_ctes)},
 trif AS MATERIALIZED (SELECT x.src AS a, x.dst AS b, y.dst AS c
          FROM e4 x JOIN e4 y ON y.src = x.dst
@@ -2589,6 +2651,19 @@ supf AS MATERIALIZED (SELECT src, dst, COUNT(*) AS sup FROM (
 SELECT e.src, e.dst, CAST(COALESCE(s.sup, 0) AS BIGINT) AS support
 FROM e4 e LEFT JOIN supf s ON s.src = e.src AND s.dst = e.dst
 """
+
+    ktruss_sql = _truss_sql(f"{_EDGES_CTE}, {_PROJ_CTE}", "proj")
+    # second fixture: customer--customer pairs sharing >= 5 parts of the
+    # customer--part co-occurrence graph (927 triangles at sf0.01)
+    ktruss_cp_sql = _truss_sql(
+        f"""{_EDGES_CP_CTE},
+projcp AS MATERIALIZED (
+    SELECT a.src AS src, b.src AS dst
+    FROM edges a JOIN edges b ON a.dst = b.dst AND a.src < b.src
+    GROUP BY a.src, b.src HAVING COUNT(*) >= 5
+)""",
+        "projcp",
+    )
 
     # -- HITS oracle ---------------------------------------------------------
     # exact integer half-steps (graph/hits.py): a_t = A^T h_{t-1}, h_t = A a_t
@@ -2675,12 +2750,14 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 6
         "harmonic_closeness_cp": _harmonic_sql_for(_EDGES_CP_CTE),
         "modularity": modularity_sql,
         "ktruss": ktruss_sql,
+        "ktruss_cp": ktruss_cp_sql,
         "degree_assortativity": degree_assortativity_sql,
         "global_clustering": global_clustering_sql,
         "betweenness": betweenness_sql,
         "connected_components": components_sql,
         "connected_components_stars": components_sql,
         "scc": scc_sql,
+        "scc_cp": scc_cp_sql,
         "matching": matching_sql,
         "graph_diff": graph_diff_sql,
         "degree_deltas": degree_deltas_sql,

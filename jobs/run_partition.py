@@ -4,7 +4,7 @@
 Knob names mirror the reference CLI (gflags surface, src/main.cpp:20-35):
   --p            number of final partitions        (-p)
   --k            split multiplier for FSM          (-k)
-  --method       fsm | dbh | hybrid | hdrf | ebv | ne | hep | fennel | hybridbl | bpart | v2e  (-method)
+  --method       fsm | dbh | hybrid | hdrf | ebv | ne | hep | fennel | hybridbl | bpart | v2e | v2e_metis  (-method)
   --fastmerge    use fast_merge instead of precise (-fastmerge)
   --hdf          high-degree factor                (-hdf)
   --lambda_      HDRF balance lambda               (-lambda)
@@ -37,7 +37,7 @@ def main(argv=None, stop: bool = True) -> None:
     ap.add_argument("--k", type=int, default=2)
     ap.add_argument("--method", default="fsm",
                     choices=["fsm", "dbh", "hybrid", "hdrf", "ebv", "ne", "hep",
-                             "fennel", "hybridbl", "bpart", "v2e"])
+                             "fennel", "hybridbl", "bpart", "v2e", "v2e_metis"])
     ap.add_argument("--fastmerge", action="store_true")
     ap.add_argument("--hdf", type=float, default=100.0)
     ap.add_argument("--lambda_", "--lambda", type=float, default=1.1, dest="lambda_")
@@ -51,6 +51,11 @@ def main(argv=None, stop: bool = True) -> None:
     # in its code (hep_partitioner.hpp:276 is commented out; FLAGS_hybrid_NE
     # has no use site) — documented out of scope in COVERAGE.md.
     ap.add_argument("--write_low_degree_edgelist", action="store_true")
+    # v2e_metis: gpmetis output file (<graph>.part.<p>) — line i = bucket of
+    # dense vertex i-1 (the reference pipeline README.md:63-70, reader parity
+    # src/vertex2edgepart.cpp:40-59)
+    ap.add_argument("--vertex_parts", default=None,
+                    help="METIS .part.<p> file for --method v2e_metis")
     args = ap.parse_args(argv)
 
     from split_merge_partitioner_spark.operators import (
@@ -111,6 +116,16 @@ def main(argv=None, stop: bool = True) -> None:
         from split_merge_partitioner_spark.operators import bpart_partition
 
         assigned = vertex2edge_partition(edges, bpart_partition(edges, args.p))
+    elif args.method == "v2e_metis":
+        # the reference's documented three-step pipeline: adjlist export ->
+        # external gpmetis -> read .part.<p> -> edge assignment
+        from split_merge_partitioner_spark.sources.writers import (
+            read_metis_vertexparts,
+        )
+
+        assert args.vertex_parts, "--vertex_parts required with v2e_metis"
+        vp = read_metis_vertexparts(spark, args.vertex_parts, p=args.p)
+        assigned = vertex2edge_partition(edges, vp)
     else:  # v2e
         assigned = vertex2edge_partition(edges, vertex_partition_by_hash(edges, args.p))
 

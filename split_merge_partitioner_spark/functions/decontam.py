@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import _token_array
+from .text import _token_array, _word_ngrams
 
 
 def ngram_contamination(
@@ -50,7 +50,7 @@ def ngram_contamination(
         raise ValueError("n must be >= 1")
     tr_grams = (
         train.select("doc_id", _token_array(text_col).alias("__toks__"))
-        .select("doc_id", F.array_distinct(_ngrams_of_tokens(n)).alias("grams"))
+        .select("doc_id", F.array_distinct(_word_ngrams("__toks__", n)).alias("grams"))
         .select(
             "doc_id",
             F.size("grams").cast("long").alias("n_grams"),
@@ -61,7 +61,7 @@ def ngram_contamination(
     )
     ev = (
         eval_docs.select(_token_array(text_col).alias("__toks__"))
-        .select(F.explode(_ngrams_of_tokens(n)).alias("gram"))
+        .select(F.explode(_word_ngrams("__toks__", n)).alias("gram"))
         .distinct()
         .withColumn("__hit__", F.lit(1))
     )
@@ -85,14 +85,3 @@ def ngram_contamination(
         )
     )
 
-
-def _ngrams_of_tokens(n: int):
-    """Gram array over a token-array column named ``__toks__``."""
-    return F.when(
-        F.size(F.col("__toks__")) < n, F.array().cast("array<string>")
-    ).otherwise(
-        F.expr(
-            f"transform(sequence(1, size(__toks__) - {n - 1}), "
-            f"i -> array_join(slice(__toks__, i, {n}), ' '))"
-        )
-    )

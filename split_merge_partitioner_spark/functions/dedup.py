@@ -22,6 +22,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..storage import release
 from pyspark.sql.functions import pandas_udf
 
 # --------------------------------------------------------------------------
@@ -363,7 +365,7 @@ def embedding_near_duplicates(
     ).persist()
     first_row = normed.first()
     if first_row is None:
-        normed.unpersist()
+        release(normed)
         return spark.createDataFrame([], "id_a long, id_b long, cosine double")
 
     if exact:
@@ -418,7 +420,7 @@ def embedding_near_duplicates(
         finally:
             for bc in bcs:
                 bc.destroy()
-            normed.unpersist()
+            release(normed)
 
     buckets = build_probe_tables(
         normed, len(first_row["vec"]), n_planes, n_tables, n_probes, seed
@@ -458,7 +460,7 @@ def embedding_near_duplicates(
         # materialize so the persisted normalized table can be released
         return out.localCheckpoint(eager=True)
     finally:
-        normed.unpersist()
+        release(normed)
 
 
 def near_duplicate_clusters(

@@ -21,6 +21,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..storage import release
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
@@ -145,7 +147,7 @@ def brute_force_knn(
         for bc in bcs:
             bc.destroy()
         if n_blocks > 1:
-            corpus.unpersist()
+            release(corpus)
 
 
 def _hyperplane_udf(dim: int, n_planes: int, seed: int, n_probes: int = 0):
@@ -256,7 +258,7 @@ def lsh_knn(
     ).persist()
     first_row = normed.first()
     if first_row is None:
-        normed.unpersist()
+        release(normed)
         return emb.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double, rank long"
         )
@@ -281,7 +283,7 @@ def lsh_knn(
         # returning (same session-hygiene contract as brute_force_knn)
         return out.localCheckpoint(eager=True)
     finally:
-        normed.unpersist()
+        release(normed)
 
 
 # --------------------------------------------------------------------------
@@ -420,7 +422,7 @@ def ivf_knn(
     ).persist()
     first_row = normed.first()
     if first_row is None:
-        normed.unpersist()
+        release(normed)
         return emb.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double, rank long"
         )
@@ -452,4 +454,4 @@ def ivf_knn(
     try:
         return out.localCheckpoint(eager=True)
     finally:
-        normed.unpersist()
+        release(normed)

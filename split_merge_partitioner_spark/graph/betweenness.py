@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..storage import release
+
 
 def betweenness(
     edges: DataFrame,
@@ -123,4 +125,4 @@ def betweenness(
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
         if und is not None:
-            und.unpersist()
+            release(und)

@@ -37,6 +37,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..storage import release
+
 
 def harmonic_closeness(
     edges: DataFrame,
@@ -52,6 +54,16 @@ def harmonic_closeness(
         raise ValueError("harmonic_closeness needs a non-empty seed set")
     if max_dist < 1:
         raise ValueError("max_dist must be >= 1")
+    if max_dist > 42:
+        # lcm(1..43) = 9.42e18 > 2^63-1: the BIGINT numerator would overflow
+        # (ANSI throw or silent wrap).  lcm(1..42) ≈ 2.19e17 still leaves
+        # ~40 bits of headroom for the per-vertex sum over seeds.
+        raise ValueError(
+            "max_dist must be <= 42: lcm(1..max_dist) exceeds int64 beyond "
+            "that, corrupting harmonic_num. For wider horizons use "
+            "graph/hyperanf.py (probabilistic, no common-denominator trick) "
+            "or chunk the seed set and sum float harmonics driver-side."
+        )
     big_l = math.lcm(*range(1, max_dist + 1))
     spark = edges.sparkSession
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -113,4 +125,4 @@ def harmonic_closeness(
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
         if und is not None:
-            und.unpersist()
+            release(und)

@@ -13,6 +13,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..storage import release
+
 from .gas import truncate
 
 
@@ -89,7 +91,7 @@ def _cc_broadcast(spark, verts: np.ndarray, assigned: DataFrame, max_iter: int):
         if bc is not None:
             bc.destroy()
         if packed is not None:
-            packed.unpersist()
+            release(packed)
         bc_verts.destroy()
     out = spark.createDataFrame(
         pd.DataFrame({"vertex": verts, "component": verts[label]})
@@ -121,7 +123,7 @@ def connected_components(
         verts = np.sort(
             state.select("vertex").toPandas()["vertex"].to_numpy(np.int64)
         )
-        state.unpersist()
+        release(state)
         return _cc_broadcast(spark, verts, assigned, max_iter)
     if mode == "gas":
         assert assigned is not None
@@ -173,7 +175,7 @@ def connected_components(
             .where(F.col("label") != F.col("old"))
             .count()
         )
-        prev.unpersist()
+        release(prev)
         info["iterations"] = it + 1
         if changed == 0:
             info["converged"] = True
@@ -257,14 +259,30 @@ def connected_components_stars(
     for r in range(max_rounds):
         nxt = _star(_star(cur, large=True), large=False).localCheckpoint(eager=True)
         nsig = _sig(nxt)
-        cur.unpersist()
+        release(cur)
         cur = nxt
         info["rounds"] = r + 1
         if nsig == sig:
             info["converged"] = True
             break
         sig = nsig
+    if not info["converged"]:
+        raise RuntimeError(
+            f"connected_components_stars: no fixpoint after {max_rounds} "
+            "rounds — labels are only meaningful at the star fixpoint "
+            "(a vertex could otherwise carry multiple labels); raise "
+            "max_rounds (convergence is O(log² n) rounds)."
+        )
     labels = cur.select(F.col("dst").alias("vertex"), F.col("src").alias("label"))
+    # at a true fixpoint the edge set is a union of min-rooted stars, so
+    # every vertex appears as dst at most once; guard the (astronomically
+    # unlikely) count+moments signature collision by asserting it
+    dup = labels.groupBy("vertex").count().where(F.col("count") > 1)
+    if not dup.isEmpty():
+        raise RuntimeError(
+            "connected_components_stars: fixpoint signature collision — "
+            "label relation is not single-valued per vertex"
+        )
     out = universe.join(labels, "vertex", "left").select(
         "vertex", F.coalesce("label", "vertex").alias("component")
     )

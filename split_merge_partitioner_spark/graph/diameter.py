@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..storage import release
+
 _UNREACHED = np.iinfo(np.int64).max
 
 
@@ -176,12 +178,12 @@ def _bfs_shuffle(edges: DataFrame, assigned: DataFrame, seed_vertex: int,
             .where(F.col("dist") != F.col("old"))
             .count()
         )
-        prev.unpersist()
+        release(prev)
         if changed == 0:
             break
     if owns_static:
-        replicas.unpersist()
-        edges_by_bucket.unpersist()
+        release(replicas)
+        release(edges_by_bucket)
     return state
 
 
@@ -206,7 +208,7 @@ def _double_sweep_shuffle(edges, assigned, max_levels, source, distances_only):
     try:
         d1 = _bfs_shuffle(edges, assigned, seed, max_levels, static_inputs)
         reached = d1.where(F.col("dist") < _INF).localCheckpoint(eager=True)
-        d1.unpersist()
+        release(d1)
         if distances_only:
             mx = reached.agg(F.max("dist").alias("m")).collect()[0]["m"]
             return reached, {"levels": int(mx) if mx is not None else 0}
@@ -218,11 +220,11 @@ def _double_sweep_shuffle(edges, assigned, max_levels, source, distances_only):
         diameter = int(
             d2.where(F.col("dist") < _INF).agg(F.max("dist").alias("m")).collect()[0]["m"]
         )
-        d2.unpersist()
-        reached.unpersist()
+        release(d2)
+        release(reached)
     finally:
-        static_inputs[0].unpersist()
-        static_inputs[1].unpersist()
+        release(static_inputs[0])
+        release(static_inputs[1])
     out = spark.createDataFrame(
         pd.DataFrame({"seed": [seed], "far_vertex": [far], "diameter": [diameter]})
     )
@@ -286,7 +288,7 @@ def _double_sweep_impl(edges, assigned, max_levels, source=None,
     finally:
         bc_verts.destroy()
         if packed is not None:
-            packed.unpersist()
+            release(packed)
     out = spark.createDataFrame(
         pd.DataFrame(
             {

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..storage import release
+
 
 def directed_pagerank(
     edges: DataFrame,
@@ -92,10 +94,10 @@ def directed_pagerank(
                 )
                 .localCheckpoint(eager=True)
             )
-            prev.unpersist()
+            release(prev)
         return state
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
         for df in (rel, universe):
             if df is not None:
-                df.unpersist()
+                release(df)

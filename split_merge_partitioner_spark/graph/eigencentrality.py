@@ -36,6 +36,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..storage import release
+
 
 def eigenvector_centrality(edges: DataFrame, n_iter: int = 6) -> DataFrame:
     """(vertex, score) after ``n_iter`` exact power-iteration steps over the
@@ -81,7 +83,7 @@ def eigenvector_centrality(edges: DataFrame, n_iter: int = 6) -> DataFrame:
                 .agg(F.sum("c").cast("decimal(38,0)").alias("x"))
                 .localCheckpoint(eager=True)
             )
-            prev.unpersist()
+            release(prev)
         mx = state.agg(F.max("x").alias("mx"))
         return state.crossJoin(F.broadcast(mx)).select(
             "vertex",
@@ -92,4 +94,4 @@ def eigenvector_centrality(edges: DataFrame, n_iter: int = 6) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
         if und is not None:
-            und.unpersist()
+            release(und)

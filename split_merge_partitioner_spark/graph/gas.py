@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from ..storage import release
+
 CHECKPOINT_EVERY = 5
 
 
@@ -38,5 +40,5 @@ def truncate(state: DataFrame, prev_checkpoint: DataFrame | None) -> DataFrame:
     """Materialize + truncate lineage; release the previous checkpoint."""
     out = state.localCheckpoint(eager=True)
     if prev_checkpoint is not None:
-        prev_checkpoint.unpersist()
+        release(prev_checkpoint)
     return out

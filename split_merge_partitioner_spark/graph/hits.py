@@ -39,6 +39,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..storage import release
+
 
 def hits(edges: DataFrame, n_rounds: int = 4) -> DataFrame:
     """(vertex, hub, auth) after ``n_rounds`` exact HITS rounds over the
@@ -103,9 +105,9 @@ def hits(edges: DataFrame, n_rounds: int = 4) -> DataFrame:
                 .agg(F.sum("x").cast("decimal(38,0)").alias("x"))
                 .localCheckpoint(eager=True)
             )
-            prev_h.unpersist()
+            release(prev_h)
             if prev_a is not None:
-                prev_a.unpersist()
+                release(prev_a)
         mh = h.agg(F.max("x").alias("mh"))
         ma = a.agg(F.max("x").alias("ma"))
         out = (
@@ -132,4 +134,4 @@ def hits(edges: DataFrame, n_rounds: int = 4) -> DataFrame:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
         for df in (by_src, by_dst):
             if df is not None:
-                df.unpersist()
+                release(df)

@@ -49,6 +49,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..storage import release
+
 _B = 6
 _M = 64  # registers per vertex = 2**_B
 _ALPHA = 0.7213 / (1.0 + 1.079 / _M)
@@ -156,7 +158,7 @@ def _hyperanf_broadcast(spark, verts: np.ndarray, assigned: DataFrame, n_steps: 
         if bc is not None:
             bc.destroy()
         if packed is not None:
-            packed.unpersist()
+            release(packed)
         bc_verts.destroy()
     return history, info
 
@@ -277,7 +279,7 @@ def _hyperanf_shuffle_packed(spark, edges: DataFrame, n_steps: int, stop_early: 
                 .where(F.col("pk") != F.col("old"))
                 .count()
             )
-            state.unpersist()
+            release(state)
             state = new_state
             info["iterations"] += 1
             if changed == 0:
@@ -285,8 +287,8 @@ def _hyperanf_shuffle_packed(spark, edges: DataFrame, n_steps: int, stop_early: 
                 break
             history.append(state.agg(est_expr).collect()[0][0])
     finally:
-        state.unpersist()
-        e.unpersist()
+        release(state)
+        release(e)
     return history, info
 
 
@@ -331,7 +333,7 @@ def _hyperanf_shuffle(spark, edges: DataFrame, n_steps: int, stop_early: bool):
                 .where(F.col("regs") != F.col("old"))
                 .count()
             )
-            state.unpersist()
+            release(state)
             state = new_state
             info["iterations"] += 1
             if changed == 0:
@@ -342,8 +344,8 @@ def _hyperanf_shuffle(spark, edges: DataFrame, n_steps: int, stop_early: bool):
                 break
             history.append(state.agg(est_expr).collect()[0][0])
     finally:
-        state.unpersist()
-        e.unpersist()
+        release(state)
+        release(e)
     return history, info
 
 
@@ -416,8 +418,8 @@ def hyperanf_register_moments(edges: DataFrame, n_steps: int = 3) -> DataFrame:
         return out
     finally:
         for st in states:
-            st.unpersist()
-        e.unpersist()
+            release(st)
+        release(e)
 
 
 def _estimate_sum_expr():
@@ -477,7 +479,7 @@ def hyperanf(
         else:
             history, info = _hyperanf_shuffle(spark, edges, n_steps, stop_early)
     finally:
-        verts_df.unpersist()
+        release(verts_df)
     if not stop_early:
         history = history + [history[-1]] * (n_steps + 1 - len(history))
     n_inf = history[-1]

@@ -32,6 +32,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..storage import release
+
 
 def _hindex_numpy(n: int, s: np.ndarray, d: np.ndarray, c: np.ndarray) -> np.ndarray:
     """One h-operator sweep, fully vectorized: for every vertex the h-index of
@@ -113,7 +115,7 @@ def _coreness_shuffle(spark, edges: DataFrame, n_iter: int | None, max_iter: int
             .where(F.col("c") != F.col("old"))
             .count()
         )
-        state.unpersist()
+        release(state)
         state = new_state
         info["iterations"] += 1
         if changed == 0:
@@ -122,7 +124,7 @@ def _coreness_shuffle(spark, edges: DataFrame, n_iter: int | None, max_iter: int
             break
     if n_iter is not None:
         info["iterations"] = n_iter  # fixed-shape contract (rest were no-ops)
-    und.unpersist()
+    release(und)
     return state.select("vertex", F.col("c").alias("coreness")), info
 
 

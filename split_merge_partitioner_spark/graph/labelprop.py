@@ -18,6 +18,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..storage import release
+
 from .gas import at_boundary, truncate
 
 
@@ -100,7 +102,7 @@ def _lp_broadcast(spark, verts: np.ndarray, assigned: DataFrame, n_iter: int):
         if bc is not None:
             bc.destroy()
         if packed is not None:
-            packed.unpersist()
+            release(packed)
         bc_verts.destroy()
     return spark.createDataFrame(
         pd.DataFrame({"vertex": verts, "label": verts[label]})
@@ -131,7 +133,7 @@ def label_propagation(
         verts = np.sort(
             state.select("vertex").toPandas()["vertex"].to_numpy(np.int64)
         )
-        state.unpersist()
+        release(state)
         return _lp_broadcast(spark, verts, assigned, n_iter)
     if mode == "gas":
         assert assigned is not None

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..storage import release
+
 from ..functions.sampling import sample_hash
 
 
@@ -34,8 +36,9 @@ WEIGHT_CAP = 2_097_151  # 2^21 - 1: keeps the oracle's HUGEINT key encoding exac
 def maximal_matching(
     edges: DataFrame,
     seed: int = 42,
-    max_rounds: int = 64,
+    max_rounds: int | None = None,
     weight_col: str | None = None,
+    quantize: bool = False,
 ) -> tuple[DataFrame, dict]:
     """((src, dst, round_matched), info): the matched edges of a maximal
     matching over the undirected canonical edge table; ``round_matched``
@@ -46,7 +49,20 @@ def maximal_matching(
     becomes (−weight, hash, src, dst): heavier edges win their
     neighborhoods first — METIS's heavy-edge matching rule, the quality
     heuristic for multilevel coarsening (contracting heavy edges keeps cut
-    weight in the coarse graph)."""
+    weight in the coarse graph).
+
+    Weighted worst case: exact-weight dominance means the hash reseed only
+    breaks ties among EQUAL weights, so an adversarial ordering (e.g. a
+    path with strictly monotone weights) resolves ~1 edge per round — the
+    O(log m) Luby expectation does NOT apply.  ``max_rounds`` therefore
+    defaults to 64 unweighted but 512 weighted (fail-fast, never wrong).
+    ``quantize=True`` restores O(log m)-ish behavior on such inputs by
+    using the weight's power-of-two class floor(log2(w)) as the primary
+    key — the hash then randomizes within each class (≤21 classes), at a
+    mild heavy-edge-quality cost; still a pure function of (edge, round),
+    so runs stay partitioning-independent and SQL-replayable."""
+    if max_rounds is None:
+        max_rounds = 512 if weight_col is not None else 64
     cols = [
         F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
     ]
@@ -76,7 +92,18 @@ def maximal_matching(
             F.col("src").cast("long") * F.lit(1000003) + F.col("dst").cast("long"),
         ).withColumn("p", sample_hash("__ekey__", seed + r))
         if weight_col is not None:
-            pr = pr.withColumn("wneg", F.lit(WEIGHT_CAP) - F.col("__w__"))
+            if quantize:
+                # power-of-two weight class: heavier classes still dominate,
+                # the hash randomizes within a class => O(log m) expectation
+                # holds per class; the class is bit_length(w)-1 = exact
+                # floor(log2 w) with NO float (libm log2 can land on k-ε at
+                # powers of two), so the DuckDB replay stays bit-identical
+                pr = pr.withColumn(
+                    "wneg",
+                    F.lit(21) - (F.length(F.bin(F.col("__w__"))) - 1).cast("long"),
+                )
+            else:
+                pr = pr.withColumn("wneg", F.lit(WEIGHT_CAP) - F.col("__w__"))
             key_cols = ["wneg", "p", "src", "dst"]
         else:
             key_cols = ["p", "src", "dst"]
@@ -94,24 +121,31 @@ def maximal_matching(
             .localCheckpoint(eager=True)
         )
         sel = winners.select("src", "dst", F.lit(r).cast("long").alias("round_matched"))
-        matched = sel if matched is None else matched.unionAll(sel).localCheckpoint(
+        prev_matched = matched
+        matched = (sel if matched is None else matched.unionAll(sel)).localCheckpoint(
             eager=True
         )
+        if prev_matched is not None:
+            release(prev_matched)  # consumed: the new checkpoint owns the rows
         gone = (
             winners.select(F.col("src").alias("v"))
             .unionAll(winners.select(F.col("dst").alias("v")))
             .distinct()
         )
+        prev_e = e
         e = (
             e.join(gone.withColumnRenamed("v", "src"), "src", "left_anti")
             .join(gone.withColumnRenamed("v", "dst"), "dst", "left_anti")
             .localCheckpoint(eager=True)
         )
+        release(prev_e)
+        release(winners)
         if e.isEmpty():  # resolving on the final allowed round is success
             info["converged"] = True
             break
     else:
         raise RuntimeError(f"matching did not resolve in {max_rounds} rounds")
+    release(e)  # the drained edge relation; `matched` stays (it IS the result)
     if matched is None:
         spark = edges.sparkSession
         return spark.createDataFrame([], "src long, dst long, round_matched long"), info

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..storage import release
+
 from ..functions.sampling import sample_hash
 
 
@@ -76,9 +78,12 @@ def maximal_independent_set(
             .localCheckpoint(eager=True)
         )
         sel = winners.select("v", F.lit(r).cast("long").alias("round_selected"))
-        chosen = sel if chosen is None else chosen.unionAll(sel).localCheckpoint(
+        prev_chosen = chosen
+        chosen = (sel if chosen is None else chosen.unionAll(sel)).localCheckpoint(
             eager=True
         )
+        if prev_chosen is not None:
+            release(prev_chosen)  # consumed: the new checkpoint owns the rows
         # winners and their dominated neighbors leave
         dominated = (
             nb.join(winners.withColumnRenamed("v", "nb"), "nb", "left_semi")
@@ -86,17 +91,25 @@ def maximal_independent_set(
             .distinct()
         )
         gone = winners.unionAll(dominated).distinct().localCheckpoint(eager=True)
+        prev_verts = verts
         verts = verts.join(gone, "v", "left_anti").localCheckpoint(eager=True)
+        release(prev_verts)
+        prev_e = e
         e = (
             e.join(verts.withColumnRenamed("v", "src"), "src", "left_semi")
             .join(verts.withColumnRenamed("v", "dst"), "dst", "left_semi")
             .localCheckpoint(eager=True)
         )
+        release(prev_e)
+        release(gone)
+        release(winners)
         if verts.isEmpty():  # resolving on the final allowed round is success
             info["converged"] = True
             break
     else:
         raise RuntimeError(f"MIS did not resolve in {max_rounds} rounds")
+    release(verts)  # drained; `chosen` (the result) is the only live state
+    release(e)
     universe = (
         edges.select(F.col("src").alias("vertex"))
         .unionAll(edges.select(F.col("dst").alias("vertex")))

@@ -35,6 +35,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..storage import release
+
 from ..sources.edges import degrees as degrees_of
 from .gas import at_boundary, truncate
 
@@ -99,7 +101,7 @@ def _pack_edge_blocks(spark, assigned: DataFrame, bc_verts, idx_dtype,
     if n_tasks < shuffle_n:
         fat = rdd.coalesce(n_tasks).persist()
         fat.count()
-        rdd.unpersist()
+        release(rdd)
         rdd = fat
     return rdd
 
@@ -214,14 +216,14 @@ def _pagerank_gas_rdd(
         # VM's 2-40x spikes (BENCH/BASELINE.md).
         if packed_rdd is not None:
             info["superstep_seconds"] = _time.monotonic() - loop_t0
-            packed_rdd.unpersist()
+            release(packed_rdd)
         if step_times:
             info["superstep_seconds_min"] = min(step_times)
         if bc is not None:
             bc.destroy()
         bc_verts.destroy()
         if per_partition is not None:
-            per_partition.unpersist()
+            release(per_partition)
     return state_df(), info
 
 
@@ -428,7 +430,7 @@ def pagerank(
         if start_it > 0:
             pdf = state.select("vertex", "rank").toPandas().sort_values("vertex")
             init_rank = pdf["rank"].to_numpy(np.float64)
-        state.unpersist()
+        release(state)
         try:
             if combine in ("auto", "rdd"):
                 # default sub-threshold executor: raw-RDD static blocks, one
@@ -445,7 +447,7 @@ def pagerank(
             # both executors return driver-materialized results, so the
             # checkpointed degree table can be released here (it otherwise
             # accrues one n-row checkpoint per pagerank call)
-            deg.unpersist()
+            release(deg)
 
     und_jvm = None
     edges_by_bucket = None
@@ -624,7 +626,7 @@ def pagerank(
                         .agg(F.max(F.abs(F.col("rank") - F.col("old"))).alias("d"))
                         .collect()[0]["d"]
                     )
-                prev.unpersist()
+                release(prev)
                 if ckpt is not None:
                     elapsed = max(_time.monotonic() - block_t0, 1e-9)
                     eps = (m_edges or 0) * check_every / elapsed
@@ -644,11 +646,11 @@ def pagerank(
         info["superstep_seconds"] = _time.monotonic() - loop_t0
         spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
         if und_jvm is not None:
-            und_jvm.unpersist()
+            release(und_jvm)
         if replicas_by_vertex is not None:
-            replicas_by_vertex.unpersist()
+            release(replicas_by_vertex)
         if edges_by_bucket is not None:
-            edges_by_bucket.unpersist()
-            replicas.unpersist()
-    deg.unpersist()
+            release(edges_by_bucket)
+            release(replicas)
+    release(deg)
     return state.select("vertex", "rank"), info

@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..storage import release
+
 
 def personalized_pagerank(
     edges: DataFrame,
@@ -103,6 +105,6 @@ def personalized_pagerank(
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
         if und is not None:
-            und.unpersist()
+            release(und)
         if vert is not None:
-            vert.unpersist()
+            release(vert)

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..storage import release
+
 
 def strongly_connected_components(
     edges: DataFrame,
@@ -64,7 +66,10 @@ def strongly_connected_components(
     info = {"rounds": 0, "trim_layers": 0, "converged": False}
 
     def _accumulate(acc, new):
-        return new if acc is None else acc.unionAll(new).localCheckpoint(eager=True)
+        out = (new if acc is None else acc.unionAll(new)).localCheckpoint(eager=True)
+        if acc is not None:
+            release(acc)  # consumed: the new checkpoint owns the rows
+        return out
 
     for _ in range(max_outer):
         if verts.isEmpty():
@@ -82,18 +87,22 @@ def strongly_connected_components(
             )
             trimmed = verts.join(core, "v", "left_anti")
             if trimmed.isEmpty():
+                release(verts)
                 verts = core
                 break
             info["trim_layers"] += 1
             done = _accumulate(
-                done, trimmed.select("v", F.col("v").alias("component"))
+                done, trimmed.select(F.col("v").alias("vertex"), F.col("v").alias("component"))
             )
+            release(verts)
             verts = core
+            prev_e = e
             e = (
                 e.join(core.withColumnRenamed("v", "src"), "src", "left_semi")
                 .join(core.withColumnRenamed("v", "dst"), "dst", "left_semi")
                 .localCheckpoint(eager=True)
             )
+            release(prev_e)
         if verts.isEmpty():
             info["converged"] = True
             break
@@ -115,6 +124,7 @@ def strongly_connected_components(
                 .where(F.col("c") != F.col("old"))
                 .count()
             )
+            release(color)
             color = new
             if changed == 0:
                 break
@@ -143,20 +153,31 @@ def strongly_connected_components(
                 .localCheckpoint(eager=True)
             )
             if newly.isEmpty():
+                release(newly)
                 break
+            prev_marked = marked
             marked = marked.unionAll(newly).localCheckpoint(eager=True)
+            release(prev_marked)
+            release(newly)
         else:
             raise RuntimeError(f"backward marking did not converge in {max_steps} steps")
         resolved = color.join(marked, "v", "left_semi").select(
-            "v", F.col("c").alias("component")
+            F.col("v").alias("vertex"), F.col("c").alias("component")
         )
         done = _accumulate(done, resolved)
+        prev_verts = verts
         verts = verts.join(marked, "v", "left_anti").localCheckpoint(eager=True)
+        release(prev_verts)
+        prev_e = e
         e = (
             e.join(verts.withColumnRenamed("v", "src"), "src", "left_semi")
             .join(verts.withColumnRenamed("v", "dst"), "dst", "left_semi")
             .localCheckpoint(eager=True)
         )
+        release(prev_e)
+        release(e_same)
+        release(marked)
+        release(color)
         if verts.isEmpty():  # resolving on the final allowed round is success
             info["converged"] = True
             break
@@ -165,9 +186,13 @@ def strongly_connected_components(
             f"SCC did not resolve in {max_outer} outer rounds "
             "(condensation chain deeper than max_outer)"
         )
+    release(verts)  # drained; `done` (the result) is the only live state
+    release(e)
     if done is None:
         return (
             spark.createDataFrame([], "vertex long, component long"),
             info,
         )
-    return done.select(F.col("v").alias("vertex"), "component"), info
+    # `done` is returned AS the checkpointed relation (no projection wrapper)
+    # so storage.release(result) hands the caller full ownership of its blocks
+    return done, info

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..storage import release
+
 
 def shortest_paths(
     edges: DataFrame,
@@ -91,7 +93,7 @@ def shortest_paths(
                 .agg(F.min("dist").alias("dist"))
                 .localCheckpoint(eager=True)
             )
-            prev.unpersist()
+            release(prev)
             row = state.agg(
                 F.count(F.lit(1)).alias("c"), F.sum("dist").alias("t")
             ).collect()[0]
@@ -103,4 +105,4 @@ def shortest_paths(
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
         if und is not None:
-            und.unpersist()
+            release(und)

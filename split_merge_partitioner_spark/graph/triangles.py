@@ -15,13 +15,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..sources.edges import degrees as degrees_of
+from ..storage import release
 
 
 def _oriented(edges: DataFrame, orient: str) -> DataFrame:
     if orient == "id":
         # already canonical src<dst; materialized for the same 3-leg reuse
         return edges.select("src", "dst").localCheckpoint(eager=True)
-    deg = F.broadcast(degrees_of(edges).localCheckpoint(eager=True))
+    deg_ckpt = degrees_of(edges).localCheckpoint(eager=True)
+    deg = F.broadcast(deg_ckpt)
     e = (
         edges.join(deg.withColumnRenamed("vertex", "src").withColumnRenamed("degree", "ds"), "src")
         .join(deg.withColumnRenamed("vertex", "dst").withColumnRenamed("degree", "dd"), "dst")
@@ -34,7 +36,9 @@ def _oriented(edges: DataFrame, orient: str) -> DataFrame:
     # materialize: the wedge query self-joins this THREE times; without a cut
     # the whole degree-join subplan executes once per leg (seen in
     # explain("formatted") — three repeated BroadcastHashJoin blocks)
-    return oriented.localCheckpoint(eager=True)
+    out = oriented.localCheckpoint(eager=True)
+    release(deg_ckpt)  # folded into the oriented checkpoint; scratch otherwise
+    return out
 
 
 def triangle_count(edges: DataFrame, orient: str = "degree") -> int:
@@ -43,11 +47,14 @@ def triangle_count(edges: DataFrame, orient: str = "degree") -> int:
     O(sqrt(m)) even on power-law hubs — the skew-killer at scale.  The count
     itself is orientation-invariant (oracle stays on id orientation)."""
     e = _oriented(edges, orient)
-    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    wedges = ab.join(bc, "b")
-    return wedges.join(ac, ["a", "c"]).count()
+    try:
+        ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+        ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+        wedges = ab.join(bc, "b")
+        return wedges.join(ac, ["a", "c"]).count()
+    finally:
+        release(e)
 
 
 def triangles_per_vertex(edges: DataFrame, orient: str = "degree") -> DataFrame:
@@ -64,7 +71,13 @@ def triangles_per_vertex(edges: DataFrame, orient: str = "degree") -> DataFrame:
         .unionAll(tri.select(F.col("b").alias("vertex")))
         .unionAll(tri.select(F.col("c").alias("vertex")))
     )
-    return corners.groupBy("vertex").agg(F.count(F.lit(1)).alias("triangles"))
+    # materialize (n-row result << wedge work) so the oriented scratch can be
+    # released here instead of staying pinned under a lazy result plan
+    out = corners.groupBy("vertex").agg(
+        F.count(F.lit(1)).alias("triangles")
+    ).localCheckpoint(eager=True)
+    release(e)
+    return out
 
 
 def local_clustering(edges: DataFrame, orient: str = "degree") -> DataFrame:
@@ -129,6 +142,7 @@ def triangle_count_sampled(
     spark = edges.sparkSession
     n_sampled = sampled.count()
     tri_sampled = tri.count()
+    release(e)
     return spark.createDataFrame(
         [(int(p), int(n_sampled), int(tri_sampled), int(tri_sampled) * int(p) ** 3)],
         "p long, n_edges_sampled long, tri_sampled long, estimate long",

@@ -31,12 +31,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..storage import release
+
 from .triangles import _oriented
 
 
-def _edge_support(e_canon: DataFrame, orient: str) -> DataFrame:
-    """(src, dst, sup) per canonical (src<dst) edge of ``e_canon``; edges in
-    no triangle are absent (join back with a left join + coalesce 0)."""
+def _edge_support(e_canon: DataFrame, orient: str):
+    """((src, dst, sup) per canonical (src<dst) edge of ``e_canon``, scratch):
+    edges in no triangle are absent (join back with a left join + coalesce 0);
+    the caller must storage.release(scratch) once sup is materialized."""
     e = _oriented(e_canon, orient)
     ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
@@ -49,13 +52,14 @@ def _edge_support(e_canon: DataFrame, orient: str) -> DataFrame:
         .unionAll(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
         .unionAll(tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
     )
-    return (
+    sup = (
         pairs.select(
             F.least("u", "v").alias("src"), F.greatest("u", "v").alias("dst")
         )
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("sup"))
     )
+    return sup, e
 
 
 def ktruss(
@@ -77,7 +81,7 @@ def ktruss(
     for _ in range(max_rounds):
         if n_edges == 0:
             break
-        sup = _edge_support(e, orient)
+        sup, scratch = _edge_support(e, orient)
         prev = e
         e = (
             prev.join(sup, ["src", "dst"], "left")
@@ -85,15 +89,21 @@ def ktruss(
             .select("src", "dst")
             .localCheckpoint(eager=True)
         )
-        prev.unpersist()
+        release(prev)
+        release(scratch)
         n_new = e.count()
         if n_new == n_edges:  # |E| strictly decreases until the fixpoint
             break
         n_edges = n_new
     if n_edges == 0:
-        e.unpersist()
+        release(e)
         return spark.createDataFrame([], "src long, dst long, support long")
-    out = e.join(_edge_support(e, orient), ["src", "dst"], "left").select(
+    sup, scratch = _edge_support(e, orient)
+    # materialized so the peeled edge set + oriented scratch can be released:
+    # the returned checkpoint is the caller's single owned relation
+    out = e.join(sup, ["src", "dst"], "left").select(
         "src", "dst", F.coalesce(F.col("sup"), F.lit(0)).cast("long").alias("support")
-    )
+    ).localCheckpoint(eager=True)
+    release(scratch)
+    release(e)
     return out

@@ -50,6 +50,8 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..storage import release
+
 _MASK63 = (1 << 63) - 1
 
 
@@ -101,6 +103,7 @@ def random_walks(
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     adj = None
+    steps: list[DataFrame] = []
     try:
         und = edges.select(F.col("src").alias("w"), F.col("dst").alias("n")).unionAll(
             edges.select(F.col("dst").alias("w"), F.col("src").alias("n"))
@@ -134,7 +137,7 @@ def random_walks(
             )
             .localCheckpoint(eager=True)
         )
-        steps = [state]
+        steps.append(state)
         for _ in range(walk_length):
             prev = steps[-1]
             j = (F.col("h").bitwiseAND(F.lit(_MASK63)) % F.col("deg_cur")).alias("j")
@@ -158,7 +161,15 @@ def random_walks(
                 "start", "walk", F.lit(t).cast("long").alias("step"), "vertex"
             )
             out = proj if out is None else out.unionAll(proj)
-        return out
+        # materialize the corpus into ONE checkpoint so every per-step state
+        # (and the static adjacency) can be released here rather than leaking
+        # in executor storage for the session's lifetime; transiently 2× the
+        # corpus, permanently 1× — the caller owns (and can unpersist) `out`
+        return out.localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.ansi.enabled", ansi_was)
         spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        if adj is not None:
+            release(adj)
+        for st in steps:
+            release(st)

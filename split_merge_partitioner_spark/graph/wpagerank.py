@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..storage import release
+
 
 def weighted_pagerank(
     edges: DataFrame,
@@ -98,9 +100,9 @@ def weighted_pagerank(
                 # next superstep's join distribution — no extra repartition
                 .localCheckpoint(eager=True)
             )
-            prev.unpersist()
+            release(prev)
         return state
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
         if und is not None:
-            und.unpersist()
+            release(und)

@@ -57,6 +57,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..storage import release
 from pyspark.sql.types import LongType, StructField, StructType
 
 from ..sources.edges import degrees as degrees_of
@@ -808,7 +810,7 @@ def fsm_partition(
         valid = precise_merge(order, stats, p, k)
     else:
         raise ValueError(f"unknown merge {merge!r}")
-    reps.unpersist()
+    release(reps)
 
     # --- rearrange: broadcast old->final map (fsm_partitioner.hpp:114-129) ---
     map_df = F.broadcast(

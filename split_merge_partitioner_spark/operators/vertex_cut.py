@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..storage import release
+
 
 def vertex_partition_by_hash(edges: DataFrame, p: int) -> DataFrame:
     """Trivial baseline vertex partition (vertex, bucket) = hash(vertex) % p —
@@ -104,7 +106,7 @@ def vertex2edge_partition_ksplit(
         valid = precise_merge(order, stats, p, k)
     else:
         raise ValueError(f"unknown merge {merge!r}")
-    mirror.unpersist()
+    release(mirror)
     map_df = F.broadcast(
         spark.createDataFrame(
             [(int(o), int(nb)) for o, nb in valid.items()], "bucket long, final long"

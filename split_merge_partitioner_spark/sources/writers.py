@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..storage import release
+
 
 def write_edgepart_multifile(assigned: DataFrame, path: str) -> None:
     """Parquet partitioned by bucket — the scalable sink (one dir per bucket,
@@ -91,10 +93,52 @@ def write_low_degree_edgelist(edges: DataFrame, path: str, hdf: float = 100.0) -
         (F.col("deg_src") <= thresh) | (F.col("deg_dst") <= thresh)
     ).select("src", "dst")
     low.write.mode("overwrite").parquet(path)
-    deg.unpersist()
+    release(deg)
     # count from the sink, not by re-running the join (get_stat pattern:
     # verify what was written)
     return edges.sparkSession.read.parquet(path).count()
+
+
+def read_metis_vertexparts(spark: SparkSession, path: str, p: int | None = None) -> DataFrame:
+    """Read a METIS/gpmetis partition file (``<graph>.part.<p>``) into a
+    (vertex, bucket) DataFrame — the reader half of the reference's v2e
+    pipeline (src/vertex2edgepart.cpp:40-59 reads exactly this format).
+
+    Format: n lines, line i (1-based) = the 0-based bucket of METIS vertex i;
+    our ``write_metis_adjlist`` export maps dense 0-based id v to METIS
+    vertex v+1, so line i corresponds to engine vertex i-1 — i.e. 0-based
+    line number = vertex id.
+
+    Line numbering must be exact, so the file is read ``wholetext`` (one JVM
+    row) and split with ``posexplode`` — pure JVM, no Python per line, order
+    guaranteed.  gpmetis emits one modest text file (n lines), so a single
+    row is the right shape; for partition tables at 10^12-vertex scale use
+    parquet (read_vertexpart below), not METIS interop text.
+
+    With ``p`` given, validates every bucket is in [0, p) (fail-fast on a
+    truncated or mismatched file)."""
+    whole = spark.read.text(path, wholetext=True)
+    # rtrim only strips spaces; the trailing newline must go via regexp or a
+    # phantom empty line N+1 appears
+    body = F.regexp_replace(F.col("value"), r"[\r\n]+$", "")
+    out = (
+        whole.select(
+            F.posexplode(F.split(body, r"\r?\n")).alias("vertex", "line")
+        )
+        .select(
+            F.col("vertex").cast("long"),
+            F.trim(F.col("line")).cast("long").alias("bucket"),
+        )
+    )
+    if p is not None:
+        bad = out.where(
+            F.col("bucket").isNull() | (F.col("bucket") < 0) | (F.col("bucket") >= p)
+        ).count()
+        if bad:
+            raise ValueError(
+                f"{bad} lines of {path} are not valid buckets in [0, {p})"
+            )
+    return out
 
 
 def read_edgepart(spark: SparkSession, path: str) -> DataFrame:
