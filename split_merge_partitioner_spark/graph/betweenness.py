@@ -53,6 +53,7 @@ def betweenness(
     aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     und = None
+    scratch: list = []  # per-level checkpoints, all released in finally
     try:
         und = (
             edges.select(F.col("src").alias("v"), F.col("dst").alias("nb"))
@@ -66,6 +67,7 @@ def betweenness(
             .select("seed", F.col("seed").alias("v"), F.lit(1).cast("long").alias("sigma"))
             .localCheckpoint(eager=True)
         )
+        scratch.append(frontier)
         # settled layers, one DataFrame per BFS level (sigma final per level)
         layers = [frontier]
         settled = frontier
@@ -78,12 +80,14 @@ def betweenness(
                 .join(settled.select("seed", "v"), ["seed", "v"], "left_anti")
                 .localCheckpoint(eager=True)
             )
+            scratch.append(nxt)
             if nxt.isEmpty():
                 break
             layers.append(nxt)
             settled = settled.unionAll(nxt.select("seed", "v", "sigma")).localCheckpoint(
                 eager=True
             )
+            scratch.append(settled)
             frontier = nxt
         # backward accumulation, deepest level first
         delta = None  # (seed, v, delta) for levels > current
@@ -110,19 +114,27 @@ def betweenness(
                 .agg((F.sum("ratio") * F.first("sigma")).alias("delta"))
                 .localCheckpoint(eager=True)
             )
+            scratch.append(contrib)
             delta = contrib
             proj = wlayer.select("seed", "v", "delta")
             out = proj if out is None else out.unionAll(proj)
         universe = und.select(F.col("v").alias("vertex")).distinct()
         if out is None:  # no seed reached anything (isolated seeds)
-            return universe.select("vertex", F.lit(0.0).alias("bc"))
+            return universe.select("vertex", F.lit(0.0).alias("bc")).localCheckpoint(
+                eager=True
+            )
         summed = out.groupBy(F.col("v").alias("vertex")).agg(
             (F.sum("delta") / 2.0).alias("bc_raw")
         )
+        # materialized so the static relation + every per-level checkpoint can
+        # be actually released below (storage.release drops checkpoint blocks
+        # for real — a lazy result over und would lose its inputs)
         return universe.join(summed, "vertex", "left").select(
             "vertex", F.round(F.coalesce("bc_raw", F.lit(0.0)), 6).alias("bc")
-        )
+        ).localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
         if und is not None:
             release(und)
+        for df in scratch:
+            release(df)

@@ -70,6 +70,7 @@ def harmonic_closeness(
     aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     und = None
+    scratch: list = []  # per-level checkpoints, all released in finally
     try:
         und = (
             edges.select(F.col("src").alias("v"), F.col("dst").alias("nb"))
@@ -83,6 +84,7 @@ def harmonic_closeness(
             .select("seed", F.col("seed").alias("v"))
             .localCheckpoint(eager=True)
         )
+        scratch.append(frontier)
         visited = frontier.select("seed", "v", F.lit(0).cast("long").alias("dist"))
         for t in range(1, max_dist + 1):
             nxt = (
@@ -93,11 +95,13 @@ def harmonic_closeness(
                 .join(visited.select("seed", "v"), ["seed", "v"], "left_anti")
                 .localCheckpoint(eager=True)
             )
+            scratch.append(nxt)
             if nxt.isEmpty():
                 break
             visited = visited.unionAll(
                 nxt.select("seed", "v", F.lit(t).cast("long").alias("dist"))
             ).localCheckpoint(eager=True)
+            scratch.append(visited)
             frontier = nxt
         scores = (
             visited.where(F.col("dist") >= 1)
@@ -113,6 +117,9 @@ def harmonic_closeness(
             )
         )
         universe = und.select(F.col("v").alias("vertex")).distinct()
+        # materialized so the static relation + every per-level state can be
+        # actually released below (storage.release drops checkpoint blocks
+        # for real — a lazy result over und would lose its inputs)
         return universe.join(scores, "vertex", "left").select(
             "vertex",
             F.coalesce("n_seeds_reached", F.lit(0).cast("long")).alias("n_seeds_reached"),
@@ -121,8 +128,10 @@ def harmonic_closeness(
             F.round(
                 F.coalesce("harmonic_num", F.lit(0).cast("long")) / F.lit(big_l), 6
             ).alias("harmonic"),
-        )
+        ).localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
         if und is not None:
             release(und)
+        for df in scratch:
+            release(df)

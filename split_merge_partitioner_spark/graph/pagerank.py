@@ -464,15 +464,33 @@ def pagerank(
             # gather-join key and lineage-truncated — every superstep's
             # contrib join is then exchange-free on this side (contribs
             # arrive hash-partitioned on the same key from the previous
-            # groupBy), leaving ONE map-side-combined shuffle per superstep
+            # groupBy), leaving ONE map-side-combined shuffle per superstep.
+            # deg_nb (the CONTRIBUTOR's degree) rides on the static relation
+            # so the superstep needs neither a degree column in the state nor
+            # the post-gather deg join (VERDICT r4 item 3): rank/deg_nb is
+            # computed per edge row inside the same codegen stage — bitwise
+            # the same division as before, just evaluated 2m times instead of
+            # n (divisions are free next to the exchange), and the state
+            # shuffled per superstep shrinks from (long,long,double) to
+            # (long,double)
+            deg_nb = deg.select(F.col("vertex").alias("nb"), F.col("degree").alias("deg_nb"))
             und_jvm = (
                 edges.select(F.col("src").alias("vertex"), F.col("dst").alias("nb"))
                 .unionAll(
                     edges.select(F.col("dst").alias("vertex"), F.col("src").alias("nb"))
                 )
+                # one-time static build: shuffle-hash (deg is the build
+                # side), NOT broadcast — deg is n rows and n can be 10^9+
+                .join(deg_nb.hint("shuffle_hash"), "nb")
+                .select("vertex", "nb", "deg_nb")
                 .repartition(shuffle_n, "nb")
                 .localCheckpoint(eager=True)
             )
+            # jvm state is (vertex, rank) only; partitioning hash(vertex) from
+            # the degrees groupBy (or the resume join) survives the checkpoint
+            fat_state = state
+            state = state.select("vertex", "rank").localCheckpoint(eager=True)
+            release(fat_state)
         elif combine == "mirror":
             # PowerGraph-volume JVM superstep: per-superstep exchanges carry
             # 2*RF*n rows (mirror contribs in, per-bucket partials out) — the
@@ -536,18 +554,16 @@ def pagerank(
     try:
         for it in range(start_it, max_iter):
             if mode == "gas" and combine == "jvm":
-                # three JVM operators: co-located join (und_jvm is static and
-                # pre-partitioned on nb; contribs arrive hash-partitioned on
-                # the same key), shuffle-hash build on the slim contrib side,
-                # then ONE partial-aggregated groupBy shuffle
-                contrib_df = state.select(
-                    F.col("vertex").alias("nb"),
-                    (F.col("rank") / F.col("degree")).alias("c"),
-                )
+                # two JVM operators: co-located join (und_jvm is static and
+                # pre-partitioned on nb; ranks arrive hash-partitioned on the
+                # same key), then ONE partial-aggregated groupBy shuffle —
+                # rank/deg_nb happens inside the join's codegen stage, and no
+                # degree join follows (deg_nb is static on the doubled edges)
+                contrib_df = state.select(F.col("vertex").alias("nb"), "rank")
                 gathered = (
                     und_jvm.join(contrib_df.hint("shuffle_hash"), "nb")
                     .groupBy("vertex")
-                    .agg(F.sum("c").alias("gathered"))
+                    .agg(F.sum(F.col("rank") / F.col("deg_nb")).alias("gathered"))
                 )
             elif mode == "gas" and combine == "mirror":
                 # (1) mirror contribs: replicas(vertex-partitioned) join the
@@ -601,13 +617,21 @@ def pagerank(
 
             # inner join is lossless: every vertex has degree >= 1 (ids come from
             # the edge list) so each one receives a scatter row (possibly 0.0)
-            new_state = gathered.join(
-                F.broadcast(deg) if broadcast_state else deg, "vertex"
-            ).select(
-                "vertex",
-                "degree",
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("gathered"), F.lit(0.0))).alias("rank"),
-            )
+            if mode == "gas" and combine == "jvm":
+                # no deg join: the gathered relation already covers every
+                # vertex (degree >= 1 guarantees a contrib row per neighbor)
+                new_state = gathered.select(
+                    "vertex",
+                    (F.lit(base) + F.lit(damping) * F.col("gathered")).alias("rank"),
+                )
+            else:
+                new_state = gathered.join(
+                    F.broadcast(deg) if broadcast_state else deg, "vertex"
+                ).select(
+                    "vertex",
+                    "degree",
+                    (F.lit(base) + F.lit(damping) * F.coalesce(F.col("gathered"), F.lit(0.0))).alias("rank"),
+                )
             # lazy chain between boundaries: each check_every-block executes as ONE
             # job at the boundary truncate (broadcast exchanges inside the block
             # run once each within that job); delta/ckpt actions read only

@@ -459,3 +459,32 @@ def test_tfidf_top_terms_k_bound_and_determinism(spark, docs):
     )
     pd.testing.assert_frame_equal(a, b)
     out.unpersist()
+
+
+def test_ivf_knn_clustered_fixture_high_recall(spark):
+    """VERDICT r4 item 8: 0.854 recall on quasi-random vectors is the honest
+    floor; on CLUSTERED embeddings (the realistic regime IVF is built for)
+    default probes must reach >= 0.95 — this planted-cluster fixture guards
+    the quantizer against regressions random vectors can't see."""
+    from split_merge_partitioner_spark.functions import ivf_knn
+
+    rng = np.random.default_rng(7)
+    n_clusters, per_cluster, dim = 20, 40, 16
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for ci in range(n_clusters):
+        # tight isotropic noise: true neighbors are within-cluster with
+        # overwhelming probability, so brute-force truth aligns with lists
+        pts = centers[ci] + 0.05 * rng.normal(size=(per_cluster, dim))
+        for v in pts:
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>").persist()
+    exact = brute_force_knn(emb, k=5).toPandas()
+    approx = ivf_knn(emb, k=5).toPandas()  # library DEFAULTS (16 lists, 10 probes)
+    e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.95, recall
