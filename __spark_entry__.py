@@ -937,6 +937,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.col("rn").cast("long").alias("rn"))
         )
 
+    def q_sessionize(spark, sf):
+        # gap-based sessionization (functions/events.py): one user-keyed
+        # exchange, exact-integer microsecond epochs/durations and
+        # value-micros sums — no float in the hash surface
+        from split_merge_partitioner_spark.functions.events import sessionize
+
+        return sessionize(spark.read.parquet(f"{sf}/events.parquet"))
+
+    def q_asof_latest(spark, sf):
+        # as-of join via union-tag + last(ignorenulls) running window —
+        # linear, one exchange; the declarative range-join equivalent is the
+        # oracle (quadratic per user is fine for DuckDB at sf0.01)
+        from split_merge_partitioner_spark.functions.events import asof_latest
+
+        return asof_latest(
+            spark.read.parquet(f"{sf}/events.parquet"), "purchase", "click"
+        )
+
+    def q_segment_dedup(spark, sf):
+        # C4 line-level dedup restated over fixed 16-token blocks (docs have
+        # no newline structure): corpus-wide keep-first by (doc_id, idx),
+        # ONE block-keyed exchange + one reassembly groupBy
+        from split_merge_partitioner_spark.functions.dedup import segment_dedup
+
+        return segment_dedup(_docs(spark, sf))
+
+    def q_kmeans_assign(spark, sf):
+        # one quantized-integer Lloyd assignment (functions/kmeans.py):
+        # k=8 seed centroids inlined as literals, argmin inside one codegen
+        # scan, ZERO shuffles — all arithmetic exact int64
+        from split_merge_partitioner_spark.functions.kmeans import kmeans_assign
+
+        return kmeans_assign(spark.read.parquet(f"{sf}/embeddings.parquet"))
+
+    def q_kmeans_update(spark, sf):
+        # the centroid-update numerators of the same Lloyd step: one
+        # partial-aggregated exchange over k*dim integer sums
+        from split_merge_partitioner_spark.functions.kmeans import kmeans_update
+
+        return kmeans_update(spark.read.parquet(f"{sf}/embeddings.parquet"))
+
+    def q_skipgram_pairs(spark, sf):
+        # word2vec skip-gram co-occurrence counts, window 3: pair generation
+        # is a NARROW nested-transform on the token array (no self-join),
+        # so the whole op is scan + ONE map-side-combined exchange
+        from split_merge_partitioner_spark.functions.text import skipgram_pairs
+
+        return skipgram_pairs(_docs(spark, sf), window=3, min_count=2)
+
+    def q_betweenness_cp(spark, sf):
+        # second-fixture Brandes (VERDICT r4 item 6 tail): same batched-seed
+        # estimator on the customer-part bipartite graph — different degree
+        # profile and BFS layer shapes than the customer-supplier fixture
+        from split_merge_partitioner_spark.graph import betweenness
+
+        e = _edges_cp(spark, sf)
+        seeds = [
+            r.vertex
+            for r in e.select(F.col("src").alias("vertex"))
+            .unionAll(e.select(F.col("dst").alias("vertex")))
+            .distinct()
+            .orderBy("vertex")
+            .limit(3)
+            .collect()
+        ]
+        return betweenness(e, seeds, max_levels=8)
+
     qd = {
         "edges_cooccur": q_edges,
         "degrees": q_degrees,
@@ -1027,6 +1094,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_by_type": q_events_by_type,
         "events_rollup": q_events_rollup,
         "user_top_events": q_user_top_events,
+        "sessionize": q_sessionize,
+        "asof_latest": q_asof_latest,
+        "segment_dedup": q_segment_dedup,
+        "kmeans_assign": q_kmeans_assign,
+        "kmeans_update": q_kmeans_update,
+        "skipgram_pairs": q_skipgram_pairs,
+        "betweenness_cp": q_betweenness_cp,
     }
 
     # ------------------------------------------------------------------
@@ -1050,6 +1124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_top_events",
         # -- 2. new this round --
         "scc_cp", "ktruss_cp",
+        "sessionize", "asof_latest", "segment_dedup",
+        "kmeans_assign", "kmeans_update", "skipgram_pairs", "betweenness_cp",
         # -- 3. r3-green, dropped out of r4's window --
         "embedding_dups_exact", "embedding_dups_lsh", "ebv_bucket_sizes",
         "v2e_assign", "v2e_assign_portable", "v2e_ksplit_assign",
@@ -1058,12 +1134,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "core_boundary_stats", "bfs_distances", "approx_diameter",
         "hyperanf_nf", "coreness_hindex", "media_features",
         "events_by_type", "events_rollup",
-        # -- 4. r4-green whose code changed this round (storage release /
-        #       oriented-scratch / stars fixpoint / weighted matching) --
+        # -- 4. r4-green whose code changed this round, highest-risk first:
+        #       the slimmed jvm superstep (pagerank.py), the flagship FSM
+        #       replay, then the storage-release/fixpoint-guard edits; the
+        #       50-query window cuts into this group — the tail rotates into
+        #       r6's window
+        "pagerank_10iter", "pagerank_weighted", "fsm_assign_portable",
         "matching", "coarsen_once", "triangle_count", "triangles_per_vertex",
         "triangle_count_sampled", "local_clustering", "global_clustering",
         "connected_components_stars", "scc", "random_walks",
-        "fsm_assign_portable",
     ]
     missing = [k for k in _WINDOW_ORDER if k not in qd]
     assert not missing, f"window order names unknown queries: {missing}"
@@ -2460,19 +2539,20 @@ SELECT CAST(t AS BIGINT) AS t, vertex, reg_sum, zero_regs FROM (
     # Every chained CTE is AS MATERIALIZED: DuckDB inlines CTEs by default,
     # and bf{t}/bs{t} reference each other recursively — inlining expands
     # the tree EXPONENTIALLY in t (thousands of parquet re-opens -> EMFILE).
-    _BT = 8
-    _bt_fwd = []
-    for _t in range(1, _BT + 1):
-        _bt_fwd.append(f"""
+    def _betweenness_sql_for(edges_cte: str) -> str:
+        _BT = 8
+        _bt_fwd = []
+        for _t in range(1, _BT + 1):
+            _bt_fwd.append(f"""
 bf{_t} AS MATERIALIZED (
   SELECT f.seed, u.nb AS v, SUM(f.sigma) AS sigma
   FROM bf{_t - 1} f JOIN bund u ON u.v = f.v
   WHERE NOT EXISTS (SELECT 1 FROM bs{_t - 1} s WHERE s.seed = f.seed AND s.v = u.nb)
   GROUP BY f.seed, u.nb),
 bs{_t} AS MATERIALIZED (SELECT seed, v FROM bs{_t - 1} UNION ALL SELECT seed, v FROM bf{_t})""")
-    _bt_bwd = [f"bd{_BT} AS MATERIALIZED (SELECT seed, v, sigma, 0.0 AS delta FROM bf{_BT})"]
-    for _t in range(_BT, 0, -1):
-        _bt_bwd.append(f"""
+        _bt_bwd = [f"bd{_BT} AS MATERIALIZED (SELECT seed, v, sigma, 0.0 AS delta FROM bf{_BT})"]
+        for _t in range(_BT, 0, -1):
+            _bt_bwd.append(f"""
 bc{_t} AS MATERIALIZED (
   SELECT d.seed, f.v, MIN(f.sigma) * SUM((1.0 + d.delta) / d.sigma) AS delta
   FROM bd{_t} d JOIN bund u ON u.v = d.v
@@ -2481,11 +2561,11 @@ bc{_t} AS MATERIALIZED (
 bd{_t - 1} AS MATERIALIZED (
   SELECT f.seed, f.v, f.sigma, COALESCE(c.delta, 0.0) AS delta
   FROM bf{_t - 1} f LEFT JOIN bc{_t} c ON c.seed = f.seed AND c.v = f.v)""")
-    _bt_levels = "\n UNION ALL ".join(
-        f"SELECT seed, v, delta FROM bd{t}" for t in range(1, _BT + 1)
-    )
-    betweenness_sql = f"""
-WITH {_EDGES_CTE},
+        _bt_levels = "\n UNION ALL ".join(
+            f"SELECT seed, v, delta FROM bd{t}" for t in range(1, _BT + 1)
+        )
+        return f"""
+WITH {edges_cte},
 bund AS MATERIALIZED (SELECT src AS v, dst AS nb FROM edges UNION ALL SELECT dst, src FROM edges),
 bverts AS (SELECT DISTINCT v AS vertex FROM bund),
 bseeds AS (SELECT vertex FROM bverts ORDER BY vertex LIMIT 3),
@@ -2498,6 +2578,8 @@ bsum AS (SELECT v AS vertex, SUM(delta) / 2.0 AS bc_raw FROM ball GROUP BY v)
 SELECT bv.vertex, ROUND(COALESCE(bs.bc_raw, 0.0), 6) AS bc
 FROM bverts bv LEFT JOIN bsum bs ON bs.vertex = bv.vertex
 """
+
+    betweenness_sql = _betweenness_sql_for(_EDGES_CTE)
 
     # -- graph summary oracles ----------------------------------------------
     # exact BIGINT/HUGEINT moments, ONE rounded float division at the end
@@ -2767,6 +2849,126 @@ FROM shf a JOIN shf b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sh, b.sh)) <= 6
 """
 
+    # -- event-stream relational oracles (functions/events.py) ---------------
+    # exact-integer microsecond epochs: epoch_us(naive ts) == Spark's
+    # timestampdiff-from-NTZ-epoch, timezone-free on both engines
+    sessionize_sql = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CAST(round(value * 1e6) AS BIGINT) AS value_micros
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+                      > 14400000000 THEN 1 ELSE 0 END AS new_session
+  FROM e
+), sess AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS UNBOUNDED PRECEDING) + 1 AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts_us) AS start_us,
+       MAX(ts_us) AS end_us, MAX(ts_us) - MIN(ts_us) AS duration_us,
+       SUM(value_micros) AS value_micros_sum
+FROM sess GROUP BY user_id, session_id
+"""
+
+    # the declarative range-join form of the as-of join — quadratic per user,
+    # fine as an sf0.01 oracle; the Spark side is the linear union+window
+    asof_latest_sql = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+         CAST(round(value * 1e6) AS BIGINT) AS value_micros
+  FROM events
+), l AS (SELECT * FROM e WHERE event_type = 'purchase'),
+   r AS (SELECT * FROM e WHERE event_type = 'click')
+SELECT l.user_id, l.event_id, l.ts_us,
+       r.event_id AS matched_event_id, r.ts_us AS matched_ts_us,
+       r.value_micros AS matched_value_micros
+FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.ts_us <= l.ts_us
+QUALIFY row_number() OVER (PARTITION BY l.event_id
+        ORDER BY r.ts_us DESC NULLS LAST, r.event_id DESC NULLS LAST) = 1
+"""
+
+    # -- segment dedup oracle (functions/dedup.py::segment_dedup) ------------
+    # DuckDB list slicing arr[a:b] is 1-based inclusive = Spark slice(arr,a,16)
+    segment_dedup_sql = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS arr
+  FROM documents
+), blocks AS (
+  SELECT doc_id, CAST(ceil(len(arr) / 16.0) AS BIGINT) AS n_blocks,
+         CAST((s - 1) / 16 AS BIGINT) AS block_idx,
+         array_to_string(arr[s : least(s + 15, len(arr))], ' ') AS blk
+  FROM toks, UNNEST(range(1, len(arr) + 1, 16)) AS t(s)
+), keep AS (
+  SELECT *, row_number() OVER (PARTITION BY blk ORDER BY doc_id, block_idx) = 1 AS keep
+  FROM blocks
+), agg AS (
+  SELECT doc_id, any_value(n_blocks) AS n_blocks,
+         SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+         coalesce(string_agg(CASE WHEN keep THEN blk END, ' ' ORDER BY block_idx), '') AS text_kept
+  FROM keep GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.n_blocks, 0) AS n_blocks, coalesce(a.n_kept, 0) AS n_kept,
+       coalesce(a.text_kept, '') AS text_kept
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+    # -- kmeans oracles (functions/kmeans.py) --------------------------------
+    # quantized int64 throughout: CAST(x AS DOUBLE) first so the product
+    # rounds identically (DuckDB float*int stays FLOAT otherwise)
+    _KMEANS_PRE = """
+q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cid, q AS cq FROM q ORDER BY vec_id LIMIT 8),
+qx AS (SELECT vec_id, UNNEST(q) AS qv, generate_subscripts(q, 1) AS dim FROM q),
+cx AS (SELECT cid, UNNEST(cq) AS cv, generate_subscripts(cq, 1) AS dim FROM c),
+dists AS (
+  SELECT qx.vec_id, cx.cid, SUM((qx.qv - cx.cv) * (qx.qv - cx.cv)) AS dist
+  FROM qx JOIN cx USING (dim) GROUP BY 1, 2
+)
+"""
+
+    kmeans_assign_sql = f"""
+WITH {_KMEANS_PRE}
+SELECT vec_id, cid, dist FROM dists
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+"""
+
+    kmeans_update_sql = f"""
+WITH {_KMEANS_PRE},
+assigned AS (
+  SELECT vec_id, cid FROM dists
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+)
+SELECT a.cid, qx.dim AS dim_idx, COUNT(*) AS n_members, SUM(qx.qv) AS sum_q
+FROM assigned a JOIN qx USING (vec_id)
+GROUP BY 1, 2
+"""
+
+    # -- skip-gram oracle (functions/text.py::skipgram_pairs) ----------------
+    # the naive positional self-join; the Spark side generates pairs as a
+    # narrow array expression instead
+    skipgram_pairs_sql = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS arr
+  FROM documents
+), pos AS (
+  SELECT doc_id, UNNEST(arr) AS tok, generate_subscripts(arr, 1) AS i FROM toks
+)
+SELECT a.tok AS center, b.tok AS context, COUNT(*) AS n_pairs
+FROM pos a JOIN pos b
+  ON a.doc_id = b.doc_id AND b.i BETWEEN a.i - 3 AND a.i + 3 AND a.i <> b.i
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
     return {
         "edges_cooccur": edges_sql,
         "degrees": degrees_sql,
@@ -2888,6 +3090,13 @@ FROM documents
         "events_by_type": events_by_type_sql,
         "events_rollup": events_rollup_sql,
         "user_top_events": user_top_events_sql,
+        "sessionize": sessionize_sql,
+        "asof_latest": asof_latest_sql,
+        "segment_dedup": segment_dedup_sql,
+        "kmeans_assign": kmeans_assign_sql,
+        "kmeans_update": kmeans_update_sql,
+        "skipgram_pairs": skipgram_pairs_sql,
+        "betweenness_cp": _betweenness_sql_for(_EDGES_CP_CTE),
         # intentionally no oracle (non-SQL-expressible / nondeterministic
         # across engines): fsm_assign, fsm_stats (hep_local expansion kernels;
         # the dbh-portable flavor IS oracled above), hdrf_bucket_sizes,

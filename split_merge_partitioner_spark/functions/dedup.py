@@ -527,3 +527,73 @@ def dedup_corpus(docs: DataFrame, id_col: str = "doc_id", **cluster_kwargs) -> D
     return docs.join(
         keep.select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
     )
+
+
+def segment_dedup(
+    docs: DataFrame,
+    block_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide keep-first segment dedup — the C4 "deduplicate at the
+    line level" rule (Raffel et al. 2020, §2.2) restated over fixed
+    ``block_tokens``-word blocks, the standard fallback for corpora whose
+    documents carry no newline structure (ours don't).
+
+    Every document is cut into consecutive blocks of ``block_tokens``
+    whitespace tokens (the final short remainder block included); a block
+    survives only in its first occurrence corpus-wide, "first" = smallest
+    (doc_id, block_idx) — a total, retry-stable order.  Returns one row per
+    document: (doc_id, n_blocks, n_kept, text_kept) with text_kept the
+    surviving blocks re-joined in document order (possibly '').
+
+    Scale shape: tokenize + block-slice are narrow array expressions on the
+    scan; the dedup itself is ONE exchange hash-partitioned by block text
+    (a window over the block key — rank-1 keeps the first), then one
+    groupBy(doc_id) to reassemble.  Nothing is quadratic and no block list
+    ever sits on the driver.  At 100 TB the block-key exchange is the same
+    volume as the corpus — the minimum any exact corpus-wide dedup can move.
+    """
+    from .text import _token_array
+    from pyspark.sql import Window
+
+    n_blk = F.ceil(F.size("__toks__") / F.lit(block_tokens)).cast("long")
+    blocks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), _token_array(text_col).alias("__toks__")
+        )
+        .select(
+            "doc_id",
+            n_blk.alias("n_blocks"),
+            # guarded for the empty document: sequence(1, 0, +step) errors
+            # rather than returning [] (cf. the _word_ngrams guard)
+            F.when(F.size("__toks__") == 0, F.array().cast("array<string>"))
+            .otherwise(
+                F.expr(
+                    f"transform(sequence(1, size(__toks__), {block_tokens}), "
+                    f"i -> array_join(slice(__toks__, i, {block_tokens}), ' '))"
+                )
+            )
+            .alias("__blks__"),
+        )
+        .select("doc_id", "n_blocks", F.posexplode_outer("__blks__").alias("block_idx", "blk"))
+    )
+    w = Window.partitionBy("blk").orderBy("doc_id", "block_idx")
+    kept = blocks.withColumn(
+        "keep", (F.row_number().over(w) == 1) & F.col("blk").isNotNull()
+    )
+    return kept.groupBy("doc_id").agg(
+        F.first("n_blocks").alias("n_blocks"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        # collect_list drops the NULL (non-kept) entries; struct sort orders
+        # by block_idx (first field), so the join is in document order
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("keep"), F.struct("block_idx", "blk")))
+                ),
+                lambda x: x["blk"],
+            ),
+            " ",
+        ).alias("text_kept"),
+    )

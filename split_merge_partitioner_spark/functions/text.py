@@ -306,3 +306,45 @@ def repetition_stats(docs: DataFrame, text_col: str = "text", dup_n: int = 5) ->
             F.coalesce(F.col("top2_char_frac"), F.lit(0.0)).alias("top2_char_frac"),
         )
     )
+
+
+def skipgram_pairs(
+    docs: DataFrame,
+    window: int = 3,
+    min_count: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """word2vec-style (center, context) co-occurrence counts (Mikolov et
+    al. 2013): for every token position i, every other position j with
+    |i - j| <= ``window`` contributes one (tok_i, tok_j) pair; pairs are
+    counted corpus-wide and filtered to n_pairs >= ``min_count``.
+
+    Scale shape: pair generation is a NARROW nested-transform expression on
+    the token array — per row, O(len * window) structs inside one codegen
+    stage — so the whole operator is scan + posexplode + ONE
+    partial-aggregated groupBy exchange.  The tempting alternative
+    (posexplode then self-join on doc_id with a position-range predicate)
+    shuffles the token table twice and builds a per-document join; at
+    10^12 tokens the narrow form moves strictly less data and never skews
+    (the exchange key is the pair itself, counts pre-combined map-side).
+    """
+    toks = _token_array(text_col)
+    w = int(window)
+    pairs = F.when(F.size("__toks__") == 0, F.array()).otherwise(
+        F.expr(
+            "flatten(transform(sequence(1, size(__toks__)), i -> "
+            f"transform(sequence(greatest(1, i - {w}), least(size(__toks__), i + {w})), j -> "
+            "struct(element_at(__toks__, i) AS center, "
+            "element_at(__toks__, j) AS context, i <> j AS ok))))"
+        )
+    )
+    return (
+        docs.select(toks.alias("__toks__"))
+        .select(F.explode(pairs).alias("p"))
+        .where(F.col("p.ok"))
+        .groupBy(
+            F.col("p.center").alias("center"), F.col("p.context").alias("context")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .where(F.col("n_pairs") >= min_count)
+    )

@@ -1,0 +1,182 @@
+"""Hand-computed fixtures for the round-5 operators: sessionize, asof_latest
+(functions/events.py), segment_dedup (functions/dedup.py), kmeans_assign /
+kmeans_update (functions/kmeans.py), skipgram_pairs (functions/text.py).
+
+The sf-scale cross-engine hash checks live in the driver contract
+(tests/test_entry_contract.py + CORRECTNESS_r*.json); these tests pin the
+SEMANTICS on inputs small enough to verify by hand — boundary-gap ties,
+equal-timestamp as-of matches, keep-first ordering, argmin tie-breaks."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from split_merge_partitioner_spark.functions.dedup import segment_dedup
+from split_merge_partitioner_spark.functions.events import asof_latest, sessionize
+from split_merge_partitioner_spark.functions.kmeans import kmeans_assign, kmeans_update
+from split_merge_partitioner_spark.functions.text import skipgram_pairs
+
+TS = "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute, 0)
+
+
+def test_sessionize_gap_boundaries(spark):
+    # gap = 60 s: a gap of EXACTLY 60 s does NOT split (strictly greater);
+    # 61 s does.  user 2: single event -> one 1-event session.
+    rows = [
+        (1, _ts(0), 1, "view", 1.0),
+        (2, dt.datetime(2024, 1, 1, 0, 1, 0), 1, "view", 2.0),    # +60s  same
+        (3, dt.datetime(2024, 1, 1, 0, 2, 1), 1, "view", 3.0),    # +61s  NEW
+        (4, dt.datetime(2024, 1, 1, 0, 2, 30), 1, "view", 0.5),   # +29s  same
+        (5, _ts(10), 2, "view", 9.0),
+    ]
+    out = sessionize(
+        spark.createDataFrame(rows, TS), gap_seconds=60
+    ).orderBy("user_id", "session_id").collect()
+    assert [(r.user_id, r.session_id, r.n_events) for r in out] == [
+        (1, 1, 2), (1, 2, 2), (2, 1, 1),
+    ]
+    s11, s12, s2 = out
+    assert s11.duration_us == 60_000_000
+    assert s12.duration_us == 29_000_000
+    assert s2.duration_us == 0
+    assert s11.value_micros_sum == 3_000_000
+    assert s12.value_micros_sum == 3_500_000
+
+
+def test_sessionize_orders_by_ts_not_event_id(spark):
+    # event ids arrive out of time order; sessions follow ts
+    rows = [
+        (9, _ts(0), 1, "view", 0.0),
+        (1, _ts(30), 1, "view", 0.0),  # 30 min later -> new session (gap 60s)
+    ]
+    out = sessionize(spark.createDataFrame(rows, TS), gap_seconds=60).collect()
+    assert sorted((r.session_id, r.n_events) for r in out) == [(1, 1), (2, 1)]
+
+
+def test_asof_latest_semantics(spark):
+    rows = [
+        (1, _ts(0), 1, "click", 10.0),
+        (2, _ts(5), 1, "purchase", 1.0),   # matches click 1
+        (3, _ts(5), 1, "click", 20.0),     # SAME ts as purchase 2? no - ts(5) too
+        (4, _ts(9), 1, "purchase", 2.0),   # matches click 3 (most recent)
+        (5, _ts(1), 2, "purchase", 3.0),   # user 2: no prior click -> NULL
+    ]
+    out = {r.event_id: r for r in asof_latest(
+        spark.createDataFrame(rows, TS), "purchase", "click"
+    ).collect()}
+    # purchase 2 at ts(5): click 3 shares ts(5) and equal-ts rights MATCH
+    assert out[2].matched_event_id == 3
+    assert out[4].matched_event_id == 3
+    assert out[4].matched_value_micros == 20_000_000
+    assert out[5].matched_event_id is None
+    assert out[5].matched_ts_us is None
+
+
+def test_asof_equal_ts_largest_right_wins(spark):
+    rows = [
+        (1, _ts(0), 1, "click", 1.0),
+        (7, _ts(0), 1, "click", 7.0),     # equal ts: larger event_id wins
+        (9, _ts(0), 1, "purchase", 0.0),
+    ]
+    out = asof_latest(spark.createDataFrame(rows, TS), "purchase", "click").collect()
+    assert len(out) == 1 and out[0].matched_event_id == 7
+
+
+DOCS = "doc_id long, text string"
+
+
+def test_segment_dedup_keep_first_and_reassembly(spark):
+    # block size 16: doc 0's two blocks; doc 1 repeats doc 0's FIRST block
+    # exactly and adds a fresh remainder; doc 2 is the empty document
+    b0 = " ".join(f"w{i}" for i in range(16))
+    b1 = " ".join(f"x{i}" for i in range(4))
+    rows = [(0, f"{b0} {b1}"), (1, f"{b0} fresh tail"), (2, "   ")]
+    out = {r.doc_id: r for r in segment_dedup(
+        spark.createDataFrame(rows, DOCS)
+    ).collect()}
+    assert (out[0].n_blocks, out[0].n_kept) == (2, 2)
+    assert out[0].text_kept == f"{b0} {b1}"
+    # doc 1: first block is a corpus-wide repeat of (0, 0) -> dropped
+    assert (out[1].n_blocks, out[1].n_kept) == (2, 1)
+    assert out[1].text_kept == "fresh tail"
+    assert (out[2].n_blocks, out[2].n_kept, out[2].text_kept) == (0, 0, "")
+
+
+def test_segment_dedup_within_doc_repeat(spark):
+    # the SAME 16-token block twice within one document: second drops
+    b = " ".join(f"t{i}" for i in range(16))
+    out = segment_dedup(spark.createDataFrame([(5, f"{b} {b}")], DOCS)).collect()[0]
+    assert (out.n_blocks, out.n_kept, out.text_kept) == (2, 1, b)
+
+
+EMB = "vec_id long, embedding array<float>"
+
+
+def test_kmeans_assign_nearest_and_tie(spark):
+    rows = [
+        (0, [0.0, 0.0]),   # centroid 0
+        (1, [10.0, 0.0]),  # centroid 1
+        (2, [1.0, 0.0]),   # -> c0 (dist 1e6 vs 81e6)
+        (3, [9.0, 0.0]),   # -> c1
+        (4, [5.0, 0.0]),   # EQUIDISTANT -> smaller cid (0)
+    ]
+    out = {r.vec_id: r for r in kmeans_assign(
+        spark.createDataFrame(rows, EMB), k=2
+    ).collect()}
+    assert out[0].cid == 0 and out[0].dist == 0
+    assert out[2].cid == 0 and out[2].dist == 1000 * 1000
+    assert out[3].cid == 1
+    assert out[4].cid == 0  # tie-break: smallest centroid id
+
+
+def test_kmeans_update_numerators(spark):
+    rows = [(0, [0.0, 0.0]), (1, [10.0, 0.0]), (2, [2.0, 2.0])]
+    out = {(r.cid, r.dim_idx): r for r in kmeans_update(
+        spark.createDataFrame(rows, EMB), k=2
+    ).collect()}
+    # cluster 0 = {0, 2}: sums (0+2000, 0+2000), n=2; cluster 1 = {1}
+    assert out[(0, 1)].n_members == 2 and out[(0, 1)].sum_q == 2000
+    assert out[(0, 2)].sum_q == 2000
+    assert out[(1, 1)].n_members == 1 and out[(1, 1)].sum_q == 10000
+
+
+def test_kmeans_k_exceeds_n_raises(spark):
+    with pytest.raises(ValueError, match="centroids requested"):
+        kmeans_assign(spark.createDataFrame([(0, [1.0])], EMB), k=2).collect()
+
+
+def test_skipgram_pairs_hand_counted(spark):
+    # "a b a": window 1 -> (a,b) x2, (b,a) x2; window 2 adds (a,a) both ways
+    docs = spark.createDataFrame([(0, "a b a")], DOCS)
+    w1 = {(r.center, r.context): r.n_pairs
+          for r in skipgram_pairs(docs, window=1, min_count=1).collect()}
+    assert w1 == {("a", "b"): 2, ("b", "a"): 2}
+    w2 = {(r.center, r.context): r.n_pairs
+          for r in skipgram_pairs(docs, window=2, min_count=1).collect()}
+    assert w2 == {("a", "b"): 2, ("b", "a"): 2, ("a", "a"): 2}
+
+
+def test_skipgram_empty_and_single_token_docs(spark):
+    docs = spark.createDataFrame([(0, "  "), (1, "only")], DOCS)
+    assert skipgram_pairs(docs, window=3, min_count=1).count() == 0
+
+
+def test_skipgram_symmetry(spark):
+    # corpus-level symmetry: count(a,b) == count(b,a) by construction
+    docs = spark.createDataFrame(
+        [(0, "p q r s p q"), (1, "r p p q")], DOCS
+    )
+    out = skipgram_pairs(docs, window=3, min_count=1)
+    sym = out.alias("x").join(
+        out.alias("y"),
+        (F.col("x.center") == F.col("y.context"))
+        & (F.col("x.context") == F.col("y.center")),
+    ).where(F.col("x.n_pairs") != F.col("y.n_pairs"))
+    assert sym.count() == 0
