@@ -9,12 +9,12 @@ replicate them bit-for-bit.
 Scale notes (100 TB / 10^9-user regime):
 
 - ``sessionize`` is the classic one-pass sessionizer: a lag window and a
-  running sum, both partitioned by ``user_id`` — the heavy exchange is the
-  single hash-partition by user; the per-session aggregate that follows
-  groups by (user_id, session_id), a superset key of the window partition,
-  so rows for one user never leave their partition between the two steps
-  even though Catalyst plans a second (cheap, same-locality) exchange.
-  Per-user state is one row of lag — nothing accumulates.
+  running sum, both partitioned by ``user_id``, then a per-session
+  aggregate over (user_id, session_id).  Catalyst plans exactly ONE
+  Exchange (hash by user_id, explain-audited): the grouping key extends
+  the window partition key, so the final aggregate runs in place on the
+  window's partitioning.  Per-user state is one row of lag — nothing
+  accumulates.
 - ``asof_latest`` is the union+window formulation of an as-of join: tag
   right rows 0 and left rows 1, sort each user by (ts, tag, event_id), and
   carry the last non-null right payload forward with

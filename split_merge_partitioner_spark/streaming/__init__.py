@@ -7,3 +7,4 @@ from .dedup_stream import (  # noqa: F401
     streaming_exact_dedup,
     streaming_vertex_degrees_stateful,
 )
+from .sessions_stream import streaming_sessionize  # noqa: F401

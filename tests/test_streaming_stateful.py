@@ -94,3 +94,75 @@ def test_streaming_running_degrees(spark, tmp_path):
     d2 = dict(zip(out2.vertex, out2.degree))
     # running totals: only touched vertices re-emit, with cumulative counts
     assert d2 == {1: 2, 3: 2}
+
+
+def test_streaming_sessionize_state_and_timeout(spark, tmp_path):
+    """Session state carries across micro-batches (and query restarts via the
+    shared checkpoint); the event-time timeout closes idle users' sessions
+    once the watermark passes last_event + gap."""
+    import datetime as dt
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from split_merge_partitioner_spark.streaming import streaming_sessionize
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def make(src_dir):
+        ev = spark.readStream.schema(schema).parquet(src_dir)
+        return streaming_sessionize(
+            ev.withWatermark("ts", "0 seconds"), gap_seconds=60
+        )
+
+    sec = lambda s: t0 + dt.timedelta(seconds=s)  # noqa: E731
+    b1 = pd.DataFrame(
+        {"event_id": [1, 2, 3], "ts": [sec(0), sec(30), sec(0)],
+         "user_id": [1, 1, 2], "value": [1.0, 2.0, 9.0]}
+    )
+    # user 1 returns 200 s later (> gap 60): closes session 1, opens 2;
+    # user 2 is idle -> the advanced watermark fires their timeout
+    b2 = pd.DataFrame(
+        {"event_id": [4], "ts": [sec(200)], "user_id": [1], "value": [4.0]}
+    )
+    # a third batch only advances the watermark past user 1's open session
+    b3 = pd.DataFrame(
+        {"event_id": [5], "ts": [sec(600)], "user_id": [3], "value": [0.0]}
+    )
+    out1, out2, out3 = _run_batches(
+        spark, tmp_path, make, [b1, b2, b3], "sessionize_state"
+    )
+
+    r1 = out1.set_index(["user_id", "session_id"]).sort_index()
+    assert r1.loc[(1, 1)].n_events == 2 and r1.loc[(1, 1)].closed == 0
+    assert r1.loc[(1, 1)].duration_us == 30_000_000
+    assert r1.loc[(1, 1)].value_micros_sum == 3_000_000
+    assert r1.loc[(2, 1)].n_events == 1
+
+    r2 = out2.set_index(["user_id", "session_id", "closed"]).sort_index()
+    # state carried: session 1 closes with BOTH batch-1 events; session 2 opens
+    assert r2.loc[(1, 1, 1)].n_events == 2
+    assert r2.loc[(1, 2, 0)].n_events == 1
+    # session 2 starts 200 s after session 1 (relative: TZ-independent)
+    assert r2.loc[(1, 2, 0)].start_us - r1.loc[(1, 1)].start_us == 200_000_000
+    # user 2's idle timeout fired in batch 2 or 3 (watermark timing): closed=1
+    u2_closed = pd.concat([out2, out3])
+    u2_closed = u2_closed[(u2_closed.user_id == 2) & (u2_closed.closed == 1)]
+    assert len(u2_closed) == 1 and u2_closed.iloc[0].n_events == 1
+
+    # user 1's open session 2 eventually times out too
+    u1s2 = out3[(out3.user_id == 1) & (out3.session_id == 2)]
+    assert len(u1s2) == 1 and u1s2.iloc[0].closed == 1
