@@ -986,6 +986,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return skipgram_pairs(_docs(spark, sf), window=3, min_count=2)
 
+    def q_rarity_stats(spark, sf):
+        # corpus-frequency rarity signals (functions/text.py::rarity_stats):
+        # exact integers until two ROUND(,6) divisions; df relation joined
+        # by token key (never broadcast — 10^9-row vocabularies at 100 TB)
+        from split_merge_partitioner_spark.functions.text import rarity_stats
+
+        return rarity_stats(_docs(spark, sf))
+
+    def q_numeric_profile(spark, sf):
+        # exact grouped discrete percentiles (functions/profiling.py): the
+        # rank = ceil(p*n) row_number formulation replicated verbatim in the
+        # oracle — no engine quantile() semantics involved
+        from split_merge_partitioner_spark.functions.profiling import numeric_profile
+
+        return numeric_profile(spark.read.parquet(f"{sf}/events.parquet"))
+
     def q_betweenness_cp(spark, sf):
         # second-fixture Brandes (VERDICT r4 item 6 tail): same batched-seed
         # estimator on the customer-part bipartite graph — different degree
@@ -1101,6 +1117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_update": q_kmeans_update,
         "skipgram_pairs": q_skipgram_pairs,
         "betweenness_cp": q_betweenness_cp,
+        "rarity_stats": q_rarity_stats,
+        "numeric_profile": q_numeric_profile,
     }
 
     # ------------------------------------------------------------------
@@ -2969,6 +2987,50 @@ FROM pos a JOIN pos b
 GROUP BY 1, 2 HAVING COUNT(*) >= 2
 """
 
+    # -- rarity oracle (functions/text.py::rarity_stats) ---------------------
+    rarity_stats_sql = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS arr
+  FROM documents
+), occ AS (
+  SELECT doc_id, UNNEST(arr) AS tok FROM toks
+), dfr AS (
+  SELECT tok, COUNT(*) AS df
+  FROM (SELECT doc_id, UNNEST(list_distinct(arr)) AS tok FROM toks)
+  GROUP BY tok
+), per_doc AS (
+  SELECT occ.doc_id, COUNT(*) AS n_tokens, SUM(dfr.df) AS sum_df,
+         SUM(CASE WHEN dfr.df = 1 THEN 1 ELSE 0 END) AS n_hapax
+  FROM occ JOIN dfr USING (tok) GROUP BY occ.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_tokens, 0) AS n_tokens,
+       ROUND(coalesce(CAST(p.sum_df AS DOUBLE) / p.n_tokens, 0.0), 6) AS mean_token_df,
+       ROUND(coalesce(CAST(p.n_hapax AS DOUBLE) / p.n_tokens, 0.0), 6) AS hapax_frac
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+    # -- exact discrete-percentile profile (functions/profiling.py) ----------
+    # the rank = ceil(p * n) double expression is written IDENTICALLY here
+    # and in Spark, so boundary rounding matches by construction
+    numeric_profile_sql = """
+WITH q AS (
+  SELECT event_type AS grp, CAST(round(value * 1e6) AS BIGINT) AS vq FROM events
+), ranked AS (
+  SELECT grp, vq,
+         row_number() OVER (PARTITION BY grp ORDER BY vq) AS rk,
+         COUNT(*) OVER (PARTITION BY grp) AS n_grp
+  FROM q
+)
+SELECT grp AS event_type, COUNT(*) AS n, MIN(vq) AS min_q, MAX(vq) AS max_q,
+       MAX(CASE WHEN rk = CAST(CEIL(0.5 * n_grp) AS BIGINT) THEN vq END) AS p50_q,
+       MAX(CASE WHEN rk = CAST(CEIL(0.9 * n_grp) AS BIGINT) THEN vq END) AS p90_q,
+       MAX(CASE WHEN rk = CAST(CEIL(0.99 * n_grp) AS BIGINT) THEN vq END) AS p99_q
+FROM ranked GROUP BY grp
+"""
+
     return {
         "edges_cooccur": edges_sql,
         "degrees": degrees_sql,
@@ -3097,6 +3159,8 @@ FROM documents
         "kmeans_update": kmeans_update_sql,
         "skipgram_pairs": skipgram_pairs_sql,
         "betweenness_cp": _betweenness_sql_for(_EDGES_CP_CTE),
+        "rarity_stats": rarity_stats_sql,
+        "numeric_profile": numeric_profile_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic
         # across engines): fsm_assign, fsm_stats (hep_local expansion kernels;
         # the dbh-portable flavor IS oracled above), hdrf_bucket_sizes,

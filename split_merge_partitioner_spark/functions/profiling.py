@@ -1,0 +1,66 @@
+"""Exact grouped numeric profiling: n / min / max / discrete percentiles.
+
+Built for cross-engine determinism: Spark's ``percentile`` and DuckDB's
+``quantile_cont`` both interpolate (and differ in edge handling), so this
+module computes DISCRETE percentiles from first principles — the value at
+1-based rank ceil(p * n) in sorted order — with an explicit row_number
+window.  Duplicate values make any tie order land on the same value, so
+the result is a pure function of the multiset.  Inputs are quantized to
+exact int64 (round(x * 1e6)) so min/max/percentiles carry no float noise.
+
+Scale shape: ONE exchange hash-partitioned by the group key — the sort
+window and the final aggregate share it (grouping key == window partition
+key).  Per-group data must fit a task for the sort, which holds whenever
+the group count is modest (event types, languages, sources); for
+billion-row single groups use approx sketches instead — this operator is
+the exact-profile tool, and says so.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def numeric_profile(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """One row per group: (group, n, min_q, max_q, p<NN>_q ...) over the
+    int64-quantized value column (round(value * 1e6)); p<NN>_q = the exact
+    discrete percentile (value at rank ceil(p * n))."""
+    for p in percentiles:
+        if not 0.0 < p <= 1.0:
+            raise ValueError(f"percentile {p} outside (0, 1]")
+    q = df.select(
+        F.col(group_col).alias("grp"),
+        F.round(F.col(value_col) * 1e6).cast("long").alias("vq"),
+    )
+    w = Window.partitionBy("grp").orderBy("vq")
+    ranked = q.select(
+        "grp",
+        "vq",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("n_grp"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.min("vq").alias("min_q"),
+        F.max("vq").alias("max_q"),
+    ]
+    for p in percentiles:
+        name = f"p{int(round(p * 100)):02d}_q"
+        # rank = ceil(p * n) computed in IEEE double on BOTH engines (the
+        # oracle writes the identical expression), so boundary rounding is
+        # cross-engine deterministic by construction
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col("rk") == F.ceil(F.lit(p) * F.col("n_grp")).cast("long"),
+                    F.col("vq"),
+                )
+            ).alias(name)
+        )
+    return ranked.groupBy(F.col("grp").alias(group_col)).agg(*aggs)

@@ -348,3 +348,50 @@ def skipgram_pairs(
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .where(F.col("n_pairs") >= min_count)
     )
+
+
+def rarity_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-frequency rarity signals per document — the cheap LM-free
+    proxy for "is this document written in the corpus' vocabulary or in
+    noise": (doc_id, n_tokens, mean_token_df, hapax_frac).
+
+    - mean_token_df: mean over token OCCURRENCES of the token's document
+      frequency (#docs containing it, counted once per doc) — low = the
+      document leans on corpus-rare vocabulary.
+    - hapax_frac: fraction of occurrences whose token appears in exactly
+      one document (df = 1) — high = OCR garbage / random strings.
+
+    Everything is exact integers until two ROUND(..., 6) divisions at the
+    end (the tfidf_top_terms linear-idf rule: no ln(), no libm exposure).
+
+    Scale shape: one distinct-token exchange to build the df relation, one
+    token-keyed shuffle join occurrences->df (the vocabulary can be 10^9
+    rows at 100 TB — never broadcast), one groupBy(doc_id) — three linear
+    exchanges, no quadratic term, nothing driver-side.
+    """
+    toks = docs.select(F.col("doc_id"), _token_array(text_col).alias("__toks__"))
+    occ = toks.select("doc_id", F.explode("__toks__").alias("tok"))
+    df_rel = (
+        toks.select("doc_id", F.explode(F.array_distinct("__toks__")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    per_doc = (
+        occ.join(df_rel, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("df").alias("__sum_df__"),
+            F.sum((F.col("df") == 1).cast("long")).alias("__n_hapax__"),
+        )
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.round(
+            F.coalesce(F.col("__sum_df__") / F.col("n_tokens"), F.lit(0.0)), 6
+        ).alias("mean_token_df"),
+        F.round(
+            F.coalesce(F.col("__n_hapax__") / F.col("n_tokens"), F.lit(0.0)), 6
+        ).alias("hapax_frac"),
+    )

@@ -180,3 +180,36 @@ def test_skipgram_symmetry(spark):
         & (F.col("x.context") == F.col("y.center")),
     ).where(F.col("x.n_pairs") != F.col("y.n_pairs"))
     assert sym.count() == 0
+
+
+def test_rarity_stats_hand_computed(spark):
+    from split_merge_partitioner_spark.functions.text import rarity_stats
+
+    # vocab: "a" in all 3 docs (df=3), "b" in 2, "z" in 1 (hapax)
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a b z"), (2, "a a"), (3, "  ")], DOCS
+    )
+    out = {r.doc_id: r for r in rarity_stats(docs).collect()}
+    assert out[0].n_tokens == 2 and out[0].mean_token_df == 2.5       # (3+2)/2
+    assert out[1].mean_token_df == 2.0                                 # (3+2+1)/3
+    assert out[1].hapax_frac == round(1 / 3, 6)
+    assert out[2].mean_token_df == 3.0 and out[2].hapax_frac == 0.0
+    assert (out[3].n_tokens, out[3].mean_token_df, out[3].hapax_frac) == (0, 0.0, 0.0)
+
+
+def test_numeric_profile_discrete_percentiles(spark):
+    from split_merge_partitioner_spark.functions.profiling import numeric_profile
+
+    import pytest as _pytest
+
+    rows = [(i, f"g", float(i)) for i in range(1, 11)]  # values 1..10
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    r = numeric_profile(df).collect()[0]
+    assert (r.n, r.min_q, r.max_q) == (10, 1_000_000, 10_000_000)
+    # discrete: p50 = value at rank ceil(.5*10)=5 -> 5e6; p90 -> rank 9;
+    # p99 -> rank ceil(9.9)=10
+    assert r.p50_q == 5_000_000
+    assert r.p90_q == 9_000_000
+    assert r.p99_q == 10_000_000
+    with _pytest.raises(ValueError):
+        numeric_profile(df, percentiles=(0.0,))
