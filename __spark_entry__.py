@@ -986,6 +986,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return skipgram_pairs(_docs(spark, sf), window=3, min_count=2)
 
+    def q_coloring(spark, sf):
+        # Jones-Plassmann greedy coloring (graph/coloring.py) on the scc_cp
+        # block-local fixture (6 rounds, 4 colors at both sf's — shallow
+        # enough for the chained-CTE replay; the co-occur projection needs
+        # 29 rounds).  Priorities are the Lehmer hash, replayed in SQL.
+        from split_merge_partitioner_spark.graph import greedy_coloring
+
+        pv = spark.read.parquet(f"{sf}/part.parquet").select(
+            F.col("p_partkey").cast("long").alias("v")
+        )
+        blk = F.expr("v DIV 25") * 25
+        x = F.col("v") % 25
+        e = pv.select(
+            F.col("v").alias("src"), (blk + (3 * x + 1) % 25).alias("dst")
+        ).unionAll(
+            pv.where(F.col("v") % 5 == 0).select(
+                F.col("v").alias("src"), (blk + (7 * x + 2) % 25).alias("dst")
+            )
+        )
+        out, _ = greedy_coloring(e)
+        return out
+
     def q_rarity_stats(spark, sf):
         # corpus-frequency rarity signals (functions/text.py::rarity_stats):
         # exact integers until two ROUND(,6) divisions; df relation joined
@@ -1119,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_cp": q_betweenness_cp,
         "rarity_stats": q_rarity_stats,
         "numeric_profile": q_numeric_profile,
+        "coloring": q_coloring,
     }
 
     # ------------------------------------------------------------------
@@ -3031,6 +3054,57 @@ SELECT grp AS event_type, COUNT(*) AS n, MIN(vq) AS min_q, MAX(vq) AS max_q,
 FROM ranked GROUP BY grp
 """
 
+    # -- Jones-Plassmann coloring oracle (graph/coloring.py) -----------------
+    # generated chained-CTE replay: per round, the ready frontier (no
+    # uncolored neighbor with a larger (priority, id) pair), the colored-
+    # neighbor palette, and min-free-color via generate_series anti-join.
+    # 12-round budget vs the fixture's measured 6 (post-convergence rounds
+    # are empty-set no-ops).  Priorities: sample_hash seed 42 -> the +43
+    # Lehmer chain (the mis/matching replay family).
+    def _coloring_sql(rounds: int = 12) -> str:
+        blocks = []
+        for r in range(1, rounds + 1):
+            blocks.append(f"""
+ready{r} AS MATERIALIZED (
+  SELECT u.v, u.p FROM u{r - 1} u WHERE NOT EXISTS (
+    SELECT 1 FROM und JOIN u{r - 1} un ON un.v = und.nb
+    WHERE und.v = u.v AND (un.p > u.p OR (un.p = u.p AND un.v > u.v)))),
+pal{r} AS MATERIALIZED (
+  SELECT DISTINCT r.v, c.color FROM ready{r} r JOIN und ON und.v = r.v
+  JOIN col{r - 1} c ON c.vertex = und.nb),
+cnt{r} AS MATERIALIZED (
+  SELECT r.v, COUNT(p.color) AS k FROM ready{r} r LEFT JOIN pal{r} p ON p.v = r.v GROUP BY r.v),
+cand{r} AS (SELECT v, UNNEST(generate_series(1, k + 1)) AS g FROM cnt{r}),
+newc{r} AS MATERIALIZED (
+  SELECT c.v AS vertex, CAST(MIN(c.g) AS BIGINT) AS color,
+         CAST({r} AS BIGINT) AS round_colored
+  FROM cand{r} c LEFT JOIN pal{r} p ON p.v = c.v AND p.color = c.g
+  WHERE p.v IS NULL GROUP BY c.v),
+col{r} AS MATERIALIZED (SELECT * FROM col{r - 1} UNION ALL SELECT * FROM newc{r}),
+u{r} AS MATERIALIZED (SELECT u.v, u.p FROM u{r - 1} u
+  WHERE NOT EXISTS (SELECT 1 FROM newc{r} n WHERE n.vertex = u.v))""")
+        return f"""
+WITH pv AS (SELECT CAST(p_partkey AS BIGINT) AS v FROM part),
+dir AS (
+    SELECT v AS a, (v // 25) * 25 + ((3 * (v % 25) + 1) % 25) AS b FROM pv
+    UNION ALL
+    SELECT v, (v // 25) * 25 + ((7 * (v % 25) + 2) % 25) FROM pv WHERE v % 5 = 0
+),
+ce AS (SELECT DISTINCT LEAST(a, b) AS src, GREATEST(a, b) AS dst FROM dir WHERE a <> b),
+und AS MATERIALIZED (SELECT src AS v, dst AS nb FROM ce UNION ALL SELECT dst, src FROM ce),
+u0 AS MATERIALIZED (
+  SELECT DISTINCT v,
+         (((v % 2147483647 + 2147483647) % 2147483647 + 43) % 2147483647
+          * 48271 % 2147483647 + 1) * 69621 % 2147483647 AS p
+  FROM und),
+col0 AS (SELECT CAST(NULL AS BIGINT) AS vertex, CAST(NULL AS BIGINT) AS color,
+                CAST(NULL AS BIGINT) AS round_colored WHERE FALSE),
+{','.join(blocks)}
+SELECT vertex, color, round_colored FROM col{rounds}
+"""
+
+    coloring_sql = _coloring_sql()
+
     return {
         "edges_cooccur": edges_sql,
         "degrees": degrees_sql,
@@ -3161,6 +3235,7 @@ FROM documents
         "betweenness_cp": _betweenness_sql_for(_EDGES_CP_CTE),
         "rarity_stats": rarity_stats_sql,
         "numeric_profile": numeric_profile_sql,
+        "coloring": coloring_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic
         # across engines): fsm_assign, fsm_stats (hep_local expansion kernels;
         # the dbh-portable flavor IS oracled above), hdrf_bucket_sizes,

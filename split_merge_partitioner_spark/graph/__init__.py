@@ -25,3 +25,4 @@ from .mis import maximal_independent_set  # noqa: F401
 from .matching import coarsen_graph, maximal_matching  # noqa: F401
 from .diff import degree_deltas, graph_diff  # noqa: F401
 from .dpagerank import directed_pagerank  # noqa: F401
+from .coloring import greedy_coloring  # noqa: F401

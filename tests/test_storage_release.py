@@ -141,3 +141,13 @@ def test_matching_weighted_quantize_resolves_monotone_chain(spark):
         if r["src"] not in matched_v and r["dst"] not in matched_v
     ]
     assert uncovered == []
+
+
+def test_coloring_releases_rounds(spark):
+    from split_merge_partitioner_spark.graph import greedy_coloring
+
+    e = _path_edges(spark, 24)
+    new, leaked = _new_after(spark, lambda: greedy_coloring(e)[0])
+    # old behavior would leak nb_all + 4 relations per JP round
+    assert new <= RESULT_BUDGET
+    assert leaked == 0
