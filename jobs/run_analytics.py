@@ -54,7 +54,7 @@ def main(argv=None, stop: bool = True) -> None:
                  "diameter", "hyperanf", "kcore", "walks", "ppr", "betweenness",
                  "summary", "eigen", "hits", "sssp", "modularity", "ktruss",
                  "closeness", "scc", "densest", "wpagerank", "mis", "matching",
-                 "dpagerank"],
+                 "dpagerank", "coloring"],
     )
     ap.add_argument("--output", default=None, help="result parquet")
     ap.add_argument("--json-out", default=None, help="write the info dict here")
@@ -173,6 +173,10 @@ def main(argv=None, stop: bool = True) -> None:
         from split_merge_partitioner_spark.graph import maximal_independent_set
 
         out, info = maximal_independent_set(edges, seed=args.seed)
+    elif args.algo == "coloring":
+        from split_merge_partitioner_spark.graph import greedy_coloring
+
+        out, info = greedy_coloring(edges, seed=args.seed)
     elif args.algo == "densest":
         from split_merge_partitioner_spark.graph import densest_subgraph_peel
 

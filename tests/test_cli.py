@@ -114,6 +114,7 @@ def test_build_pyfiles_zip_importable(tmp_path):
     ("sssp", ["--source", "0", "--max-supersteps", "6"]),
     ("modularity", ["--n-iter", "3"]),
     ("ktruss", ["--k-truss", "3"]),
+    ("coloring", []),
 ])
 def test_run_analytics_cli(spark, edges_parquet, tmp_path, capsys, algo, extra):
     from jobs.run_analytics import main as analytics_main
