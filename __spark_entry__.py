@@ -986,6 +986,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return skipgram_pairs(_docs(spark, sf), window=3, min_count=2)
 
+    def q_kmeans_train(spark, sf):
+        # 2 full Lloyd iterations (functions/kmeans.py::kmeans_train):
+        # integer floor-mean centroids between iterations, final assignment
+        # — the IVF trainer's loop exposed end-to-end, bit-replayed in SQL
+        from split_merge_partitioner_spark.functions.kmeans import kmeans_train
+
+        return kmeans_train(
+            spark.read.parquet(f"{sf}/embeddings.parquet"), k=8, n_iter=2
+        )
+
     def q_coloring(spark, sf):
         # Jones-Plassmann greedy coloring (graph/coloring.py) on the scc_cp
         # block-local fixture (6 rounds, 4 colors at both sf's — shallow
@@ -1142,6 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rarity_stats": q_rarity_stats,
         "numeric_profile": q_numeric_profile,
         "coloring": q_coloring,
+        "kmeans_train2": q_kmeans_train,
     }
 
     # ------------------------------------------------------------------
@@ -3103,6 +3114,42 @@ col0 AS (SELECT CAST(NULL AS BIGINT) AS vertex, CAST(NULL AS BIGINT) AS color,
 SELECT vertex, color, round_colored FROM col{rounds}
 """
 
+    # -- 2-iteration Lloyd oracle (functions/kmeans.py::kmeans_train) --------
+    # chained replay: assign(seeds) -> integer floor-mean centroids
+    # (FLOOR(CAST(s AS DOUBLE)/n) — exact, |s| << 2^53; empty clusters keep
+    # the previous centroid via the COALESCE left join) -> final assign
+    kmeans_train2_sql = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, q AS cq FROM q ORDER BY vec_id LIMIT 8),
+qx AS MATERIALIZED (SELECT vec_id, UNNEST(q) AS qv, generate_subscripts(q, 1) AS dim FROM q),
+c0x AS (SELECT cid, UNNEST(cq) AS cv, generate_subscripts(cq, 1) AS dim FROM c0),
+d0 AS (
+  SELECT qx.vec_id, c.cid, SUM((qx.qv - c.cv) * (qx.qv - c.cv)) AS dist
+  FROM qx JOIN c0x c USING (dim) GROUP BY 1, 2
+),
+a0 AS (SELECT vec_id, cid FROM d0
+       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+u0 AS (
+  SELECT a.cid, qx.dim, COUNT(*) AS n, SUM(qx.qv) AS s
+  FROM a0 a JOIN qx USING (vec_id) GROUP BY 1, 2
+),
+c1x AS (
+  SELECT c.cid, c.dim,
+         COALESCE(CAST(FLOOR(CAST(u.s AS DOUBLE) / u.n) AS BIGINT), c.cv) AS cv
+  FROM c0x c LEFT JOIN u0 u ON u.cid = c.cid AND u.dim = c.dim
+),
+d1 AS (
+  SELECT qx.vec_id, c.cid, SUM((qx.qv - c.cv) * (qx.qv - c.cv)) AS dist
+  FROM qx JOIN c1x c USING (dim) GROUP BY 1, 2
+)
+SELECT vec_id, cid, dist FROM d1
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+"""
+
     coloring_sql = _coloring_sql()
 
     return {
@@ -3236,6 +3283,7 @@ FROM documents
         "rarity_stats": rarity_stats_sql,
         "numeric_profile": numeric_profile_sql,
         "coloring": coloring_sql,
+        "kmeans_train2": kmeans_train2_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic
         # across engines): fsm_assign, fsm_stats (hep_local expansion kernels;
         # the dbh-portable flavor IS oracled above), hdrf_bucket_sizes,

@@ -62,28 +62,7 @@ def _assigned_q(
     """(vec_id, q, cid, dist) in ONE codegen'd scan — shared by assign and
     update so the update never re-joins two derivations of the same scan."""
     q = _quantized(emb, vec_col, id_col)
-    cents = _initial_centroids(q, k)
-    candidates = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("q"),
-                        F.array(*[F.lit(v).cast("long") for v in cvec]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                ).alias("dist"),
-                F.lit(cid).cast("long").alias("cid"),
-            )
-            for cid, cvec in cents
-        ]
-    )
-    best = F.array_min(candidates)
-    return q.select(
-        "vec_id", "q", best["cid"].alias("cid"), best["dist"].alias("dist")
-    )
+    return _assign_to(q, _initial_centroids(q, k))
 
 
 def kmeans_assign(
@@ -110,3 +89,96 @@ def kmeans_update(
             F.sum("qv").alias("sum_q"),
         )
     )
+
+
+def _assign_to(q: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """(vec_id, q, cid, dist) against an explicit centroid literal list —
+    one codegen'd scan, zero shuffles (the kmeans_assign kernel with the
+    centroids parameterized)."""
+    candidates = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("q"),
+                        F.array(*[F.lit(v).cast("long") for v in cvec]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                F.lit(cid).cast("long").alias("cid"),
+            )
+            for cid, cvec in cents
+        ]
+    )
+    best = F.array_min(candidates)
+    return q.select("vec_id", "q", best["cid"].alias("cid"), best["dist"].alias("dist"))
+
+
+def kmeans_train(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``n_iter`` full Lloyd iterations from the k-smallest-id seed
+    centroids; returns the FINAL assignment (vec_id, cid, dist).
+
+    Between iterations each centroid moves to the exact integer floor-mean
+    of its members — floor(sum_q / n) computed in double (exact: |sum_q|
+    stays far below 2^53), so every iteration remains bit-replayable in
+    SQL.  Empty clusters keep their previous centroid (deterministic, no
+    reseeding).  Centroid labels are the seed vec_ids' ranks 0..k-1 -> the
+    seed ids themselves, stable across iterations.
+
+    Scale shape per iteration: one zero-shuffle assign scan + one
+    partial-aggregated k*dim exchange; the k*dim numerators (constant
+    size, e.g. 8x64 rows) collect to the driver and inline as the next
+    iteration's literals — the same constant-size-collect contract as the
+    seed draw.  The quantized input is localCheckpointed once so Lloyd
+    iterations re-scan a materialized relation, not the parquet plan.
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    q = _quantized(emb, vec_col, id_col).localCheckpoint(eager=True)
+    from ..storage import release
+
+    try:
+        cents = _initial_centroids(q, k)
+        dim = len(cents[0][1])
+        assigned = _assign_to(q, cents)
+        for _ in range(n_iter - 1):
+            rows = (
+                assigned.select("cid", F.posexplode("q").alias("dim0", "qv"))
+                .groupBy("cid", "dim0")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("qv").alias("s"))
+                .collect()
+            )
+            sums: dict[int, dict[int, tuple[int, int]]] = {}
+            for r in rows:
+                sums.setdefault(int(r.cid), {})[int(r.dim0)] = (int(r.s), int(r.n))
+            import math
+
+            new_cents = []
+            for cid, cvec in cents:
+                got = sums.get(cid, {})
+                new_cents.append(
+                    (
+                        cid,
+                        [
+                            int(math.floor(got[d][0] / got[d][1]))
+                            if d in got
+                            else cvec[d]
+                            for d in range(dim)
+                        ],
+                    )
+                )
+            cents = new_cents
+            assigned = _assign_to(q, cents)
+        # materialized BEFORE the finally releases q: a lazy result over the
+        # checkpointed input would lose its blocks (the betweenness rule)
+        return assigned.select("vec_id", "cid", "dist").localCheckpoint(eager=True)
+    finally:
+        release(q)

@@ -213,3 +213,29 @@ def test_numeric_profile_discrete_percentiles(spark):
     assert r.p99_q == 10_000_000
     with _pytest.raises(ValueError):
         numeric_profile(df, percentiles=(0.0,))
+
+
+def test_kmeans_train_converges_and_moves_centroids(spark):
+    from split_merge_partitioner_spark.functions.kmeans import (
+        kmeans_assign,
+        kmeans_train,
+    )
+
+    # two tight clusters far apart; seeds (two smallest ids) both start in
+    # cluster A, so iteration 1 must MOVE a centroid into cluster B
+    rows = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.5, 0.5]),
+            (3, [100.0, 100.0]), (4, [101.0, 100.0]), (5, [100.0, 101.0])]
+    emb = spark.createDataFrame(rows, EMB)
+    first = {r.vec_id: r.cid for r in kmeans_assign(emb, k=2).collect()}
+    trained = {r.vec_id: r.cid for r in kmeans_train(emb, k=2, n_iter=3).collect()}
+    # seeds are 0 and 1: initially the far cluster all lands on centroid 1
+    assert {first[3], first[4], first[5]} == {1}
+    # after Lloyd steps the split is the true 2-clustering
+    assert trained[0] == trained[1] == trained[2]
+    assert trained[3] == trained[4] == trained[5]
+    assert trained[0] != trained[3]
+    # n_iter=1 is exactly the seed assignment
+    once = {r.vec_id: r.cid for r in kmeans_train(emb, k=2, n_iter=1).collect()}
+    assert once == first
+    with pytest.raises(ValueError):
+        kmeans_train(emb, k=2, n_iter=0)
