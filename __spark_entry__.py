@@ -986,6 +986,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return skipgram_pairs(_docs(spark, sf), window=3, min_count=2)
 
+    def q_walks_cp(spark, sf):
+        # second-fixture walk corpus: same splitmix64 replay on the cp
+        # bipartite graph (different degree sequence -> different mod-degree
+        # hop draws; _edges_cp is canonical by construction)
+        from split_merge_partitioner_spark.graph import random_walks
+
+        return random_walks(_edges_cp(spark, sf), walk_length=6,
+                            walks_per_vertex=2, seed=42, assume_canonical=True)
+
+    def q_densest_cp(spark, sf):
+        # second-fixture densest peel (VERDICT r4 item 6 tail): the cp
+        # bipartite graph peels through different integer thresholds than
+        # the dense co-occurrence projection
+        from split_merge_partitioner_spark.graph import densest_subgraph_peel
+
+        return densest_subgraph_peel(_edges_cp(spark, sf), rounds=5)
+
     def q_kmeans_train(spark, sf):
         # 2 full Lloyd iterations (functions/kmeans.py::kmeans_train):
         # integer floor-mean centroids between iterations, final assignment
@@ -1153,6 +1170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numeric_profile": q_numeric_profile,
         "coloring": q_coloring,
         "kmeans_train2": q_kmeans_train,
+        "densest_cp": q_densest_cp,
+        "walks_cp": q_walks_cp,
     }
 
     # ------------------------------------------------------------------
@@ -1718,9 +1737,10 @@ SELECT vertex, ROUND(rank, 9) AS rank FROM dr8
     # densest-subgraph peel (graph/densest.py): 5 materialized peel rounds,
     # integer keep-test c*n*10 > 2*m*11 (eps = 0.1), density = ROUND(m/n, 6),
     # best = highest density, earliest round on ties
-    densest_subgraph_sql = f"""
-WITH {_EDGES_CTE}, {_PROJ_CTE},
-e0 AS MATERIALIZED (SELECT src, dst FROM proj),
+    def _densest_sql_for(prelude_ctes: str, src_rel: str) -> str:
+        return f"""
+WITH {prelude_ctes},
+e0 AS MATERIALIZED (SELECT src, dst FROM {src_rel}),
 nb0 AS MATERIALIZED (SELECT src AS u FROM e0 UNION ALL SELECT dst FROM e0),
 d0 AS MATERIALIZED (SELECT u, COUNT(*) AS c FROM nb0 GROUP BY u),
 s0 AS MATERIALIZED (SELECT (SELECT COUNT(*) FROM d0) AS n, (SELECT COUNT(*) FROM e0) AS m),
@@ -1757,6 +1777,12 @@ SELECT CAST(round AS BIGINT) AS round,
        ROW_NUMBER() OVER (ORDER BY ROUND(m / n, 6) DESC, round ASC) = 1 AS is_best
 FROM allr
 """
+
+    densest_subgraph_sql = _densest_sql_for(f"{_EDGES_CTE}, {_PROJ_CTE}", "proj")
+    # second fixture: peel the customer-part bipartite graph directly (no
+    # projection — densest is defined on any undirected edge table); its
+    # bipartite shells peel differently from the dense co-occur projection
+    densest_cp_sql = _densest_sql_for(_EDGES_CP_CTE, "edges")
 
     triangle_count_sampled_sql = f"""
 WITH {_EDGES_CTE}, {_PROJ_CTE},
@@ -2739,6 +2765,13 @@ SELECT start, CAST(walk AS BIGINT) AS walk, CAST(step AS BIGINT) AS step, vertex
 FROM ({_walk_union})
 """
 
+    walks_cp_sql = f"""
+WITH {_EDGES_CP_CTE},
+{','.join(_walk_ctes)}
+SELECT start, CAST(walk AS BIGINT) AS walk, CAST(step AS BIGINT) AS step, vertex
+FROM ({_walk_union})
+"""
+
     # -- coreness oracle ----------------------------------------------------
     # 8 chained h-operator sweeps (graph/kcore.py): h-index as
     # ROW_NUMBER-over-desc-value + MAX(LEAST(rn, value)) — tie-order
@@ -3284,6 +3317,8 @@ FROM documents
         "numeric_profile": numeric_profile_sql,
         "coloring": coloring_sql,
         "kmeans_train2": kmeans_train2_sql,
+        "densest_cp": densest_cp_sql,
+        "walks_cp": walks_cp_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic
         # across engines): fsm_assign, fsm_stats (hep_local expansion kernels;
         # the dbh-portable flavor IS oracled above), hdrf_bucket_sizes,
