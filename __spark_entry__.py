@@ -1003,6 +1003,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return densest_subgraph_peel(_edges_cp(spark, sf), rounds=5)
 
+    def q_butterfly_count(spark, sf):
+        # exact bipartite 4-cycle count on the RAW co-occurrence graph
+        # (graph/butterflies.py): wedge side auto-picked by Sigma C(d,2)
+        # volume, pair-distinct exchange, all-BIGINT arithmetic
+        from split_merge_partitioner_spark.graph import butterfly_count
+
+        return butterfly_count(_edges(spark, sf))
+
+    def q_butterflies_per_vertex(spark, sf):
+        # per-vertex butterfly participation of the non-wedge side
+        from split_merge_partitioner_spark.graph import butterflies_per_vertex
+
+        return butterflies_per_vertex(_edges(spark, sf))
+
+    def q_neighbor_sample(spark, sf):
+        # layer-wise GraphSAGE-style fanout sample (graph/neighbor_sample.py):
+        # Lehmer pair-hash ranking -> pure function of (ids, seed); the SQL
+        # twin replays the same ROW_NUMBER-over-integer-hash per hop
+        from split_merge_partitioner_spark.graph import layerwise_neighbor_sample
+
+        return layerwise_neighbor_sample(
+            _edges(spark, sf), fanouts=(3, 2), seed=42, seed_fraction=0.05
+        )
+
+    def q_bigram_coherence(spark, sf):
+        # corpus-internal bigram LM coherence (functions/text.py): exact
+        # fixed-point integer P(b|a) sums — the KenLM/CCNet-bucket stand-in
+        from split_merge_partitioner_spark.functions import bigram_coherence
+
+        return bigram_coherence(_docs(spark, sf))
+
     def q_kmeans_train(spark, sf):
         # 2 full Lloyd iterations (functions/kmeans.py::kmeans_train):
         # integer floor-mean centroids between iterations, final assignment
@@ -1172,6 +1203,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_train2": q_kmeans_train,
         "densest_cp": q_densest_cp,
         "walks_cp": q_walks_cp,
+        "butterfly_count": q_butterfly_count,
+        "bigram_coherence": q_bigram_coherence,
+        "butterflies_per_vertex": q_butterflies_per_vertex,
+        "neighbor_sample": q_neighbor_sample,
     }
 
     # ------------------------------------------------------------------
@@ -3185,6 +3220,100 @@ QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
 
     coloring_sql = _coloring_sql()
 
+    from split_merge_partitioner_spark.functions.sampling import M31
+
+    # -- butterflies (graph/butterflies.py): wedge side picked by the SAME
+    #    Sigma C(d,2) volume rule; all-BIGINT so the hash match is exact
+    _BFLY_CTE = f"""
+{_EDGES_CTE},
+vol AS (
+  SELECT (SELECT CAST(SUM(d*(d-1)/2) AS BIGINT)
+            FROM (SELECT src, COUNT(*) d FROM edges GROUP BY src)) vs,
+         (SELECT CAST(SUM(d*(d-1)/2) AS BIGINT)
+            FROM (SELECT dst, COUNT(*) d FROM edges GROUP BY dst)) vd),
+pairs AS (
+  SELECT CASE WHEN (SELECT vs <= vd FROM vol) THEN a.dst ELSE a.src END AS a,
+         CASE WHEN (SELECT vs <= vd FROM vol) THEN b.dst ELSE b.src END AS b,
+         COUNT(*) AS c
+  FROM edges a JOIN edges b
+    ON (CASE WHEN (SELECT vs <= vd FROM vol) THEN a.src ELSE a.dst END)
+     = (CASE WHEN (SELECT vs <= vd FROM vol) THEN b.src ELSE b.dst END)
+   AND (CASE WHEN (SELECT vs <= vd FROM vol) THEN a.dst ELSE a.src END)
+     < (CASE WHEN (SELECT vs <= vd FROM vol) THEN b.dst ELSE b.src END)
+  GROUP BY 1, 2)
+"""
+    butterfly_count_sql = f"""
+WITH {_BFLY_CTE}
+SELECT CAST(SUM(c*(c-1)/2) AS BIGINT) AS n_butterflies,
+       CAST(COUNT(*) AS BIGINT) AS n_copair_rows,
+       (SELECT LEAST(vs, vd) FROM vol) AS n_wedges,
+       (SELECT CASE WHEN vs <= vd THEN 'src' ELSE 'dst' END FROM vol) AS wedge_side
+FROM pairs
+"""
+    butterflies_per_vertex_sql = f"""
+WITH {_BFLY_CTE}
+SELECT vertex, CAST(SUM(nb) AS BIGINT) AS n_butterflies FROM (
+  SELECT a AS vertex, c*(c-1)/2 AS nb FROM pairs
+  UNION ALL
+  SELECT b, c*(c-1)/2 FROM pairs
+) GROUP BY vertex HAVING SUM(nb) > 0
+"""
+
+    bigram_coherence_sql = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS a
+  FROM documents),
+occ AS (SELECT doc_id, unnest(a) AS tok FROM toks),
+uni AS (SELECT tok, COUNT(*) AS c_uni FROM occ GROUP BY tok),
+grams AS (
+  SELECT doc_id, a[i] || ' ' || a[i+1] AS gram, a[i] AS tok
+  FROM toks, unnest(range(1, len(a))) AS t(i)
+  WHERE len(a) >= 2),
+big AS (SELECT gram, COUNT(*) AS c_big FROM grams GROUP BY gram),
+per_occ AS (
+  SELECT g.doc_id, (b.c_big * 1000000) // u.c_uni AS fp
+  FROM grams g JOIN big b USING (gram) JOIN uni u USING (tok)),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, SUM(fp) AS sum_fp
+  FROM per_occ GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(p.sum_fp, 0) AS BIGINT) AS sum_fp,
+       CAST(COALESCE(p.sum_fp // p.n_bigrams, 0) AS BIGINT) AS coherence_ppm
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+"""
+
+    # -- layer-wise neighbor sample (graph/neighbor_sample.py): the Lehmer
+    #    hash replayed per hop (seed 42 -> +43 for seeds, +43+hop for pair
+    #    ranking); fanouts (3, 2), seed_fraction 0.05
+    def _lehmer(expr: str, seed: int) -> str:
+        return (
+            f"((((({expr}) % 2147483647 + 2147483647) % 2147483647 + {seed % M31 + 1})"
+            " % 2147483647) * 48271 % 2147483647 + 1) * 69621 % 2147483647"
+        )
+
+    neighbor_sample_sql = f"""
+WITH {_EDGES_CTE},
+adj AS (SELECT src u, dst v FROM edges UNION ALL SELECT dst, src FROM edges),
+verts AS (SELECT DISTINCT u AS vertex FROM adj),
+seeds AS (SELECT vertex AS u FROM verts
+          WHERE {_lehmer('vertex', 42)} < {int(0.05 * M31)}),
+h1 AS (SELECT 1 AS hop, s.u AS src, a.v AS dst,
+         ROW_NUMBER() OVER (PARTITION BY s.u ORDER BY
+           {_lehmer('s.u*2097169 + a.v', 43)} ASC, a.v ASC) AS rn
+       FROM seeds s JOIN adj a ON a.u = s.u),
+p1 AS (SELECT * FROM h1 WHERE rn <= 3),
+f2 AS (SELECT DISTINCT dst AS u FROM p1),
+h2 AS (SELECT 2 AS hop, f.u AS src, a.v AS dst,
+         ROW_NUMBER() OVER (PARTITION BY f.u ORDER BY
+           {_lehmer('f.u*2097169 + a.v', 44)} ASC, a.v ASC) AS rn
+       FROM f2 f JOIN adj a ON a.u = f.u)
+SELECT CAST(hop AS INT) AS hop, src, dst, CAST(rn AS BIGINT) AS rn
+FROM (SELECT * FROM p1 UNION ALL SELECT * FROM h2 WHERE rn <= 2)
+"""
+
     return {
         "edges_cooccur": edges_sql,
         "degrees": degrees_sql,
@@ -3319,6 +3448,10 @@ FROM documents
         "kmeans_train2": kmeans_train2_sql,
         "densest_cp": densest_cp_sql,
         "walks_cp": walks_cp_sql,
+        "butterfly_count": butterfly_count_sql,
+        "bigram_coherence": bigram_coherence_sql,
+        "butterflies_per_vertex": butterflies_per_vertex_sql,
+        "neighbor_sample": neighbor_sample_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic
         # across engines): fsm_assign, fsm_stats (hep_local expansion kernels;
         # the dbh-portable flavor IS oracled above), hdrf_bucket_sizes,

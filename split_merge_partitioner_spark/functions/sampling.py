@@ -35,11 +35,13 @@ _A1 = 48_271  # MINSTD multiplier
 _A2 = 69_621
 
 
-def sample_hash(key_col: str, seed: int = 42) -> Column:
+def sample_hash(key_col: str | Column, seed: int = 42) -> Column:
     """Uniform-ish deterministic hash of an integer key into [0, M31):
     h = ((key mod M31 + seed + 1) * A1 mod M31 + 1) * A2 mod M31.
-    Max intermediate M31 * A2 < 2^48 — no BIGINT overflow, ANSI-safe."""
-    k = F.col(key_col).cast("long")
+    Max intermediate M31 * A2 < 2^48 — no BIGINT overflow, ANSI-safe.
+    ``key_col`` may be a column name or any integer-valued Column
+    expression (e.g. a packed pair key — see graph/neighbor_sample.py)."""
+    k = (F.col(key_col) if isinstance(key_col, str) else key_col).cast("long")
     h = ((k % M31 + M31) % M31 + F.lit(int(seed) % M31) + F.lit(1)) % M31
     h = (h * F.lit(_A1)) % F.lit(M31)
     return ((h + F.lit(1)) * F.lit(_A2)) % F.lit(M31)

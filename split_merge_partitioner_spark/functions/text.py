@@ -395,3 +395,62 @@ def rarity_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.coalesce(F.col("__n_hapax__") / F.col("n_tokens"), F.lit(0.0)), 6
         ).alias("hapax_frac"),
     )
+
+
+def bigram_coherence(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-internal bigram coherence per document — the LM-free stand-in
+    for a KenLM/CCNet perplexity bucket: how predictable each document's
+    token transitions are under the corpus' own bigram statistics.
+
+    For every adjacent token pair (a, b), the corpus-estimated P(b|a) is
+    count(a b) / count(a) (occurrence counts; the denominator includes
+    final-position occurrences of ``a`` — documented convention, this is a
+    quality signal, not a normalized LM).  Per document:
+
+    - n_bigrams
+    - sum_fp  = Sigma over bigram occurrences of (count(a b) * 10^6) DIV
+                count(a) — fixed-point INTEGER division, so the sum is an
+                exact BIGINT and the cross-engine hash match is exact
+                (the rarity_stats/tfidf rule: no float reduction order,
+                no libm)
+    - coherence_ppm = sum_fp DIV n_bigrams — the mean transition
+      probability in parts-per-million, ALSO integer division: a rounded
+      double here hits real half-way cases (sum_fp/n can land exactly on
+      .5 at the 6th decimal — observed at sf0.001 doc 384 — and Spark
+      HALF_UP vs DuckDB banker's rounding then disagree).  Fluent running
+      text scores high; shuffled/garbage text sits near the unigram floor.
+
+    Scale shape: one bigram-keyed exchange to build the bigram counts, one
+    token-keyed exchange for the unigram counts, two shuffle joins back
+    onto the occurrence stream (vocab and bigram relations can be 10^9+
+    rows at 100 TB — never broadcast), one groupBy(doc_id).  All linear,
+    nothing driver-side.
+    """
+    toks = docs.select(F.col("doc_id"), _token_array(text_col).alias("__toks__"))
+    uni = (
+        toks.select(F.explode("__toks__").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c_uni"))
+    )
+    grams = toks.select(
+        "doc_id", F.explode(_word_ngrams("__toks__", 2)).alias("gram")
+    )
+    big = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c_big"))
+    per_occ = (
+        grams.join(big, "gram")
+        .withColumn("tok", F.expr("split_part(gram, ' ', 1)"))
+        .join(uni, "tok")
+        .select("doc_id", F.expr("(c_big * 1000000L) div c_uni").alias("fp"))
+    )
+    per_doc = per_occ.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("fp").alias("sum_fp"),
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("sum_fp", F.lit(0)).cast("long").alias("sum_fp"),
+        F.coalesce(
+            F.expr("sum_fp div n_bigrams"), F.lit(0)
+        ).cast("long").alias("coherence_ppm"),
+    )

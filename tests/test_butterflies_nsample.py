@@ -1,0 +1,145 @@
+"""Butterfly counting (graph/butterflies.py) against a brute-force NumPy
+4-cycle enumerator, and layer-wise neighbor sampling
+(graph/neighbor_sample.py) against a pure-Python replay of the documented
+Lehmer ranking — both independent reimplementations of the semantics, the
+same bar the DuckDB contract oracles hold the driver queries to."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import pytest
+from pyspark.sql import functions as F
+
+from split_merge_partitioner_spark.functions.sampling import M31, _A1, _A2
+from split_merge_partitioner_spark.graph import (
+    butterflies_per_vertex,
+    butterfly_count,
+    layerwise_neighbor_sample,
+)
+
+M31_ = M31
+
+
+def _lehmer(k: int, seed: int) -> int:
+    h = ((k % M31_ + M31_) % M31_ + seed % M31_ + 1) % M31_
+    return ((h * _A1) % M31_ + 1) * _A2 % M31_
+
+
+def _rand_bipartite(seed: int, nl: int = 40, nr: int = 12, m: int = 220):
+    """Deterministic pseudo-random bipartite edge set (left 0..nl-1, right
+    1000..1000+nr-1), parallel-edge-free."""
+    es = set()
+    x = seed
+    while len(es) < m:
+        x = _lehmer(x, seed)
+        u = x % nl
+        x = _lehmer(x, seed + 1)
+        v = 1000 + x % nr
+        es.add((u, v))
+    return sorted(es)
+
+
+def _brute_butterflies(es):
+    """Pairs of RIGHT-side vertices sharing left neighbors (the butterfly
+    total is side-symmetric; the per-vertex table is of the non-wedge
+    side, which for these fixtures is the right side — see the volume
+    assertion in the test)."""
+    nbrs: dict[int, set[int]] = {}
+    for u, v in es:
+        nbrs.setdefault(v, set()).add(u)
+    total = 0
+    per: dict[int, int] = {}
+    for a, b in combinations(sorted(nbrs), 2):
+        c = len(nbrs[a] & nbrs[b])
+        k = c * (c - 1) // 2
+        total += k
+        per[a] = per.get(a, 0) + k
+        per[b] = per.get(b, 0) + k
+    return total, {v: k for v, k in per.items() if k > 0}
+
+
+@pytest.mark.parametrize("seed", [7, 19])
+def test_butterfly_count_matches_bruteforce(spark, seed):
+    es = _rand_bipartite(seed)
+    edges = spark.createDataFrame(es, "src long, dst long")
+    row = butterfly_count(edges).collect()[0]
+    # left side (40 verts, deg ~5.5, Sigma C(d,2) ~ 500) has the smaller
+    # wedge volume than the right (12 verts, deg ~18, ~1800): wedges go
+    # THROUGH the left, pairs/per-vertex rows are right-side
+    exp_total, exp_per = _brute_butterflies(es)
+    assert row["wedge_side"] == "src"
+    assert row["n_butterflies"] == exp_total
+    got = {
+        r["vertex"]: r["n_butterflies"]
+        for r in butterflies_per_vertex(edges).collect()
+    }
+    assert got == exp_per
+
+
+def test_butterfly_center_cap_undercounts_monotonically(spark):
+    es = _rand_bipartite(3)
+    edges = spark.createDataFrame(es, "src long, dst long")
+    full = butterfly_count(edges).collect()[0]["n_butterflies"]
+    capped = butterfly_count(edges, max_center_degree=10).collect()[0][
+        "n_butterflies"
+    ]
+    assert 0 <= capped <= full
+
+
+def _py_neighbor_sample(es, fanouts, seed, frac):
+    adj: dict[int, list[int]] = {}
+    for u, v in es:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    frontier = sorted(
+        u for u in adj if _lehmer(u, seed) < int(frac * M31_)
+    )
+    out = []
+    for hop, f in enumerate(fanouts, start=1):
+        nxt = set()
+        for u in frontier:
+            ranked = sorted(
+                adj.get(u, []), key=lambda v: (_lehmer(u * 2_097_169 + v, seed + hop), v)
+            )[:f]
+            for rn, v in enumerate(ranked, start=1):
+                out.append((hop, u, v, rn))
+                nxt.add(v)
+        frontier = sorted(nxt)
+    return sorted(out)
+
+
+def test_neighbor_sample_matches_python_replay(spark):
+    es = _rand_bipartite(11)
+    edges = spark.createDataFrame(es, "src long, dst long")
+    got = sorted(
+        (r["hop"], r["src"], r["dst"], r["rn"])
+        for r in layerwise_neighbor_sample(
+            edges, fanouts=(3, 2), seed=42, seed_fraction=0.2
+        ).collect()
+    )
+    assert got == _py_neighbor_sample(es, (3, 2), 42, 0.2)
+    assert len(got) > 0
+
+
+def test_neighbor_sample_partitioning_invariant(spark):
+    """Pure-function-of-(ids, seed) contract: identical picks regardless of
+    input partitioning."""
+    es = _rand_bipartite(23)
+    a = spark.createDataFrame(es, "src long, dst long").repartition(1)
+    b = spark.createDataFrame(es, "src long, dst long").repartition(7, "dst")
+    ra = sorted(map(tuple, layerwise_neighbor_sample(a, (2, 2)).collect()))
+    rb = sorted(map(tuple, layerwise_neighbor_sample(b, (2, 2)).collect()))
+    assert ra == rb
+
+
+def test_neighbor_sample_respects_fanout_and_validates(spark):
+    es = _rand_bipartite(5)
+    edges = spark.createDataFrame(es, "src long, dst long")
+    df = layerwise_neighbor_sample(edges, fanouts=(2,), seed_fraction=0.5)
+    per_src = df.groupBy("hop", "src").agg(F.count("*").alias("c"))
+    assert per_src.where(F.col("c") > 2).count() == 0
+    with pytest.raises(ValueError):
+        layerwise_neighbor_sample(edges, fanouts=())
+    with pytest.raises(ValueError):
+        layerwise_neighbor_sample(edges, fanouts=(2, 0))
