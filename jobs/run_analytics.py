@@ -28,7 +28,9 @@ splitting, --weight-col), sssp (weighted
 shortest paths from --source; --weight-col names an integer edge weight),
 modularity (Newman Q of the labelprop communities), ktruss (support
 peeling; --k, canonical-edge input canonicalized internally via the
-triangle path's orientation).  Partition-aware algos
+triangle path's orientation), butterfly (bipartite 4-cycle count +
+per-vertex participation), nsample (layer-wise GraphSAGE fanout sample;
+--fanouts/--seed-fraction).  Partition-aware algos
 (cc, lp, bfs, diameter, hyperanf) partition the edges with DBH first
 (cheap, pure expression) unless --no-partition is given.
 """
@@ -54,7 +56,7 @@ def main(argv=None, stop: bool = True) -> None:
                  "diameter", "hyperanf", "kcore", "walks", "ppr", "betweenness",
                  "summary", "eigen", "hits", "sssp", "modularity", "ktruss",
                  "closeness", "scc", "densest", "wpagerank", "mis", "matching",
-                 "dpagerank", "coloring"],
+                 "dpagerank", "coloring", "butterfly", "nsample"],
     )
     ap.add_argument("--output", default=None, help="result parquet")
     ap.add_argument("--json-out", default=None, help="write the info dict here")
@@ -96,6 +98,9 @@ def main(argv=None, stop: bool = True) -> None:
     ap.add_argument("--walk-length", type=int, default=16)
     ap.add_argument("--walks-per-vertex", type=int, default=2)
     ap.add_argument("--seed", type=int, default=42, help="walks/mis hash seed")
+    ap.add_argument("--fanouts", default="3,2", help="nsample per-hop fanouts")
+    ap.add_argument("--seed-fraction", type=float, default=0.02,
+                    help="nsample seed-vertex hash fraction")
     args = ap.parse_args(argv)
 
     from split_merge_partitioner_spark.graph import (
@@ -177,6 +182,25 @@ def main(argv=None, stop: bool = True) -> None:
         from split_merge_partitioner_spark.graph import greedy_coloring
 
         out, info = greedy_coloring(edges, seed=args.seed)
+    elif args.algo == "butterfly":
+        # bipartite 4-cycle count + per-vertex participation (butterflies.py)
+        from split_merge_partitioner_spark.graph import (
+            butterflies_per_vertex,
+            butterfly_count,
+        )
+
+        row = butterfly_count(edges).collect()[0]
+        info = {k: row[k] for k in ("n_butterflies", "n_copair_rows",
+                                    "n_wedges", "wedge_side")}
+        out = butterflies_per_vertex(edges)
+    elif args.algo == "nsample":
+        # layer-wise GraphSAGE fanout sample; --fanouts "3,2", --seed
+        from split_merge_partitioner_spark.graph import layerwise_neighbor_sample
+
+        fanouts = tuple(int(x) for x in args.fanouts.split(","))
+        out = layerwise_neighbor_sample(edges, fanouts=fanouts, seed=args.seed,
+                                        seed_fraction=args.seed_fraction)
+        info = {"fanouts": list(fanouts)}
     elif args.algo == "densest":
         from split_merge_partitioner_spark.graph import densest_subgraph_peel
 
