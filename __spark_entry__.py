@@ -1027,6 +1027,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _edges(spark, sf), fanouts=(3, 2), seed=42, seed_fraction=0.05
         )
 
+    def q_louvain(spark, sf):
+        # synchronous parity-gated Louvain local-move, 3 rounds
+        # (graph/louvain.py): exact-integer 2m-scaled gain argmax, replayed
+        # round-by-round in the generated SQL oracle
+        from split_merge_partitioner_spark.graph import louvain_local_move
+
+        return louvain_local_move(_edges(spark, sf), n_rounds=3)[0]
+
+    def q_louvain_contract(spark, sf):
+        # the community graph completing the Louvain level: weighted
+        # contraction (self-loops = internal edge counts)
+        from split_merge_partitioner_spark.graph import (
+            contract_by_community,
+            louvain_local_move,
+        )
+
+        e = _edges(spark, sf)
+        return contract_by_community(e, louvain_local_move(e, n_rounds=3)[0])
+
     def q_bigram_coherence(spark, sf):
         # corpus-internal bigram LM coherence (functions/text.py): exact
         # fixed-point integer P(b|a) sums — the KenLM/CCNet-bucket stand-in
@@ -1205,6 +1224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "walks_cp": q_walks_cp,
         "butterfly_count": q_butterfly_count,
         "bigram_coherence": q_bigram_coherence,
+        "louvain": q_louvain,
+        "louvain_contract": q_louvain_contract,
         "butterflies_per_vertex": q_butterflies_per_vertex,
         "neighbor_sample": q_neighbor_sample,
     }
@@ -3285,6 +3306,64 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
 """
 
+    # -- Louvain local-move (graph/louvain.py): the generated round replay
+    #    (coloring_sql pattern) — score/argmax/parity per round, all BIGINT
+    def _louvain_rounds_cte(rounds: int = 3) -> str:
+        blocks = []
+        for r in range(1, rounds + 1):
+            blocks.append(f"""
+tot{r} AS MATERIALIZED (
+  SELECT comm, SUM(k) AS tot FROM s{r - 1} JOIN deg USING (u) GROUP BY comm),
+nc{r} AS MATERIALIZED (
+  SELECT und.u, s.comm AS c, COUNT(*) AS w
+  FROM und JOIN s{r - 1} s ON s.u = und.v GROUP BY und.u, s.comm),
+cand{r} AS MATERIALIZED (
+  SELECT u, c, SUM(w) AS w FROM (
+    SELECT u, c, w FROM nc{r}
+    UNION ALL
+    SELECT u, comm, 0 FROM s{r - 1}) GROUP BY u, c),
+sc{r} AS (
+  SELECT cand.u, cand.c, s.comm,
+         (SELECT m2 FROM m2x) * cand.w
+           - d.k * (t.tot - CASE WHEN cand.c = s.comm THEN d.k ELSE 0 END)
+           AS score
+  FROM cand{r} cand
+  JOIN s{r - 1} s ON s.u = cand.u
+  JOIN deg d ON d.u = cand.u
+  JOIN tot{r} t ON t.comm = cand.c),
+s{r} AS MATERIALIZED (
+  SELECT u, CASE WHEN (u + {r}) % 2 = 0 THEN c ELSE comm END AS comm
+  FROM (SELECT u, c, comm,
+               ROW_NUMBER() OVER (PARTITION BY u ORDER BY score DESC, c ASC) AS rn
+        FROM sc{r})
+  WHERE rn = 1)""")
+        return f"""
+{_EDGES_CTE},
+und AS MATERIALIZED (SELECT src AS u, dst AS v FROM edges
+                     UNION ALL SELECT dst, src FROM edges),
+deg AS MATERIALIZED (SELECT u, COUNT(*) AS k FROM und GROUP BY u),
+m2x AS (SELECT SUM(k) AS m2 FROM deg),
+s0 AS MATERIALIZED (SELECT u, u AS comm FROM deg),
+{','.join(blocks)}
+"""
+
+    def _louvain_sql(rounds: int = 3) -> str:
+        return f"""
+WITH {_louvain_rounds_cte(rounds)}
+SELECT u AS vertex, comm FROM s{rounds}
+"""
+
+    def _louvain_contract_sql(rounds: int = 3) -> str:
+        return f"""
+WITH {_louvain_rounds_cte(rounds)},
+lab AS (
+  SELECT LEAST(cs.comm, cd.comm) AS src, GREATEST(cs.comm, cd.comm) AS dst
+  FROM edges e
+  JOIN s{rounds} cs ON cs.u = e.src
+  JOIN s{rounds} cd ON cd.u = e.dst)
+SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS weight FROM lab GROUP BY src, dst
+"""
+
     # -- layer-wise neighbor sample (graph/neighbor_sample.py): the Lehmer
     #    hash replayed per hop (seed 42 -> +43 for seeds, +43+hop for pair
     #    ranking); fanouts (3, 2), seed_fraction 0.05
@@ -3450,6 +3529,8 @@ FROM documents
         "walks_cp": walks_cp_sql,
         "butterfly_count": butterfly_count_sql,
         "bigram_coherence": bigram_coherence_sql,
+        "louvain": _louvain_sql(),
+        "louvain_contract": _louvain_contract_sql(),
         "butterflies_per_vertex": butterflies_per_vertex_sql,
         "neighbor_sample": neighbor_sample_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic

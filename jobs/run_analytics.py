@@ -30,7 +30,8 @@ modularity (Newman Q of the labelprop communities), ktruss (support
 peeling; --k, canonical-edge input canonicalized internally via the
 triangle path's orientation), butterfly (bipartite 4-cycle count +
 per-vertex participation), nsample (layer-wise GraphSAGE fanout sample;
---fanouts/--seed-fraction).  Partition-aware algos
+--fanouts/--seed-fraction), louvain (synchronous parity-gated local-move
+community detection, --n-iter rounds).  Partition-aware algos
 (cc, lp, bfs, diameter, hyperanf) partition the edges with DBH first
 (cheap, pure expression) unless --no-partition is given.
 """
@@ -56,7 +57,7 @@ def main(argv=None, stop: bool = True) -> None:
                  "diameter", "hyperanf", "kcore", "walks", "ppr", "betweenness",
                  "summary", "eigen", "hits", "sssp", "modularity", "ktruss",
                  "closeness", "scc", "densest", "wpagerank", "mis", "matching",
-                 "dpagerank", "coloring", "butterfly", "nsample"],
+                 "dpagerank", "coloring", "butterfly", "nsample", "louvain"],
     )
     ap.add_argument("--output", default=None, help="result parquet")
     ap.add_argument("--json-out", default=None, help="write the info dict here")
@@ -182,6 +183,12 @@ def main(argv=None, stop: bool = True) -> None:
         from split_merge_partitioner_spark.graph import greedy_coloring
 
         out, info = greedy_coloring(edges, seed=args.seed)
+    elif args.algo == "louvain":
+        # parity-gated synchronous local-move (+ contraction written next to
+        # --output when given): --n-iter = rounds
+        from split_merge_partitioner_spark.graph import louvain_local_move
+
+        out, info = louvain_local_move(edges, n_rounds=args.n_iter)
     elif args.algo == "butterfly":
         # bipartite 4-cycle count + per-vertex participation (butterflies.py)
         from split_merge_partitioner_spark.graph import (

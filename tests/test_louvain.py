@@ -1,0 +1,114 @@
+"""louvain_local_move / contract_by_community (graph/louvain.py): clique
+recovery, an independent pure-Python replay of the documented synchronous
+parity-gated semantics, contraction hand-values, and the storage-release
+budget."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pytest
+
+from split_merge_partitioner_spark.graph import (
+    contract_by_community,
+    louvain_local_move,
+)
+
+
+def _py_louvain(es, n_rounds):
+    """Literal replay of the module contract: score = 2m*w(u,C) -
+    k_u*(tot(C) - [C==cu]*k_u), argmax (score desc, c asc), move only when
+    (u + r) % 2 == 0."""
+    und = defaultdict(list)
+    for a, b in es:
+        und[a].append(b)
+        und[b].append(a)
+    k = {u: len(vs) for u, vs in und.items()}
+    m2 = sum(k.values())
+    comm = {u: u for u in und}
+    for r in range(1, n_rounds + 1):
+        tot = defaultdict(int)
+        for u in und:
+            tot[comm[u]] += k[u]
+        new = {}
+        for u in und:
+            w = defaultdict(int)
+            for v in und[u]:
+                w[comm[v]] += 1
+            w.setdefault(comm[u], w.get(comm[u], 0))
+            best = min(
+                w,
+                key=lambda c: (
+                    -(m2 * w[c] - k[u] * (tot[c] - (k[u] if c == comm[u] else 0))),
+                    c,
+                ),
+            )
+            new[u] = best if (u + r) % 2 == 0 else comm[u]
+        comm = new
+    return comm
+
+
+def _rand_edges(seed, n=60, m=150):
+    es, x = set(), seed
+    while len(es) < m:
+        x = (x * 48271 + 11) % 2147483647
+        a = x % n
+        x = (x * 48271 + 11) % 2147483647
+        b = x % n
+        if a != b:
+            es.add((min(a, b), max(a, b)))
+    return sorted(es)
+
+
+def test_louvain_recovers_cliques(spark):
+    cl1 = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    cl2 = [(i, j) for i in range(10, 16) for j in range(i + 1, 16)]
+    edges = spark.createDataFrame(cl1 + cl2 + [(5, 10)], "src long, dst long")
+    out, info = louvain_local_move(edges, n_rounds=4)
+    groups = defaultdict(set)
+    for r in out.collect():
+        groups[r["comm"]].add(r["vertex"])
+    assert sorted(map(sorted, groups.values())) == [
+        list(range(6)),
+        list(range(10, 16)),
+    ]
+    assert info["n_communities"] == 2
+    assert info["moves"][-1] == 0  # settled
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_louvain_matches_python_replay(spark, seed):
+    es = _rand_edges(seed)
+    edges = spark.createDataFrame(es, "src long, dst long")
+    out, _ = louvain_local_move(edges, n_rounds=3)
+    got = {r["vertex"]: r["comm"] for r in out.collect()}
+    assert got == _py_louvain(es, 3)
+
+
+def test_louvain_validates(spark):
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        louvain_local_move(edges, n_rounds=0)
+
+
+def test_contract_by_community_hand_values(spark):
+    # triangle {0,1,2} + edge to 3; comms {0,1,2}->0, {3}->3
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 3)], "src long, dst long"
+    )
+    comms = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 3)], "vertex long, comm long"
+    )
+    got = sorted(map(tuple, contract_by_community(edges, comms).collect()))
+    assert got == [(0, 0, 3), (0, 3, 1)]
+
+
+def test_louvain_releases_storage(spark):
+    from tests.test_storage_release import RESULT_BUDGET, _new_after, _path_edges
+
+    edges = _path_edges(spark)
+    new, leaked = _new_after(
+        spark, lambda: louvain_local_move(edges, n_rounds=3)[0]
+    )
+    assert new >= 1
+    assert leaked <= RESULT_BUDGET
