@@ -1046,6 +1046,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         e = _edges(spark, sf)
         return contract_by_community(e, louvain_local_move(e, n_rounds=3)[0])
 
+    def q_louvain2(spark, sf):
+        # FULL 2-level Louvain (graph/louvain.py::louvain): local-move ->
+        # weighted contraction -> local-move -> compose labels; the oracle
+        # replays the whole chain (weighted second level incl. self-loops)
+        from split_merge_partitioner_spark.graph import louvain
+
+        return louvain(_edges(spark, sf), n_levels=2, n_rounds=3)[0]
+
     def q_bigram_coherence(spark, sf):
         # corpus-internal bigram LM coherence (functions/text.py): exact
         # fixed-point integer P(b|a) sums — the KenLM/CCNet-bucket stand-in
@@ -1226,6 +1234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_coherence": q_bigram_coherence,
         "louvain": q_louvain,
         "louvain_contract": q_louvain_contract,
+        "louvain2": q_louvain2,
         "butterflies_per_vertex": q_butterflies_per_vertex,
         "neighbor_sample": q_neighbor_sample,
     }
@@ -3308,60 +3317,92 @@ FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
 
     # -- Louvain local-move (graph/louvain.py): the generated round replay
     #    (coloring_sql pattern) — score/argmax/parity per round, all BIGINT
-    def _louvain_rounds_cte(rounds: int = 3) -> str:
+    # -- Louvain (graph/louvain.py): generated round replay (coloring_sql
+    #    pattern) — weighted general form; prefix distinguishes levels in
+    #    the 2-level chain, w_expr is '1' (raw edges) or a weight column
+    def _louvain_rounds_cte(
+        rounds: int, prefix: str = "", rel: str = "edges", w_expr: str = "1"
+    ) -> str:
+        P = prefix
         blocks = []
         for r in range(1, rounds + 1):
             blocks.append(f"""
-tot{r} AS MATERIALIZED (
-  SELECT comm, SUM(k) AS tot FROM s{r - 1} JOIN deg USING (u) GROUP BY comm),
-nc{r} AS MATERIALIZED (
-  SELECT und.u, s.comm AS c, COUNT(*) AS w
-  FROM und JOIN s{r - 1} s ON s.u = und.v GROUP BY und.u, s.comm),
-cand{r} AS MATERIALIZED (
+tot{P}{r} AS MATERIALIZED (
+  SELECT comm, SUM(k) AS tot FROM s{P}{r - 1} JOIN deg{P} USING (u) GROUP BY comm),
+nc{P}{r} AS MATERIALIZED (
+  SELECT und{P}.u, s.comm AS c, SUM(und{P}.w) AS w
+  FROM und{P} JOIN s{P}{r - 1} s ON s.u = und{P}.v GROUP BY und{P}.u, s.comm),
+cand{P}{r} AS MATERIALIZED (
   SELECT u, c, SUM(w) AS w FROM (
-    SELECT u, c, w FROM nc{r}
+    SELECT u, c, w FROM nc{P}{r}
     UNION ALL
-    SELECT u, comm, 0 FROM s{r - 1}) GROUP BY u, c),
-sc{r} AS (
+    SELECT u, comm, 0 FROM s{P}{r - 1}) GROUP BY u, c),
+sc{P}{r} AS (
   SELECT cand.u, cand.c, s.comm,
-         (SELECT m2 FROM m2x) * cand.w
+         (SELECT m2 FROM m2{P}x) * cand.w
            - d.k * (t.tot - CASE WHEN cand.c = s.comm THEN d.k ELSE 0 END)
            AS score
-  FROM cand{r} cand
-  JOIN s{r - 1} s ON s.u = cand.u
-  JOIN deg d ON d.u = cand.u
-  JOIN tot{r} t ON t.comm = cand.c),
-s{r} AS MATERIALIZED (
+  FROM cand{P}{r} cand
+  JOIN s{P}{r - 1} s ON s.u = cand.u
+  JOIN deg{P} d ON d.u = cand.u
+  JOIN tot{P}{r} t ON t.comm = cand.c),
+s{P}{r} AS MATERIALIZED (
   SELECT u, CASE WHEN (u + {r}) % 2 = 0 THEN c ELSE comm END AS comm
   FROM (SELECT u, c, comm,
                ROW_NUMBER() OVER (PARTITION BY u ORDER BY score DESC, c ASC) AS rn
-        FROM sc{r})
+        FROM sc{P}{r})
   WHERE rn = 1)""")
         return f"""
-{_EDGES_CTE},
-und AS MATERIALIZED (SELECT src AS u, dst AS v FROM edges
-                     UNION ALL SELECT dst, src FROM edges),
-deg AS MATERIALIZED (SELECT u, COUNT(*) AS k FROM und GROUP BY u),
-m2x AS (SELECT SUM(k) AS m2 FROM deg),
-s0 AS MATERIALIZED (SELECT u, u AS comm FROM deg),
+und{P} AS MATERIALIZED (
+  SELECT src AS u, dst AS v, CAST({w_expr} AS BIGINT) AS w FROM {rel} WHERE src <> dst
+  UNION ALL
+  SELECT dst, src, CAST({w_expr} AS BIGINT) FROM {rel} WHERE src <> dst),
+deg{P} AS MATERIALIZED (
+  SELECT u, SUM(w) AS k FROM (
+    SELECT u, w FROM und{P}
+    UNION ALL
+    SELECT src, 2 * CAST({w_expr} AS BIGINT) FROM {rel} WHERE src = dst) GROUP BY u),
+m2{P}x AS (SELECT SUM(k) AS m2 FROM deg{P}),
+s{P}0 AS MATERIALIZED (SELECT u, u AS comm FROM deg{P}),
 {','.join(blocks)}
 """
 
     def _louvain_sql(rounds: int = 3) -> str:
         return f"""
-WITH {_louvain_rounds_cte(rounds)}
+WITH {_EDGES_CTE},
+{_louvain_rounds_cte(rounds)}
 SELECT u AS vertex, comm FROM s{rounds}
 """
 
     def _louvain_contract_sql(rounds: int = 3) -> str:
         return f"""
-WITH {_louvain_rounds_cte(rounds)},
+WITH {_EDGES_CTE},
+{_louvain_rounds_cte(rounds)},
 lab AS (
   SELECT LEAST(cs.comm, cd.comm) AS src, GREATEST(cs.comm, cd.comm) AS dst
   FROM edges e
   JOIN s{rounds} cs ON cs.u = e.src
   JOIN s{rounds} cd ON cd.u = e.dst)
 SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS weight FROM lab GROUP BY src, dst
+"""
+
+    def _louvain2_sql(rounds: int = 3) -> str:
+        # full 2-level chain: rounds on the raw graph -> weighted
+        # contraction (self-loops carry internal weight) -> rounds on the
+        # coarse graph -> label composition back to original vertices
+        return f"""
+WITH {_EDGES_CTE},
+{_louvain_rounds_cte(rounds)},
+cg AS MATERIALIZED (
+  SELECT LEAST(cs.comm, cd.comm) AS src, GREATEST(cs.comm, cd.comm) AS dst,
+         CAST(COUNT(*) AS BIGINT) AS weight
+  FROM edges e
+  JOIN s{rounds} cs ON cs.u = e.src
+  JOIN s{rounds} cd ON cd.u = e.dst
+  GROUP BY 1, 2),
+{_louvain_rounds_cte(rounds, prefix="b", rel="cg", w_expr="weight")}
+SELECT m.u AS vertex, sb.comm AS comm
+FROM s{rounds} m JOIN sb{rounds} sb ON sb.u = m.comm
 """
 
     # -- layer-wise neighbor sample (graph/neighbor_sample.py): the Lehmer
@@ -3531,6 +3572,7 @@ FROM documents
         "bigram_coherence": bigram_coherence_sql,
         "louvain": _louvain_sql(),
         "louvain_contract": _louvain_contract_sql(),
+        "louvain2": _louvain2_sql(),
         "butterflies_per_vertex": butterflies_per_vertex_sql,
         "neighbor_sample": neighbor_sample_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic

@@ -30,8 +30,9 @@ modularity (Newman Q of the labelprop communities), ktruss (support
 peeling; --k, canonical-edge input canonicalized internally via the
 triangle path's orientation), butterfly (bipartite 4-cycle count +
 per-vertex participation), nsample (layer-wise GraphSAGE fanout sample;
---fanouts/--seed-fraction), louvain (synchronous parity-gated local-move
-community detection, --n-iter rounds).  Partition-aware algos
+--fanouts/--seed-fraction), louvain (multi-level Louvain community
+detection: --levels levels x --n-iter parity-gated local-move rounds
+with weighted contraction between levels).  Partition-aware algos
 (cc, lp, bfs, diameter, hyperanf) partition the edges with DBH first
 (cheap, pure expression) unless --no-partition is given.
 """
@@ -100,6 +101,7 @@ def main(argv=None, stop: bool = True) -> None:
     ap.add_argument("--walks-per-vertex", type=int, default=2)
     ap.add_argument("--seed", type=int, default=42, help="walks/mis hash seed")
     ap.add_argument("--fanouts", default="3,2", help="nsample per-hop fanouts")
+    ap.add_argument("--levels", type=int, default=2, help="louvain levels")
     ap.add_argument("--seed-fraction", type=float, default=0.02,
                     help="nsample seed-vertex hash fraction")
     args = ap.parse_args(argv)
@@ -184,11 +186,11 @@ def main(argv=None, stop: bool = True) -> None:
 
         out, info = greedy_coloring(edges, seed=args.seed)
     elif args.algo == "louvain":
-        # parity-gated synchronous local-move (+ contraction written next to
-        # --output when given): --n-iter = rounds
-        from split_merge_partitioner_spark.graph import louvain_local_move
+        # multi-level Louvain: --levels levels of (--n-iter local-move
+        # rounds + weighted contraction); labels map back to original ids
+        from split_merge_partitioner_spark.graph import louvain
 
-        out, info = louvain_local_move(edges, n_rounds=args.n_iter)
+        out, info = louvain(edges, n_levels=args.levels, n_rounds=args.n_iter)
     elif args.algo == "butterfly":
         # bipartite 4-cycle count + per-vertex participation (butterflies.py)
         from split_merge_partitioner_spark.graph import (

@@ -28,4 +28,4 @@ from .dpagerank import directed_pagerank  # noqa: F401
 from .coloring import greedy_coloring  # noqa: F401
 from .butterflies import butterflies_per_vertex, butterfly_count  # noqa: F401
 from .neighbor_sample import layerwise_neighbor_sample  # noqa: F401
-from .louvain import contract_by_community, louvain_local_move  # noqa: F401
+from .louvain import contract_by_community, louvain, louvain_local_move  # noqa: F401

@@ -50,20 +50,39 @@ from split_merge_partitioner_spark.storage import release
 
 
 def louvain_local_move(
-    edges: DataFrame, n_rounds: int = 4
+    edges: DataFrame, n_rounds: int = 4, weight_col: str | None = None
 ) -> tuple[DataFrame, dict]:
     """((vertex, comm), info) after ``n_rounds`` parity-gated synchronous
-    local-move rounds over the canonical undirected (src, dst) table.
-    info: n_rounds, moves (list, per round), n_communities."""
+    local-move rounds over the undirected (src, dst[, weight]) table.
+    info: n_rounds, moves (list, per round), n_communities.
+
+    ``weight_col`` names an integer edge multiplicity (the contracted
+    graphs of later levels); None = unit weights.  Self-loop rows
+    (src = dst, produced by contraction) contribute 2*w to their vertex's
+    weighted degree — the standard Louvain convention — and nothing to any
+    w(u, C) (u's loop moves WITH u, so it cancels from every comparison).
+    """
     if n_rounds < 1:
         raise ValueError("n_rounds must be >= 1")
-    und = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
-        edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
-    )
+    w0 = (F.col(weight_col) if weight_col else F.lit(1)).cast("long")
+    e = edges.select(F.col("src"), F.col("dst"), w0.alias("w"))
+    proper = e.where(F.col("src") != F.col("dst"))
+    loops = e.where(F.col("src") == F.col("dst"))
+    und = proper.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"), "w"
+    ).unionAll(proper.select(F.col("dst").alias("u"), F.col("src").alias("v"), "w"))
     scratch: list[DataFrame] = []
     try:
+        if weight_col is not None and e.where(F.col("w") <= 0).limit(1).count():
+            raise ValueError(
+                f"louvain_local_move: non-positive weights in {weight_col!r} "
+                "(integer multiplicities required)"
+            )
         deg = (
-            und.groupBy("u").agg(F.count(F.lit(1)).alias("k"))
+            und.select("u", "w")
+            .unionAll(loops.select(F.col("src").alias("u"), (F.col("w") * 2).alias("w")))
+            .groupBy("u")
+            .agg(F.sum("w").alias("k"))
         ).localCheckpoint(eager=True)
         scratch.append(deg)
         row = deg.agg(
@@ -86,7 +105,7 @@ def louvain_local_move(
                 state.select(F.col("u").alias("v"), F.col("comm").alias("cv")),
                 "v",
             )
-            nc = nbr_comm.groupBy("u", "cv").agg(F.count(F.lit(1)).alias("w"))
+            nc = nbr_comm.groupBy("u", "cv").agg(F.sum("w").alias("w"))
             tot = (
                 state.join(deg, "u")
                 .groupBy("comm")
@@ -157,13 +176,16 @@ def louvain_local_move(
             release(df)
 
 
-def contract_by_community(edges: DataFrame, comms: DataFrame) -> DataFrame:
+def contract_by_community(
+    edges: DataFrame, comms: DataFrame, weight_col: str | None = None
+) -> DataFrame:
     """The community graph that completes a Louvain level: every edge
     becomes (min(c_src, c_dst), max(c_src, c_dst)) with multiplicity
     summed into ``weight``; intra-community edges survive as self-loops
-    (src = dst) carrying the internal-edge count, which the next level's
+    (src = dst) carrying the internal-edge weight, which the next level's
     modularity arithmetic needs.  Two broadcast-or-shuffle joins keyed by
     vertex + one groupBy on the (coarse, tiny) community pair."""
+    w0 = (F.col(weight_col) if weight_col else F.lit(1)).cast("long")
     c = comms.select(F.col("vertex").alias("__v__"), F.col("comm").alias("__c__"))
     lab = (
         edges.join(c.withColumnRenamed("__v__", "src").withColumnRenamed("__c__", "cs"), "src")
@@ -171,6 +193,58 @@ def contract_by_community(edges: DataFrame, comms: DataFrame) -> DataFrame:
         .select(
             F.least("cs", "cd").alias("src"),
             F.greatest("cs", "cd").alias("dst"),
+            w0.alias("w"),
         )
     )
-    return lab.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("weight"))
+    return lab.groupBy("src", "dst").agg(F.sum("w").alias("weight"))
+
+
+def louvain(
+    edges: DataFrame,
+    n_levels: int = 2,
+    n_rounds: int = 3,
+    weight_col: str | None = None,
+) -> tuple[DataFrame, dict]:
+    """Full multi-level Louvain: local-move phase -> contract -> repeat on
+    the coarse weighted graph, ``n_levels`` times; the returned
+    (vertex, comm) labels ORIGINAL vertices with their top-level
+    community.  Level graphs shrink geometrically (each surviving
+    community is one coarse vertex), so the level-2+ rounds run on tiny
+    relations; the mapping composition is one |V|-row join per level."""
+    if n_levels < 1:
+        raise ValueError("n_levels must be >= 1")
+    info: dict = {"n_levels": n_levels, "levels": []}
+    scratch: list[DataFrame] = []
+    g, wc, mapping = edges, weight_col, None
+    try:
+        for _ in range(n_levels):
+            comms, li = louvain_local_move(g, n_rounds=n_rounds, weight_col=wc)
+            scratch.append(comms)
+            info["levels"].append(li)
+            if mapping is None:
+                mapping = comms
+            else:
+                mapping = (
+                    mapping.select("vertex", F.col("comm").alias("__mid__"))
+                    .join(
+                        comms.select(
+                            F.col("vertex").alias("__mid__"),
+                            F.col("comm"),
+                        ),
+                        "__mid__",
+                    )
+                    .select("vertex", "comm")
+                    .localCheckpoint(eager=True)
+                )
+                scratch.append(mapping)
+            g = contract_by_community(g, comms, weight_col=wc).localCheckpoint(
+                eager=True
+            )
+            scratch.append(g)
+            wc = "weight"
+        out = mapping.select("vertex", "comm").localCheckpoint(eager=True)
+        info["n_communities"] = out.select("comm").distinct().count()
+        return out, info
+    finally:
+        for df in scratch:
+            release(df)

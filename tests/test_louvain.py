@@ -112,3 +112,85 @@ def test_louvain_releases_storage(spark):
     )
     assert new >= 1
     assert leaked <= RESULT_BUDGET
+
+
+def _py_louvain_w(es, n_rounds):
+    """Weighted/self-loop-aware replay: es = [(a, b, w)]; loops add 2w to
+    k and nothing to any w(u, C)."""
+    und, k = defaultdict(list), defaultdict(int)
+    for a, b, w in es:
+        if a == b:
+            k[a] += 2 * w
+            continue
+        und[a].append((b, w))
+        und[b].append((a, w))
+        k[a] += w
+        k[b] += w
+    m2 = sum(k.values())
+    comm = {u: u for u in k}
+    for r in range(1, n_rounds + 1):
+        tot = defaultdict(int)
+        for u in k:
+            tot[comm[u]] += k[u]
+        new = {}
+        for u in k:
+            w = defaultdict(int)
+            for v, wt in und.get(u, []):
+                w[comm[v]] += wt
+            w.setdefault(comm[u], w.get(comm[u], 0))
+            best = min(
+                w,
+                key=lambda c: (
+                    -(m2 * w[c] - k[u] * (tot[c] - (k[u] if c == comm[u] else 0))),
+                    c,
+                ),
+            )
+            new[u] = best if (u + r) % 2 == 0 else comm[u]
+        comm = new
+    return comm
+
+
+def _py_contract(es, comm):
+    agg = defaultdict(int)
+    for a, b, w in es:
+        ca, cb = comm[a], comm[b]
+        agg[(min(ca, cb), max(ca, cb))] += w
+    return [(a, b, w) for (a, b), w in agg.items()]
+
+
+@pytest.mark.parametrize("seed", [5])
+def test_full_louvain_matches_python_replay(spark, seed):
+    from split_merge_partitioner_spark.graph import louvain
+
+    es = _rand_edges(seed, n=50, m=120)
+    edges = spark.createDataFrame(es, "src long, dst long")
+    out, info = louvain(edges, n_levels=2, n_rounds=3)
+    got = {r["vertex"]: r["comm"] for r in out.collect()}
+    # replay: level 1 on unit weights, contract, level 2 weighted, compose
+    c1 = _py_louvain_w([(a, b, 1) for a, b in es], 3)
+    cg = _py_contract([(a, b, 1) for a, b in es], c1)
+    c2 = _py_louvain_w(cg, 3)
+    exp = {v: c2[c1[v]] for v in c1}
+    assert got == exp
+    assert info["n_communities"] == len(set(exp.values()))
+    assert len(info["levels"]) == 2
+
+
+def test_weighted_louvain_validates_nonpositive(spark):
+    from split_merge_partitioner_spark.graph import louvain_local_move
+
+    edges = spark.createDataFrame(
+        [(0, 1, 0)], "src long, dst long, weight long"
+    )
+    with pytest.raises(ValueError):
+        louvain_local_move(edges, n_rounds=1, weight_col="weight")
+
+
+def test_full_louvain_releases_storage(spark):
+    from split_merge_partitioner_spark.graph import louvain
+    from tests.test_storage_release import RESULT_BUDGET, _new_after, _path_edges
+
+    edges = _path_edges(spark)
+    new, leaked = _new_after(spark, lambda: louvain(edges, 2, 2)[0])
+    assert new >= 1
+    assert leaked <= RESULT_BUDGET
