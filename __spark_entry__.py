@@ -1054,6 +1054,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return louvain(_edges(spark, sf), n_levels=2, n_rounds=3)[0]
 
+    def q_node2vec(spark, sf):
+        # second-order biased walk corpus (node2vec 1/p:1:1/q as integer
+        # weights 1:2:4), bit-replayed by the generated HUGEINT-splitmix64
+        # SQL chain; canonical input by construction
+        from split_merge_partitioner_spark.graph import node2vec_walks
+
+        return node2vec_walks(
+            _edges(spark, sf), walk_length=4, walks_per_vertex=1,
+            w_return=1, w_common=2, w_explore=4, assume_canonical=True,
+        )
+
     def q_bigram_coherence(spark, sf):
         # corpus-internal bigram LM coherence (functions/text.py): exact
         # fixed-point integer P(b|a) sums — the KenLM/CCNet-bucket stand-in
@@ -1235,6 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain": q_louvain,
         "louvain_contract": q_louvain_contract,
         "louvain2": q_louvain2,
+        "node2vec": q_node2vec,
         "butterflies_per_vertex": q_butterflies_per_vertex,
         "neighbor_sample": q_neighbor_sample,
     }
@@ -2837,6 +2849,63 @@ SELECT start, CAST(walk AS BIGINT) AS walk, CAST(step AS BIGINT) AS step, vertex
 FROM ({_walk_union})
 """
 
+    # -- node2vec oracle ----------------------------------------------------
+    # second-order biased walks (graph/walks.py::node2vec_walks): first hop
+    # = the uniform index pick; later hops classify each neighbor of cur
+    # against prev (return/common/explore integer weights 1/2/4) and map
+    # (h & 2^63-1) mod total onto ascending-id cumulative-weight intervals.
+    _NV_L, _NV_W, _NV_WR, _NV_WC, _NV_WX = 4, 1, 1, 2, 4
+    _nv_draw = "CAST((CAST(h AS HUGEINT) % 9223372036854775808) % total AS BIGINT)"
+    _nv_ctes = [
+        "wund AS (SELECT src AS w, dst AS n FROM edges"
+        " UNION ALL SELECT dst, src FROM edges)",
+        "wdeg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS degree FROM wund GROUP BY w)",
+        "wadj AS (SELECT w, n, ROW_NUMBER() OVER (PARTITION BY w ORDER BY n) - 1"
+        " AS idx FROM wund)",
+        f"hseed AS (SELECT w, {_sm64_sql(f'(w + {_WALK_SEED})')} AS h1 FROM wdeg)",
+        f"""nv0 AS (
+  SELECT d.w AS start, wk.walk, d.w AS vertex, d.degree AS deg_cur,
+         {_sm64_sql('(CAST(hs.h1 AS HUGEINT) + wk.walk)')} AS h
+  FROM wdeg d JOIN hseed hs ON hs.w = d.w
+  CROSS JOIN (SELECT UNNEST(range({_NV_W})) AS walk) wk)""",
+        f"""nv1 AS MATERIALIZED (
+  SELECT s.start, s.walk, s.vertex AS prev, a.n AS vertex,
+         {_sm64_sql('s.h')} AS h
+  FROM nv0 s
+  JOIN wadj a ON a.w = s.vertex
+   AND a.idx = CAST((CAST(s.h AS HUGEINT) % 9223372036854775808) % s.deg_cur AS BIGINT))""",
+    ]
+    for _t in range(2, _NV_L + 1):
+        _nv_ctes.append(f"""nv{_t} AS MATERIALIZED (
+  SELECT start, walk, cur AS prev, n AS vertex, {_sm64_sql('h')} AS h
+  FROM (
+    SELECT c.start, c.walk, c.cur, c.n, c.h, c.bw,
+           SUM(c.bw) OVER (PARTITION BY c.start, c.walk ORDER BY c.n
+                           ROWS UNBOUNDED PRECEDING) AS cumw,
+           SUM(c.bw) OVER (PARTITION BY c.start, c.walk) AS total
+    FROM (
+      SELECT s.start, s.walk, s.prev, s.vertex AS cur, a.n, s.h,
+             CASE WHEN a.n = s.prev THEN {_NV_WR}
+                  WHEN e2.pa IS NOT NULL THEN {_NV_WC}
+                  ELSE {_NV_WX} END AS bw
+      FROM nv{_t - 1} s
+      JOIN wund a ON a.w = s.vertex
+      LEFT JOIN (SELECT DISTINCT w AS pa, n AS pb FROM wund) e2
+        ON e2.pa = s.prev AND e2.pb = a.n
+    ) c
+  ) x
+  WHERE {_nv_draw} >= cumw - bw AND {_nv_draw} < cumw)""")
+    _nv_union = "\n  UNION ALL ".join(
+        f"SELECT start, walk, {t} AS step, vertex FROM nv{t}"
+        for t in range(_NV_L + 1)
+    )
+    node2vec_sql = f"""
+WITH {_EDGES_CTE},
+{','.join(_nv_ctes)}
+SELECT start, CAST(walk AS BIGINT) AS walk, CAST(step AS BIGINT) AS step, vertex
+FROM ({_nv_union})
+"""
+
     # -- coreness oracle ----------------------------------------------------
     # 8 chained h-operator sweeps (graph/kcore.py): h-index as
     # ROW_NUMBER-over-desc-value + MAX(LEAST(rn, value)) — tie-order
@@ -3573,6 +3642,7 @@ FROM documents
         "louvain": _louvain_sql(),
         "louvain_contract": _louvain_contract_sql(),
         "louvain2": _louvain2_sql(),
+        "node2vec": node2vec_sql,
         "butterflies_per_vertex": butterflies_per_vertex_sql,
         "neighbor_sample": neighbor_sample_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic

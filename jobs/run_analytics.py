@@ -30,7 +30,8 @@ modularity (Newman Q of the labelprop communities), ktruss (support
 peeling; --k, canonical-edge input canonicalized internally via the
 triangle path's orientation), butterfly (bipartite 4-cycle count +
 per-vertex participation), nsample (layer-wise GraphSAGE fanout sample;
---fanouts/--seed-fraction), louvain (multi-level Louvain community
+--fanouts/--seed-fraction), node2vec (second-order
+biased walks, --bias "wr,wc,wx"), louvain (multi-level Louvain community
 detection: --levels levels x --n-iter parity-gated local-move rounds
 with weighted contraction between levels).  Partition-aware algos
 (cc, lp, bfs, diameter, hyperanf) partition the edges with DBH first
@@ -58,7 +59,7 @@ def main(argv=None, stop: bool = True) -> None:
                  "diameter", "hyperanf", "kcore", "walks", "ppr", "betweenness",
                  "summary", "eigen", "hits", "sssp", "modularity", "ktruss",
                  "closeness", "scc", "densest", "wpagerank", "mis", "matching",
-                 "dpagerank", "coloring", "butterfly", "nsample", "louvain"],
+                 "dpagerank", "coloring", "butterfly", "nsample", "louvain", "node2vec"],
     )
     ap.add_argument("--output", default=None, help="result parquet")
     ap.add_argument("--json-out", default=None, help="write the info dict here")
@@ -102,6 +103,8 @@ def main(argv=None, stop: bool = True) -> None:
     ap.add_argument("--seed", type=int, default=42, help="walks/mis hash seed")
     ap.add_argument("--fanouts", default="3,2", help="nsample per-hop fanouts")
     ap.add_argument("--levels", type=int, default=2, help="louvain levels")
+    ap.add_argument("--bias", default="1,1,1",
+                    help="node2vec integer bias weights wr,wc,wx")
     ap.add_argument("--seed-fraction", type=float, default=0.02,
                     help="nsample seed-vertex hash fraction")
     args = ap.parse_args(argv)
@@ -191,6 +194,16 @@ def main(argv=None, stop: bool = True) -> None:
         from split_merge_partitioner_spark.graph import louvain
 
         out, info = louvain(edges, n_levels=args.levels, n_rounds=args.n_iter)
+    elif args.algo == "node2vec":
+        # second-order biased walks; --bias "wr,wc,wx" = 1/p : 1 : 1/q ints
+        from split_merge_partitioner_spark.graph import node2vec_walks
+
+        wr, wc, wx = (int(x) for x in args.bias.split(","))
+        out = node2vec_walks(edges, walk_length=args.walk_length,
+                             walks_per_vertex=args.walks_per_vertex,
+                             seed=args.seed, w_return=wr, w_common=wc,
+                             w_explore=wx)
+        info = {"bias": [wr, wc, wx]}
     elif args.algo == "butterfly":
         # bipartite 4-cycle count + per-vertex participation (butterflies.py)
         from split_merge_partitioner_spark.graph import (

@@ -11,7 +11,7 @@ from .diameter import approximate_diameter, bfs_distances  # noqa: F401
 from .hyperanf import hyperanf, hyperanf_register_moments  # noqa: F401
 from .kcore import coreness  # noqa: F401
 from .linkpred import link_suggestions  # noqa: F401
-from .walks import random_walks  # noqa: F401
+from .walks import node2vec_walks, random_walks  # noqa: F401
 from .ppr import personalized_pagerank  # noqa: F401
 from .summary import degree_assortativity, global_clustering  # noqa: F401
 from .betweenness import betweenness  # noqa: F401

@@ -173,3 +173,170 @@ def random_walks(
             release(adj)
         for st in steps:
             release(st)
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    walk_length: int = 8,
+    walks_per_vertex: int = 1,
+    seed: int = 42,
+    w_return: int = 1,
+    w_common: int = 1,
+    w_explore: int = 1,
+    assume_canonical: bool = False,
+) -> DataFrame:
+    """(start, walk, step, vertex) — the SECOND-ORDER biased walk corpus
+    (node2vec, Grover & Leskovec 2016), derandomized with the same
+    splitmix64 chain as random_walks so the whole corpus is a pure
+    function of (edges, seed) and replays bit-for-bit cross-engine.
+
+    Bias is expressed as INTEGER weights over the classic three classes of
+    the walker's (prev -> cur) transition: candidate neighbor n of cur
+    gets w_return if n = prev (node2vec 1/p), w_common if {prev, n} is an
+    edge (distance 1), else w_explore (1/q).  Choose integers
+    proportional to 1/p : 1 : 1/q (e.g. p=2, q=0.5 -> 1:2:4).  The draw
+    is (h & 2^63-1) mod total_weight mapped onto the cumulative-weight
+    intervals of cur's neighbors in ascending-id order; with all weights
+    equal this is EXACTLY random_walks' index pick, which is also how the
+    first hop (no prev yet) always draws.
+
+    Execution & honest cost model: uniform walks index into the adjacency
+    (hubs never materialize), but a second-order step must CLASSIFY every
+    neighbor of cur against prev, so each step materializes
+    Sigma_{walkers} deg(cur) candidate rows — the irreducible cost of
+    exact node2vec (the alias-table alternative precomputes per-(prev,cur)
+    distributions: O(Sigma deg(u)·deg(v)) space, rejected).  Three
+    exchanges per step: candidates keyed by cur (static adjacency stays
+    co-partitioned), the {prev, n} edge-existence probe keyed by the pair,
+    and the per-walker cumulative-weight window.  State between steps
+    stays n·walks_per_vertex rows.  Power-law hubs dominate the candidate
+    volume; cap walk fan-in upstream (or run random_walks) when
+    deg_max · walkers_per_step is the binding constraint.
+    """
+    if min(w_return, w_common, w_explore) < 1:
+        raise ValueError("bias weights must be positive integers")
+    spark = edges.sparkSession
+    if not assume_canonical:
+        edges = (
+            edges.select(
+                F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+            )
+            .where(F.col("src") != F.col("dst"))
+            .dropDuplicates(["src", "dst"])
+        )
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ansi_was = spark.conf.get("spark.sql.ansi.enabled")
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    adj = None
+    und2 = None
+    steps: list[DataFrame] = []
+    try:
+        und = edges.select(F.col("src").alias("w"), F.col("dst").alias("n")).unionAll(
+            edges.select(F.col("dst").alias("w"), F.col("src").alias("n"))
+        )
+        deg = und.groupBy("w").agg(F.count(F.lit(1)).alias("degree"))
+        wdw = Window.partitionBy("w").orderBy("n")
+        adj = (
+            und.withColumn("idx", (F.row_number().over(wdw) - F.lit(1)).cast("long"))
+            .select("w", "idx", "n")
+            .repartition(shuffle_n, "w")
+            .localCheckpoint(eager=True)
+        )
+        # the {prev, n} existence probe relation (both orientations)
+        und2 = (
+            und.select(F.col("w").alias("pa"), F.col("n").alias("pb"))
+            .repartition(shuffle_n, "pa", "pb")
+            .localCheckpoint(eager=True)
+        )
+        state = (
+            deg.select(F.col("w").alias("start"), F.col("degree").alias("deg_cur"))
+            .withColumn(
+                "walk", F.explode(F.sequence(F.lit(0), F.lit(walks_per_vertex - 1)))
+            )
+            .select(
+                "start",
+                F.col("walk").cast("long").alias("walk"),
+                F.lit(None).cast("long").alias("prev"),
+                F.col("start").alias("vertex"),
+                "deg_cur",
+                _sm64(_sm64(F.col("start") + F.lit(seed)) + F.col("walk")).alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        steps.append(state)
+        for t in range(walk_length):
+            prev_st = steps[-1]
+            if t == 0:
+                # first hop: no prev — the uniform index pick (cheap path)
+                j = (F.col("h").bitwiseAND(F.lit(_MASK63)) % F.col("deg_cur")).alias("j")
+                moved = (
+                    prev_st.select(
+                        "start", "walk", F.col("vertex").alias("cur"), j,
+                        _sm64(F.col("h")).alias("h"),
+                    )
+                    .hint("shuffle_hash")
+                    .join(adj, (F.col("cur") == F.col("w")) & (F.col("j") == F.col("idx")))
+                    .select(
+                        "start", "walk",
+                        F.col("cur").alias("prev"),
+                        F.col("n").alias("vertex"),
+                        "h",
+                    )
+                )
+            else:
+                cand = (
+                    prev_st.select(
+                        "start", "walk", "prev", F.col("vertex").alias("cur"), "h"
+                    )
+                    .hint("shuffle_hash")
+                    .join(adj, F.col("cur") == F.col("w"))
+                    .select("start", "walk", "prev", "cur", "n", "h")
+                )
+                marked = cand.join(
+                    und2.withColumn("__adj__", F.lit(1)),
+                    (F.col("prev") == F.col("pa")) & (F.col("n") == F.col("pb")),
+                    "left",
+                ).select(
+                    "start", "walk", "prev", "cur", "n", "h",
+                    F.when(F.col("n") == F.col("prev"), F.lit(w_return))
+                    .when(F.col("__adj__").isNotNull(), F.lit(w_common))
+                    .otherwise(F.lit(w_explore))
+                    .cast("long")
+                    .alias("bw"),
+                )
+                wwin = Window.partitionBy("start", "walk")
+                worder = wwin.orderBy("n").rowsBetween(Window.unboundedPreceding, 0)
+                scored = marked.select(
+                    "start", "walk", "cur", "n", "h",
+                    F.sum("bw").over(worder).alias("cumw"),
+                    F.col("bw"),
+                    F.sum("bw").over(wwin).alias("total"),
+                )
+                draw = F.col("h").bitwiseAND(F.lit(_MASK63)) % F.col("total")
+                moved = scored.where(
+                    (draw >= F.col("cumw") - F.col("bw")) & (draw < F.col("cumw"))
+                ).select(
+                    "start", "walk",
+                    F.col("cur").alias("prev"),
+                    F.col("n").alias("vertex"),
+                    _sm64(F.col("h")).alias("h"),
+                )
+            moved = moved.localCheckpoint(eager=True)
+            steps.append(moved)
+        out = None
+        for t, st in enumerate(steps):
+            proj = st.select(
+                "start", "walk", F.lit(t).cast("long").alias("step"), "vertex"
+            )
+            out = proj if out is None else out.unionAll(proj)
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi_was)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        for df in (adj, und2):
+            if df is not None:
+                release(df)
+        for st in steps:
+            release(st)
