@@ -1065,6 +1065,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             w_return=1, w_common=2, w_explore=4, assume_canonical=True,
         )
 
+    def q_hll_users_by_type(spark, sf):
+        # deterministic HLL distinct-users-per-event-type REGISTERS
+        # (functions/hll.py): exact integer (key, j, max_rank) rows — the
+        # hyperanf_regs oracle discipline applied to a GROUP BY aggregate
+        from split_merge_partitioner_spark.functions.hll import hll_registers
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return hll_registers(ev, "event_type", "user_id")
+
     def q_bigram_coherence(spark, sf):
         # corpus-internal bigram LM coherence (functions/text.py): exact
         # fixed-point integer P(b|a) sums — the KenLM/CCNet-bucket stand-in
@@ -1247,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_contract": q_louvain_contract,
         "louvain2": q_louvain2,
         "node2vec": q_node2vec,
+        "hll_users_by_type": q_hll_users_by_type,
         "butterflies_per_vertex": q_butterflies_per_vertex,
         "neighbor_sample": q_neighbor_sample,
     }
@@ -2906,6 +2916,18 @@ SELECT start, CAST(walk AS BIGINT) AS walk, CAST(step AS BIGINT) AS step, vertex
 FROM ({_nv_union})
 """
 
+    # -- HLL register oracle (functions/hll.py) -----------------------------
+    hll_users_by_type_sql = f"""
+WITH hx AS (
+  SELECT event_type AS key, {_sm64_sql('user_id')} AS h FROM events),
+rr AS (
+  SELECT key, CAST(h % 64 AS BIGINT) AS j, CAST(h >> 6 AS BIGINT) AS w FROM hx)
+SELECT key, j,
+       CAST(MAX(CASE WHEN w = 0 THEN 59
+                     ELSE CAST(log2(w & -w) AS BIGINT) + 1 END) AS BIGINT) AS r
+FROM rr GROUP BY key, j
+"""
+
     # -- coreness oracle ----------------------------------------------------
     # 8 chained h-operator sweeps (graph/kcore.py): h-index as
     # ROW_NUMBER-over-desc-value + MAX(LEAST(rn, value)) — tie-order
@@ -3643,6 +3665,7 @@ FROM documents
         "louvain_contract": _louvain_contract_sql(),
         "louvain2": _louvain2_sql(),
         "node2vec": node2vec_sql,
+        "hll_users_by_type": hll_users_by_type_sql,
         "butterflies_per_vertex": butterflies_per_vertex_sql,
         "neighbor_sample": neighbor_sample_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic
