@@ -1074,6 +1074,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = spark.read.parquet(f"{sf}/events.parquet")
         return hll_registers(ev, "event_type", "user_id")
 
+    def q_rich_club(spark, sf):
+        # rich-club profile via suffix-sum histograms (graph/summary.py):
+        # all thresholds in one pass, phi as exact fixed-point ppm
+        from split_merge_partitioner_spark.graph import rich_club
+
+        return rich_club(_edges(spark, sf))
+
     def q_bigram_coherence(spark, sf):
         # corpus-internal bigram LM coherence (functions/text.py): exact
         # fixed-point integer P(b|a) sums — the KenLM/CCNet-bucket stand-in
@@ -1257,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain2": q_louvain2,
         "node2vec": q_node2vec,
         "hll_users_by_type": q_hll_users_by_type,
+        "rich_club": q_rich_club,
         "butterflies_per_vertex": q_butterflies_per_vertex,
         "neighbor_sample": q_neighbor_sample,
     }
@@ -2928,6 +2936,30 @@ SELECT key, j,
 FROM rr GROUP BY key, j
 """
 
+    # -- rich-club oracle (graph/summary.py::rich_club) ---------------------
+    rich_club_sql = f"""
+WITH {_DEGREES_CTE},
+dh AS (SELECT degree AS d, COUNT(*) AS nv FROM degrees GROUP BY degree),
+emin AS (
+  SELECT LEAST(ds.degree, dd.degree) AS md, COUNT(*) AS ne
+  FROM edges e
+  JOIN degrees ds ON ds.vertex = e.src
+  JOIN degrees dd ON dd.vertex = e.dst
+  GROUP BY 1),
+base AS (
+  SELECT dh.d AS k, dh.nv, COALESCE(emin.ne, 0) AS ne
+  FROM dh LEFT JOIN emin ON emin.md = dh.d),
+prof AS (
+  SELECT k,
+         CAST(COALESCE(SUM(nv) OVER (ORDER BY k ASC
+              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS BIGINT) AS n_k,
+         CAST(COALESCE(SUM(ne) OVER (ORDER BY k ASC
+              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS BIGINT) AS e_k
+  FROM base)
+SELECT k, n_k, e_k, (2 * e_k * 1000000) // (n_k * (n_k - 1)) AS phi_ppm
+FROM prof WHERE n_k >= 2
+"""
+
     # -- coreness oracle ----------------------------------------------------
     # 8 chained h-operator sweeps (graph/kcore.py): h-index as
     # ROW_NUMBER-over-desc-value + MAX(LEAST(rn, value)) — tie-order
@@ -3666,6 +3698,7 @@ FROM documents
         "louvain2": _louvain2_sql(),
         "node2vec": node2vec_sql,
         "hll_users_by_type": hll_users_by_type_sql,
+        "rich_club": rich_club_sql,
         "butterflies_per_vertex": butterflies_per_vertex_sql,
         "neighbor_sample": neighbor_sample_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic

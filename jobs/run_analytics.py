@@ -59,7 +59,8 @@ def main(argv=None, stop: bool = True) -> None:
                  "diameter", "hyperanf", "kcore", "walks", "ppr", "betweenness",
                  "summary", "eigen", "hits", "sssp", "modularity", "ktruss",
                  "closeness", "scc", "densest", "wpagerank", "mis", "matching",
-                 "dpagerank", "coloring", "butterfly", "nsample", "louvain", "node2vec"],
+                 "dpagerank", "coloring", "butterfly", "nsample", "louvain", "node2vec",
+                 "richclub"],
     )
     ap.add_argument("--output", default=None, help="result parquet")
     ap.add_argument("--json-out", default=None, help="write the info dict here")
@@ -204,6 +205,10 @@ def main(argv=None, stop: bool = True) -> None:
                              seed=args.seed, w_return=wr, w_common=wc,
                              w_explore=wx)
         info = {"bias": [wr, wc, wx]}
+    elif args.algo == "richclub":
+        from split_merge_partitioner_spark.graph import rich_club
+
+        out = rich_club(edges)
     elif args.algo == "butterfly":
         # bipartite 4-cycle count + per-vertex participation (butterflies.py)
         from split_merge_partitioner_spark.graph import (

@@ -13,7 +13,7 @@ from .kcore import coreness  # noqa: F401
 from .linkpred import link_suggestions  # noqa: F401
 from .walks import node2vec_walks, random_walks  # noqa: F401
 from .ppr import personalized_pagerank  # noqa: F401
-from .summary import degree_assortativity, global_clustering  # noqa: F401
+from .summary import degree_assortativity, global_clustering, rich_club  # noqa: F401
 from .betweenness import betweenness  # noqa: F401
 from .eigencentrality import eigenvector_centrality  # noqa: F401
 from .hits import hits  # noqa: F401

@@ -73,3 +73,55 @@ def global_clustering(edges: DataFrame) -> DataFrame:
         F.lit(tri).cast("long").alias("n_triangles"),
         "n_wedges",
     )
+
+
+def rich_club(edges: DataFrame) -> DataFrame:
+    """(k, n_k, e_k, phi_ppm) for every distinct degree value k: the
+    rich-club profile phi(k) = 2*E_k / (N_k*(N_k-1)) over the subgraph on
+    vertices of degree > k (Colizza et al. 2006) — "do the hubs of the
+    link graph talk to each other".
+
+    Single-pass shape (NOT per-k subgraph recomputation): an edge belongs
+    to E_k exactly when min(deg_src, deg_dst) > k, so E_k is a suffix sum
+    of the edge min-endpoint-degree histogram, and N_k a suffix sum of
+    the degree histogram — two histogram aggs + one ordered window over
+    the (tiny, #distinct-degrees-sized) threshold relation.  phi is
+    emitted as exact fixed-point ppm ((2*E_k*10^6) DIV (N_k*(N_k-1)) —
+    the bigram_coherence rounding rule: no cross-engine ROUND half-way
+    exposure); rows with N_k < 2 are dropped (phi undefined)."""
+    und = edges.select(F.col("src").alias("v")).unionAll(
+        edges.select(F.col("dst").alias("v"))
+    )
+    deg = und.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    dh = deg.groupBy("d").agg(F.count(F.lit(1)).alias("nv"))
+    emin = (
+        edges.join(deg.select(F.col("v").alias("src"), F.col("d").alias("ds")), "src")
+        .join(deg.select(F.col("v").alias("dst"), F.col("d").alias("dd")), "dst")
+        .select(F.least("ds", "dd").alias("md"))
+        .groupBy("md")
+        .agg(F.count(F.lit(1)).alias("ne"))
+    )
+    from pyspark.sql import Window
+
+    ks = dh.select(F.col("d").alias("k"))
+    joined = (
+        ks.join(dh.withColumnRenamed("d", "k"), "k", "left")
+        .join(emin.withColumnRenamed("md", "k"), "k", "left")
+        .select(
+            "k",
+            F.coalesce("nv", F.lit(0)).alias("nv"),
+            F.coalesce("ne", F.lit(0)).alias("ne"),
+        )
+    )
+    w = Window.orderBy(F.col("k").asc()).rowsBetween(1, Window.unboundedFollowing)
+    prof = joined.select(
+        "k",
+        F.coalesce(F.sum("nv").over(w), F.lit(0)).cast("long").alias("n_k"),
+        F.coalesce(F.sum("ne").over(w), F.lit(0)).cast("long").alias("e_k"),
+    ).where(F.col("n_k") >= 2)
+    return prof.select(
+        "k",
+        "n_k",
+        "e_k",
+        F.expr("(2 * e_k * 1000000L) div (n_k * (n_k - 1))").alias("phi_ppm"),
+    )

@@ -143,3 +143,25 @@ def test_neighbor_sample_respects_fanout_and_validates(spark):
         layerwise_neighbor_sample(edges, fanouts=())
     with pytest.raises(ValueError):
         layerwise_neighbor_sample(edges, fanouts=(2, 0))
+
+
+def test_rich_club_matches_bruteforce(spark):
+    from collections import Counter
+
+    from split_merge_partitioner_spark.graph import rich_club
+
+    es = _rand_bipartite(31, nl=25, nr=10, m=120)
+    edges = spark.createDataFrame(es, "src long, dst long")
+    got = sorted(map(tuple, rich_club(edges).collect()))
+    deg = Counter()
+    for a, b in es:
+        deg[a] += 1
+        deg[b] += 1
+    exp = []
+    for k in sorted(set(deg.values())):
+        vs = {v for v in deg if deg[v] > k}
+        if len(vs) < 2:
+            continue
+        ek = sum(1 for a, b in es if a in vs and b in vs)
+        exp.append((k, len(vs), ek, (2 * ek * 10**6) // (len(vs) * (len(vs) - 1))))
+    assert got == sorted(exp)
