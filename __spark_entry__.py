@@ -1081,6 +1081,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return rich_club(_edges(spark, sf))
 
+    def q_range_join_campaigns(spark, sf):
+        # bucketed interval-containment join (functions/events.py::range_join):
+        # events x overlapping synthetic campaign windows keyed by event_type
+        # (18h stride, 24h span -> 1-2 windows per event); plain BETWEEN join
+        # in the oracle, bucket-exploded hash equi-join here
+        from split_merge_partitioner_spark.functions.events import range_join
+
+        ev = spark.read.parquet(f"{sf}/events.parquet").select(
+            "event_id", "event_type", "ts"
+        )
+        ets = ["click", "error", "purchase", "signup", "view"]
+        base, h_us = 1_704_067_200_000_000, 3_600_000_000
+        camp = (
+            spark.range(40)
+            .select(F.col("id").alias("i"))
+            .crossJoin(
+                spark.createDataFrame(
+                    list(enumerate(ets)), "ei int, event_type string"
+                )
+            )
+            .where((F.col("i") + F.col("ei")) % 2 == 0)
+            .select(
+                (F.col("i") * 100 + F.col("ei")).alias("campaign_id"),
+                "event_type",
+                (F.lit(base) + F.col("i") * F.lit(18 * h_us)).alias("start_us"),
+                (F.lit(base) + F.col("i") * F.lit(18 * h_us) + F.lit(24 * h_us)).alias(
+                    "end_us"
+                ),
+            )
+        )
+        return range_join(ev, camp, on="event_type").select(
+            "event_id", "campaign_id", "start_us"
+        )
+
     def q_bigram_coherence(spark, sf):
         # corpus-internal bigram LM coherence (functions/text.py): exact
         # fixed-point integer P(b|a) sums — the KenLM/CCNet-bucket stand-in
@@ -1265,6 +1299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec": q_node2vec,
         "hll_users_by_type": q_hll_users_by_type,
         "rich_club": q_rich_club,
+        "range_join_campaigns": q_range_join_campaigns,
         "butterflies_per_vertex": q_butterflies_per_vertex,
         "neighbor_sample": q_neighbor_sample,
     }
@@ -2960,6 +2995,22 @@ SELECT k, n_k, e_k, (2 * e_k * 1000000) // (n_k * (n_k - 1)) AS phi_ppm
 FROM prof WHERE n_k >= 2
 """
 
+    # -- range-join oracle (functions/events.py::range_join) ----------------
+    range_join_campaigns_sql = """
+WITH ets(ei, event_type) AS (
+  VALUES (0, 'click'), (1, 'error'), (2, 'purchase'), (3, 'signup'), (4, 'view')),
+camp AS (
+  SELECT i * 100 + ei AS campaign_id, event_type,
+         1704067200000000 + i * 64800000000 AS start_us,
+         1704067200000000 + i * 64800000000 + 86400000000 AS end_us
+  FROM (SELECT UNNEST(range(40)) AS i), ets
+  WHERE (i + ei) % 2 = 0),
+ex AS (SELECT event_id, event_type, epoch_us(ts) AS t FROM events)
+SELECT e.event_id, CAST(c.campaign_id AS BIGINT) AS campaign_id, c.start_us
+FROM ex e JOIN camp c ON c.event_type = e.event_type
+WHERE e.t >= c.start_us AND e.t < c.end_us
+"""
+
     # -- coreness oracle ----------------------------------------------------
     # 8 chained h-operator sweeps (graph/kcore.py): h-index as
     # ROW_NUMBER-over-desc-value + MAX(LEAST(rn, value)) — tie-order
@@ -3699,6 +3750,7 @@ FROM documents
         "node2vec": node2vec_sql,
         "hll_users_by_type": hll_users_by_type_sql,
         "rich_club": rich_club_sql,
+        "range_join_campaigns": range_join_campaigns_sql,
         "butterflies_per_vertex": butterflies_per_vertex_sql,
         "neighbor_sample": neighbor_sample_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic

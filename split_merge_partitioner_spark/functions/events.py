@@ -160,3 +160,66 @@ def asof_latest(
         "user_id", "event_id", "ts_us",
         "matched_event_id", "matched_ts_us", "matched_value_micros",
     )
+
+
+def range_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    on: str | list[str] | None = None,
+    ts_col: str = "ts",
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    bucket_us: int = 3_600_000_000,
+    max_buckets_per_interval: int = 4_096,
+) -> DataFrame:
+    """Interval containment join: every ``left`` row whose event time t
+    (microsecond epoch of ``ts_col``) satisfies start_us <= t < end_us,
+    optionally ALSO matching equality key(s) ``on`` — the "which campaign
+    windows / maintenance windows / sessions does this event fall in"
+    join.  Returns left columns + interval columns (+ nothing else; both
+    inputs keep their names, which must not collide except ``on``).
+
+    Scale shape: a naive t BETWEEN start AND end predicate gives Catalyst
+    no equi-key — BroadcastNestedLoop (or a per-key cartesian) at 10^12
+    events.  Here each interval is exploded into the coarse time BUCKETS
+    it covers (floor-division by ``bucket_us``), the join runs on
+    (on?, bucket) as a plain hash equi-join, and the exact containment
+    predicate filters after — the standard bucketed range-join (what
+    Databricks' range-join hints do under the hood).  Exploded rows per
+    interval = ceil(span / bucket_us), fail-fast capped at
+    ``max_buckets_per_interval`` (raise the bucket size for long
+    intervals — the error names the remedy).  All bucket arithmetic is
+    integer, so the operator stays SQL-replayable.
+    """
+    on_keys = [on] if isinstance(on, str) else list(on or [])
+    t = _epoch_us(ts_col)
+    lb = left.withColumn("__t_us__", t).withColumn(
+        "__bucket__", F.expr(f"__t_us__ div {int(bucket_us)}")
+    )
+    iv = intervals.withColumn(
+        "__nb__",
+        F.expr(f"(({end_col} - 1) div {int(bucket_us)}) - ({start_col} div {int(bucket_us)}) + 1"),
+    )
+    bad = iv.where(
+        (F.col(end_col) <= F.col(start_col))
+        | (F.col("__nb__") > max_buckets_per_interval)
+    )
+    if bad.limit(1).count():
+        raise ValueError(
+            "range_join: empty interval (end_us <= start_us) or interval "
+            f"spanning > {max_buckets_per_interval} buckets of {bucket_us} us "
+            "— fix the interval table or raise bucket_us/max_buckets_per_interval"
+        )
+    ivx = iv.withColumn(
+        "__bucket__",
+        F.explode(
+            F.sequence(
+                F.expr(f"{start_col} div {int(bucket_us)}"),
+                F.expr(f"({end_col} - 1) div {int(bucket_us)}"),
+            )
+        ),
+    ).drop("__nb__")
+    joined = lb.join(ivx, on_keys + ["__bucket__"]).where(
+        (F.col("__t_us__") >= F.col(start_col)) & (F.col("__t_us__") < F.col(end_col))
+    )
+    return joined.drop("__bucket__", "__t_us__")

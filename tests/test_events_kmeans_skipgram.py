@@ -239,3 +239,60 @@ def test_kmeans_train_converges_and_moves_centroids(spark):
     assert once == first
     with pytest.raises(ValueError):
         kmeans_train(emb, k=2, n_iter=0)
+
+
+def test_range_join_matches_bruteforce(spark):
+    """range_join vs a brute-force containment scan, with overlapping
+    intervals, an equality key, and boundary semantics (start inclusive,
+    end exclusive) exercised at bucket edges."""
+    import datetime as dt
+
+    from split_merge_partitioner_spark.functions.events import range_join
+
+    base = dt.datetime(2024, 1, 1)
+    evs = [
+        (i, "a" if i % 2 == 0 else "b", base + dt.timedelta(minutes=17 * i))
+        for i in range(120)
+    ]
+    ev = spark.createDataFrame(evs, "event_id long, key string, ts timestamp_ntz")
+    base_us = 1_704_067_200_000_000
+    ivs = [
+        (j, "a" if j % 3 == 0 else "b",
+         base_us + j * 1_800_000_000,                 # 30-min stride
+         base_us + j * 1_800_000_000 + 3_600_000_000)  # 60-min span (overlap)
+        for j in range(40)
+    ]
+    iv = spark.createDataFrame(ivs, "iv_id long, key string, start_us long, end_us long")
+    got = sorted(
+        (r["event_id"], r["iv_id"])
+        for r in range_join(ev, iv, on="key", bucket_us=900_000_000).collect()
+    )
+    # naive-epoch arithmetic (not .timestamp(), which is tz-dependent)
+    exp = sorted(
+        (e_id, j_id)
+        for e_id, ek, ts in evs
+        for j_id, jk, s_us, e_us in ivs
+        if ek == jk
+        and s_us <= int((ts - dt.datetime(1970, 1, 1)).total_seconds() * 1e6) < e_us
+    )
+    assert got == exp and len(got) > 0
+
+
+def test_range_join_validates(spark):
+    import pytest as _pytest
+
+    from split_merge_partitioner_spark.functions.events import range_join
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "event_id long, ts string"
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts")
+    bad = spark.createDataFrame(
+        [(1, 100, 100)], "iv_id long, start_us long, end_us long"
+    )
+    with _pytest.raises(ValueError):
+        range_join(ev, bad)
+    too_long = spark.createDataFrame(
+        [(1, 0, 10**15)], "iv_id long, start_us long, end_us long"
+    )
+    with _pytest.raises(ValueError):
+        range_join(ev, too_long, max_buckets_per_interval=8)
