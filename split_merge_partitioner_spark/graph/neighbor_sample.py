@@ -17,13 +17,16 @@ replays as ANSI SQL (ROW_NUMBER over the same integer hash) for the DuckDB
 oracle.  Neighbors of u rank by hash(u * PAIR_MULT + dst, seed + hop) with
 dst as the tie-break; ranks <= fanout are kept.
 
-Plan shape per hop: one broadcast-or-shuffle join (frontier ⋈ adjacency on
-the frontier key) + one window partitioned by the SAME key (Catalyst reuses
-the join's hash partitioning — no extra exchange) + one distinct for the
-next frontier.  Window cost per vertex is its degree (a scan of exactly the
-adjacency rows the join already produced); output is capped at
-|frontier| * fanout rows, so hub explosion is structurally impossible.
-Total: O(#hops) exchanges, state never exceeds the sampled frontier.
+Plan shape per hop (explain-audited on parquet input): at most TWO
+exchanges — the frontier ⋈ adjacency join, plus one Exchange(u) for the
+row_number window when the join broadcasts the frontier (a shuffle join
+already leaves the data hash-partitioned by u and Catalyst reuses it).
+The window exchange is cheap by construction: Spark's WindowGroupLimit
+pushdown truncates each map partition to the top-``fanout`` candidates per
+vertex BEFORE the shuffle, so at most fanout rows per (vertex, map
+partition) move.  Output is capped at |frontier| * fanout rows — hub
+explosion is structurally impossible; state never exceeds the sampled
+frontier.
 """
 
 from __future__ import annotations
