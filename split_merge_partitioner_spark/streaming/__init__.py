@@ -8,3 +8,4 @@ from .dedup_stream import (  # noqa: F401
     streaming_vertex_degrees_stateful,
 )
 from .sessions_stream import streaming_sessionize  # noqa: F401
+from .enrich_stream import streaming_recent_meta_join  # noqa: F401

@@ -166,3 +166,70 @@ def test_streaming_sessionize_state_and_timeout(spark, tmp_path):
     # user 1's open session 2 eventually times out too
     u1s2 = out3[(out3.user_id == 1) & (out3.session_id == 2)]
     assert len(u1s2) == 1 and u1s2.iloc[0].closed == 1
+
+
+def test_streaming_recent_meta_join_window_and_cross_batch(spark, tmp_path):
+    """Stream-stream interval join: events enrich with metadata rows in
+    (e.ts - 1h, e.ts]; pairs outside the window never appear, and a
+    metadata row from batch 1 joins an event arriving in batch 2."""
+    import datetime as dt
+
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType, TimestampNTZType,
+    )
+
+    from split_merge_partitioner_spark.streaming import streaming_recent_meta_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    ev_schema = StructType([
+        StructField("user_id", LongType()), StructField("ts", TimestampNTZType()),
+        StructField("event_id", LongType()),
+    ])
+    mt_schema = StructType([
+        StructField("user_id", LongType()), StructField("ts", TimestampNTZType()),
+        StructField("segment", StringType()),
+    ])
+    src_e = str(tmp_path / "ev")
+    src_m = str(tmp_path / "mt")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        ev = spark.readStream.schema(ev_schema).parquet(src_e)
+        mt = spark.readStream.schema(mt_schema).parquet(src_m)
+        out = streaming_recent_meta_join(ev, mt, window_seconds=3600)
+        rows = []
+
+        def sink(bdf, _bid):
+            rows.extend(
+                (r["event_id"], r["m_segment"]) for r in bdf.collect()
+            )
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return rows
+
+    # batch 1: meta at t+0 (u1: "gold"), t-90min (u1: "stale"); event u1@t+30
+    spark.createDataFrame(
+        [(1, ts(0), "gold"), (1, ts(-90), "stale"), (2, ts(0), "blue")], mt_schema
+    ).write.mode("append").parquet(src_m)
+    spark.createDataFrame([(1, ts(30), 100)], ev_schema).write.mode("append").parquet(src_e)
+    got1 = run()
+    # u1@t+30 joins "gold" (30min lag) but NOT "stale" (120min) nor u2's row
+    assert sorted(got1) == [(100, "gold")]
+
+    # batch 2: a NEW event joins metadata buffered from batch 1
+    spark.createDataFrame([(2, ts(40), 200)], ev_schema).write.mode("append").parquet(src_e)
+    spark.createDataFrame([(3, ts(40), "x")], mt_schema).write.mode("append").parquet(src_m)
+    got2 = run()
+    assert (200, "blue") in got2
+    assert all(eid != 100 for eid, _ in got2)  # no re-emission in append mode
