@@ -1115,6 +1115,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_id", "campaign_id", "start_us"
         )
 
+    def q_edge_support(spark, sf):
+        # per-edge triangle support (= embeddedness; the k-truss peel
+        # quantity) on the customer projection — degree-oriented wedge
+        # join, shuffle rows = 3 * #triangles
+        from split_merge_partitioner_spark.graph.triangles import edge_support
+
+        return edge_support(_proj_edges(spark, sf))
+
+    def q_collocation_lift(spark, sf):
+        # PMI-family collocation score with the log stripped (lift =
+        # observed/expected, exact fixed-point ppm) over adjacent pairs
+        from split_merge_partitioner_spark.functions.text import collocation_lift
+
+        return collocation_lift(_docs(spark, sf))
+
     def q_bigram_coherence(spark, sf):
         # corpus-internal bigram LM coherence (functions/text.py): exact
         # fixed-point integer P(b|a) sums — the KenLM/CCNet-bucket stand-in
@@ -1300,6 +1315,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_users_by_type": q_hll_users_by_type,
         "rich_club": q_rich_club,
         "range_join_campaigns": q_range_join_campaigns,
+        "edge_support": q_edge_support,
+        "collocation_lift": q_collocation_lift,
         "butterflies_per_vertex": q_butterflies_per_vertex,
         "neighbor_sample": q_neighbor_sample,
     }
@@ -3011,6 +3028,46 @@ FROM ex e JOIN camp c ON c.event_type = e.event_type
 WHERE e.t >= c.start_us AND e.t < c.end_us
 """
 
+    # -- edge-support oracle (graph/triangles.py::edge_support) -------------
+    edge_support_sql = f"""
+WITH {_EDGES_CTE},
+{_PROJ_CTE},
+tr AS (
+  SELECT ab.src AS a, ab.dst AS b, ac.dst AS c
+  FROM proj ab
+  JOIN proj bc ON bc.src = ab.dst
+  JOIN proj ac ON ac.src = ab.src AND ac.dst = bc.dst),
+es AS (
+  SELECT a AS x, b AS y FROM tr
+  UNION ALL SELECT b, c FROM tr
+  UNION ALL SELECT a, c FROM tr)
+SELECT LEAST(x, y) AS src, GREATEST(x, y) AS dst,
+       CAST(COUNT(*) AS BIGINT) AS support
+FROM es GROUP BY 1, 2
+"""
+
+    # -- collocation-lift oracle (functions/text.py::collocation_lift) ------
+    collocation_lift_sql = r"""
+WITH toks AS (
+  SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS a
+  FROM documents),
+grams AS (
+  SELECT a[i] AS ta, a[i+1] AS tb
+  FROM toks, unnest(range(1, len(a))) AS t(i)
+  WHERE len(a) >= 2),
+pc AS (SELECT ta, tb, COUNT(*) AS c_ab FROM grams GROUP BY ta, tb),
+ca AS (SELECT ta, COUNT(*) AS c_a FROM grams GROUP BY ta),
+cb AS (SELECT tb, COUNT(*) AS c_b FROM grams GROUP BY tb),
+nn AS (SELECT COUNT(*) AS n FROM grams)
+SELECT pc.ta AS tok_a, pc.tb AS tok_b,
+       CAST(pc.c_ab AS BIGINT) AS c_ab, CAST(ca.c_a AS BIGINT) AS c_a,
+       CAST(cb.c_b AS BIGINT) AS c_b, CAST(nn.n AS BIGINT) AS n_bigrams,
+       (pc.c_ab * nn.n * 1000000) // (ca.c_a * cb.c_b) AS lift_ppm
+FROM pc JOIN ca USING (ta) JOIN cb USING (tb), nn
+WHERE pc.c_ab >= 2
+"""
+
     # -- coreness oracle ----------------------------------------------------
     # 8 chained h-operator sweeps (graph/kcore.py): h-index as
     # ROW_NUMBER-over-desc-value + MAX(LEAST(rn, value)) — tie-order
@@ -3751,6 +3808,8 @@ FROM documents
         "hll_users_by_type": hll_users_by_type_sql,
         "rich_club": rich_club_sql,
         "range_join_campaigns": range_join_campaigns_sql,
+        "edge_support": edge_support_sql,
+        "collocation_lift": collocation_lift_sql,
         "butterflies_per_vertex": butterflies_per_vertex_sql,
         "neighbor_sample": neighbor_sample_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic

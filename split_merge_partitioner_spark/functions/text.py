@@ -454,3 +454,56 @@ def bigram_coherence(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.expr("sum_fp div n_bigrams"), F.lit(0)
         ).cast("long").alias("coherence_ppm"),
     )
+
+
+def collocation_lift(
+    docs: DataFrame, text_col: str = "text", min_count: int = 2
+) -> DataFrame:
+    """Collocation detection over adjacent token pairs: (tok_a, tok_b,
+    c_ab, c_a, c_b, n_bigrams, lift_ppm) for pairs occurring >=
+    ``min_count`` times — the PMI-family association score with the
+    transcendental stripped out (lift = observed/expected; PMI is its
+    log, monotone, so ranking by lift IS ranking by PMI without the
+    cross-engine libm exposure).
+
+    Contingency-table marginals: c_a = occurrences of ``a`` as a bigram
+    FIRST element, c_b = of ``b`` as SECOND — so expected = c_a*c_b/n and
+    lift_ppm = (c_ab * n * 10^6) DIV (c_a * c_b), exact integer
+    end-to-end (the bigram_coherence rule).  Fail-fast when
+    c_ab_max * n * 10^6 nears int64 (very large corpora: re-express the
+    numerator in DECIMAL(38,0) — remedy documented here).
+
+    Shape: one bigram-keyed count exchange + two marginal aggs joined
+    back (token-keyed, never broadcast at vocab scale), linear.
+    """
+    toks = docs.select(_token_array(text_col).alias("__toks__"))
+    grams = toks.select(F.explode(_word_ngrams("__toks__", 2)).alias("gram")).select(
+        F.expr("split_part(gram, ' ', 1)").alias("a"),
+        F.expr("split_part(gram, ' ', 2)").alias("b"),
+    )
+    pc = grams.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    ca = grams.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
+    cb = grams.groupBy("b").agg(F.count(F.lit(1)).alias("c_b"))
+    n_row = grams.agg(F.count(F.lit(1)).alias("n")).collect()[0]
+    n = int(n_row["n"] or 0)
+    cmax = pc.agg(F.max("c_ab")).collect()[0][0] or 0
+    if cmax * n * 1_000_000 >= (1 << 62):
+        raise ValueError(
+            "collocation_lift: c_ab_max * n_bigrams * 1e6 >= 2^62 would "
+            "overflow the BIGINT lift numerator; re-express it in "
+            "DECIMAL(38,0) for corpora this large"
+        )
+    return (
+        pc.where(F.col("c_ab") >= min_count)
+        .join(ca, "a")
+        .join(cb, "b")
+        .select(
+            F.col("a").alias("tok_a"),
+            F.col("b").alias("tok_b"),
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.lit(n).cast("long").alias("n_bigrams"),
+            F.expr(f"(c_ab * {n}L * 1000000L) div (c_a * c_b)").alias("lift_ppm"),
+        )
+    )

@@ -147,3 +147,37 @@ def triangle_count_sampled(
         [(int(p), int(n_sampled), int(tri_sampled), int(tri_sampled) * int(p) ** 3)],
         "p long, n_edges_sampled long, tri_sampled long, estimate long",
     )
+
+
+def edge_support(edges: DataFrame, orient: str = "degree") -> DataFrame:
+    """(src, dst, support): for every canonical edge, the number of
+    triangles containing it (= |N(src) ∩ N(dst)|, the edge's
+    EMBEDDEDNESS — Granovetter-style tie strength; support < k-2 is
+    exactly what ktruss peels on).  Edges in no triangle are omitted
+    (implicit support 0 — the result is triangle-sparse by nature).
+
+    Same O(Sigma deg_oriented^2) wedge join as triangle_count (degree
+    orientation caps hub wedges); each enumerated triangle a<b<c emits
+    its 3 canonical edges, one groupBy(edge) with map-side combine —
+    shuffle rows = 3 * #triangles, never #wedges."""
+    o = _oriented(edges, orient)
+    ab = o.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = o.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tris = ab.join(bc, "b").join(ac, ["a", "c"])
+    es = (
+        tris.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .unionAll(tris.select(F.col("b"), F.col("c")))
+        .unionAll(tris.select(F.col("a"), F.col("c")))
+    )
+    # materialize (edge-sparse result << wedge work) so the orientation
+    # scratch releases here instead of pinning under the lazy result —
+    # the triangles_per_vertex discipline
+    out = (
+        es.select(F.least("x", "y").alias("src"), F.greatest("x", "y").alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .localCheckpoint(eager=True)
+    )
+    release(o)
+    return out

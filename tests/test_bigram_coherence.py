@@ -38,3 +38,31 @@ def test_bigram_coherence_ranks_fluent_above_shuffled(spark):
     docs = spark.createDataFrame(fluent + scrambled, "doc_id long, text string")
     got = {r["doc_id"]: r["coherence_ppm"] for r in bigram_coherence(docs).collect()}
     assert got[0] > got[99]
+
+
+def test_collocation_lift_hand_values(spark):
+    from split_merge_partitioner_spark.functions.text import collocation_lift
+
+    # grams: (x y) x3, (y x) x1, (y z) x1  ->  n = 5
+    docs = spark.createDataFrame(
+        [(1, "x y x y"), (2, "x y z")], "doc_id long, text string"
+    )
+    got = {(r["tok_a"], r["tok_b"]): r for r in collocation_lift(docs).collect()}
+    assert list(got) == [("x", "y")]  # only pair with c_ab >= 2
+    r = got[("x", "y")]
+    # c_ab=3, c_a = x-as-first = 3, c_b = y-as-second = 3, n = 5
+    assert (r["c_ab"], r["c_a"], r["c_b"], r["n_bigrams"]) == (3, 3, 3, 5)
+    assert r["lift_ppm"] == (3 * 5 * 10**6) // (3 * 3)
+
+
+def test_collocation_lift_ranks_fixed_phrase_top(spark):
+    from split_merge_partitioner_spark.functions.text import collocation_lift
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta common common") for i in range(10)]
+        + [(99, "common gamma common delta")],
+        "doc_id long, text string",
+    )
+    rows = collocation_lift(docs).collect()
+    by_lift = sorted(rows, key=lambda r: -r["lift_ppm"])
+    assert (by_lift[0]["tok_a"], by_lift[0]["tok_b"]) == ("alpha", "beta")

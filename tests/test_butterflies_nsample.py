@@ -165,3 +165,37 @@ def test_rich_club_matches_bruteforce(spark):
         ek = sum(1 for a, b in es if a in vs and b in vs)
         exp.append((k, len(vs), ek, (2 * ek * 10**6) // (len(vs) * (len(vs) - 1))))
     assert got == sorted(exp)
+
+
+def test_edge_support_matches_bruteforce(spark):
+    from itertools import combinations as _comb
+
+    from split_merge_partitioner_spark.graph.triangles import edge_support
+
+    # K5 minus one edge + a pendant: known support structure
+    vs = list(range(5))
+    es = [e for e in _comb(vs, 2) if e != (0, 1)] + [(4, 9)]
+    edges = spark.createDataFrame(es, "src long, dst long")
+    got = {(r["src"], r["dst"]): r["support"] for r in edge_support(edges).collect()}
+    nbrs: dict[int, set[int]] = {}
+    for a, b in es:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    exp = {
+        (a, b): len(nbrs[a] & nbrs[b])
+        for a, b in es
+        if len(nbrs[a] & nbrs[b]) > 0
+    }
+    assert got == exp
+
+
+def test_edge_support_orientation_invariant(spark):
+    from split_merge_partitioner_spark.graph.triangles import edge_support
+
+    es = _rand_bipartite(41, nl=20, nr=20, m=100)
+    # make it non-bipartite so triangles exist: add left-left edges
+    es = sorted(set(es + [(i, i + 1) for i in range(0, 19)]))
+    edges = spark.createDataFrame(es, "src long, dst long")
+    a = sorted(map(tuple, edge_support(edges, orient="degree").collect()))
+    b = sorted(map(tuple, edge_support(edges, orient="id").collect()))
+    assert a == b
