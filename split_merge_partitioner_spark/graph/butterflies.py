@@ -12,7 +12,7 @@ of the partitioned edge table.
 Exact-count recipe (no sampling, all BIGINT):
   1. pick the WEDGE SIDE: wedges through side S cost Sigma_{s in S} C(d_s, 2)
      rows; the other side's pair-counts result.  Choose the side with the
-     SMALLER wedge volume (vertical of the KDD'18 vertex-priority rule;
+     SMALLER wedge volume (the coarse-grained form of the KDD'18 vertex-priority rule;
      on the sf graphs the customer side wins by ~14x — 0.83M vs 11.8M at
      sf0.01).  Both volumes come from one degree histogram aggregate.
   2. wedge join through the chosen side: pairs (a < b) of other-side
@@ -41,16 +41,18 @@ from pyspark.sql import functions as F
 
 def _wedge_volumes(edges: DataFrame) -> tuple[int, int]:
     """(vol_src_side, vol_dst_side): Sigma C(deg, 2) per side, one agg."""
-    vols = []
-    for side in ("src", "dst"):
-        v = (
-            edges.groupBy(side)
-            .agg(F.count(F.lit(1)).alias("d"))
-            .agg(F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("w"))
-            .collect()[0]["w"]
-        )
-        vols.append(int(v or 0))
-    return vols[0], vols[1]
+    both = edges.select(F.lit("s").alias("side"), F.col("src").alias("v")).unionAll(
+        edges.select(F.lit("d").alias("side"), F.col("dst").alias("v"))
+    )
+    rows = (
+        both.groupBy("side", "v")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .groupBy("side")
+        .agg(F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("w"))
+        .collect()
+    )
+    vol = {r["side"]: int(r["w"] or 0) for r in rows}
+    return vol.get("s", 0), vol.get("d", 0)
 
 
 def _pair_counts(

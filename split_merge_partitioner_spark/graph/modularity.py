@@ -28,13 +28,59 @@ from ..sources.edges import degrees as degrees_of
 _D = "decimal(38,0)"
 
 
-def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+def modularity(
+    edges: DataFrame, labels: DataFrame, weight_col: str | None = None
+) -> DataFrame:
     """One row (modularity, n_communities, m_edges) for the undirected
-    ``edges`` (src, dst) under the ``labels`` (vertex, label) assignment.
-    Every edge endpoint must carry a label (labelings produced from the
-    same edge table always do); modularity is rounded to 6 decimals.
+    ``edges`` (src, dst[, weight]) under the ``labels`` (vertex, label)
+    assignment.  Every edge endpoint must carry a label (labelings
+    produced from the same edge table always do); modularity is rounded
+    to 6 decimals.
+
+    ``weight_col`` generalizes every moment to integer edge weights
+    (m -> total weight, d_c -> strength) INCLUDING self-loop rows, which
+    contribute 2w to their vertex's strength and w to their community's
+    internal weight — exactly the convention louvain.py's contraction
+    produces, giving the level-invariance property
+    Q(contract(G, C), identity) = Q(G, C) (tested).  m_edges reports the
+    total WEIGHT under weight_col (the coarse graph's edge multiplicity).
     """
     lab = labels.select("vertex", "label")
+    if weight_col is not None:
+        w0 = F.col(weight_col).cast("long")
+        e = edges.select("src", "dst", w0.alias("w"))
+        deg = (
+            e.select(F.col("src").alias("vertex"), "w")
+            .unionAll(e.select(F.col("dst").alias("vertex"), "w"))
+            .groupBy("vertex")
+            .agg(F.sum("w").alias("degree"))
+        )
+        dc = lab.join(deg, "vertex").groupBy("label").agg(F.sum("degree").alias("d_c"))
+        ls = lab.select(F.col("vertex").alias("src"), F.col("label").alias("lsrc"))
+        ld = lab.select(F.col("vertex").alias("dst"), F.col("label").alias("ldst"))
+        mc = (
+            e.join(ls, "src")
+            .join(ld, "dst")
+            .where(F.col("lsrc") == F.col("ldst"))
+            .groupBy(F.col("lsrc").alias("label"))
+            .agg(F.sum("w").alias("m_c"))
+        )
+        m_df = e.agg(F.sum("w").cast(_D).alias("m"))
+        agg = dc.join(mc, "label", "left").agg(
+            F.sum(F.coalesce(F.col("m_c"), F.lit(0)).cast(_D)).alias("sum_mc"),
+            F.sum(F.col("d_c").cast(_D) * F.col("d_c").cast(_D)).alias("sum_d2"),
+            F.count(F.lit(1)).alias("n_communities"),
+        )
+        four = F.lit(4).cast(_D)
+        return agg.crossJoin(F.broadcast(m_df)).select(
+            F.round(
+                (four * F.col("m") * F.col("sum_mc") - F.col("sum_d2")).cast("double")
+                / (four * F.col("m") * F.col("m")).cast("double"),
+                6,
+            ).alias("modularity"),
+            F.col("n_communities").cast("long").alias("n_communities"),
+            F.col("m").cast("long").alias("m_edges"),
+        )
     deg = degrees_of(edges)
     dc = (
         lab.join(deg, "vertex")

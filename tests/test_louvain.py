@@ -194,3 +194,32 @@ def test_full_louvain_releases_storage(spark):
     new, leaked = _new_after(spark, lambda: louvain(edges, 2, 2)[0])
     assert new >= 1
     assert leaked <= RESULT_BUDGET
+
+
+def test_weighted_modularity_level_invariance(spark):
+    """Q(contract(G, C), identity labels, weighted) == Q(G, C): the
+    textbook Louvain level-invariance — validates the weighted modularity
+    path and the self-loop conventions of contract_by_community in one
+    equation."""
+    from pyspark.sql import functions as F
+
+    from split_merge_partitioner_spark.graph import louvain_local_move
+    from split_merge_partitioner_spark.graph.modularity import modularity
+
+    es = _rand_edges(7, n=40, m=100)
+    edges = spark.createDataFrame(es, "src long, dst long")
+    comms, _ = louvain_local_move(edges, n_rounds=3)
+    q_fine = modularity(
+        edges, comms.select("vertex", F.col("comm").alias("label"))
+    ).collect()[0]
+    cg = contract_by_community(edges, comms)
+    q_coarse = modularity(
+        cg,
+        cg.select(F.col("src").alias("vertex"))
+        .unionAll(cg.select(F.col("dst")))
+        .distinct()
+        .select("vertex", F.col("vertex").alias("label")),
+        weight_col="weight",
+    ).collect()[0]
+    assert q_fine["modularity"] == q_coarse["modularity"]
+    assert q_coarse["m_edges"] == len(es)  # total weight preserved
