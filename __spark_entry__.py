@@ -1130,6 +1130,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return collocation_lift(_docs(spark, sf))
 
+    def q_modularity_louvain(spark, sf):
+        # cross-operator composition: Newman Q of the 3-round Louvain
+        # labels — the oracle chains the generated Louvain round replay
+        # into the HUGEINT modularity arithmetic
+        from split_merge_partitioner_spark.graph import louvain_local_move
+        from split_merge_partitioner_spark.graph.modularity import modularity
+
+        e = _edges(spark, sf)
+        labels = louvain_local_move(e, n_rounds=3)[0].select(
+            "vertex", F.col("comm").alias("label")
+        )
+        return modularity(e, labels)
+
     def q_bigram_coherence(spark, sf):
         # corpus-internal bigram LM coherence (functions/text.py): exact
         # fixed-point integer P(b|a) sums — the KenLM/CCNet-bucket stand-in
@@ -1317,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_campaigns": q_range_join_campaigns,
         "edge_support": q_edge_support,
         "collocation_lift": q_collocation_lift,
+        "modularity_louvain": q_modularity_louvain,
         "butterflies_per_vertex": q_butterflies_per_vertex,
         "neighbor_sample": q_neighbor_sample,
     }
@@ -3636,6 +3650,30 @@ SELECT m.u AS vertex, sb.comm AS comm
 FROM s{rounds} m JOIN sb{rounds} sb ON sb.u = m.comm
 """
 
+    def _modularity_louvain_sql(rounds: int = 3) -> str:
+        return f"""
+WITH {_EDGES_CTE},
+{_louvain_rounds_cte(rounds)},
+lab AS (SELECT u AS vertex, comm AS label FROM s{rounds}),
+dc AS (SELECT l.label, SUM(d.k) AS d_c
+       FROM lab l JOIN deg d ON d.u = l.vertex GROUP BY l.label),
+mc AS (SELECT ls.label, COUNT(*) AS m_c
+       FROM edges e
+       JOIN lab ls ON ls.vertex = e.src
+       JOIN lab ld ON ld.vertex = e.dst AND ld.label = ls.label
+       GROUP BY ls.label),
+mm AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m FROM edges),
+agg AS (SELECT SUM(CAST(COALESCE(mc.m_c, 0) AS HUGEINT)) AS sum_mc,
+               SUM(CAST(dc.d_c AS HUGEINT) * CAST(dc.d_c AS HUGEINT)) AS sum_d2,
+               COUNT(*) AS n_communities
+        FROM dc LEFT JOIN mc ON mc.label = dc.label)
+SELECT ROUND(CAST(4 * mm.m * agg.sum_mc - agg.sum_d2 AS DOUBLE)
+             / CAST(4 * mm.m * mm.m AS DOUBLE), 6) AS modularity,
+       CAST(agg.n_communities AS BIGINT) AS n_communities,
+       CAST(mm.m AS BIGINT) AS m_edges
+FROM agg, mm
+"""
+
     # -- layer-wise neighbor sample (graph/neighbor_sample.py): the Lehmer
     #    hash replayed per hop (seed 42 -> +43 for seeds, +43+hop for pair
     #    ranking); fanouts (3, 2), seed_fraction 0.05
@@ -3810,6 +3848,7 @@ FROM documents
         "range_join_campaigns": range_join_campaigns_sql,
         "edge_support": edge_support_sql,
         "collocation_lift": collocation_lift_sql,
+        "modularity_louvain": _modularity_louvain_sql(),
         "butterflies_per_vertex": butterflies_per_vertex_sql,
         "neighbor_sample": neighbor_sample_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic
