@@ -76,6 +76,16 @@ def run_suite(cpus: str, sf_dir: str, scaling_mode: bool = False) -> dict:
         triangle_count(edges)
         times["triangle_count"] = round(time.monotonic() - t0, 3)
 
+        from split_merge_partitioner_spark.graph import louvain_local_move
+
+        t0 = time.monotonic()
+        _lv, lv_info = louvain_local_move(edges, n_rounds=3)
+        times["louvain_3rounds"] = round(time.monotonic() - t0, 3)
+        extras["louvain_communities"] = lv_info["n_communities"]
+        from split_merge_partitioner_spark.storage import release as _release
+
+        _release(_lv)
+
         from split_merge_partitioner_spark.graph import approximate_diameter
 
         t0 = time.monotonic()

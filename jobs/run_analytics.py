@@ -195,6 +195,14 @@ def main(argv=None, stop: bool = True) -> None:
         from split_merge_partitioner_spark.graph import louvain
 
         out, info = louvain(edges, n_levels=args.levels, n_rounds=args.n_iter)
+        from split_merge_partitioner_spark.graph.modularity import modularity
+        from pyspark.sql import functions as F
+
+        info["modularity"] = float(
+            modularity(
+                edges, out.select("vertex", F.col("comm").alias("label"))
+            ).collect()[0]["modularity"]
+        )
     elif args.algo == "node2vec":
         # second-order biased walks; --bias "wr,wc,wx" = 1/p : 1 : 1/q ints
         from split_merge_partitioner_spark.graph import node2vec_walks
