@@ -1143,6 +1143,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return modularity(e, labels)
 
+    def q_butterfly_count_cp(spark, sf):
+        # second fixture (customer-part bipartite): different side profile
+        # (2000 moderate-degree parts vs 100 supplier hubs) exercises the
+        # wedge-side selection on a structurally different graph
+        from split_merge_partitioner_spark.graph import butterfly_count
+
+        return butterfly_count(_edges_cp(spark, sf))
+
+    def q_rich_club_cp(spark, sf):
+        from split_merge_partitioner_spark.graph import rich_club
+
+        return rich_club(_edges_cp(spark, sf))
+
+    def q_louvain_cp(spark, sf):
+        from split_merge_partitioner_spark.graph import louvain_local_move
+
+        return louvain_local_move(_edges_cp(spark, sf), n_rounds=3)[0]
+
     def q_bigram_coherence(spark, sf):
         # corpus-internal bigram LM coherence (functions/text.py): exact
         # fixed-point integer P(b|a) sums — the KenLM/CCNet-bucket stand-in
@@ -1331,6 +1349,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_support": q_edge_support,
         "collocation_lift": q_collocation_lift,
         "modularity_louvain": q_modularity_louvain,
+        "butterfly_count_cp": q_butterfly_count_cp,
+        "rich_club_cp": q_rich_club_cp,
+        "louvain_cp": q_louvain_cp,
         "butterflies_per_vertex": q_butterflies_per_vertex,
         "neighbor_sample": q_neighbor_sample,
     }
@@ -3849,6 +3870,9 @@ FROM documents
         "edge_support": edge_support_sql,
         "collocation_lift": collocation_lift_sql,
         "modularity_louvain": _modularity_louvain_sql(),
+        "butterfly_count_cp": butterfly_count_sql.replace(_EDGES_CTE, _EDGES_CP_CTE),
+        "rich_club_cp": rich_club_sql.replace(_EDGES_CTE, _EDGES_CP_CTE),
+        "louvain_cp": _louvain_sql().replace(_EDGES_CTE, _EDGES_CP_CTE),
         "butterflies_per_vertex": butterflies_per_vertex_sql,
         "neighbor_sample": neighbor_sample_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic
