@@ -1161,6 +1161,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return louvain_local_move(_edges_cp(spark, sf), n_rounds=3)[0]
 
+    def q_directed_summary(spark, sf):
+        # reciprocity of the deterministic functional digraph (the scc
+        # fixture): mirror-join count, exact ppm
+        from split_merge_partitioner_spark.graph.summary import directed_summary
+
+        dv = _docs(spark, sf).select(F.col("doc_id").alias("v"))
+        dir_edges = dv.select(
+            F.col("v").alias("src"), ((F.lit(7) * F.col("v") + 3) % 500).alias("dst")
+        ).unionAll(
+            dv.where(F.col("v") % 5 == 0).select(
+                F.col("v").alias("src"),
+                ((F.lit(31) * F.col("v") + 17) % 500).alias("dst"),
+            )
+        )
+        return directed_summary(dir_edges)
+
     def q_bigram_coherence(spark, sf):
         # corpus-internal bigram LM coherence (functions/text.py): exact
         # fixed-point integer P(b|a) sums — the KenLM/CCNet-bucket stand-in
@@ -1352,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "butterfly_count_cp": q_butterfly_count_cp,
         "rich_club_cp": q_rich_club_cp,
         "louvain_cp": q_louvain_cp,
+        "directed_summary": q_directed_summary,
         "butterflies_per_vertex": q_butterflies_per_vertex,
         "neighbor_sample": q_neighbor_sample,
     }
@@ -3103,6 +3120,27 @@ FROM pc JOIN ca USING (ta) JOIN cb USING (tb), nn
 WHERE pc.c_ab >= 2
 """
 
+    # -- directed reciprocity oracle (graph/summary.py::directed_summary) ---
+    directed_summary_sql = """
+WITH dv AS (SELECT doc_id AS v FROM documents),
+de AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT v AS src, (7 * v + 3) % 500 AS dst FROM dv
+    UNION ALL
+    SELECT v, (31 * v + 17) % 500 FROM dv WHERE v % 5 = 0)),
+pr AS (SELECT src, dst FROM de WHERE src <> dst),
+rc AS (SELECT COUNT(*) AS n_reciprocal
+       FROM pr a JOIN pr b ON b.src = a.dst AND b.dst = a.src),
+ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+              CAST(SUM(CASE WHEN src = dst THEN 1 ELSE 0 END) AS BIGINT) AS n_self_loops
+       FROM de)
+SELECT ag.m, ag.n_self_loops, CAST(rc.n_reciprocal AS BIGINT) AS n_reciprocal,
+       CASE WHEN ag.m - ag.n_self_loops > 0
+            THEN (rc.n_reciprocal * 1000000) // (ag.m - ag.n_self_loops)
+            ELSE 0 END AS reciprocity_ppm
+FROM ag, rc
+"""
+
     # -- coreness oracle ----------------------------------------------------
     # 8 chained h-operator sweeps (graph/kcore.py): h-index as
     # ROW_NUMBER-over-desc-value + MAX(LEAST(rn, value)) — tie-order
@@ -3873,6 +3911,7 @@ FROM documents
         "butterfly_count_cp": butterfly_count_sql.replace(_EDGES_CTE, _EDGES_CP_CTE),
         "rich_club_cp": rich_club_sql.replace(_EDGES_CTE, _EDGES_CP_CTE),
         "louvain_cp": _louvain_sql().replace(_EDGES_CTE, _EDGES_CP_CTE),
+        "directed_summary": directed_summary_sql,
         "butterflies_per_vertex": butterflies_per_vertex_sql,
         "neighbor_sample": neighbor_sample_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic

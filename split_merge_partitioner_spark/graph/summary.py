@@ -125,3 +125,30 @@ def rich_club(edges: DataFrame) -> DataFrame:
         "e_k",
         F.expr("(2 * e_k * 1000000L) div (n_k * (n_k - 1))").alias("phi_ppm"),
     )
+
+
+def directed_summary(edges: DataFrame) -> DataFrame:
+    """One row (m, n_self_loops, n_reciprocal, reciprocity_ppm) for a
+    DIRECTED (src, dst) table (src -> dst as given, deduped here):
+    n_reciprocal counts ordered edges (u, v), u != v, whose mirror (v, u)
+    is also present (so mutual pairs contribute 2), reciprocity =
+    n_reciprocal / (m - n_self_loops) in exact ppm (the fixed-point rule).
+    One dedup exchange + one self-join on the flipped key — the classic
+    one-pass reciprocity measurement (Newman 2003 directed-network
+    vocabulary)."""
+    e = edges.select("src", "dst").dropDuplicates(["src", "dst"])
+    proper = e.where(F.col("src") != F.col("dst"))
+    flipped = proper.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = proper.join(flipped, ["src", "dst"]).count()
+    agg = e.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum((F.col("src") == F.col("dst")).cast("long")).alias("n_self_loops"),
+    )
+    return agg.select(
+        "m",
+        "n_self_loops",
+        F.lit(recip).cast("long").alias("n_reciprocal"),
+        F.expr(
+            f"CASE WHEN m - n_self_loops > 0 THEN ({recip}L * 1000000L) div (m - n_self_loops) ELSE 0L END"
+        ).alias("reciprocity_ppm"),
+    )

@@ -199,3 +199,14 @@ def test_edge_support_orientation_invariant(spark):
     a = sorted(map(tuple, edge_support(edges, orient="degree").collect()))
     b = sorted(map(tuple, edge_support(edges, orient="id").collect()))
     assert a == b
+
+
+def test_directed_summary_hand_values(spark):
+    from split_merge_partitioner_spark.graph.summary import directed_summary
+
+    # mutual pair (1,2)/(2,1), one-way (1,3), self-loop (4,4), duplicate row
+    es = [(1, 2), (2, 1), (1, 3), (4, 4), (1, 3)]
+    edges = spark.createDataFrame(es, "src long, dst long")
+    r = directed_summary(edges).collect()[0]
+    assert (r["m"], r["n_self_loops"], r["n_reciprocal"]) == (4, 1, 2)
+    assert r["reciprocity_ppm"] == (2 * 10**6) // 3
