@@ -210,3 +210,37 @@ def test_directed_summary_hand_values(spark):
     r = directed_summary(edges).collect()[0]
     assert (r["m"], r["n_self_loops"], r["n_reciprocal"]) == (4, 1, 2)
     assert r["reciprocity_ppm"] == (2 * 10**6) // 3
+
+
+def test_butterfly_total_is_side_symmetric_hypothesis():
+    """The identity butterfly side-selection RELIES on: Sigma C(c,2) over
+    left-pairs == over right-pairs, for arbitrary bipartite graphs (pure
+    Python — no Spark, so hypothesis can hammer it)."""
+    from itertools import combinations as _comb
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def total_through(es, left):
+        nbrs: dict[int, set[int]] = {}
+        for a, b in es:
+            k, v = (a, b) if left else (b, a)
+            nbrs.setdefault(k, set()).add(v)
+        return sum(
+            len(nbrs[x] & nbrs[y]) * (len(nbrs[x] & nbrs[y]) - 1) // 2
+            for x, y in _comb(sorted(nbrs), 2)
+        )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.sets(
+            st.tuples(st.integers(0, 12), st.integers(100, 108)),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def check(es):
+        es = sorted(es)
+        assert total_through(es, True) == total_through(es, False)
+
+    check()
