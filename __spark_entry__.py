@@ -1177,6 +1177,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return directed_summary(dir_edges)
 
+    def q_conductance_louvain(spark, sf):
+        # per-community conductance of the Louvain labels — the quality
+        # profile complementing the modularity scalar; chained oracle
+        from split_merge_partitioner_spark.graph import louvain_local_move
+        from split_merge_partitioner_spark.graph.modularity import conductance
+
+        e = _edges(spark, sf)
+        labels = louvain_local_move(e, n_rounds=3)[0].select(
+            "vertex", F.col("comm").alias("label")
+        )
+        return conductance(e, labels)
+
     def q_bigram_coherence(spark, sf):
         # corpus-internal bigram LM coherence (functions/text.py): exact
         # fixed-point integer P(b|a) sums — the KenLM/CCNet-bucket stand-in
@@ -1369,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rich_club_cp": q_rich_club_cp,
         "louvain_cp": q_louvain_cp,
         "directed_summary": q_directed_summary,
+        "conductance_louvain": q_conductance_louvain,
         "butterflies_per_vertex": q_butterflies_per_vertex,
         "neighbor_sample": q_neighbor_sample,
     }
@@ -3733,6 +3746,32 @@ SELECT ROUND(CAST(4 * mm.m * agg.sum_mc - agg.sum_d2 AS DOUBLE)
 FROM agg, mm
 """
 
+    def _conductance_louvain_sql(rounds: int = 3) -> str:
+        return f"""
+WITH {_EDGES_CTE},
+{_louvain_rounds_cte(rounds)},
+lab AS (SELECT u AS vertex, comm AS label FROM s{rounds}),
+vol AS (SELECT l.label, SUM(d.k) AS vol
+        FROM lab l JOIN deg d ON d.u = l.vertex GROUP BY l.label),
+cutx AS (
+  SELECT label, COUNT(*) AS cut FROM (
+    SELECT ls.label FROM edges e
+      JOIN lab ls ON ls.vertex = e.src
+      JOIN lab ld ON ld.vertex = e.dst AND ld.label <> ls.label
+    UNION ALL
+    SELECT ld.label FROM edges e
+      JOIN lab ls ON ls.vertex = e.src
+      JOIN lab ld ON ld.vertex = e.dst AND ld.label <> ls.label)
+  GROUP BY label),
+mm AS (SELECT 2 * COUNT(*) AS m2 FROM edges)
+SELECT v.label, CAST(v.vol AS BIGINT) AS vol,
+       CAST(COALESCE(c.cut, 0) AS BIGINT) AS cut,
+       (COALESCE(c.cut, 0) * 1000000) // LEAST(v.vol, (SELECT m2 FROM mm) - v.vol)
+         AS conductance_ppm
+FROM vol v LEFT JOIN cutx c ON c.label = v.label
+WHERE v.vol > 0 AND v.vol < (SELECT m2 FROM mm)
+"""
+
     # -- layer-wise neighbor sample (graph/neighbor_sample.py): the Lehmer
     #    hash replayed per hop (seed 42 -> +43 for seeds, +43+hop for pair
     #    ranking); fanouts (3, 2), seed_fraction 0.05
@@ -3912,6 +3951,7 @@ FROM documents
         "rich_club_cp": rich_club_sql.replace(_EDGES_CTE, _EDGES_CP_CTE),
         "louvain_cp": _louvain_sql().replace(_EDGES_CTE, _EDGES_CP_CTE),
         "directed_summary": directed_summary_sql,
+        "conductance_louvain": _conductance_louvain_sql(),
         "butterflies_per_vertex": butterflies_per_vertex_sql,
         "neighbor_sample": neighbor_sample_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic

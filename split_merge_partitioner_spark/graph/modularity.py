@@ -115,3 +115,49 @@ def modularity(
         F.col("n_communities").cast("long").alias("n_communities"),
         F.col("m").cast("long").alias("m_edges"),
     )
+
+
+def conductance(
+    edges: DataFrame, labels: DataFrame
+) -> DataFrame:
+    """(label, vol, cut, conductance_ppm) per community: cut = edges with
+    exactly one endpoint inside, vol = summed member degree,
+    phi = cut / min(vol, 2m - vol) — the Fiedler-style community-quality
+    profile that complements the single modularity scalar (low phi =
+    well-separated).  Exact integers + fixed-point ppm (the house
+    rounding rule); communities with vol = 0 or vol = 2m are dropped
+    (phi undefined).  Plan: two label joins on the edge table + one
+    degree join, all partial-aggregated — the modularity() shape with a
+    per-label output."""
+    lab = labels.select("vertex", "label")
+    deg = degrees_of(edges)
+    vol = (
+        lab.join(deg, "vertex").groupBy("label").agg(F.sum("degree").alias("vol"))
+    )
+    ls = lab.select(F.col("vertex").alias("src"), F.col("label").alias("lsrc"))
+    ld = lab.select(F.col("vertex").alias("dst"), F.col("label").alias("ldst"))
+    tagged = edges.join(ls, "src").join(ld, "dst")
+    cut = (
+        tagged.where(F.col("lsrc") != F.col("ldst"))
+        .select(F.explode(F.array("lsrc", "ldst")).alias("label"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("cut"))
+    )
+    m2 = edges.count() * 2
+    return (
+        vol.join(cut, "label", "left")
+        .select(
+            "label",
+            "vol",
+            F.coalesce("cut", F.lit(0)).cast("long").alias("cut"),
+        )
+        .where((F.col("vol") > 0) & (F.col("vol") < m2))
+        .select(
+            "label",
+            "vol",
+            "cut",
+            F.expr(
+                f"(cut * 1000000L) div least(vol, {m2}L - vol)"
+            ).alias("conductance_ppm"),
+        )
+    )

@@ -223,3 +223,41 @@ def test_weighted_modularity_level_invariance(spark):
     ).collect()[0]
     assert q_fine["modularity"] == q_coarse["modularity"]
     assert q_coarse["m_edges"] == len(es)  # total weight preserved
+
+
+def test_conductance_hand_values(spark):
+    from pyspark.sql import functions as F
+
+    from split_merge_partitioner_spark.graph.modularity import conductance
+
+    # triangle {0,1,2} + edge (2,3): labels {0,1,2}->0, {3}->3
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 3)], "src long, dst long"
+    )
+    labels = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 3)], "vertex long, label long"
+    )
+    got = {r["label"]: r for r in conductance(edges, labels).collect()}
+    # vol(0) = 2+2+3 = 7, cut = 1, min(7, 8-7)=1 -> phi=1.0
+    assert (got[0]["vol"], got[0]["cut"], got[0]["conductance_ppm"]) == (7, 1, 10**6)
+    # vol(3) = 1, cut = 1 -> phi = 1.0
+    assert (got[3]["vol"], got[3]["cut"], got[3]["conductance_ppm"]) == (1, 1, 10**6)
+
+
+def test_conductance_well_separated_cliques(spark):
+    from pyspark.sql import functions as F
+
+    from split_merge_partitioner_spark.graph import louvain_local_move
+    from split_merge_partitioner_spark.graph.modularity import conductance
+
+    cl1 = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    cl2 = [(i, j) for i in range(10, 16) for j in range(i + 1, 16)]
+    edges = spark.createDataFrame(cl1 + cl2 + [(5, 10)], "src long, dst long")
+    labels = louvain_local_move(edges, n_rounds=4)[0].select(
+        "vertex", F.col("comm").alias("label")
+    )
+    rows = conductance(edges, labels).collect()
+    assert len(rows) == 2
+    # each clique: vol = 2*15+1 = 31, cut = 1 -> phi = 1e6//31
+    for r in rows:
+        assert (r["vol"], r["cut"], r["conductance_ppm"]) == (31, 1, 10**6 // 31)
