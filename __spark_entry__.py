@@ -1189,6 +1189,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return conductance(e, labels)
 
+    def q_avg_neighbor_degree(spark, sf):
+        # knn(k) curve — the assortativity profile, exact integer ppm
+        from split_merge_partitioner_spark.graph.summary import avg_neighbor_degree
+
+        return avg_neighbor_degree(_edges(spark, sf))
+
+    def q_source_profile(spark, sf):
+        # per-source corpus dashboard (volume, exact-dup pressure, langs)
+        from split_merge_partitioner_spark.functions.profiling import source_profile
+
+        return source_profile(_docs(spark, sf))
+
     def q_bigram_coherence(spark, sf):
         # corpus-internal bigram LM coherence (functions/text.py): exact
         # fixed-point integer P(b|a) sums — the KenLM/CCNet-bucket stand-in
@@ -1382,6 +1394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_cp": q_louvain_cp,
         "directed_summary": q_directed_summary,
         "conductance_louvain": q_conductance_louvain,
+        "avg_neighbor_degree": q_avg_neighbor_degree,
+        "source_profile": q_source_profile,
         "butterflies_per_vertex": q_butterflies_per_vertex,
         "neighbor_sample": q_neighbor_sample,
     }
@@ -3162,6 +3176,31 @@ SELECT ag.m, ag.n_self_loops, CAST(rc.n_reciprocal AS BIGINT) AS n_reciprocal,
 FROM ag, rc
 """
 
+    # -- knn(k) curve + per-source dashboard oracles -------------------------
+    avg_neighbor_degree_sql = f"""
+WITH {_DEGREES_CTE},
+undx AS (SELECT src AS v, dst AS w FROM edges UNION ALL SELECT dst, src FROM edges),
+pv AS (
+  SELECT u.v, dv.degree AS dv, SUM(dw.degree) AS snd
+  FROM undx u
+  JOIN degrees dv ON dv.vertex = u.v
+  JOIN degrees dw ON dw.vertex = u.w
+  GROUP BY u.v, dv.degree)
+SELECT dv AS degree, CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       (SUM(snd) * 1000000) // (dv * COUNT(*)) AS knn_ppm
+FROM pv GROUP BY dv
+"""
+
+    source_profile_sql = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+       SUM(length(text)) // COUNT(*) AS mean_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS langs
+FROM documents GROUP BY source
+"""
+
     # -- coreness oracle ----------------------------------------------------
     # 8 chained h-operator sweeps (graph/kcore.py): h-index as
     # ROW_NUMBER-over-desc-value + MAX(LEAST(rn, value)) — tie-order
@@ -3960,6 +3999,8 @@ FROM documents
         "louvain_cp": _louvain_sql().replace(_EDGES_CTE, _EDGES_CP_CTE),
         "directed_summary": directed_summary_sql,
         "conductance_louvain": _conductance_louvain_sql(),
+        "avg_neighbor_degree": avg_neighbor_degree_sql,
+        "source_profile": source_profile_sql,
         "butterflies_per_vertex": butterflies_per_vertex_sql,
         "neighbor_sample": neighbor_sample_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic

@@ -64,3 +64,30 @@ def numeric_profile(
             ).alias(name)
         )
     return ranked.groupBy(F.col("grp").alias(group_col)).agg(*aggs)
+
+
+def source_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(source, n_docs, n_unique_texts, sum_chars, mean_chars, langs) —
+    the per-source corpus dashboard a C4/RefinedWeb-style pipeline tracks
+    per domain: volume, exact-duplicate pressure (distinct md5 of the
+    text), and language spread.  All integers (mean_chars = sum DIV n);
+    langs = count of distinct lang values.  One source-keyed exchange
+    with partial aggregation; the md5 distinct-count is
+    approx-free/exact because it aggregates WITHIN the source group."""
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(F.md5(F.col(text_col))).alias("n_unique_texts"),
+            F.sum(F.length(text_col)).alias("sum_chars"),
+            F.countDistinct("lang").alias("langs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.col("n_unique_texts").cast("long").alias("n_unique_texts"),
+            F.col("sum_chars").cast("long").alias("sum_chars"),
+            F.expr("sum_chars div n_docs").alias("mean_chars"),
+            F.col("langs").cast("long").alias("langs"),
+        )
+    )

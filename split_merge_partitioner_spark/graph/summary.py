@@ -152,3 +152,35 @@ def directed_summary(edges: DataFrame) -> DataFrame:
             f"CASE WHEN m - n_self_loops > 0 THEN ({recip}L * 1000000L) div (m - n_self_loops) ELSE 0L END"
         ).alias("reciprocity_ppm"),
     )
+
+
+def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
+    """(degree, n_vertices, knn_ppm): the degree-binned average neighbor
+    degree curve knn(k) — the workhorse assortativity PROFILE (Pastor-
+    Satorras et al. 2001): decreasing knn(k) = hubs attach to leaves
+    (disassortative), the single assortativity scalar's shape-level
+    companion.  knn_ppm per bin = (Sigma over vertices of that degree of
+    Sigma neighbor degrees * 10^6) DIV (k * n_vertices) — exact integer
+    end-to-end.  One degree join onto the doubled edges + two
+    partial-aggregated groupBys; output is #distinct-degrees rows."""
+    und = edges.select(F.col("src").alias("v"), F.col("dst").alias("w")).unionAll(
+        edges.select(F.col("dst").alias("v"), F.col("src").alias("w"))
+    )
+    deg = und.groupBy(F.col("v").alias("x")).agg(F.count(F.lit(1)).alias("d"))
+    paired = (
+        und.join(deg.select(F.col("x").alias("v"), F.col("d").alias("dv")), "v")
+        .join(deg.select(F.col("x").alias("w"), F.col("d").alias("dw")), "w")
+    )
+    per_v = paired.groupBy("v", "dv").agg(F.sum("dw").alias("snd"))
+    return (
+        per_v.groupBy(F.col("dv").alias("degree"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.sum("snd").alias("__snd__"),
+        )
+        .select(
+            "degree",
+            "n_vertices",
+            F.expr("(__snd__ * 1000000L) div (degree * n_vertices)").alias("knn_ppm"),
+        )
+    )

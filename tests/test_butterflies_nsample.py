@@ -244,3 +244,28 @@ def test_butterfly_total_is_side_symmetric_hypothesis():
         assert total_through(es, True) == total_through(es, False)
 
     check()
+
+
+def test_avg_neighbor_degree_hand_values(spark):
+    from split_merge_partitioner_spark.graph.summary import avg_neighbor_degree
+
+    # star 0-{1,2,3}: center deg 3 (nbr degs 1,1,1), leaves deg 1 (nbr 3)
+    edges = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "src long, dst long")
+    got = {r["degree"]: r for r in avg_neighbor_degree(edges).collect()}
+    assert (got[3]["n_vertices"], got[3]["knn_ppm"]) == (1, (3 * 10**6) // 3)
+    assert (got[1]["n_vertices"], got[1]["knn_ppm"]) == (3, (9 * 10**6) // 3)
+
+
+def test_source_profile_hand_values(spark):
+    from split_merge_partitioner_spark.functions.profiling import source_profile
+
+    docs = spark.createDataFrame(
+        [(1, "aaa", "en", "web"), (2, "aaa", "en", "web"), (3, "bbbb", "de", "web"),
+         (4, "cc", "fr", "book")],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {r["source"]: r for r in source_profile(docs).collect()}
+    w = got["web"]
+    assert (w["n_docs"], w["n_unique_texts"], w["sum_chars"], w["mean_chars"], w["langs"]) == (3, 2, 10, 3, 2)
+    b = got["book"]
+    assert (b["n_docs"], b["n_unique_texts"], b["langs"]) == (1, 1, 1)
