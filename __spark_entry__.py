@@ -1201,6 +1201,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return source_profile(_docs(spark, sf))
 
+    def q_katz(spark, sf):
+        # exact-integer Katz recurrence y_k = A*y_{k-1} + c^k (graph/katz.py)
+        # on the projection; c = dmax+1 computed identically in the oracle
+        from split_merge_partitioner_spark.graph import katz_centrality
+
+        return katz_centrality(_proj_edges(spark, sf), n_iter=6)
+
     def q_bigram_coherence(spark, sf):
         # corpus-internal bigram LM coherence (functions/text.py): exact
         # fixed-point integer P(b|a) sums — the KenLM/CCNet-bucket stand-in
@@ -1396,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conductance_louvain": q_conductance_louvain,
         "avg_neighbor_degree": q_avg_neighbor_degree,
         "source_profile": q_source_profile,
+        "katz": q_katz,
         "butterflies_per_vertex": q_butterflies_per_vertex,
         "neighbor_sample": q_neighbor_sample,
     }
@@ -3245,6 +3253,15 @@ SELECT vertex, ROUND(CAST(x AS DOUBLE) / CAST(mx AS DOUBLE), 6) AS score
 FROM ev6, evm
 """
 
+    # -- Katz oracle (graph/katz.py): y_k = A*y_{k-1} + c^k, c = dmax+1 ----
+    katz_sql = f"""
+WITH {_EDGES_CTE}, {_PROJ_CTE},
+{','.join(['kzu AS MATERIALIZED (SELECT src AS v, dst AS nb FROM proj UNION ALL SELECT dst, src FROM proj)', 'kdm AS MATERIALIZED (SELECT MAX(cnt) + 1 AS c FROM (SELECT v, COUNT(*) AS cnt FROM kzu GROUP BY v))', 'kz0 AS MATERIALIZED (SELECT v AS vertex, CAST(1 AS HUGEINT) AS x FROM kzu GROUP BY v)', 'kc1 AS MATERIALIZED (SELECT CAST(c AS HUGEINT) AS ck FROM kdm)', 'kc2 AS MATERIALIZED (SELECT kc1.ck * kdm.c AS ck FROM kc1, kdm)', 'kc3 AS MATERIALIZED (SELECT kc2.ck * kdm.c AS ck FROM kc2, kdm)', 'kc4 AS MATERIALIZED (SELECT kc3.ck * kdm.c AS ck FROM kc3, kdm)', 'kc5 AS MATERIALIZED (SELECT kc4.ck * kdm.c AS ck FROM kc4, kdm)', 'kc6 AS MATERIALIZED (SELECT kc5.ck * kdm.c AS ck FROM kc5, kdm)', 'kz1 AS MATERIALIZED (SELECT u.v AS vertex, SUM(p.x) + (SELECT ck FROM kc1) AS x FROM kzu u JOIN kz0 p ON p.vertex = u.nb GROUP BY u.v)', 'kz2 AS MATERIALIZED (SELECT u.v AS vertex, SUM(p.x) + (SELECT ck FROM kc2) AS x FROM kzu u JOIN kz1 p ON p.vertex = u.nb GROUP BY u.v)', 'kz3 AS MATERIALIZED (SELECT u.v AS vertex, SUM(p.x) + (SELECT ck FROM kc3) AS x FROM kzu u JOIN kz2 p ON p.vertex = u.nb GROUP BY u.v)', 'kz4 AS MATERIALIZED (SELECT u.v AS vertex, SUM(p.x) + (SELECT ck FROM kc4) AS x FROM kzu u JOIN kz3 p ON p.vertex = u.nb GROUP BY u.v)', 'kz5 AS MATERIALIZED (SELECT u.v AS vertex, SUM(p.x) + (SELECT ck FROM kc5) AS x FROM kzu u JOIN kz4 p ON p.vertex = u.nb GROUP BY u.v)', 'kz6 AS MATERIALIZED (SELECT u.v AS vertex, SUM(p.x) + (SELECT ck FROM kc6) AS x FROM kzu u JOIN kz5 p ON p.vertex = u.nb GROUP BY u.v)'])},
+kzm AS (SELECT MAX(x) AS mx FROM kz6)
+SELECT vertex, ROUND(CAST(x AS DOUBLE) / CAST(mx AS DOUBLE), 6) AS score
+FROM kz6, kzm
+"""
+
     # -- k-truss oracle -------------------------------------------------------
     # exact replay of graph/truss.py's peeling: 4 rounds of (triangle
     # enumeration -> per-edge support -> filter >= k-2) as chained CTEs over
@@ -4001,6 +4018,7 @@ FROM documents
         "conductance_louvain": _conductance_louvain_sql(),
         "avg_neighbor_degree": avg_neighbor_degree_sql,
         "source_profile": source_profile_sql,
+        "katz": katz_sql,
         "butterflies_per_vertex": butterflies_per_vertex_sql,
         "neighbor_sample": neighbor_sample_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic

@@ -60,7 +60,7 @@ def main(argv=None, stop: bool = True) -> None:
                  "summary", "eigen", "hits", "sssp", "modularity", "ktruss",
                  "closeness", "scc", "densest", "wpagerank", "mis", "matching",
                  "dpagerank", "coloring", "butterfly", "nsample", "louvain", "node2vec",
-                 "richclub"],
+                 "richclub", "katz"],
     )
     ap.add_argument("--output", default=None, help="result parquet")
     ap.add_argument("--json-out", default=None, help="write the info dict here")
@@ -213,6 +213,18 @@ def main(argv=None, stop: bool = True) -> None:
                              seed=args.seed, w_return=wr, w_common=wc,
                              w_explore=wx)
         info = {"bias": [wr, wc, wx]}
+    elif args.algo == "katz":
+        from pyspark.sql import functions as F
+
+        from split_merge_partitioner_spark.graph import katz_centrality
+
+        canon = (
+            edges.select(F.least("src", "dst").alias("src"),
+                         F.greatest("src", "dst").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .dropDuplicates(["src", "dst"])
+        )
+        out = katz_centrality(canon, n_iter=args.n_power_iter)
     elif args.algo == "richclub":
         from split_merge_partitioner_spark.graph import rich_club
 

@@ -128,3 +128,40 @@ def test_hits_overflow_guard(spark):
 def test_hits_empty(spark):
     df = spark.createDataFrame(pd.DataFrame({"src": [], "dst": []}), "src long, dst long")
     assert hits(df, n_rounds=3).count() == 0
+
+
+def test_katz_matches_numpy_partial_sum(spark):
+    """katz_centrality vs the exact integer recurrence in NumPy (object
+    dtype — arbitrary precision)."""
+    import numpy as np
+
+    from split_merge_partitioner_spark.graph import katz_centrality
+
+    es = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (1, 4), (4, 5)]
+    edges = spark.createDataFrame(es, "src long, dst long")
+    got = {r["vertex"]: r["score"] for r in katz_centrality(edges, n_iter=5).collect()}
+    n = 6
+    A = np.zeros((n, n), dtype=object)
+    for a, b in es:
+        A[a, b] = A[b, a] = 1
+    dmax = int(max(A.sum(axis=1)))
+    c = dmax + 1
+    y = np.ones(n, dtype=object)
+    for k in range(1, 6):
+        y = A @ y + np.full(n, c**k, dtype=object)
+    mx = max(y)
+    exp = {v: round(float(y[v]) / float(mx), 6) for v in range(n)}
+    assert got == exp
+
+
+def test_katz_overflow_guard(spark):
+    import pytest as _pytest
+
+    from split_merge_partitioner_spark.graph import katz_centrality
+
+    star = [(0, i) for i in range(1, 40)]
+    edges = spark.createDataFrame(star, "src long, dst long")
+    with _pytest.raises(ValueError):
+        katz_centrality(edges, n_iter=40)
+    with _pytest.raises(ValueError):
+        katz_centrality(edges, n_iter=2, attenuation_den=1)
