@@ -1208,6 +1208,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return katz_centrality(_proj_edges(spark, sf), n_iter=6)
 
+    def q_funnel(spark, sf):
+        # 3-stage windowed funnel view -> click -> purchase within 3 days
+        # (functions/events.py::funnel): greedy-earliest per stage, one
+        # user-keyed aggregate per stage
+        from split_merge_partitioner_spark.functions.events import funnel
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return funnel(
+            ev, ["view", "click", "purchase"], within_seconds=3 * 86400
+        )
+
     def q_bigram_coherence(spark, sf):
         # corpus-internal bigram LM coherence (functions/text.py): exact
         # fixed-point integer P(b|a) sums — the KenLM/CCNet-bucket stand-in
@@ -1404,6 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avg_neighbor_degree": q_avg_neighbor_degree,
         "source_profile": q_source_profile,
         "katz": q_katz,
+        "funnel": q_funnel,
         "butterflies_per_vertex": q_butterflies_per_vertex,
         "neighbor_sample": q_neighbor_sample,
     }
@@ -3209,6 +3221,28 @@ SELECT source,
 FROM documents GROUP BY source
 """
 
+    # -- funnel oracle (functions/events.py::funnel) -------------------------
+    funnel_sql = """
+WITH ex AS (SELECT user_id, event_type AS et, epoch_us(ts) AS t FROM events),
+s1 AS (SELECT user_id, MIN(t) AS t1 FROM ex WHERE et = 'view' GROUP BY user_id),
+s2 AS (SELECT s1.user_id, s1.t1, MIN(e.t) AS t2
+       FROM s1 JOIN ex e ON e.user_id = s1.user_id AND e.et = 'click'
+        AND e.t > s1.t1 AND e.t <= s1.t1 + 259200000000
+       GROUP BY s1.user_id, s1.t1),
+s3 AS (SELECT s2.user_id, s2.t1, MIN(e.t) AS t3
+       FROM s2 JOIN ex e ON e.user_id = s2.user_id AND e.et = 'purchase'
+        AND e.t > s2.t2 AND e.t <= s2.t1 + 259200000000
+       GROUP BY s2.user_id, s2.t1)
+SELECT s1.user_id,
+       CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                 WHEN s2.user_id IS NOT NULL THEN 2 ELSE 1 END AS BIGINT)
+         AS steps_completed,
+       s1.t1 AS t_first_us,
+       COALESCE(s3.t3, s2.t2, s1.t1) AS t_last_us
+FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
+LEFT JOIN s3 ON s3.user_id = s1.user_id
+"""
+
     # -- coreness oracle ----------------------------------------------------
     # 8 chained h-operator sweeps (graph/kcore.py): h-index as
     # ROW_NUMBER-over-desc-value + MAX(LEAST(rn, value)) — tie-order
@@ -4019,6 +4053,7 @@ FROM documents
         "avg_neighbor_degree": avg_neighbor_degree_sql,
         "source_profile": source_profile_sql,
         "katz": katz_sql,
+        "funnel": funnel_sql,
         "butterflies_per_vertex": butterflies_per_vertex_sql,
         "neighbor_sample": neighbor_sample_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic

@@ -223,3 +223,77 @@ def range_join(
         (F.col("__t_us__") >= F.col(start_col)) & (F.col("__t_us__") < F.col(end_col))
     )
     return joined.drop("__bucket__", "__t_us__")
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    within_seconds: int | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-sequence funnel per user: how far through ``steps`` (e.g.
+    view -> click -> purchase) each user progressed, taking the EARLIEST
+    qualifying event at every stage (first step-1 event, then the first
+    step-2 event strictly after it, ...), optionally requiring the whole
+    run to fit in ``within_seconds`` of the stage-1 event.
+
+    Returns (user_id, steps_completed, t_first_us, t_last_us) — exact
+    microsecond epochs (the sessionize rule), t_last_us = completion time
+    of the deepest stage reached; users with zero stage-1 events are
+    omitted.  Greedy-earliest is the standard funnel semantics AND the
+    safe one: taking the first qualifying event at each stage maximizes
+    the remaining window, so it never under-reports reach for
+    unwindowed funnels and matches the common analytics-engine
+    (windowFunnel-style) definition for windowed ones.
+
+    Scale shape: ONE aggregation per stage, all keyed by user (k stages =
+    k user-keyed partial-aggregated exchanges over ever-shrinking
+    qualifying sets) — never a per-user sequence materialization, no
+    window over full event lists, no row explosion; at 10^12 events the
+    stage-1 aggregate dominates and is already minimal.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    t = _epoch_us(ts_col)
+    ev = events.select(
+        F.col(user_col).alias("user_id"), F.col(type_col).alias("et"), t.alias("t")
+    )
+    cur = (
+        ev.where(F.col("et") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t1"))
+        .select("user_id", "t1", F.col("t1").alias("tk"), F.lit(1).alias("k"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = ev.where(F.col("et") == step).select(
+            "user_id", F.col("t").alias("tn")
+        )
+        # only users sitting at stage i-1 may advance (a stage-1 user must
+        # not skip straight to stage 3 just because a stage-3 event exists)
+        eligible = cur.where(F.col("k") == i - 1)
+        cond = (eligible.user_id == nxt.user_id) & (eligible.tk < F.col("tn"))
+        if within_seconds is not None:
+            cond = cond & (
+                F.col("tn") <= eligible.t1 + within_seconds * 1_000_000
+            )
+        hit = (
+            eligible.join(nxt, cond)
+            .groupBy(eligible.user_id.alias("user_id"))
+            .agg(F.min("t1").alias("t1"), F.min("tn").alias("tk"))
+            .select("user_id", "t1", "tk", F.lit(i).alias("k"))
+        )
+        cur = (
+            cur.join(
+                hit.select(F.col("user_id").alias("__hu__")),
+                cur.user_id == F.col("__hu__"),
+                "left_anti",
+            ).unionAll(hit)
+        )
+    return cur.select(
+        "user_id",
+        F.col("k").cast("long").alias("steps_completed"),
+        F.col("t1").alias("t_first_us"),
+        F.col("tk").alias("t_last_us"),
+    )

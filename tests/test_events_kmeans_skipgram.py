@@ -296,3 +296,44 @@ def test_range_join_validates(spark):
     )
     with _pytest.raises(ValueError):
         range_join(ev, too_long, max_buckets_per_interval=8)
+
+
+def test_funnel_hand_values(spark):
+    import datetime as dt
+
+    from split_merge_partitioner_spark.functions.events import funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(h):
+        return t0 + dt.timedelta(hours=h)
+
+    rows = [
+        # u1 completes in order
+        (1, ts(0), "view"), (1, ts(1), "click"), (1, ts(2), "purchase"),
+        # u2: its only click is BEFORE its view -> stalls at stage 1
+        (2, ts(0), "click"), (2, ts(1), "view"), (2, ts(2), "purchase"),
+        # u3: view then purchase only (no click) -> stage 1, no skipping
+        (3, ts(0), "view"), (3, ts(5), "purchase"),
+        # u4: completes but outside the 3h window
+        (4, ts(0), "view"), (4, ts(1), "click"), (4, ts(10), "purchase"),
+        # u5: never views -> omitted
+        (5, ts(0), "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_type string"
+    )
+    got = {
+        r["user_id"]: (r["steps_completed"], r["t_last_us"] - r["t_first_us"])
+        for r in funnel(
+            ev, ["view", "click", "purchase"], within_seconds=3 * 3600
+        ).collect()
+    }
+    h = 3_600_000_000
+    assert got == {1: (3, 2 * h), 2: (1, 0), 3: (1, 0), 4: (2, 1 * h)}
+    # unwindowed: u4 completes; u2 still stalls (no click after its view)
+    got2 = {
+        r["user_id"]: r["steps_completed"]
+        for r in funnel(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert got2 == {1: 3, 2: 1, 3: 1, 4: 3}
