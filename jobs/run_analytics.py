@@ -60,7 +60,7 @@ def main(argv=None, stop: bool = True) -> None:
                  "summary", "eigen", "hits", "sssp", "modularity", "ktruss",
                  "closeness", "scc", "densest", "wpagerank", "mis", "matching",
                  "dpagerank", "coloring", "butterfly", "nsample", "louvain", "node2vec",
-                 "richclub", "katz"],
+                 "richclub", "katz", "daglevels"],
     )
     ap.add_argument("--output", default=None, help="result parquet")
     ap.add_argument("--json-out", default=None, help="write the info dict here")
@@ -225,6 +225,20 @@ def main(argv=None, stop: bool = True) -> None:
             .dropDuplicates(["src", "dst"])
         )
         out = katz_centrality(canon, n_iter=args.n_power_iter)
+    elif args.algo == "daglevels":
+        # Kahn layering on the id-oriented DAG (longest path from sources);
+        # raises if the oriented input still contains a cycle
+        from pyspark.sql import functions as F
+
+        from split_merge_partitioner_spark.graph import topological_levels
+
+        dag = (
+            edges.select(F.least("src", "dst").alias("src"),
+                         F.greatest("src", "dst").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+        )
+        out = topological_levels(dag)
+        info = {"depth": out.agg(F.max("level")).collect()[0][0]}
     elif args.algo == "richclub":
         from split_merge_partitioner_spark.graph import rich_club
 

@@ -121,6 +121,7 @@ def test_build_pyfiles_zip_importable(tmp_path):
     ("node2vec", ["--walk-length", "3", "--bias", "1,2,4"]),
     ("richclub", []),
     ("katz", ["--n-power-iter", "4"]),
+    ("daglevels", []),
 ])
 def test_run_analytics_cli(spark, edges_parquet, tmp_path, capsys, algo, extra):
     from jobs.run_analytics import main as analytics_main
