@@ -1208,6 +1208,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return katz_centrality(_proj_edges(spark, sf), n_iter=6)
 
+    def q_retention_cohorts(spark, sf):
+        # weekly cohort retention triangle over the events table
+        # (functions/events.py::retention_cohorts): calendar-free integer
+        # period bucketing, exact-ppm retention vs the cohort's period-0 size
+        from split_merge_partitioner_spark.functions.events import retention_cohorts
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return retention_cohorts(ev, period_days=7)
+
     def q_dag_levels(spark, sf):
         # Kahn layering = longest-path-from-source level per vertex
         # (graph/dag.py) on the projection, which is a DAG by construction
@@ -1427,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "butterflies_per_vertex": q_butterflies_per_vertex,
         "neighbor_sample": q_neighbor_sample,
         "dag_levels": q_dag_levels,
+        "retention_cohorts": q_retention_cohorts,
     }
 
     # ------------------------------------------------------------------
@@ -3307,6 +3317,26 @@ SELECT vertex, ROUND(CAST(x AS DOUBLE) / CAST(mx AS DOUBLE), 6) AS score
 FROM kz6, kzm
 """
 
+    # -- retention-cohorts oracle ---------------------------------------------
+    # the functions/events.py plan replayed relationally: distinct (user,
+    # period), per-user min = cohort, (cohort, age) count, ppm vs the
+    # cohort's own age-0 cell.  `//` = integer division (positive domain).
+    retention_sql = """
+WITH act AS (
+    SELECT DISTINCT user_id AS u, epoch_us(ts) // 604800000000 AS w FROM events
+),
+coh AS (SELECT u, MIN(w) AS cw FROM act GROUP BY u),
+cell AS (
+    SELECT c.cw AS cohort_period, a.w - c.cw AS age_periods,
+           CAST(COUNT(*) AS BIGINT) AS n_active_users
+    FROM act a JOIN coh c ON a.u = c.u GROUP BY 1, 2
+),
+base AS (SELECT cohort_period, n_active_users AS n0 FROM cell WHERE age_periods = 0)
+SELECT cell.cohort_period, cell.age_periods, cell.n_active_users,
+       CAST((cell.n_active_users * 1000000) // base.n0 AS BIGINT) AS retained_ppm
+FROM cell JOIN base ON cell.cohort_period = base.cohort_period
+"""
+
     # -- DAG topological-levels oracle ---------------------------------------
     # longest-path-from-source per vertex: the recursive member enumerates
     # every distinct (vertex, walk-length) pair (finite on a DAG — the
@@ -4084,6 +4114,7 @@ FROM documents
         "butterflies_per_vertex": butterflies_per_vertex_sql,
         "neighbor_sample": neighbor_sample_sql,
         "dag_levels": dag_levels_sql,
+        "retention_cohorts": retention_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic
         # across engines): fsm_assign, fsm_stats (hep_local expansion kernels;
         # the dbh-portable flavor IS oracled above), hdrf_bucket_sizes,

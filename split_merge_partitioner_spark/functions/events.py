@@ -297,3 +297,68 @@ def funnel(
         F.col("t1").alias("t_first_us"),
         F.col("tk").alias("t_last_us"),
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    period_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention triangle: one row per (cohort_period, age_periods)
+    with the number of cohort users active in that period and the exact-ppm
+    retention ratio vs the cohort's own period-0 size.
+
+    cohort(user) = the user's first active period; period = floor(epoch_us /
+    (86400e6 * period_days)) — calendar-free integer bucketing, identical
+    in every engine and timezone (the _epoch_us discipline).
+
+    Plan: ONE user-keyed exchange (serving the (user, period) distinct, the
+    per-user cohort min, and the co-located act-cohort join), one (cohort,
+    age)-keyed partial-aggregated count, and one cohort-keyed window over
+    the tiny cell relation for the period-0 base — no self-join, no second
+    scan of the events table.  Per-user state never exceeds the user's
+    distinct-period count — at 10^9 users x years of weekly periods this is
+    the flat three-exchange shape a retention dashboard needs, not a
+    per-user sequence materialization."""
+    if period_days < 1:
+        raise ValueError("period_days must be >= 1")
+    us_per_period = 86_400_000_000 * period_days
+    spark = events.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    act = (
+        events.select(F.col(user_col).alias("u"), _epoch_us(ts_col).alias("__us__"))
+        # integer div, never float: us epochs (~1.7e18) exceed double's 2^53
+        # exact-integer range, so a float quotient could mis-bucket edge rows
+        .select("u", F.expr(f"__us__ div {us_per_period}L").alias("w"))
+        # ONE user-keyed exchange serves all three user-keyed steps:
+        # HashPartitioning(u) satisfies the (u, w) distinct, the per-user
+        # min, and the act-coh join — explain-audited, no re-exchange
+        .repartition(shuffle_n, "u")
+        .distinct()
+    )
+    coh = act.groupBy("u").agg(F.min("w").alias("cw"))
+    cell = (
+        act.join(coh.hint("shuffle_hash"), "u")
+        .groupBy(
+            F.col("cw").alias("cohort_period"),
+            (F.col("w") - F.col("cw")).alias("age_periods"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
+    # period-0 base via a cohort-keyed window (cell is #cohorts x #ages rows
+    # — tiny at any scale): no self-join, no recompute of the events scan
+    w0 = Window.partitionBy("cohort_period")
+    return cell.select(
+        "cohort_period",
+        "age_periods",
+        "n_active_users",
+        F.max(F.when(F.col("age_periods") == 0, F.col("n_active_users"))).over(
+            w0
+        ).alias("__n0__"),
+    ).select(
+        "cohort_period",
+        "age_periods",
+        "n_active_users",
+        F.expr("(n_active_users * 1000000L) div __n0__").alias("retained_ppm"),
+    )

@@ -337,3 +337,48 @@ def test_funnel_hand_values(spark):
         for r in funnel(ev, ["view", "click", "purchase"]).collect()
     }
     assert got2 == {1: 3, 2: 1, 3: 1, 4: 3}
+
+
+def test_retention_cohorts_hand_values(spark):
+    import datetime as dt
+
+    from split_merge_partitioner_spark.functions.events import retention_cohorts
+
+    day = dt.timedelta(days=1)
+    w0 = dt.datetime(2024, 1, 1)  # epoch day 19723 -> period 2817 (div 7)
+    rows = [
+        # u1: cohort week W, active weeks W, W+1, W+2
+        (1, 1, w0),
+        (2, 1, w0 + 8 * day),
+        (3, 1, w0 + 15 * day),
+        (4, 1, w0 + 15 * day + day),  # same period as row above: 1 distinct
+        # u2: cohort W, active W only (two events, one distinct period)
+        (5, 2, w0 + 1 * day),
+        (6, 2, w0 + 2 * day),
+        # u3: cohort W+1, active W+1 and W+2
+        (7, 3, w0 + 8 * day),
+        (8, 3, w0 + 16 * day),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {
+        (r.cohort_period, r.age_periods): (r.n_active_users, r.retained_ppm)
+        for r in retention_cohorts(ev, period_days=7).collect()
+    }
+    p0 = (dt.date(2024, 1, 1) - dt.date(1970, 1, 1)).days // 7
+    assert got == {
+        (p0, 0): (2, 1_000_000),       # u1, u2
+        (p0, 1): (1, 500_000),         # u1
+        (p0, 2): (1, 500_000),         # u1
+        (p0 + 1, 0): (1, 1_000_000),   # u3
+        (p0 + 1, 1): (1, 1_000_000),   # u3
+    }
+
+
+def test_retention_cohorts_validates(spark):
+    import pytest as _pytest
+
+    from split_merge_partitioner_spark.functions.events import retention_cohorts
+
+    ev = spark.createDataFrame([], "event_id long, user_id long, ts timestamp")
+    with _pytest.raises(ValueError):
+        retention_cohorts(ev, period_days=0)
