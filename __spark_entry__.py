@@ -1208,6 +1208,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return katz_centrality(_proj_edges(spark, sf), n_iter=6)
 
+    def q_chunk_docs(spark, sf):
+        # fixed-token-window chunking with stride (context-window prep,
+        # functions/pipeline.py::chunk_documents): zero-shuffle narrow op
+        from split_merge_partitioner_spark.functions.pipeline import chunk_documents
+
+        return chunk_documents(_docs(spark, sf), window=32, stride=24)
+
     def q_retention_cohorts(spark, sf):
         # weekly cohort retention triangle over the events table
         # (functions/events.py::retention_cohorts): calendar-free integer
@@ -1437,6 +1444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_sample": q_neighbor_sample,
         "dag_levels": q_dag_levels,
         "retention_cohorts": q_retention_cohorts,
+        "chunk_docs": q_chunk_docs,
     }
 
     # ------------------------------------------------------------------
@@ -3317,6 +3325,32 @@ SELECT vertex, ROUND(CAST(x AS DOUBLE) / CAST(mx AS DOUBLE), 6) AS score
 FROM kz6, kzm
 """
 
+    # -- chunk_docs oracle ------------------------------------------------------
+    # same tokenizer expression as the text-family oracles; chunk count =
+    # 1 when n <= W else ceil((n-W)/S)+1, all-integer; list_slice clamps at
+    # the tail exactly like Spark's slice.
+    _CW, _CS = 32, 24
+    chunk_docs_sql = f"""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks
+    FROM documents
+),
+n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t),
+c AS (
+    SELECT doc_id, toks,
+           unnest(generate_series(0,
+               CASE WHEN n <= {_CW} THEN 0
+                    ELSE (n - {_CW} + {_CS} - 1) // {_CS} END)) AS chunk_id
+    FROM n
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(toks, chunk_id*{_CS}+1, chunk_id*{_CS}+{_CW})) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(toks, chunk_id*{_CS}+1, chunk_id*{_CS}+{_CW}), ' ') AS chunk_text
+FROM c
+"""
+
     # -- retention-cohorts oracle ---------------------------------------------
     # the functions/events.py plan replayed relationally: distinct (user,
     # period), per-user min = cohort, (cohort, age) count, ppm vs the
@@ -4115,6 +4149,7 @@ FROM documents
         "neighbor_sample": neighbor_sample_sql,
         "dag_levels": dag_levels_sql,
         "retention_cohorts": retention_sql,
+        "chunk_docs": chunk_docs_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic
         # across engines): fsm_assign, fsm_stats (hep_local expansion kernels;
         # the dbh-portable flavor IS oracled above), hdrf_bucket_sizes,

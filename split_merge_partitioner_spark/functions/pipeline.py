@@ -113,3 +113,66 @@ def quality_filter(
         (reasons == "").alias("keep"),
         reasons.alias("reasons"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into overlapping fixed-token windows — the
+    context-window prep step of a training pipeline (window = model context
+    in tokens, stride < window = overlap so no boundary context is lost).
+
+    One row per (doc, chunk): (doc_id, chunk_id, n_tokens, chunk_text).
+    chunk i covers tokens [i*stride, i*stride + window); a document of n
+    tokens yields 1 chunk when n <= window, else ceil((n-window)/stride)+1
+    (the last chunk keeps the tail and may be short).  Chunk counts are
+    exact integers and the tokenizer is the shared _token_array expression,
+    so the DuckDB replay is hash-exact.
+
+    Plan: a single narrow projection — tokenize, per-row sequence(0,
+    n_chunks-1), explode, slice — ZERO shuffles and no UDF; at 100 TB the
+    op is embarrassingly parallel and bounded by write bandwidth.  Row
+    growth is the overlap factor ~ window/stride (documented; pick stride
+    = window for disjoint packing)."""
+    from .text import _token_array
+
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    if stride > window:
+        raise ValueError("stride > window would drop tokens between chunks")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), _token_array(text_col).alias("__toks__")
+    ).select(
+        "doc_id",
+        "__toks__",
+        F.size("__toks__").cast("long").alias("__n__"),
+    )
+    n_chunks = F.when(F.col("__n__") <= window, F.lit(1).cast("long")).otherwise(
+        F.expr(f"(__n__ - {window} + {stride} - 1) div {stride}") + 1
+    )
+    return (
+        toks.select(
+            "doc_id",
+            "__toks__",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+                "chunk_id"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.slice(
+                "__toks__", (F.col("chunk_id") * stride + 1).cast("int"), window
+            ).alias("__w__"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("__w__").cast("long").alias("n_tokens"),
+            F.array_join("__w__", " ").alias("chunk_text"),
+        )
+    )

@@ -488,3 +488,54 @@ def test_ivf_knn_clustered_fixture_high_recall(spark):
     a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
     recall = len(e & a) / len(e)
     assert recall >= 0.95, recall
+
+
+def test_chunk_documents_hand_values(spark):
+    from split_merge_partitioner_spark.functions.pipeline import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),  # 10 tokens
+            (2, "a b c"),                            # n <= window: 1 chunk
+            (3, "   "),                              # blank: 1 empty chunk
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, window=4, stride=3)
+    got = {
+        (r.doc_id, r.chunk_id): (r.n_tokens, r.chunk_text) for r in out.collect()
+    }
+    assert got == {
+        (1, 0): (4, "t0 t1 t2 t3"),
+        (1, 1): (4, "t3 t4 t5 t6"),
+        (1, 2): (4, "t6 t7 t8 t9"),
+        (2, 0): (3, "a b c"),
+        (3, 0): (0, ""),
+    }
+
+
+def test_chunk_documents_tail_and_disjoint(spark):
+    from split_merge_partitioner_spark.functions.pipeline import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(11)))], "doc_id long, text string"
+    )
+    # stride == window: disjoint packing, short tail kept
+    out = chunk_documents(docs, window=4, stride=4).collect()
+    chunks = sorted((r.chunk_id, r.n_tokens) for r in out)
+    assert chunks == [(0, 4), (1, 4), (2, 3)]
+    # reassembling disjoint chunks reproduces the token stream
+    text = " ".join(r.chunk_text for r in sorted(out, key=lambda r: r.chunk_id))
+    assert text == " ".join(f"t{i}" for i in range(11))
+
+
+def test_chunk_documents_validates(spark):
+    import pytest as _pytest
+
+    from split_merge_partitioner_spark.functions.pipeline import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, window=4, stride=5)
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, window=0)
