@@ -1215,6 +1215,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return chunk_documents(_docs(spark, sf), window=32, stride=24)
 
+    def q_kclique4(spark, sf):
+        # exact 4-clique count (graph/triangles.py::kclique_count): ordered
+        # enumeration on the degree orientation — k-1 co-partitioned
+        # self-joins, no adjacency UDF; count is orientation-invariant so
+        # the oracle replays it on plain id order over the projection
+        from split_merge_partitioner_spark.graph import kclique_count
+
+        cnt = kclique_count(_proj_edges(spark, sf), k=4)
+        return spark.createDataFrame([(cnt,)], "n_cliques4 bigint")
+
     def q_retention_cohorts(spark, sf):
         # weekly cohort retention triangle over the events table
         # (functions/events.py::retention_cohorts): calendar-free integer
@@ -1445,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dag_levels": q_dag_levels,
         "retention_cohorts": q_retention_cohorts,
         "chunk_docs": q_chunk_docs,
+        "kclique4": q_kclique4,
     }
 
     # ------------------------------------------------------------------
@@ -1679,6 +1690,19 @@ WITH {_EDGES_CTE}, {_PROJ_CTE}
 SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
 FROM proj ab JOIN proj bc ON ab.dst = bc.src JOIN proj ac
      ON ac.src = ab.src AND ac.dst = bc.dst
+"""
+
+    # 4-clique oracle: every a<b<c<d clique appears once as the six ordered
+    # canonical edges — the id-order twin of the degree-oriented Spark plan
+    kclique4_sql = f"""
+WITH {_EDGES_CTE}, {_PROJ_CTE}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cliques4
+FROM proj ab
+JOIN proj bc ON bc.src = ab.dst
+JOIN proj cd ON cd.src = bc.dst
+JOIN proj ac ON ac.src = ab.src AND ac.dst = bc.dst
+JOIN proj bd ON bd.src = ab.dst AND bd.dst = cd.dst
+JOIN proj ad ON ad.src = ab.src AND ad.dst = cd.dst
 """
 
     # Doulion p=3 (graph/triangles.py::triangle_count_sampled): replay the
@@ -4150,6 +4174,7 @@ FROM documents
         "dag_levels": dag_levels_sql,
         "retention_cohorts": retention_sql,
         "chunk_docs": chunk_docs_sql,
+        "kclique4": kclique4_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic
         # across engines): fsm_assign, fsm_stats (hep_local expansion kernels;
         # the dbh-portable flavor IS oracled above), hdrf_bucket_sizes,

@@ -2,6 +2,7 @@ from .components import connected_components, connected_components_stars  # noqa
 from .labelprop import label_propagation  # noqa: F401
 from .pagerank import pagerank  # noqa: F401
 from .triangles import (  # noqa: F401
+    kclique_count,
     local_clustering,
     triangle_count,
     triangle_count_sampled,

@@ -149,6 +149,48 @@ def triangle_count_sampled(
     )
 
 
+def kclique_count(edges: DataFrame, k: int = 4, orient: str = "degree") -> int:
+    """Exact count of k-cliques (k >= 2; k=3 reproduces triangle_count).
+
+    Ordered-enumeration on the acyclic orientation: every k-clique appears
+    exactly once as the tuple (v1 < v2 < ... < vk) in orientation order with
+    all C(k,2) oriented edges present.  The relation of ordered t-cliques is
+    extended one vertex at a time — join the oriented edge list on the LAST
+    clique vertex to propose candidates, then inner-join the remaining t-1
+    edge checks (each a co-partitioned hash join on the same checkpointed
+    relation).  Cliques-so-far shrink geometrically in t on sparse graphs, so
+    the dominant cost stays the triangle-level wedge join; degree orientation
+    caps the per-vertex fan-out at O(sqrt(m)) exactly as in triangle_count.
+
+    At 100 TB scale this is the plan you want: no adjacency-set UDF, no
+    driver-side state — k-1 self-joins the optimizer can reorder, with the
+    candidate-generation join always on the smallest relation (the ordered
+    (t)-cliques).  The count is orientation-invariant, so the DuckDB oracle
+    replays it on plain id order.
+    """
+    if k < 2:
+        raise ValueError("kclique_count needs k >= 2")
+    e = _oriented(edges, orient)
+    try:
+        if k == 2:
+            return e.count()
+        r = e.select(F.col("src").alias("v1"), F.col("dst").alias("v2"))
+        for t in range(2, k):
+            ext = r.join(
+                e.select(F.col("src").alias(f"v{t}"), F.col("dst").alias("cand")),
+                f"v{t}",
+            )
+            for i in range(1, t):
+                ext = ext.join(
+                    e.select(F.col("src").alias(f"v{i}"), F.col("dst").alias("cand")),
+                    [f"v{i}", "cand"],
+                )
+            r = ext.withColumnRenamed("cand", f"v{t + 1}")
+        return r.count()
+    finally:
+        release(e)
+
+
 def edge_support(edges: DataFrame, orient: str = "degree") -> DataFrame:
     """(src, dst, support): for every canonical edge, the number of
     triangles containing it (= |N(src) ∩ N(dst)|, the edge's
