@@ -362,3 +362,128 @@ def retention_cohorts(
         "n_active_users",
         F.expr("(n_active_users * 1000000L) div __n0__").alias("retained_ppm"),
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First-order Markov transition profile of the event stream: for every
+    ordered pair of event types, how often a user's event of type A is
+    IMMEDIATELY followed by one of type B, plus the row-normalized
+    transition probability.
+
+    Returns (from_type, to_type, n_transitions, prob_ppm) where prob_ppm =
+    floor(n_transitions * 1e6 / Σ_B n_transitions(from_type, B)) — exact
+    integer parts-per-million (the retention_cohorts discipline), so the
+    cross-engine hash surface carries no float division.  Ordering within a
+    user is (ts, event_id) — event_id is unique, so the successor relation
+    is total and retry-stable.  Each user's LAST event has no successor and
+    contributes nothing.
+
+    Scale shape: one user-keyed exchange for the lead() window (per-user
+    event counts are bounded, so no partition skew beyond the user
+    distribution itself), then a groupBy over at most |types|² rows — the
+    second exchange is trivially small.  No sequence materialization, no
+    self-join on the event table.
+    """
+    us = _epoch_us(ts_col)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            us.alias("ts_us"),
+            F.col(id_col).alias("event_id"),
+            F.col(type_col).alias("from_type"),
+        )
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .where(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    # ppm via integer floor-div against the row-marginal window sum: the
+    # retention_cohorts discipline (no float division on the hash surface)
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.expr(
+            "(n_transitions * 1000000L) div (sum(n_transitions) over "
+            "(partition by from_type))"
+        ).cast("long").alias("prob_ppm"),
+    )
+
+
+def attribution(
+    events: DataFrame,
+    conversion_type: str,
+    touch_types: list[str],
+    mode: str = "last",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Single-touch marketing attribution: credit each conversion event's
+    value to the user's latest (``mode="last"``) or earliest
+    (``mode="first"``) PRECEDING event whose type is in ``touch_types``;
+    conversions with no preceding touch land on the literal type
+    ``"(none)"``.
+
+    Returns one row per credited type: (touch_type, n_conversions,
+    value_micros_sum) with value summed as round(value·1e6) BIGINTs (the
+    sessionize discipline — no float on the hash surface).
+
+    Execution is ONE window pass, not an as-of join: union the touch and
+    conversion streams, order per user by (ts, event_id), carry the
+    running last/first touch type with last(..., ignorenulls) over the
+    user window (first-touch = the same running carry, just never
+    overwritten), then keep the conversion rows.  A heavy user costs one
+    sorted partition scan — there is no conversions×touches row explosion
+    anywhere, which is what kills join-based attribution on power-law
+    users at 10^12 events.  "Preceding" is strict: a touch at the exact
+    same microsecond counts only if its event_id sorts first (the total
+    (ts, event_id) order decides, retry-stable).
+    """
+    if mode not in ("last", "first"):
+        raise ValueError("mode must be 'last' or 'first'")
+    if not touch_types:
+        raise ValueError("touch_types must be non-empty")
+    us = _epoch_us(ts_col)
+    base = events.where(
+        F.col(type_col).isin([conversion_type, *touch_types])
+    ).select(
+        F.col(user_col).alias("user_id"),
+        us.alias("ts_us"),
+        F.col(id_col).alias("event_id"),
+        F.col(type_col).alias("et"),
+        F.round(F.col(value_col) * 1e6).cast("long").alias("value_micros"),
+    )
+    touch = F.when(F.col("et") != conversion_type, F.col("et"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = (
+        F.last(touch, ignorenulls=True).over(w)
+        if mode == "last"
+        else F.first(touch, ignorenulls=True).over(w)
+    )
+    conv = (
+        base.withColumn("touch_type", carried)
+        .where(F.col("et") == conversion_type)
+        .select(
+            F.coalesce(F.col("touch_type"), F.lit("(none)")).alias("touch_type"),
+            "value_micros",
+        )
+    )
+    return conv.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.sum("value_micros").alias("value_micros_sum"),
+    )

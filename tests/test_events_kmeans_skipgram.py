@@ -382,3 +382,102 @@ def test_retention_cohorts_validates(spark):
     ev = spark.createDataFrame([], "event_id long, user_id long, ts timestamp")
     with _pytest.raises(ValueError):
         retention_cohorts(ev, period_days=0)
+
+
+# ---------------------------------------------------------------------------
+# event_transitions / attribution (round-5 session-3 additions)
+# ---------------------------------------------------------------------------
+
+def test_event_transitions_counts_and_ppm(spark):
+    # user 1: A B A C  -> A->B, B->A, A->C ; user 2: B A -> B->A
+    rows = [
+        (1, _ts(0), 1, "A", 0.0),
+        (2, _ts(1), 1, "B", 0.0),
+        (3, _ts(2), 1, "A", 0.0),
+        (4, _ts(3), 1, "C", 0.0),
+        (5, _ts(0), 2, "B", 0.0),
+        (6, _ts(1), 2, "A", 0.0),
+    ]
+    from split_merge_partitioner_spark.functions.events import event_transitions
+
+    out = {
+        (r.from_type, r.to_type): (r.n_transitions, r.prob_ppm)
+        for r in event_transitions(spark.createDataFrame(rows, TS)).collect()
+    }
+    assert out == {
+        ("A", "B"): (1, 500_000),
+        ("A", "C"): (1, 500_000),
+        ("B", "A"): (2, 1_000_000),
+    }
+
+
+def test_event_transitions_equal_ts_uses_event_id_order(spark):
+    # same microsecond: event_id decides the successor order (total order)
+    rows = [
+        (10, _ts(0), 1, "X", 0.0),
+        (11, _ts(0), 1, "Y", 0.0),
+        (12, _ts(0), 1, "Z", 0.0),
+    ]
+    from split_merge_partitioner_spark.functions.events import event_transitions
+
+    out = {
+        (r.from_type, r.to_type): r.n_transitions
+        for r in event_transitions(spark.createDataFrame(rows, TS)).collect()
+    }
+    assert out == {("X", "Y"): 1, ("Y", "Z"): 1}
+
+
+def test_attribution_last_vs_first_touch(spark):
+    # user 1: view(1) click(2) purchase(3, v=2.5) -> last: click, first: view
+    # user 2: purchase with no prior touch -> "(none)"
+    # user 3: touch AFTER the purchase does not count
+    rows = [
+        (1, _ts(0), 1, "view", 0.0),
+        (2, _ts(1), 1, "click", 0.0),
+        (3, _ts(2), 1, "purchase", 2.5),
+        (4, _ts(0), 2, "purchase", 1.0),
+        (5, _ts(5), 3, "purchase", 4.0),
+        (6, _ts(6), 3, "click", 0.0),
+    ]
+    from split_merge_partitioner_spark.functions.events import attribution
+
+    df = spark.createDataFrame(rows, TS)
+    last = {
+        r.touch_type: (r.n_conversions, r.value_micros_sum)
+        for r in attribution(df, "purchase", ["view", "click"], mode="last").collect()
+    }
+    assert last == {"click": (1, 2_500_000), "(none)": (2, 5_000_000)}
+    first = {
+        r.touch_type: (r.n_conversions, r.value_micros_sum)
+        for r in attribution(df, "purchase", ["view", "click"], mode="first").collect()
+    }
+    assert first == {"view": (1, 2_500_000), "(none)": (2, 5_000_000)}
+
+
+def test_attribution_equal_ts_touch_counts_if_id_sorts_first(spark):
+    # touch at the SAME microsecond as the conversion: row order by
+    # (ts, event_id) decides — id 1 < id 2 so the touch precedes
+    rows = [
+        (1, _ts(0), 1, "click", 0.0),
+        (2, _ts(0), 1, "purchase", 1.0),
+        (4, _ts(1), 2, "purchase", 1.0),
+        (3, _ts(1), 2, "click", 0.0),  # id 3 < 4: precedes within the tie
+    ]
+    from split_merge_partitioner_spark.functions.events import attribution
+
+    df = spark.createDataFrame(rows, TS)
+    out = {
+        r.touch_type: r.n_conversions
+        for r in attribution(df, "purchase", ["click"], mode="last").collect()
+    }
+    assert out == {"click": 2}
+
+
+def test_attribution_validation(spark):
+    from split_merge_partitioner_spark.functions.events import attribution
+
+    df = spark.createDataFrame([(1, _ts(0), 1, "purchase", 1.0)], TS)
+    with pytest.raises(ValueError):
+        attribution(df, "purchase", [], mode="last")
+    with pytest.raises(ValueError):
+        attribution(df, "purchase", ["click"], mode="middle")
