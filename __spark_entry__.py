@@ -1215,6 +1215,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return chunk_documents(_docs(spark, sf), window=32, stride=24)
 
+    def q_salsa_auth(spark, sf):
+        # SALSA authority scores via the Lempel-Moran closed form
+        # (graph/salsa.py): star-contraction CC + degree aggregate + exact
+        # integer ppb — no superstep loop at all
+        from split_merge_partitioner_spark.graph import salsa_scores
+
+        return salsa_scores(_edges(spark, sf), side="auth")
+
     def q_event_transitions(spark, sf):
         # first-order Markov transition profile of the event stream
         # (functions/events.py::event_transitions): one user-keyed window
@@ -1479,6 +1487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kclique4": q_kclique4,
         "event_transitions": q_event_transitions,
         "attribution_last_touch": q_attribution,
+        "salsa_auth": q_salsa_auth,
     }
 
     # ------------------------------------------------------------------
@@ -3420,6 +3429,35 @@ SELECT cell.cohort_period, cell.age_periods, cell.n_active_users,
 FROM cell JOIN base ON cell.cohort_period = base.cohort_period
 """
 
+    # -- SALSA oracle -----------------------------------------------------------
+    # closed form over recursive min-reachability components (the
+    # components_sql CTE) + in-degrees + integer ppb floor-div
+    salsa_auth_sql = f"""
+WITH RECURSIVE {_EDGES_CTE},
+und AS (
+    SELECT src AS a, dst AS b FROM edges UNION ALL SELECT dst, src FROM edges
+),
+averts AS (SELECT DISTINCT a AS vertex FROM und),
+reach(v, r) AS (
+    SELECT vertex, vertex FROM averts
+    UNION
+    SELECT reach.v, und.b FROM reach JOIN und ON reach.r = und.a
+),
+comp AS (SELECT v AS vertex, MIN(r) AS component FROM reach GROUP BY v),
+din AS (SELECT dst AS vertex, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY dst),
+lab AS (SELECT d.vertex, d.deg, c.component FROM din d JOIN comp c USING (vertex)),
+pc AS (
+    SELECT component, CAST(COUNT(*) AS BIGINT) AS n_side_c,
+           CAST(SUM(deg) AS BIGINT) AS m_c
+    FROM lab GROUP BY component
+),
+tot AS (SELECT CAST(SUM(n_side_c) AS BIGINT) AS n_side FROM pc)
+SELECT lab.vertex, lab.deg, CAST(lab.component AS BIGINT) AS component,
+       CAST((lab.deg * pc.n_side_c * 1000000000)
+            // (pc.m_c * tot.n_side) AS BIGINT) AS salsa_ppb
+FROM lab JOIN pc USING (component) CROSS JOIN tot
+"""
+
     # -- event_transitions oracle ---------------------------------------------
     # lead() over the total (ts, event_id) per-user order, then integer-ppm
     # row normalization — same floor-div discipline as retention_sql
@@ -4247,6 +4285,7 @@ FROM documents
         "kclique4": kclique4_sql,
         "event_transitions": event_transitions_sql,
         "attribution_last_touch": attribution_sql,
+        "salsa_auth": salsa_auth_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic
         # across engines): fsm_assign, fsm_stats (hep_local expansion kernels;
         # the dbh-portable flavor IS oracled above), hdrf_bucket_sizes,

@@ -1,0 +1,83 @@
+"""salsa_scores (graph/salsa.py): closed form vs hand values and vs a
+NumPy power iteration of the ACTUAL SALSA authority chain."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from split_merge_partitioner_spark.graph import salsa_scores
+
+PPB = 1_000_000_000
+
+
+def _df(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_two_components_hand_values(spark):
+    # c1: hubs {1,2} -> auths {101,102}, m=3; c2: 3 -> 103, m=1
+    e = _df(spark, [(1, 101), (1, 102), (2, 101), (3, 103)])
+    out = {r.vertex: (r.deg, r.component, r.salsa_ppb)
+           for r in salsa_scores(e, side="auth").collect()}
+    assert out == {
+        101: (2, 1, (2 * 2 * PPB) // (3 * 3)),
+        102: (1, 1, (1 * 2 * PPB) // (3 * 3)),
+        103: (1, 3, (1 * 1 * PPB) // (1 * 3)),
+    }
+    hub = {r.vertex: r.salsa_ppb for r in salsa_scores(e, side="hub").collect()}
+    assert hub == {
+        1: (2 * 2 * PPB) // (3 * 3),
+        2: (1 * 2 * PPB) // (3 * 3),
+        3: (1 * 1 * PPB) // (1 * 3),
+    }
+
+
+def test_complete_bipartite_uniform(spark):
+    # K_{3,4}: every authority scores exactly 1e9 / 4
+    e = _df(spark, [(h, 100 + a) for h in range(3) for a in range(4)])
+    out = salsa_scores(e, side="auth").collect()
+    assert len(out) == 4
+    assert all(r.salsa_ppb == PPB // 4 for r in out)
+
+
+def test_closed_form_matches_chain_stationary(spark):
+    # random bipartite graph, several components; power-iterate the real
+    # SALSA authority chain (back along an in-link, forward along an
+    # out-link) and compare per-component stationary mass to the closed form
+    rng = np.random.default_rng(5)
+    pairs = {(int(h), int(100 + a)) for h, a in
+             zip(rng.integers(0, 14, 60), rng.integers(0, 14, 60))}
+    pairs = sorted(pairs)
+    auths = sorted({d for _, d in pairs})
+    hubs = sorted({s for s, _ in pairs})
+    ai = {v: i for i, v in enumerate(auths)}
+    din = {v: sum(1 for _, d in pairs if d == v) for v in auths}
+    dout = {h: sum(1 for s, _ in pairs if s == h) for h in hubs}
+    # authority-chain transition matrix P[v, w]
+    P = np.zeros((len(auths), len(auths)))
+    for (h, v) in pairs:
+        for (h2, w) in pairs:
+            if h2 == h:
+                P[ai[v], ai[w]] += (1.0 / din[v]) * (1.0 / dout[h])
+    # per-component stationary via long power iteration from uniform-within-
+    # component start (the chain may be periodic; average two steps)
+    out = {r.vertex: r for r in salsa_scores(_df(spark, pairs), side="auth").collect()}
+    comps: dict[int, list[int]] = {}
+    for v in auths:
+        comps.setdefault(out[v].component, []).append(v)
+    n_side = len(auths)
+    for cverts in comps.values():
+        idx = [ai[v] for v in cverts]
+        x = np.zeros(len(auths))
+        x[idx] = 1.0 / len(idx)
+        for _ in range(500):
+            x = 0.5 * (x @ P) + 0.5 * x  # lazy chain: kills periodicity
+        for v in cverts:
+            expected_ppb = x[ai[v]] * len(cverts) / n_side * PPB
+            assert abs(out[v].salsa_ppb - expected_ppb) <= 2, (v, out[v])
+
+
+def test_rejects_bad_side(spark):
+    with pytest.raises(ValueError):
+        salsa_scores(_df(spark, [(1, 2)]), side="both")
