@@ -1215,6 +1215,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return chunk_documents(_docs(spark, sf), window=32, stride=24)
 
+    def q_embedding_quantize(spark, sf):
+        # symmetric int8 quantization (functions/similarity.py::
+        # quantize_embeddings): pure Catalyst HOFs, zero shuffle; exploded
+        # to (vec_id, scale, dim, q) so the hash surface is flat integers
+        # plus a bit-deterministic float32-max scale
+        from split_merge_partitioner_spark.functions.similarity import (
+            quantize_embeddings,
+        )
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        return quantize_embeddings(emb, bits=8).select(
+            "vec_id",
+            "scale",
+            F.posexplode("qvec").alias("dim", "q"),
+        ).select("vec_id", "scale", F.col("dim").cast("long").alias("dim"), "q")
+
     def q_salsa_auth(spark, sf):
         # SALSA authority scores via the Lempel-Moran closed form
         # (graph/salsa.py): star-contraction CC + degree aggregate + exact
@@ -1488,6 +1504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "attribution_last_touch": q_attribution,
         "salsa_auth": q_salsa_auth,
+        "embedding_quantize": q_embedding_quantize,
     }
 
     # ------------------------------------------------------------------
@@ -3429,6 +3446,24 @@ SELECT cell.cohort_period, cell.age_periods, cell.n_active_users,
 FROM cell JOIN base ON cell.cohort_period = base.cohort_period
 """
 
+    # -- embedding_quantize oracle ------------------------------------------------
+    # the exact operation-order replay: scale = float32 list_max of abs,
+    # q = floor((CAST(x AS DOUBLE) * 127) / scale + 0.5) — floor(t+0.5)
+    # instead of round() so the halfway rule matches across engines
+    embedding_quantize_sql = """
+WITH q AS (
+    SELECT vec_id, embedding,
+           CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+               AS scale
+    FROM embeddings
+)
+SELECT vec_id, scale, CAST(i - 1 AS BIGINT) AS dim,
+       CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(floor((CAST(embedding[i] AS DOUBLE) * 127.0) / scale
+                            + 0.5) AS BIGINT) END AS q
+FROM q, unnest(generate_series(1, len(embedding))) AS t(i)
+"""
+
     # -- SALSA oracle -----------------------------------------------------------
     # closed form over recursive min-reachability components (the
     # components_sql CTE) + in-degrees + integer ppb floor-div
@@ -4286,6 +4321,7 @@ FROM documents
         "event_transitions": event_transitions_sql,
         "attribution_last_touch": attribution_sql,
         "salsa_auth": salsa_auth_sql,
+        "embedding_quantize": embedding_quantize_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic
         # across engines): fsm_assign, fsm_stats (hep_local expansion kernels;
         # the dbh-portable flavor IS oracled above), hdrf_bucket_sizes,

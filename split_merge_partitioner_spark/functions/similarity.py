@@ -455,3 +455,55 @@ def ivf_knn(
         return out.localCheckpoint(eager=True)
     finally:
         release(normed)
+
+
+def quantize_embeddings(
+    emb: DataFrame,
+    bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector integer quantization of a float32 embedding
+    column — the standard int8 compression step before shipping vectors
+    into an ANN index (4x smaller shuffle/storage, SIMD-friendly dot
+    products downstream).
+
+    Per vector: scale = max_i |x_i| (computed in float32, the column's own
+    precision), and q_i = floor(x_i * qmax / scale + 0.5) with
+    qmax = 2^(bits-1) - 1, the arithmetic done in double in EXACTLY this
+    operation order — floor(t + 0.5) is used instead of an engine round()
+    so the halfway rule is identical everywhere (round-half-toward-+inf),
+    making q_i a pure deterministic function of the input bits that the
+    DuckDB oracle replays exactly.  All-zero vectors quantize to all-zero
+    with scale 0.
+
+    Returns (``id_col``, scale, qvec array<long>); q_i in [-qmax, qmax].
+
+    Scale shape: a narrow per-row projection of Catalyst higher-order
+    functions (transform / array_max) — zero shuffles, zero Python, no
+    row explosion; at 100 TB this runs at scan speed and is the cheap
+    half of a quantized-index build (the expensive half, the index, is
+    ivf_knn's job).
+    """
+    if bits < 2 or bits > 16:
+        raise ValueError("bits must be in [2, 16]")
+    qmax = (1 << (bits - 1)) - 1
+    scale = F.array_max(F.transform(vec_col, lambda x: F.abs(x)))
+    return emb.select(
+        F.col(id_col),
+        scale.cast("double").alias("scale"),
+        F.when(
+            scale.cast("double") == 0.0,
+            F.transform(vec_col, lambda x: F.lit(0).cast("long")),
+        )
+        .otherwise(
+            F.transform(
+                vec_col,
+                lambda x: F.floor(
+                    x.cast("double") * F.lit(float(qmax)) / scale.cast("double")
+                    + F.lit(0.5)
+                ).cast("long"),
+            )
+        )
+        .alias("qvec"),
+    )

@@ -81,3 +81,47 @@ def test_closed_form_matches_chain_stationary(spark):
 def test_rejects_bad_side(spark):
     with pytest.raises(ValueError):
         salsa_scores(_df(spark, [(1, 2)]), side="both")
+
+
+# ---------------------------------------------------------------------------
+# quantize_embeddings (functions/similarity.py) — kept here to avoid another
+# session-startup file; tests are independent of SALSA
+# ---------------------------------------------------------------------------
+
+def test_quantize_hand_values(spark):
+    from split_merge_partitioner_spark.functions.similarity import quantize_embeddings
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: (r.scale, r.qvec) for r in quantize_embeddings(emb).collect()}
+    assert out[1] == (1.0, [127, -63, 32])   # floor(-63.5+0.5) = -63; floor(32.25) = 32
+    assert out[2] == (0.0, [0, 0, 0])
+
+
+def test_quantize_bounds_and_reconstruction(spark):
+    import numpy as np
+    from split_merge_partitioner_spark.functions.similarity import quantize_embeddings
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(50, 16)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    for r in quantize_embeddings(emb, bits=8).collect():
+        q = np.array(r.qvec, dtype=np.int64)
+        assert q.min() >= -127 and q.max() <= 127
+        x = vecs[r.vec_id].astype(np.float64)
+        # symmetric quantization reconstruction error <= half a step
+        recon = q * (r.scale / 127.0)
+        assert np.max(np.abs(recon - x)) <= r.scale / 254.0 * (1 + 1e-9)
+
+
+def test_quantize_rejects_bad_bits(spark):
+    from split_merge_partitioner_spark.functions.similarity import quantize_embeddings
+
+    emb = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        quantize_embeddings(emb, bits=1)
