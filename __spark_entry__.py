@@ -1215,6 +1215,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return chunk_documents(_docs(spark, sf), window=32, stride=24)
 
+    def q_source_overlap(spark, sf):
+        # pairwise source 5-gram overlap / Jaccard ppm (functions/
+        # profiling.py::source_overlap): gram-keyed join bounded by C(S,2)
+        # per gram, never document-quadratic
+        from split_merge_partitioner_spark.functions.profiling import source_overlap
+
+        return source_overlap(_docs(spark, sf), n=5)
+
     def q_embedding_quantize(spark, sf):
         # symmetric int8 quantization (functions/similarity.py::
         # quantize_embeddings): pure Catalyst HOFs, zero shuffle; exploded
@@ -1505,6 +1513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_last_touch": q_attribution,
         "salsa_auth": q_salsa_auth,
         "embedding_quantize": q_embedding_quantize,
+        "source_overlap": q_source_overlap,
     }
 
     # ------------------------------------------------------------------
@@ -3446,6 +3455,36 @@ SELECT cell.cohort_period, cell.age_periods, cell.n_active_users,
 FROM cell JOIN base ON cell.cohort_period = base.cohort_period
 """
 
+    # -- source_overlap oracle ----------------------------------------------------
+    # the decontam tokenizer/gram expressions at n=5, distinct per source,
+    # gram self-join + integer floor-div Jaccard
+    source_overlap_sql = r"""
+WITH base AS (
+  SELECT source,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS arr
+  FROM documents
+),
+sg AS (
+  SELECT DISTINCT source,
+         UNNEST(CASE WHEN len(arr) < 5 THEN CAST([] AS VARCHAR[])
+              ELSE list_transform(range(1, len(arr) - 3),
+                                  i -> array_to_string(arr[i:i+4], ' ')) END) AS gram
+  FROM base
+),
+tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams FROM sg GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_shared, ta.n_grams AS n_a, tb.n_grams AS n_b,
+       CAST((n_shared * 1000000) // (ta.n_grams + tb.n_grams - n_shared) AS BIGINT)
+           AS jaccard_ppm
+FROM inter JOIN tot ta ON ta.source = inter.src_a
+           JOIN tot tb ON tb.source = inter.src_b
+"""
+
     # -- embedding_quantize oracle ------------------------------------------------
     # the exact operation-order replay: scale = float32 list_max of abs,
     # q = floor((CAST(x AS DOUBLE) * 127) / scale + 0.5) — floor(t+0.5)
@@ -4322,6 +4361,7 @@ FROM documents
         "attribution_last_touch": attribution_sql,
         "salsa_auth": salsa_auth_sql,
         "embedding_quantize": embedding_quantize_sql,
+        "source_overlap": source_overlap_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic
         # across engines): fsm_assign, fsm_stats (hep_local expansion kernels;
         # the dbh-portable flavor IS oracled above), hdrf_bucket_sizes,

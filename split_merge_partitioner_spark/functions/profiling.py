@@ -91,3 +91,66 @@ def source_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.col("langs").cast("long").alias("langs"),
         )
     )
+
+
+def source_overlap(
+    docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Pairwise n-gram overlap matrix between corpus sources — the
+    data-governance twin of ngram_contamination: instead of asking "is this
+    document contaminated by that benchmark", it asks "how much do my
+    SOURCES overlap each other" (shared scrapes, mirrored sites, common
+    boilerplate), which is what decides dedup ordering and source weighting
+    at corpus-assembly time.
+
+    For every unordered source pair (a < b): the number of distinct word
+    ``n``-grams in both, each side's distinct total, and the Jaccard in
+    exact ppm (floor((inter * 1e6) div (|A| + |B| - inter))).  Pairs with
+    zero shared grams are omitted (the result is overlap-sparse).
+
+    Scale shape: one distinct over (source, gram) rows (gram-keyed
+    exchange, map-side combined), then a gram-keyed self-join whose
+    per-gram fan-out is bounded by the number of SOURCES carrying the gram
+    — with S sources the worst gram emits C(S,2) pairs, so the join output
+    is at most C(S,2) * |distinct grams|, never document-quadratic; per-
+    source totals are a broadcast.  At 100 TB with S ~ 10^3 domains-of-
+    interest this stays a linear pass over the gram table.  (For S ~ 10^6
+    raw domains you'd bucket sources first — documented seam.)
+    """
+    from .text import _token_array, _word_ngrams
+
+    sg = (
+        docs.select(
+            F.col(source_col).alias("source"), _token_array(text_col).alias("__toks__")
+        )
+        .select("source", F.explode(_word_ngrams("__toks__", n)).alias("gram"))
+        .distinct()
+    )
+    totals = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = sg.select(F.col("source").alias("src_a"), "gram")
+    b = sg.select(F.col("source").alias("src_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ta = totals.select(F.col("source").alias("src_a"), F.col("n_grams").alias("n_a"))
+    tb = totals.select(F.col("source").alias("src_b"), F.col("n_grams").alias("n_b"))
+    return (
+        inter.join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.expr("(n_shared * 1000000L) div (n_a + n_b - n_shared)").alias(
+                "jaccard_ppm"
+            ),
+        )
+    )

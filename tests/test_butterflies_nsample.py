@@ -269,3 +269,33 @@ def test_source_profile_hand_values(spark):
     assert (w["n_docs"], w["n_unique_texts"], w["sum_chars"], w["mean_chars"], w["langs"]) == (3, 2, 10, 3, 2)
     b = got["book"]
     assert (b["n_docs"], b["n_unique_texts"], b["langs"]) == (1, 1, 1)
+
+
+def test_source_overlap_hand_values(spark):
+    from split_merge_partitioner_spark.functions.profiling import source_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "s1"),       # 2-grams: {a b, b c, c d}
+            (2, "b c d e", "s2"),       # {b c, c d, d e}
+            (3, "x y", "s3"),           # {x y} — no overlap with anyone
+            (4, "a b c d", "s1"),       # duplicate text, same source: no effect
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r.src_a, r.src_b): (r.n_shared, r.n_a, r.n_b, r.jaccard_ppm)
+        for r in source_overlap(docs, n=2).collect()
+    }
+    # s1 ∩ s2 = {b c, c d} -> 2; |s1|=3, |s2|=3; J = 2/4 = 500000 ppm
+    assert out == {("s1", "s2"): (2, 3, 3, 500_000)}
+
+
+def test_source_overlap_short_docs_yield_no_grams(spark):
+    from split_merge_partitioner_spark.functions.profiling import source_overlap
+
+    docs = spark.createDataFrame(
+        [(1, "one", "s1"), (2, "one", "s2")], "doc_id long, text string, source string"
+    )
+    # 5-grams of a 1-token doc: none -> empty overlap matrix
+    assert source_overlap(docs, n=5).count() == 0
