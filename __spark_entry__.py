@@ -1215,6 +1215,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return chunk_documents(_docs(spark, sf), window=32, stride=24)
 
+    def q_knn_quantized(spark, sf):
+        # int8-rerank kNN (functions/similarity.py::knn_quantized): exact
+        # BIGINT dot products, rank by the deterministic rescaled estimate
+        # — the one similarity query whose VALUES hash-match cross-engine
+        from split_merge_partitioner_spark.functions.similarity import knn_quantized
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        return knn_quantized(emb, k=5)
+
+    def q_user_cochange(spark, sf):
+        # temporal co-change derivation (sources/edges.py::cochange_edges):
+        # users sharing >= 2 (event_type, hour) activity buckets — the
+        # event-log twin of the lineitem co-occurrence edge derivation
+        from split_merge_partitioner_spark.sources import cochange_edges
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return cochange_edges(ev, window_seconds=3600, min_shared=2)
+
+    def q_square_count(spark, sf):
+        # exact 4-cycle count on the projection via the codegree identity
+        # (graph/triangles.py::square_count): one wedge join, pair-distinct
+        # exchange, all-BIGINT
+        from split_merge_partitioner_spark.graph import square_count
+
+        return square_count(_proj_edges(spark, sf))
+
     def q_source_overlap(spark, sf):
         # pairwise source 5-gram overlap / Jaccard ppm (functions/
         # profiling.py::source_overlap): gram-keyed join bounded by C(S,2)
@@ -1514,6 +1540,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salsa_auth": q_salsa_auth,
         "embedding_quantize": q_embedding_quantize,
         "source_overlap": q_source_overlap,
+        "square_count": q_square_count,
+        "user_cochange": q_user_cochange,
+        "knn_quantized": q_knn_quantized,
     }
 
     # ------------------------------------------------------------------
@@ -3455,6 +3484,75 @@ SELECT cell.cohort_period, cell.age_periods, cell.n_active_users,
 FROM cell JOIN base ON cell.cohort_period = base.cohort_period
 """
 
+    # -- knn_quantized oracle -----------------------------------------------------
+    # the embedding_quantize qvec CTE, all-pairs BIGINT dots, rank by the
+    # SAME fixed-association rescale ((qdot * sa) * sb) desc, neighbor asc
+    knn_quantized_sql = """
+WITH q AS (
+    SELECT vec_id, embedding,
+           CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+               AS scale
+    FROM embeddings
+),
+qq AS (
+    SELECT vec_id, scale,
+           CASE WHEN scale = 0
+                THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                ELSE list_transform(embedding,
+                     x -> CAST(floor((CAST(x AS DOUBLE) * 127.0) / scale + 0.5)
+                               AS BIGINT)) END AS qvec
+    FROM q
+),
+pairs AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           CAST(list_sum(list_transform(generate_series(1, len(a.qvec)),
+                                        i -> a.qvec[i] * b.qvec[i])) AS BIGINT)
+               AS qdot,
+           a.scale AS sa, b.scale AS sb
+    FROM qq a JOIN qq b ON a.vec_id <> b.vec_id
+),
+rk AS (
+    SELECT query_id, neighbor_id, qdot,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY (CAST(qdot AS DOUBLE) * sa) * sb DESC,
+                                       neighbor_id ASC) AS rank
+    FROM pairs
+)
+SELECT query_id, neighbor_id, qdot, CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= 5
+"""
+
+    # -- user_cochange oracle ---------------------------------------------------
+    # (user, event_type|hour-window) bipartite distinct -> self-join
+    # projection; window id = epoch_us // 3.6e9 (positive epochs, so
+    # DuckDB's floor-div == Spark's truncating div)
+    user_cochange_sql = """
+WITH b AS (
+    SELECT DISTINCT user_id AS u,
+           event_type || '|' || CAST(epoch_us(ts) // 3600000000 AS VARCHAR)
+               AS bucket
+    FROM events
+)
+SELECT a.u AS src, b2.u AS dst, CAST(COUNT(*) AS BIGINT) AS shared
+FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.u < b2.u
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+    # -- square_count oracle --------------------------------------------------
+    # codegree identity on the doubled projection adjacency; the ΣC(c,2)
+    # total is provably even (two diagonals per cycle)
+    square_count_sql = f"""
+WITH {_EDGES_CTE}, {_PROJ_CTE},
+und AS (SELECT src AS w, dst AS u FROM proj UNION ALL SELECT dst, src FROM proj),
+pc AS (
+    SELECT a.u AS x, b.u AS y, CAST(COUNT(*) AS BIGINT) AS c
+    FROM und a JOIN und b ON a.w = b.w AND a.u < b.u
+    GROUP BY 1, 2
+)
+SELECT CAST(COALESCE(SUM((c * (c - 1)) // 2), 0) // 2 AS BIGINT) AS n_squares
+FROM pc
+"""
+
     # -- source_overlap oracle ----------------------------------------------------
     # the decontam tokenizer/gram expressions at n=5, distinct per source,
     # gram self-join + integer floor-div Jaccard
@@ -4362,6 +4460,9 @@ FROM documents
         "salsa_auth": salsa_auth_sql,
         "embedding_quantize": embedding_quantize_sql,
         "source_overlap": source_overlap_sql,
+        "square_count": square_count_sql,
+        "user_cochange": user_cochange_sql,
+        "knn_quantized": knn_quantized_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic
         # across engines): fsm_assign, fsm_stats (hep_local expansion kernels;
         # the dbh-portable flavor IS oracled above), hdrf_bucket_sizes,

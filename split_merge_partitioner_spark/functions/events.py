@@ -33,14 +33,17 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# shared SQL template so derived expressions (e.g. integer window ids in
+# sources/edges.py::cochange_edges) stay bit-identical to _epoch_us
+EPOCH_US_SQL = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+
+
 def _epoch_us(ts_col: str):
     """Microseconds since 1970-01-01 00:00:00, timezone-FREE: computed as a
     timestampdiff against a fixed NTZ epoch so TIMESTAMP_NTZ columns (what
     parquet timestamps load as) never pass through a session-timezone cast.
     Bit-identical to DuckDB's epoch_us(naive ts)."""
-    return F.expr(
-        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
-    ).cast("long")
+    return F.expr(EPOCH_US_SQL.format(col=ts_col)).cast("long")
 
 
 def sessionize(

@@ -507,3 +507,81 @@ def quantize_embeddings(
         )
         .alias("qvec"),
     )
+
+
+def knn_quantized(
+    emb: DataFrame,
+    k: int = 5,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k neighbors by EXACT INTEGER dot product over quantized vectors
+    (quantize_embeddings): (query_id, neighbor_id, qdot, rank), ordered by
+    qdot desc then neighbor asc.
+
+    The point of int8 scoring is determinism + composability: the score is
+    a BIGINT (no float anywhere), so the result is bit-stable under any
+    partitioning/retry AND hash-matchable by the DuckDB oracle — the one
+    similarity query in the suite whose VALUES cross-check exactly, not
+    just its recall.
+
+    Two execution shapes:
+    - ``candidates=None``: all-pairs self-join — the small-corpus baseline
+      / oracle twin (n² pairs; same contract as brute_force_knn's "reserve
+      for oracle runs").
+    - ``candidates=(query_id, neighbor_id)``: RERANK mode, the 100-TB
+      path — score only the given pairs (produced by lsh_knn / ivf_knn
+      bucketing), one co-partitioned join per side, zero Python.  This is
+      the standard two-stage retrieve-then-rerank: approximate recall from
+      the bucketed stage, exact deterministic ordering from this one.
+
+    Ranking detail: raw qdot between vectors of DIFFERENT scales is biased
+    (true dot ≈ qdot·sa·sb/qmax²), so neighbors are ordered by the rescaled
+    estimate ((qdot·sa)·sb) — three IEEE multiplications in this fixed
+    association order, bit-deterministic on both engines (determinism only
+    breaks on libm/sum-order, not on products) — with ties broken by
+    neighbor id.  The emitted surface stays (query_id, neighbor_id, qdot,
+    rank): exact integers, rank encoding the rescaled order.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    q = quantize_embeddings(emb, bits=bits, vec_col=vec_col, id_col=id_col)
+    a = q.select(
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("qa"),
+        F.col("scale").alias("sa"),
+    )
+    b = q.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qvec").alias("qb"),
+        F.col("scale").alias("sb"),
+    )
+    if candidates is None:
+        pairs = a.crossJoin(b).where(F.col("query_id") != F.col("neighbor_id"))
+    else:
+        pairs = candidates.select("query_id", "neighbor_id").join(
+            a, "query_id"
+        ).join(b, "neighbor_id")
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.aggregate(
+            F.zip_with("qa", "qb", lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("qdot"),
+        "sa",
+        "sb",
+    ).withColumn("est", F.expr("(CAST(qdot AS DOUBLE) * sa) * sb"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("est").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "qdot", F.col("rank").cast("long").alias("rank")
+        )
+    )

@@ -4,6 +4,7 @@ from .pagerank import pagerank  # noqa: F401
 from .triangles import (  # noqa: F401
     kclique_count,
     local_clustering,
+    square_count,
     triangle_count,
     triangle_count_sampled,
     triangles_per_vertex,

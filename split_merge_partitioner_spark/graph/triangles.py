@@ -191,6 +191,56 @@ def kclique_count(edges: DataFrame, k: int = 4, orient: str = "degree") -> int:
         release(e)
 
 
+def square_count(
+    edges: DataFrame, max_center_degree: int | None = None
+) -> DataFrame:
+    """Exact count of (not-necessarily-induced) 4-cycles in the undirected
+    graph, one row: (n_squares,).
+
+    Codegree identity: every 4-cycle u-a-v-b has exactly TWO diagonal pairs
+    ({u,v} and {a,b}), and a pair {x,y} with c common neighbors closes
+    C(c,2) cycles through its diagonal — so n_squares = (1/2) * Σ_{x<y}
+    C(codeg(x,y), 2), all BIGINT (the sum is always even).  This is the
+    unipartite twin of butterflies.py (there the two diagonal pairs live on
+    opposite sides, so no halving).
+
+    Scale shape: codegrees come from ONE wedge self-join on the doubled
+    adjacency grouped by endpoint pair — the exchange carries one row per
+    CO-NEIGHBOR PAIR (map-side combined), never per wedge.  Wedge volume is
+    Σ_w C(deg(w), 2); for hub-heavy graphs pass ``max_center_degree`` to
+    drop hub centers from enumeration (documented undercount — the
+    butterflies.py / linkpred.py cap contract).  Unlike the triangle
+    kernel, degree orientation cannot cap this one: a wedge's center is
+    fixed by the motif, not choosable — the cap is the honest knob.
+    """
+    und = edges.select(F.col("src").alias("w"), F.col("dst").alias("u")).unionAll(
+        edges.select(F.col("dst").alias("w"), F.col("src").alias("u"))
+    )
+    if max_center_degree is not None:
+        keep = (
+            und.groupBy("w")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") <= max_center_degree)
+            .select("w")
+        )
+        und = und.join(keep, "w")
+    lft = und.select("w", F.col("u").alias("a"))
+    rgt = und.select("w", F.col("u").alias("b"))
+    pc = (
+        lft.join(rgt, "w")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # integer end-to-end: C(c,2) via div (no double division on the surface)
+    return pc.agg(
+        F.coalesce(
+            F.expr("sum((c * (c - 1)) div 2) div 2").cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("n_squares")
+    )
+
+
 def edge_support(edges: DataFrame, orient: str = "degree") -> DataFrame:
     """(src, dst, support): for every canonical edge, the number of
     triangles containing it (= |N(src) ∩ N(dst)|, the edge's

@@ -1,6 +1,7 @@
 from .edges import (  # noqa: F401
     bipartite_project,
     canonicalize_edges,
+    cochange_edges,
     degrees,
     edges_from_lineitem,
     edges_from_repos,

@@ -220,3 +220,39 @@ def bipartite_project(
     if weighted:
         cols.append(F.col("shared").cast("long").alias("shared"))
     return proj.select(*cols)
+
+
+def cochange_edges(
+    events: DataFrame,
+    window_seconds: int = 3600,
+    min_shared: int = 2,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """TEMPORAL co-change edge derivation: an edge between two users when
+    they were active in the same (event_type, time-window) bucket at least
+    ``min_shared`` times — the event-log twin of the lineitem co-occurrence
+    derivation (edges_from_lineitem), and the classic "co-change coupling"
+    signal (repos edited in the same commit window, users touched by the
+    same incident) that link-graph pipelines mine before partitioning.
+
+    Returns canonical weighted edges (src, dst, shared), src < dst.
+
+    Built as (user, bucket) bipartite distinct -> bipartite_project: the
+    window id is an exact integer epoch_us div (window·1e6), so bucketing
+    is calendar-free and engine-portable; ``min_shared`` is the projection
+    scale valve (a bucket with d users emits C(d,2) pairs — bound bucket
+    width accordingly, exactly the bipartite_project hub contract).
+    """
+    if window_seconds < 1:
+        raise ValueError("window_seconds must be >= 1")
+    from ..functions.events import EPOCH_US_SQL
+
+    window_us = int(window_seconds) * 1_000_000
+    win = F.expr(f"({EPOCH_US_SQL.format(col=ts_col)}) div {window_us}")
+    b = events.select(
+        F.col(user_col).alias("src"),
+        F.concat_ws("|", F.col(type_col), win.cast("string")).alias("dst"),
+    ).distinct()
+    return bipartite_project(b, min_shared=min_shared, weighted=True)

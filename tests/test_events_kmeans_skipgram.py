@@ -481,3 +481,37 @@ def test_attribution_validation(spark):
         attribution(df, "purchase", [], mode="last")
     with pytest.raises(ValueError):
         attribution(df, "purchase", ["click"], mode="middle")
+
+
+def test_cochange_edges_hand_buckets(spark):
+    from split_merge_partitioner_spark.sources import cochange_edges
+
+    h = dt.datetime
+    rows = [
+        # users 1 & 2 share (view, hour0) and (click, hour1) -> shared=2
+        (1, h(2024, 1, 1, 0, 5), 1, "view", 0.0),
+        (2, h(2024, 1, 1, 0, 50), 2, "view", 0.0),
+        (3, h(2024, 1, 1, 1, 10), 1, "click", 0.0),
+        (4, h(2024, 1, 1, 1, 59), 2, "click", 0.0),
+        # user 3 shares only ONE bucket with user 1 -> below min_shared=2
+        (5, h(2024, 1, 1, 0, 30), 3, "view", 0.0),
+        # same user twice in a bucket: distinct() collapses it
+        (6, h(2024, 1, 1, 0, 45), 1, "view", 0.0),
+        # same event type, DIFFERENT hour: no co-occurrence
+        (7, h(2024, 1, 1, 2, 0), 2, "view", 0.0),
+    ]
+    out = {
+        (r.src, r.dst): r.shared
+        for r in cochange_edges(
+            spark.createDataFrame(rows, TS), window_seconds=3600, min_shared=2
+        ).collect()
+    }
+    assert out == {(1, 2): 2}
+
+
+def test_cochange_edges_validation(spark):
+    from split_merge_partitioner_spark.sources import cochange_edges
+
+    df = spark.createDataFrame([(1, dt.datetime(2024, 1, 1), 1, "view", 0.0)], TS)
+    with pytest.raises(ValueError):
+        cochange_edges(df, window_seconds=0)

@@ -69,3 +69,60 @@ def test_rejects_bad_k(spark):
     e = _df(spark, [(0, 1)])
     with pytest.raises(ValueError):
         kclique_count(e, k=1)
+
+
+# ---------------------------------------------------------------------------
+# square_count (4-cycles, codegree identity)
+# ---------------------------------------------------------------------------
+
+def _brute_squares(pairs):
+    es = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    adj: dict[int, set[int]] = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    verts = sorted(adj)
+    n = 0
+    # each 4-cycle u-a-v-b is hit once per DIAGONAL {u,v} (enumerated from
+    # its smaller endpoint, v > u), i.e. exactly twice -> halve at the end
+    for u in verts:
+        for a in adj[u]:
+            for b in adj[u]:
+                if a >= b or a == u or b == u:
+                    continue
+                for v in adj[a] & adj[b]:
+                    if v != u and v > u:
+                        n += 1
+    assert n % 2 == 0
+    return n // 2
+
+
+def test_square_count_closed_forms(spark):
+    from split_merge_partitioner_spark.graph import square_count
+
+    c4 = _df(spark, [(1, 2), (2, 3), (3, 4), (1, 4)])
+    assert square_count(c4).collect()[0].n_squares == 1
+    k4 = _df(spark, [(i, j) for i in range(4) for j in range(i + 1, 4)])
+    assert square_count(k4).collect()[0].n_squares == 3
+    tri = _df(spark, [(1, 2), (2, 3), (1, 3)])
+    assert square_count(tri).collect()[0].n_squares == 0
+    # C(4,2)*C(4,2) biclique K_{2,2} count inside K_{4,4}: C(4,2)^2 = 36
+    k44 = _df(spark, [(i, 10 + j) for i in range(4) for j in range(4)])
+    assert square_count(k44).collect()[0].n_squares == 36
+
+
+def test_square_count_matches_bruteforce_on_powerlaw(spark):
+    from split_merge_partitioner_spark.graph import square_count
+
+    pdf = powerlaw_edges_pdf(n=80, m_per_node=5, seed=13)
+    got = square_count(spark.createDataFrame(pdf)).collect()[0].n_squares
+    assert got == _brute_squares(list(zip(pdf["src"], pdf["dst"])))
+
+
+def test_square_count_center_cap_undercounts_monotonically(spark):
+    from split_merge_partitioner_spark.graph import square_count
+
+    e = spark.createDataFrame(powerlaw_edges_pdf(n=80, m_per_node=5, seed=13))
+    full = square_count(e).collect()[0].n_squares
+    capped = square_count(e, max_center_degree=8).collect()[0].n_squares
+    assert 0 <= capped <= full

@@ -125,3 +125,65 @@ def test_quantize_rejects_bad_bits(spark):
     emb = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError):
         quantize_embeddings(emb, bits=1)
+
+
+def test_knn_quantized_hand_order(spark):
+    from split_merge_partitioner_spark.functions.similarity import knn_quantized
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),    # closest to 1
+            (3, [0.0, 1.0]),    # orthogonal to 1
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {(r.query_id, r.rank): (r.neighbor_id, r.qdot)
+           for r in knn_quantized(emb, k=2).collect()}
+    # q=1: qvec (127, 0); 2 -> (127, 14): dot 16129 ; 3 -> (0, 127): dot 0
+    assert out[(1, 1)] == (2, 127 * 127)
+    assert out[(1, 2)] == (3, 0)
+
+
+def test_knn_quantized_rerank_matches_allpairs_on_candidates(spark):
+    import numpy as np
+    from split_merge_partitioner_spark.functions.similarity import knn_quantized
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(30, 8)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    cands = spark.createDataFrame(
+        [(i, j) for i in range(30) for j in range(30) if i != j],
+        "query_id long, neighbor_id long",
+    )
+    full = {(r.query_id, r.rank): r.neighbor_id
+            for r in knn_quantized(emb, k=3).collect()}
+    rer = {(r.query_id, r.rank): r.neighbor_id
+           for r in knn_quantized(emb, k=3, candidates=cands).collect()}
+    assert full == rer
+
+
+def test_knn_quantized_mostly_agrees_with_float_top1(spark):
+    import numpy as np
+    from split_merge_partitioner_spark.functions.similarity import knn_quantized
+
+    rng = np.random.default_rng(2)
+    vecs = rng.normal(size=(60, 32)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.query_id: r.neighbor_id
+           for r in knn_quantized(emb, k=1).collect()}
+    # float64 ground truth (UNnormalized dot, matching the quantized scoring
+    # up to per-vector scale: scale>0 preserves each query's ranking only up
+    # to the NEIGHBOR scale, so expect high-but-not-perfect agreement)
+    X = vecs.astype(np.float64)
+    S = X @ X.T
+    np.fill_diagonal(S, -np.inf)
+    truth = S.argmax(axis=1)
+    agree = sum(got[i] == truth[i] for i in range(60))
+    assert agree >= 42  # >= 70% top-1 agreement at int8 resolution
