@@ -341,7 +341,7 @@ def _measure_scaling_large(n_iter: int = 6) -> dict:
 HEALTHY_PROBE_SEC = 0.60  # ~1.5x the healthy-window matmul baseline (0.31-0.44 s)
 
 
-def _gated_scaling(max_runs: int = 3, max_probe_waits: int = 10) -> dict:
+def _gated_scaling(max_runs: int = 4, max_probe_waits: int = 10) -> dict:
     """Probe-gate the north-rule scaling measurement (VERDICT r4 item 2): the
     r4 artifact recorded 0.734 from a degraded host window while same-day
     healthy runs measured 0.846/0.809.
