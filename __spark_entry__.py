@@ -1215,6 +1215,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return chunk_documents(_docs(spark, sf), window=32, stride=24)
 
+    def q_component_sizes(spark, sf):
+        # fragmentation profile (graph/components.py::
+        # component_size_histogram): star-contraction CC labels -> two
+        # map-side-combined aggregates
+        from split_merge_partitioner_spark.graph import component_size_histogram
+
+        return component_size_histogram(_edges(spark, sf))
+
+    def q_degree_gini(spark, sf):
+        # degree-concentration Gini in exact ppm (graph/summary.py::
+        # degree_gini): grouped closed form, no global sort
+        from split_merge_partitioner_spark.graph import degree_gini
+
+        return degree_gini(_edges(spark, sf))
+
+    def q_salsa_auth_cp(spark, sf):
+        # second-fixture SALSA (the _cp discipline: CC round counts are
+        # data-dependent — the class where a second graph catches real bugs)
+        from split_merge_partitioner_spark.graph import salsa_scores
+
+        return salsa_scores(_edges_cp(spark, sf), side="auth")
+
     def q_knn_quantized(spark, sf):
         # int8-rerank kNN (functions/similarity.py::knn_quantized): exact
         # BIGINT dot products, rank by the deterministic rescaled estimate
@@ -1543,6 +1565,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "square_count": q_square_count,
         "user_cochange": q_user_cochange,
         "knn_quantized": q_knn_quantized,
+        "component_sizes": q_component_sizes,
+        "degree_gini": q_degree_gini,
+        "salsa_auth_cp": q_salsa_auth_cp,
     }
 
     # ------------------------------------------------------------------
@@ -3484,6 +3509,43 @@ SELECT cell.cohort_period, cell.age_periods, cell.n_active_users,
 FROM cell JOIN base ON cell.cohort_period = base.cohort_period
 """
 
+    # -- component_sizes oracle ---------------------------------------------------
+    component_sizes_sql = f"""
+WITH RECURSIVE {_EDGES_CTE},
+und AS (
+    SELECT src AS a, dst AS b FROM edges UNION ALL SELECT dst, src FROM edges
+),
+cverts AS (SELECT DISTINCT a AS vertex FROM und),
+reach(v, r) AS (
+    SELECT vertex, vertex FROM cverts
+    UNION
+    SELECT reach.v, und.b FROM reach JOIN und ON reach.r = und.a
+),
+comp AS (SELECT v AS vertex, MIN(r) AS component FROM reach GROUP BY v),
+sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS size FROM comp GROUP BY component)
+SELECT size, CAST(COUNT(*) AS BIGINT) AS n_components FROM sizes GROUP BY size
+"""
+
+    # -- degree_gini oracle -------------------------------------------------------
+    # grouped closed form, tie-invariant Σ i·d_i — same arithmetic as
+    # graph/summary.py::degree_gini, integer end to end
+    degree_gini_sql = f"""
+WITH {_DEGREES_CTE},
+bd AS (SELECT degree, CAST(COUNT(*) AS BIGINT) AS c FROM degrees GROUP BY degree),
+t AS (
+    SELECT degree, c,
+           COALESCE(SUM(c) OVER (ORDER BY degree
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+    FROM bd
+)
+SELECT CAST(SUM(c) AS BIGINT) AS n_vertices,
+       CAST(SUM(degree * c) AS BIGINT) AS m2_sum_degrees,
+       CAST((2 * SUM(degree * (c * cum_before + (c * (c + 1)) // 2))
+             - (SUM(c) + 1) * SUM(degree * c)) * 1000000
+            // (SUM(c) * SUM(degree * c)) AS BIGINT) AS gini_ppm
+FROM t
+"""
+
     # -- knn_quantized oracle -----------------------------------------------------
     # the embedding_quantize qvec CTE, all-pairs BIGINT dots, rank by the
     # SAME fixed-association rescale ((qdot * sa) * sb) desc, neighbor asc
@@ -4463,6 +4525,9 @@ FROM documents
         "square_count": square_count_sql,
         "user_cochange": user_cochange_sql,
         "knn_quantized": knn_quantized_sql,
+        "component_sizes": component_sizes_sql,
+        "degree_gini": degree_gini_sql,
+        "salsa_auth_cp": salsa_auth_sql.replace(_EDGES_CTE, _EDGES_CP_CTE),
         # intentionally no oracle (non-SQL-expressible / nondeterministic
         # across engines): fsm_assign, fsm_stats (hep_local expansion kernels;
         # the dbh-portable flavor IS oracled above), hdrf_bucket_sizes,

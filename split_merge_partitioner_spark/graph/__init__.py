@@ -1,4 +1,8 @@
-from .components import connected_components, connected_components_stars  # noqa: F401
+from .components import (  # noqa: F401
+    component_size_histogram,
+    connected_components,
+    connected_components_stars,
+)
 from .labelprop import label_propagation  # noqa: F401
 from .pagerank import pagerank  # noqa: F401
 from .triangles import (  # noqa: F401
@@ -15,7 +19,12 @@ from .kcore import coreness  # noqa: F401
 from .linkpred import link_suggestions  # noqa: F401
 from .walks import node2vec_walks, random_walks  # noqa: F401
 from .ppr import personalized_pagerank  # noqa: F401
-from .summary import degree_assortativity, global_clustering, rich_club  # noqa: F401
+from .summary import (  # noqa: F401
+    degree_assortativity,
+    degree_gini,
+    global_clustering,
+    rich_club,
+)
 from .betweenness import betweenness  # noqa: F401
 from .eigencentrality import eigenvector_centrality  # noqa: F401
 from .hits import hits  # noqa: F401

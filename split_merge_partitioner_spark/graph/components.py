@@ -287,3 +287,18 @@ def connected_components_stars(
         "vertex", F.coalesce("label", "vertex").alias("component")
     )
     return out, info
+
+
+def component_size_histogram(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """(size, n_components): how many connected components have each vertex
+    count — the fragmentation profile (giant-component share, isolated-pair
+    long tail) read off the star-contraction labels.
+
+    Two map-side-combined aggregates over the (vertex, component) relation;
+    the histogram is at most |distinct sizes| rows, so everything after the
+    CC fixpoint is trivially small.  Exact integers end to end."""
+    comps, _ = connected_components_stars(edges, max_rounds=max_rounds)
+    sizes = comps.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+    return sizes.groupBy("size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_components")
+    )

@@ -184,3 +184,41 @@ def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
             F.expr("(__snd__ * 1000000L) div (degree * n_vertices)").alias("knn_ppm"),
         )
     )
+
+
+def degree_gini(edges: DataFrame) -> DataFrame:
+    """One row (n_vertices, m2_sum_degrees, gini_ppm): the Gini coefficient
+    of the degree distribution in exact parts-per-million — the standard
+    single-number inequality/concentration profile of a link graph (0 =
+    regular, ->1 = one hub owns every edge).
+
+    Closed form on sorted degrees d_1 <= ... <= d_n:
+        G = (2*Σ i·d_i − (n+1)·Σ d_i) / (n·Σ d_i)
+    Σ i·d_i is tie-invariant, so it is computed WITHOUT a global sort: group
+    by degree VALUE (c_k vertices of degree d_k, C_k = vertices of smaller
+    degree), then Σ i·d_i = Σ_k d_k·(c_k·C_k + c_k·(c_k+1)/2) — one groupBy
+    over n rows plus a window over the DISTINCT degree values (a few
+    hundred rows on any real graph).  No single-partition window over
+    vertices, no global sort — the scale trap a naive rank-based Gini hits
+    at 10^9 vertices.  All BIGINT; the final ratio is a ppm floor-div.
+    """
+    from ..sources.edges import degrees
+
+    by_deg = degrees(edges).groupBy("degree").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("degree").rowsBetween(Window.unboundedPreceding, -1)
+    terms = by_deg.select(
+        "degree",
+        "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("cum_before"),
+    )
+    return terms.agg(
+        F.sum("c").cast("long").alias("n_vertices"),
+        F.sum(F.col("degree") * F.col("c")).cast("long").alias("m2_sum_degrees"),
+        F.expr(
+            "CAST((2 * sum(degree * (c * cum_before + (c * (c + 1)) div 2)) "
+            "- (sum(c) + 1) * sum(degree * c)) * 1000000 "
+            "div (sum(c) * sum(degree * c)) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )

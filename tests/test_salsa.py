@@ -187,3 +187,42 @@ def test_knn_quantized_mostly_agrees_with_float_top1(spark):
     truth = S.argmax(axis=1)
     agree = sum(got[i] == truth[i] for i in range(60))
     assert agree >= 42  # >= 70% top-1 agreement at int8 resolution
+
+
+def test_component_size_histogram_hand(spark):
+    from split_merge_partitioner_spark.graph import component_size_histogram
+
+    # components: {1,2}, {3,4}, {5,6,7} -> sizes {2:2, 3:1}
+    e = _df(spark, [(1, 2), (3, 4), (5, 6), (6, 7)])
+    out = {r.size: r.n_components for r in component_size_histogram(e).collect()}
+    assert out == {2: 2, 3: 1}
+
+
+def test_degree_gini_hand_values(spark):
+    from split_merge_partitioner_spark.graph import degree_gini
+
+    # star K_{1,3}: degrees (1,1,1,3) -> G = 0.25 exactly
+    star = _df(spark, [(0, 1), (0, 2), (0, 3)])
+    r = degree_gini(star).collect()[0]
+    assert (r.n_vertices, r.m2_sum_degrees, r.gini_ppm) == (4, 6, 250_000)
+    # 4-cycle: regular -> G = 0
+    c4 = _df(spark, [(1, 2), (2, 3), (3, 4), (1, 4)])
+    assert degree_gini(c4).collect()[0].gini_ppm == 0
+
+
+def test_degree_gini_matches_rank_formula_on_powerlaw(spark):
+    import numpy as np
+    from split_merge_partitioner_spark.graph import degree_gini
+    from split_merge_partitioner_spark.sources import powerlaw_edges_pdf
+
+    pdf = powerlaw_edges_pdf(n=200, m_per_node=4, seed=9)
+    e = spark.createDataFrame(pdf)
+    r = degree_gini(e).collect()[0]
+    deg: dict[int, int] = {}
+    for a, b in zip(pdf["src"], pdf["dst"]):
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    d = np.sort(np.array(list(deg.values()), dtype=np.int64))
+    n, s = len(d), int(d.sum())
+    num = 2 * int((np.arange(1, n + 1) * d).sum()) - (n + 1) * s
+    assert r.gini_ppm == (num * 1_000_000) // (n * s)
