@@ -1215,6 +1215,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return chunk_documents(_docs(spark, sf), window=32, stride=24)
 
+    def q_revenue_rollup(spark, sf):
+        # star-schema OLAP rollup (functions/olap.py::revenue_rollup):
+        # broadcast dims, exact integer money micros
+        from split_merge_partitioner_spark.functions.olap import revenue_rollup
+
+        return revenue_rollup(
+            spark.read.parquet(f"{sf}/lineitem.parquet"),
+            spark.read.parquet(f"{sf}/orders.parquet"),
+            spark.read.parquet(f"{sf}/customer.parquet"),
+            spark.read.parquet(f"{sf}/nation.parquet"),
+            spark.read.parquet(f"{sf}/region.parquet"),
+        )
+
+    def q_decayed_user_value(spark, sf):
+        # recency-weighted engagement with EXACT power-of-two decay
+        # (functions/events.py::decayed_user_value): BIGINT shifts, one
+        # user-keyed groupBy
+        from split_merge_partitioner_spark.functions.events import decayed_user_value
+
+        return decayed_user_value(spark.read.parquet(f"{sf}/events.parquet"))
+
     def q_component_sizes(spark, sf):
         # fragmentation profile (graph/components.py::
         # component_size_histogram): star-contraction CC labels -> two
@@ -1568,6 +1589,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "component_sizes": q_component_sizes,
         "degree_gini": q_degree_gini,
         "salsa_auth_cp": q_salsa_auth_cp,
+        "revenue_rollup": q_revenue_rollup,
+        "decayed_user_value": q_decayed_user_value,
     }
 
     # ------------------------------------------------------------------
@@ -3509,6 +3532,35 @@ SELECT cell.cohort_period, cell.age_periods, cell.n_active_users,
 FROM cell JOIN base ON cell.cohort_period = base.cohort_period
 """
 
+    # -- revenue_rollup oracle ------------------------------------------------------
+    revenue_rollup_sql = """
+SELECT r_name AS region_name, n_name AS nation_name,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       CAST(SUM(CAST(ROUND((l_extendedprice * (1.0 - l_discount)) * 1000000)
+                     AS BIGINT)) AS BIGINT) AS revenue_micros
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+"""
+
+    # -- decayed_user_value oracle --------------------------------------------------
+    # power-of-two decay as a BIGINT arithmetic shift (exact; never pow())
+    decayed_user_value_sql = """
+WITH base AS (
+    SELECT user_id, epoch_us(ts) // 604800000000 AS period,
+           CAST(ROUND(value * 1e6) AS BIGINT) AS value_micros
+    FROM events
+),
+ref AS (SELECT MAX(period) AS ref_period FROM base)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(value_micros >> LEAST(ref_period - period, 62)) AS BIGINT)
+           AS decayed_value_micros
+FROM base, ref GROUP BY user_id
+"""
+
     # -- component_sizes oracle ---------------------------------------------------
     component_sizes_sql = f"""
 WITH RECURSIVE {_EDGES_CTE},
@@ -4528,6 +4580,8 @@ FROM documents
         "component_sizes": component_sizes_sql,
         "degree_gini": degree_gini_sql,
         "salsa_auth_cp": salsa_auth_sql.replace(_EDGES_CTE, _EDGES_CP_CTE),
+        "revenue_rollup": revenue_rollup_sql,
+        "decayed_user_value": decayed_user_value_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic
         # across engines): fsm_assign, fsm_stats (hep_local expansion kernels;
         # the dbh-portable flavor IS oracled above), hdrf_bucket_sizes,

@@ -490,3 +490,52 @@ def attribution(
         F.count(F.lit(1)).alias("n_conversions"),
         F.sum("value_micros").alias("value_micros_sum"),
     )
+
+
+def decayed_user_value(
+    events: DataFrame,
+    half_life_seconds: int = 604_800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    max_age_periods: int = 62,
+) -> DataFrame:
+    """Recency-weighted per-user activity score with EXACT integer decay:
+    each event contributes value_micros >> age_periods, where age_periods =
+    how many whole half-lives before the newest event in the log — i.e. a
+    power-of-two exponential decay computed as a BIGINT shift, never a
+    float pow().  The standard "decayed engagement" ranking signal, made
+    bit-deterministic (retry/partitioning/engine-invariant) by construction.
+
+    Returns (user_id, n_events, decayed_value_micros); events older than
+    ``max_age_periods`` half-lives contribute 0 (shift clamped — a >> of
+    63+ is undefined-ish across engines, and the value has long underflowed
+    to 0 anyway).
+
+    Scale shape: one tiny max() aggregate broadcast as the reference epoch
+    (scalar cross join — constant, not per-row), then ONE user-keyed
+    map-side-combined groupBy over the events scan.  No window, no
+    sequence materialization.
+    """
+    if half_life_seconds < 1:
+        raise ValueError("half_life_seconds must be >= 1")
+    period_us = int(half_life_seconds) * 1_000_000
+    base = events.select(
+        F.col(user_col).alias("user_id"),
+        F.expr(f"({EPOCH_US_SQL.format(col=ts_col)}) div {period_us}").alias("period"),
+        F.round(F.col(value_col) * 1e6).cast("long").alias("value_micros"),
+    )
+    ref = base.agg(F.max("period").alias("ref_period"))
+    aged = base.crossJoin(F.broadcast(ref)).select(
+        "user_id",
+        F.least(
+            F.col("ref_period") - F.col("period"), F.lit(max_age_periods)
+        ).alias("age"),
+        "value_micros",
+    )
+    return aged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.expr("shiftright(value_micros, CAST(age AS INT))")).alias(
+            "decayed_value_micros"
+        ),
+    )

@@ -515,3 +515,66 @@ def test_cochange_edges_validation(spark):
     df = spark.createDataFrame([(1, dt.datetime(2024, 1, 1), 1, "view", 0.0)], TS)
     with pytest.raises(ValueError):
         cochange_edges(df, window_seconds=0)
+
+
+def test_decayed_user_value_hand_shifts(spark):
+    from split_merge_partitioner_spark.functions.events import decayed_user_value
+
+    h = dt.datetime
+    # half-life = 1 day: event ages 0, 1, 2 days before the newest event
+    rows = [
+        (1, h(2024, 1, 3, 0, 0), 1, "view", 8.0),   # age 0 -> 8_000_000
+        (2, h(2024, 1, 2, 0, 0), 1, "view", 8.0),   # age 1 -> 4_000_000
+        (3, h(2024, 1, 1, 0, 0), 1, "view", 8.0),   # age 2 -> 2_000_000
+        (4, h(2024, 1, 3, 0, 0), 2, "view", 1.0),   # age 0 -> 1_000_000
+    ]
+    out = {
+        r.user_id: (r.n_events, r.decayed_value_micros)
+        for r in decayed_user_value(
+            spark.createDataFrame(rows, TS), half_life_seconds=86_400
+        ).collect()
+    }
+    assert out == {1: (3, 14_000_000), 2: (1, 1_000_000)}
+
+
+def test_decayed_user_value_age_clamp(spark):
+    from split_merge_partitioner_spark.functions.events import decayed_user_value
+
+    h = dt.datetime
+    rows = [
+        (1, h(2024, 1, 1), 1, "view", 1.0),
+        (2, h(2025, 12, 31), 2, "view", 1.0),  # ~729 days newer
+    ]
+    out = {
+        r.user_id: r.decayed_value_micros
+        for r in decayed_user_value(
+            spark.createDataFrame(rows, TS), half_life_seconds=86_400
+        ).collect()
+    }
+    # age 729 clamps to 62: 1_000_000 >> 62 == 0, NOT an undefined shift
+    assert out == {1: 0, 2: 1_000_000}
+    with pytest.raises(ValueError):
+        decayed_user_value(spark.createDataFrame(rows, TS), half_life_seconds=0)
+
+
+def test_revenue_rollup_hand_star(spark):
+    from split_merge_partitioner_spark.functions.olap import revenue_rollup
+
+    li = spark.createDataFrame(
+        [(1, 10.0, 0.1), (1, 20.0, 0.0), (2, 5.0, 0.5)],
+        "l_orderkey long, l_extendedprice double, l_discount double",
+    )
+    od = spark.createDataFrame([(1, 7), (2, 8)], "o_orderkey long, o_custkey long")
+    cu = spark.createDataFrame([(7, 100), (8, 101)], "c_custkey long, c_nationkey long")
+    na = spark.createDataFrame(
+        [(100, "FR", 1), (101, "DE", 1)], "n_nationkey long, n_name string, n_regionkey long"
+    )
+    re = spark.createDataFrame([(1, "EUROPE")], "r_regionkey long, r_name string")
+    out = {
+        (r.region_name, r.nation_name): (r.n_lineitems, r.revenue_micros)
+        for r in revenue_rollup(li, od, cu, na, re).collect()
+    }
+    assert out == {
+        ("EUROPE", "FR"): (2, 9_000_000 + 20_000_000),
+        ("EUROPE", "DE"): (1, 2_500_000),
+    }
