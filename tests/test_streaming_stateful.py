@@ -233,3 +233,68 @@ def test_streaming_recent_meta_join_window_and_cross_batch(spark, tmp_path):
     got2 = run()
     assert (200, "blue") in got2
     assert all(eid != 100 for eid, _ in got2)  # no re-emission in append mode
+
+
+def test_streaming_transitions_state_across_batches_matches_batch_twin(spark, tmp_path):
+    """The last-event state carries across micro-batches (and a query
+    restart via the shared checkpoint); lifetime (from,to) counts equal the
+    batch event_transitions on the concatenated log."""
+    import datetime as dt
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from split_merge_partitioner_spark.streaming import streaming_transitions
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    sec = lambda s: t0 + dt.timedelta(seconds=s)  # noqa: E731
+
+    def make(src_dir):
+        ev = spark.readStream.schema(schema).parquet(src_dir)
+        return streaming_transitions(ev)
+
+    b1 = pd.DataFrame(
+        {"event_id": [1, 2, 3], "ts": [sec(0), sec(10), sec(5)],
+         "user_id": [1, 1, 2], "event_type": ["A", "B", "X"]}
+    )
+    # cross-batch transition: user 1's B (batch 1) -> A (batch 2);
+    # user 2's X -> X self-transition
+    b2 = pd.DataFrame(
+        {"event_id": [4, 5], "ts": [sec(20), sec(25)],
+         "user_id": [1, 2], "event_type": ["A", "X"]}
+    )
+    out1, out2 = _run_batches(spark, tmp_path, make, [b1, b2], "transitions_state")
+
+    got1 = set(map(tuple, out1[["user_id", "from_type", "to_type"]].values))
+    assert got1 == {(1, "A", "B")}
+    got2 = set(map(tuple, out2[["user_id", "from_type", "to_type"]].values))
+    assert got2 == {(1, "B", "A"), (2, "X", "X")}
+
+    # lifetime counts == the batch twin over the whole log
+    from split_merge_partitioner_spark.functions.events import event_transitions
+
+    full = pd.concat([b1, b2], ignore_index=True)
+    full["value"] = 0.0
+    batch_counts = {
+        (r.from_type, r.to_type): r.n_transitions
+        for r in event_transitions(spark.createDataFrame(full)).collect()
+    }
+    stream_counts: dict = {}
+    for df in (out1, out2):
+        for _, r in df.iterrows():
+            k = (r.from_type, r.to_type)
+            stream_counts[k] = stream_counts.get(k, 0) + 1
+    assert stream_counts == batch_counts
