@@ -226,3 +226,36 @@ def test_degree_gini_matches_rank_formula_on_powerlaw(spark):
     n, s = len(d), int(d.sum())
     num = 2 * int((np.arange(1, n + 1) * d).sum()) - (n + 1) * s
     assert r.gini_ppm == (num * 1_000_000) // (n * s)
+
+
+def test_two_stage_ivf_retrieve_int8_rerank_recall(spark):
+    """The documented 100-TB shape end to end: IVF retrieves a candidate
+    pool, knn_quantized reranks it with exact int8 dots.  On unit-norm
+    vectors (cosine == dot) the two-stage top-5 stays close to the float
+    brute-force top-5."""
+    import numpy as np
+    from split_merge_partitioner_spark.functions.similarity import (
+        brute_force_knn,
+        ivf_knn,
+        knn_quantized,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(200, 16))
+    vecs = (vecs / np.linalg.norm(vecs, axis=1, keepdims=True)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    truth: dict[int, set] = {}
+    for r in brute_force_knn(emb, k=5).collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    pool = ivf_knn(emb, k=20, n_centroids=8, n_probes=5).select(
+        "query_id", "neighbor_id"
+    )
+    got: dict[int, set] = {}
+    for r in knn_quantized(emb, k=5, candidates=pool).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+    total = sum(len(t) for t in truth.values())
+    assert hits / total >= 0.8, hits / total
