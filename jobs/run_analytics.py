@@ -60,7 +60,8 @@ def main(argv=None, stop: bool = True) -> None:
                  "summary", "eigen", "hits", "sssp", "modularity", "ktruss",
                  "closeness", "scc", "densest", "wpagerank", "mis", "matching",
                  "dpagerank", "coloring", "butterfly", "nsample", "louvain", "node2vec",
-                 "richclub", "katz", "daglevels"],
+                 "richclub", "katz", "daglevels", "salsa", "kclique", "squares",
+                 "gini", "compsizes"],
     )
     ap.add_argument("--output", default=None, help="result parquet")
     ap.add_argument("--json-out", default=None, help="write the info dict here")
@@ -243,6 +244,47 @@ def main(argv=None, stop: bool = True) -> None:
         from split_merge_partitioner_spark.graph import rich_club
 
         out = rich_club(edges)
+    elif args.algo == "salsa":
+        # closed-form SALSA on the directed bipartite edge table; authority
+        # side (dst) — use --weight-col none etc. upstream, none needed here
+        from split_merge_partitioner_spark.graph import salsa_scores
+
+        out = salsa_scores(edges, side="auth")
+    elif args.algo == "kclique":
+        from pyspark.sql import functions as F
+
+        from split_merge_partitioner_spark.graph import kclique_count
+
+        canon = (
+            edges.select(F.least("src", "dst").alias("src"),
+                         F.greatest("src", "dst").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .dropDuplicates(["src", "dst"])
+        )
+        cnt = kclique_count(canon, k=args.k)
+        info = {"k": args.k, "n_cliques": cnt}
+        out = spark.createDataFrame([(args.k, cnt)], "k long, n_cliques long")
+    elif args.algo == "squares":
+        from pyspark.sql import functions as F
+
+        from split_merge_partitioner_spark.graph import square_count
+
+        canon = (
+            edges.select(F.least("src", "dst").alias("src"),
+                         F.greatest("src", "dst").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .dropDuplicates(["src", "dst"])
+        )
+        mcd = None if args.max_center_degree == "auto" else int(args.max_center_degree)
+        out = square_count(canon, max_center_degree=mcd)
+    elif args.algo == "gini":
+        from split_merge_partitioner_spark.graph import degree_gini
+
+        out = degree_gini(edges)
+    elif args.algo == "compsizes":
+        from split_merge_partitioner_spark.graph import component_size_histogram
+
+        out = component_size_histogram(edges)
     elif args.algo == "butterfly":
         # bipartite 4-cycle count + per-vertex participation (butterflies.py)
         from split_merge_partitioner_spark.graph import (

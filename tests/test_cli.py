@@ -122,6 +122,11 @@ def test_build_pyfiles_zip_importable(tmp_path):
     ("richclub", []),
     ("katz", ["--n-power-iter", "4"]),
     ("daglevels", []),
+    ("salsa", []),
+    ("kclique", ["--k", "3"]),
+    ("squares", []),
+    ("gini", []),
+    ("compsizes", []),
 ])
 def test_run_analytics_cli(spark, edges_parquet, tmp_path, capsys, algo, extra):
     from jobs.run_analytics import main as analytics_main
