@@ -1215,6 +1215,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return chunk_documents(_docs(spark, sf), window=32, stride=24)
 
+    def q_value_percentiles(spark, sf):
+        # exact, bit-stable percentiles of the event value column
+        # (functions/profiling.py::exact_percentiles): grouped distinct-
+        # value cumulative counting, never a sketch
+        from split_merge_partitioner_spark.functions.profiling import (
+            exact_percentiles,
+        )
+
+        return exact_percentiles(spark.read.parquet(f"{sf}/events.parquet"))
+
     def q_revenue_rollup(spark, sf):
         # star-schema OLAP rollup (functions/olap.py::revenue_rollup):
         # broadcast dims, exact integer money micros
@@ -1591,6 +1601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salsa_auth_cp": q_salsa_auth_cp,
         "revenue_rollup": q_revenue_rollup,
         "decayed_user_value": q_decayed_user_value,
+        "value_percentiles": q_value_percentiles,
     }
 
     # ------------------------------------------------------------------
@@ -3532,6 +3543,35 @@ SELECT cell.cohort_period, cell.age_periods, cell.n_active_users,
 FROM cell JOIN base ON cell.cohort_period = base.cohort_period
 """
 
+    # -- value_percentiles oracle ---------------------------------------------------
+    # grouped distinct-value cumulative counting; lower-quantile rule
+    # ceil(p*n) as an integer floor-div of (p*n + 999999)
+    value_percentiles_sql = """
+WITH bv AS (
+    SELECT CAST(ROUND(value * 1e6) AS BIGINT) AS value_micros,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1
+),
+cum AS (
+    SELECT value_micros,
+           SUM(c) OVER (ORDER BY value_micros
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_count
+    FROM bv
+),
+n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_rows FROM bv),
+ps AS (SELECT UNNEST([500000, 900000, 990000]) AS p_ppm),
+hits AS (
+    SELECT ps.p_ppm, MIN(cum.value_micros) AS value_micros,
+           MAX(n.n_rows) AS n_rows
+    FROM cum CROSS JOIN n CROSS JOIN ps
+    WHERE cum.cum_count >= (ps.p_ppm * n.n_rows + 999999) // 1000000
+    GROUP BY ps.p_ppm
+)
+SELECT CAST(h.p_ppm AS BIGINT) AS p_ppm, h.value_micros,
+       CAST(cum.cum_count AS BIGINT) AS cum_count, h.n_rows
+FROM hits h JOIN cum ON cum.value_micros = h.value_micros
+"""
+
     # -- revenue_rollup oracle ------------------------------------------------------
     revenue_rollup_sql = """
 SELECT r_name AS region_name, n_name AS nation_name,
@@ -4582,6 +4622,7 @@ FROM documents
         "salsa_auth_cp": salsa_auth_sql.replace(_EDGES_CTE, _EDGES_CP_CTE),
         "revenue_rollup": revenue_rollup_sql,
         "decayed_user_value": decayed_user_value_sql,
+        "value_percentiles": value_percentiles_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic
         # across engines): fsm_assign, fsm_stats (hep_local expansion kernels;
         # the dbh-portable flavor IS oracled above), hdrf_bucket_sizes,

@@ -154,3 +154,65 @@ def source_overlap(
             ),
         )
     )
+
+
+def exact_percentiles(
+    df: DataFrame,
+    value_col: str = "value",
+    percentiles_ppm: tuple[int, ...] = (500_000, 900_000, 990_000),
+) -> DataFrame:
+    """EXACT percentiles of a numeric column, no sketch: one row per
+    requested percentile — (p_ppm, value_micros, cum_count, n_rows), where
+    value_micros is the smallest round(value·1e6) whose cumulative count
+    reaches ceil(p·n) (the standard lower-quantile definition), all
+    arithmetic BIGINT.
+
+    Why not approx_percentile: its sketch is engine- and merge-order-
+    dependent, so results aren't reproducible across engines or even
+    retries.  This operator is exact and bit-stable — the right tool for
+    SLO thresholds and cross-engine verification.
+
+    Scale contract: cost is governed by |DISTINCT rounded values|, not
+    rows — groupBy(value_micros) with map-side combine collapses the scan
+    to one row per distinct value, and only THAT relation (money/metric
+    columns: thousands of values) passes through the ordered cumulative
+    window.  For genuinely continuous data, quantize to the precision you
+    report at (the micros rounding here IS that quantization) — the
+    documented seam; a KLL sketch is the alternative when distincts are
+    unbounded, at the price of exactness.
+    """
+    if not percentiles_ppm:
+        raise ValueError("percentiles_ppm must be non-empty")
+    if any(p < 1 or p > 1_000_000 for p in percentiles_ppm):
+        raise ValueError("percentiles must be ppm values in [1, 1000000]")
+    from pyspark.sql import Window
+
+    vm = F.round(F.col(value_col) * 1e6).cast("long").alias("value_micros")
+    by_val = df.select(vm).groupBy("value_micros").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.orderBy("value_micros").rowsBetween(Window.unboundedPreceding, 0)
+    cum = by_val.select(
+        "value_micros", F.sum("c").over(w).alias("cum_count")
+    )
+    spark = df.sparkSession
+    ps = spark.createDataFrame([(int(p),) for p in percentiles_ppm], "p_ppm long")
+    n = by_val.agg(F.sum("c").alias("n_rows"))
+    hits = (
+        cum.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(ps))
+        .where(
+            F.col("cum_count")
+            >= F.expr("(p_ppm * n_rows + 999999) div 1000000")
+        )
+        .groupBy("p_ppm")
+        .agg(
+            F.min("value_micros").alias("value_micros"),
+            F.max("n_rows").alias("n_rows"),
+        )
+    )
+    # re-attach the chosen value's cumulative count (informational)
+    return (
+        hits.join(cum, "value_micros")
+        .select("p_ppm", "value_micros", "cum_count", "n_rows")
+    )

@@ -299,3 +299,33 @@ def test_source_overlap_short_docs_yield_no_grams(spark):
     )
     # 5-grams of a 1-token doc: none -> empty overlap matrix
     assert source_overlap(docs, n=5).count() == 0
+
+
+def test_exact_percentiles_hand_values(spark):
+    from split_merge_partitioner_spark.functions.profiling import exact_percentiles
+
+    # values 1..10 -> p50 = 5 (ceil(0.5*10)=5th), p90 = 9, p99 = 10
+    df = spark.createDataFrame([(float(i),) for i in range(1, 11)], "value double")
+    out = {r.p_ppm: (r.value_micros, r.cum_count, r.n_rows)
+           for r in exact_percentiles(df).collect()}
+    assert out == {
+        500_000: (5_000_000, 5, 10),
+        900_000: (9_000_000, 9, 10),
+        990_000: (10_000_000, 10, 10),
+    }
+
+
+def test_exact_percentiles_duplicates_and_edges(spark):
+    import pytest as _pytest
+
+    from split_merge_partitioner_spark.functions.profiling import exact_percentiles
+
+    # heavy duplicates: [1,1,1,2]: p50 -> ceil(2) = 2nd value = 1
+    df = spark.createDataFrame([(1.0,), (1.0,), (1.0,), (2.0,)], "value double")
+    out = {r.p_ppm: r.value_micros
+           for r in exact_percentiles(df, percentiles_ppm=(500_000, 1_000_000)).collect()}
+    assert out == {500_000: 1_000_000, 1_000_000: 2_000_000}
+    with _pytest.raises(ValueError):
+        exact_percentiles(df, percentiles_ppm=())
+    with _pytest.raises(ValueError):
+        exact_percentiles(df, percentiles_ppm=(0,))
