@@ -1215,6 +1215,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return chunk_documents(_docs(spark, sf), window=32, stride=24)
 
+    def q_rrf_knn(spark, sf):
+        # reciprocal-rank fusion (functions/similarity.py::rrf_fuse) of two
+        # independently-quantized retrievers (8-bit and 4-bit top-10) —
+        # both SQL-replayable, so the FUSION itself gets a value-exact
+        # oracle (production pairing is lsh_knn + ivf_knn lists)
+        from split_merge_partitioner_spark.functions.similarity import (
+            knn_quantized,
+            rrf_fuse,
+        )
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        r8 = knn_quantized(emb, k=10, bits=8)
+        r4 = knn_quantized(emb, k=10, bits=4)
+        return rrf_fuse([r8, r4], k=5)
+
+    def q_growth_accounting(spark, sf):
+        # weekly new/retained/resurrected/churned decomposition
+        # (functions/events.py::growth_accounting)
+        from split_merge_partitioner_spark.functions.events import growth_accounting
+
+        return growth_accounting(spark.read.parquet(f"{sf}/events.parquet"))
+
     def q_value_percentiles(spark, sf):
         # exact, bit-stable percentiles of the event value column
         # (functions/profiling.py::exact_percentiles): grouped distinct-
@@ -1602,6 +1624,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_rollup": q_revenue_rollup,
         "decayed_user_value": q_decayed_user_value,
         "value_percentiles": q_value_percentiles,
+        "rrf_knn": q_rrf_knn,
+        "growth_accounting": q_growth_accounting,
     }
 
     # ------------------------------------------------------------------
@@ -3546,6 +3570,97 @@ SELECT cell.cohort_period, cell.age_periods, cell.n_active_users,
 FROM cell JOIN base ON cell.cohort_period = base.cohort_period
 """
 
+    # -- rrf_knn oracle ---------------------------------------------------------
+    # two quantized retrievers (qmax 127 / 7) generated from one template,
+    # fused with integer 1e9 // (60 + rank) contributions
+    def _qknn_rank_cte(tag: str, qmax: int, k: int) -> str:
+        return f"""
+q{tag} AS (
+    SELECT vec_id, embedding,
+           CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+               AS scale
+    FROM embeddings
+),
+qq{tag} AS (
+    SELECT vec_id, scale,
+           CASE WHEN scale = 0
+                THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                ELSE list_transform(embedding,
+                     x -> CAST(floor((CAST(x AS DOUBLE) * {qmax}.0) / scale
+                               + 0.5) AS BIGINT)) END AS qvec
+    FROM q{tag}
+),
+pairs{tag} AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           CAST(list_sum(list_transform(generate_series(1, len(a.qvec)),
+                                        i -> a.qvec[i] * b.qvec[i])) AS BIGINT)
+               AS qdot,
+           a.scale AS sa, b.scale AS sb
+    FROM qq{tag} a JOIN qq{tag} b ON a.vec_id <> b.vec_id
+),
+rk{tag} AS (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY (CAST(qdot AS DOUBLE) * sa) * sb DESC,
+                                       neighbor_id ASC) AS rank
+    FROM pairs{tag}
+)"""
+
+    rrf_knn_sql = f"""
+WITH {_qknn_rank_cte('8', 127, 10)},
+{_qknn_rank_cte('4', 7, 10)},
+parts AS (
+    SELECT query_id, neighbor_id,
+           CAST(1000000000 AS BIGINT) // (60 + rank) AS contrib
+    FROM rk8 WHERE rank <= 10
+    UNION ALL
+    SELECT query_id, neighbor_id,
+           CAST(1000000000 AS BIGINT) // (60 + rank) AS contrib
+    FROM rk4 WHERE rank <= 10
+),
+fused AS (
+    SELECT query_id, neighbor_id, CAST(SUM(contrib) AS BIGINT) AS rrf_score
+    FROM parts GROUP BY 1, 2
+),
+outr AS (
+    SELECT query_id, neighbor_id, rrf_score,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY rrf_score DESC, neighbor_id ASC) AS rank
+    FROM fused
+)
+SELECT query_id, neighbor_id, rrf_score, CAST(rank AS BIGINT) AS rank
+FROM outr WHERE rank <= 5
+"""
+
+    # -- growth_accounting oracle -----------------------------------------------
+    growth_accounting_sql = """
+WITH act AS (
+    SELECT DISTINCT user_id AS u, epoch_us(ts) // 604800000000 AS period
+    FROM events
+),
+cl AS (
+    SELECT period,
+           CASE WHEN period = MIN(period) OVER (PARTITION BY u) THEN 'new'
+                WHEN LAG(period) OVER (PARTITION BY u ORDER BY period)
+                     = period - 1 THEN 'retained'
+                ELSE 'resurrected' END AS cls
+    FROM act
+),
+pp AS (
+    SELECT period, CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(SUM(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_retained,
+           CAST(SUM(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_resurrected
+    FROM cl GROUP BY period
+)
+SELECT period, n_active, n_new, n_retained, n_resurrected,
+       CAST(COALESCE(LAG(n_active) OVER (ORDER BY period) - n_retained, 0)
+            AS BIGINT) AS n_churned
+FROM pp
+"""
+
     # -- value_percentiles oracle ---------------------------------------------------
     # grouped distinct-value cumulative counting; lower-quantile rule
     # ceil(p*n) as an integer floor-div of (p*n + 999999)
@@ -4626,6 +4741,8 @@ FROM documents
         "revenue_rollup": revenue_rollup_sql,
         "decayed_user_value": decayed_user_value_sql,
         "value_percentiles": value_percentiles_sql,
+        "rrf_knn": rrf_knn_sql,
+        "growth_accounting": growth_accounting_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic
         # across engines): fsm_assign, fsm_stats (hep_local expansion kernels;
         # the dbh-portable flavor IS oracled above), hdrf_bucket_sizes,

@@ -539,3 +539,69 @@ def decayed_user_value(
             "decayed_value_micros"
         ),
     )
+
+
+def growth_accounting(
+    events: DataFrame,
+    period_seconds: int = 604_800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Standard growth-accounting decomposition per period: every active
+    user is exactly one of NEW (first-ever period), RETAINED (also active
+    the immediately previous period) or RESURRECTED (active before, but
+    not last period); CHURNED(p) = active(p_prev) − retained(p) — users
+    who were active in the previous observed period and did not return
+    (when the previous observed period isn't p−1, retained(p) is
+    necessarily 0 and the whole previous cohort churned, so the identity
+    holds across activity gaps without special-casing).
+
+    Returns one row per active period: (period, n_active, n_new,
+    n_retained, n_resurrected, n_churned).  Periods are calendar-free
+    integer epochs (epoch_us div period — the retention_cohorts rule);
+    every count is an exact BIGINT.
+
+    Scale shape: ONE user-keyed exchange serves the (user, period)
+    distinct, the per-user first-period min and the per-user lag window
+    (shared partitioning); the per-period rollup and the tiny
+    period-ordered lag window for churn act on |periods| rows.
+    """
+    if period_seconds < 1:
+        raise ValueError("period_seconds must be >= 1")
+    period_us = int(period_seconds) * 1_000_000
+    act = events.select(
+        F.col(user_col).alias("user_id"),
+        F.expr(f"({EPOCH_US_SQL.format(col=ts_col)}) div {period_us}").alias("period"),
+    ).distinct()
+    w_user = Window.partitionBy("user_id").orderBy("period")
+    classified = act.select(
+        "user_id",
+        "period",
+        F.min("period").over(Window.partitionBy("user_id")).alias("first_period"),
+        F.lag("period").over(w_user).alias("prev_period"),
+    ).select(
+        "period",
+        F.when(F.col("period") == F.col("first_period"), F.lit("new"))
+        .when(F.col("prev_period") == F.col("period") - 1, F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+        .alias("cls"),
+    )
+    per_period = classified.groupBy("period").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum(F.when(F.col("cls") == "new", 1).otherwise(0)).alias("n_new"),
+        F.sum(F.when(F.col("cls") == "retained", 1).otherwise(0)).alias("n_retained"),
+        F.sum(F.when(F.col("cls") == "resurrected", 1).otherwise(0)).alias(
+            "n_resurrected"
+        ),
+    )
+    w_p = Window.orderBy("period")
+    return per_period.select(
+        "period",
+        "n_active",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        F.coalesce(
+            F.lag("n_active").over(w_p) - F.col("n_retained"), F.lit(0)
+        ).cast("long").alias("n_churned"),
+    )

@@ -585,3 +585,62 @@ def knn_quantized(
             "query_id", "neighbor_id", "qdot", F.col("rank").cast("long").alias("rank")
         )
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 5,
+    rrf_k: int = 60,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of N ranked
+    candidate lists — the standard way to combine heterogeneous retrievers
+    (e.g. lsh_knn text-hash buckets + ivf_knn embedding lists) WITHOUT
+    comparable scores: each list contributes scale // (rrf_k + rank) per
+    (query, neighbor), summed across lists; top-``k`` by fused score,
+    ties by neighbor id.
+
+    Exactness: the classic 1/(60+r) is computed as a BIGINT floor-div of
+    ``scale`` (defaults preserve 4+ significant digits at rank 1000) — no
+    float anywhere, so fusion is bit-stable and cross-engine replayable,
+    unlike averaging engine-specific cosine scores.
+
+    Inputs must carry (query_id, neighbor_id, rank); rank 1 = best.  Scale
+    shape: one union of the (already small) top-k lists, one
+    (query, neighbor)-keyed partial-aggregated groupBy, one per-query
+    window — all proportional to the CANDIDATE volume, independent of
+    corpus size.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    if k < 1 or rrf_k < 0:
+        raise ValueError("k >= 1 and rrf_k >= 0 required")
+    parts = [
+        r.select(
+            "query_id",
+            "neighbor_id",
+            F.expr(f"CAST({int(scale)} AS BIGINT) div ({int(rrf_k)} + rank)").alias(
+                "contrib"
+            ),
+        )
+        for r in rankings
+    ]
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionAll(p)
+    fused = allp.groupBy("query_id", "neighbor_id").agg(
+        F.sum("contrib").alias("rrf_score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rrf_score",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

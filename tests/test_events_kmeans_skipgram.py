@@ -578,3 +578,35 @@ def test_revenue_rollup_hand_star(spark):
         ("EUROPE", "FR"): (2, 9_000_000 + 20_000_000),
         ("EUROPE", "DE"): (1, 2_500_000),
     }
+
+
+def test_growth_accounting_hand_periods(spark):
+    from split_merge_partitioner_spark.functions.events import growth_accounting
+
+    h = dt.datetime
+    day = 86_400
+    # daily periods; epoch days since 1970-01-01: 2024-01-01 = 19723
+    rows = [
+        # day 0: users 1, 2 (both new)
+        (1, h(2024, 1, 1), 1, "view", 0.0),
+        (2, h(2024, 1, 1), 2, "view", 0.0),
+        # day 1: user 1 retained, user 3 new; user 2 churns (counted day 1)
+        (3, h(2024, 1, 2), 1, "view", 0.0),
+        (4, h(2024, 1, 2), 3, "view", 0.0),
+        # day 3 (gap over day 2): user 2 resurrected; 1 & 3 churn -> day 3
+        (5, h(2024, 1, 4), 2, "view", 0.0),
+    ]
+    out = {
+        r.period: (r.n_active, r.n_new, r.n_retained, r.n_resurrected, r.n_churned)
+        for r in growth_accounting(
+            spark.createDataFrame(rows, TS), period_seconds=day
+        ).collect()
+    }
+    d0 = 19723
+    assert out == {
+        d0: (2, 2, 0, 0, 0),
+        d0 + 1: (2, 1, 1, 0, 1),      # churned: user 2
+        d0 + 3: (1, 0, 0, 1, 2),      # churned across the gap: users 1, 3
+    }
+    with pytest.raises(ValueError):
+        growth_accounting(spark.createDataFrame(rows, TS), period_seconds=0)

@@ -259,3 +259,37 @@ def test_two_stage_ivf_retrieve_int8_rerank_recall(spark):
     hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
     total = sum(len(t) for t in truth.values())
     assert hits / total >= 0.8, hits / total
+
+
+def test_rrf_fuse_hand_scores(spark):
+    from split_merge_partitioner_spark.functions.similarity import rrf_fuse
+
+    r1 = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    r2 = spark.createDataFrame(
+        [(1, 11, 1), (1, 12, 2), (1, 13, 3)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    out = {r.neighbor_id: (r.rrf_score, r.rank)
+           for r in rrf_fuse([r1, r2], k=4).collect()}
+    s = lambda rk: 1_000_000_000 // (60 + rk)  # noqa: E731
+    assert out == {
+        11: (s(2) + s(1), 1),     # in both lists -> wins
+        12: (s(3) + s(2), 2),
+        10: (s(1), 3),            # s(1) > s(3): single first-place beats third
+        13: (s(3), 4),
+    }
+
+
+def test_rrf_fuse_validation(spark):
+    import pytest as _pytest
+
+    from split_merge_partitioner_spark.functions.similarity import rrf_fuse
+
+    with _pytest.raises(ValueError):
+        rrf_fuse([])
+    r = spark.createDataFrame([(1, 2, 1)], "query_id long, neighbor_id long, rank long")
+    with _pytest.raises(ValueError):
+        rrf_fuse([r], k=0)
