@@ -1215,6 +1215,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return chunk_documents(_docs(spark, sf), window=32, stride=24)
 
+    def q_wl_colors(spark, sf):
+        # 1-WL refinement fingerprints (graph/wl.py): splitmix64 wrapping-
+        # sum multiset hash, one exchange per round, bit-replayable
+        from split_merge_partitioner_spark.graph import wl_colors
+
+        return wl_colors(_edges(spark, sf), n_rounds=3)
+
     def q_rrf_knn(spark, sf):
         # reciprocal-rank fusion (functions/similarity.py::rrf_fuse) of two
         # independently-quantized retrievers (8-bit and 4-bit top-10) —
@@ -1626,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": q_value_percentiles,
         "rrf_knn": q_rrf_knn,
         "growth_accounting": q_growth_accounting,
+        "wl_colors": q_wl_colors,
     }
 
     # ------------------------------------------------------------------
@@ -3254,6 +3262,32 @@ SELECT start, CAST(walk AS BIGINT) AS walk, CAST(step AS BIGINT) AS step, vertex
 FROM ({_walk_union})
 """
 
+    # -- wl_colors oracle -----------------------------------------------------
+    # 3 rounds of 1-WL: wrapping-sum multiset hash of neighbor sm64 colors
+    # (SUM in HUGEINT then mod 2^64), own color added, re-finalized; 63-bit
+    # masked output — the graph/wl.py chain replayed exactly
+    _wl_ctes = [
+        "wund AS (SELECT src AS w, dst AS n FROM edges"
+        " UNION ALL SELECT dst, src FROM edges)",
+        "wdeg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS degree FROM wund GROUP BY w)",
+        f"wc0 AS (SELECT w AS v, {_sm64_sql('degree')} AS c FROM wdeg)",
+    ]
+    for _t in range(1, 4):
+        _wl_ctes.append(f"""wh{_t} AS (
+  SELECT a.w AS v,
+         CAST(SUM(CAST({_sm64_sql('c.c')} AS HUGEINT))
+              % 18446744073709551616 AS UBIGINT) AS s
+  FROM wund a JOIN wc{_t - 1} c ON c.v = a.n
+  GROUP BY a.w)""")
+        _wl_ctes.append(f"""wc{_t} AS (
+  SELECT p.v, {_sm64_sql(f'((CAST(p.c AS HUGEINT) + CAST(h.s AS HUGEINT)) % 18446744073709551616)')} AS c
+  FROM wc{_t - 1} p JOIN wh{_t} h ON h.v = p.v)""")
+    wl_colors_sql = f"""
+WITH {_EDGES_CTE},
+{','.join(_wl_ctes)}
+SELECT v AS vertex, CAST(c % 9223372036854775808 AS BIGINT) AS color FROM wc3
+"""
+
     # -- node2vec oracle ----------------------------------------------------
     # second-order biased walks (graph/walks.py::node2vec_walks): first hop
     # = the uniform index pick; later hops classify each neighbor of cur
@@ -4743,6 +4777,7 @@ FROM documents
         "value_percentiles": value_percentiles_sql,
         "rrf_knn": rrf_knn_sql,
         "growth_accounting": growth_accounting_sql,
+        "wl_colors": wl_colors_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic
         # across engines): fsm_assign, fsm_stats (hep_local expansion kernels;
         # the dbh-portable flavor IS oracled above), hdrf_bucket_sizes,

@@ -42,4 +42,5 @@ from .neighbor_sample import layerwise_neighbor_sample  # noqa: F401
 from .louvain import contract_by_community, louvain, louvain_local_move  # noqa: F401
 from .katz import katz_centrality  # noqa: F401
 from .salsa import salsa_scores  # noqa: F401
+from .wl import wl_colors  # noqa: F401
 from .dag import topological_levels  # noqa: F401

@@ -1,0 +1,91 @@
+"""Weisfeiler-Leman (1-WL / color refinement) vertex fingerprints.
+
+The classic isomorphism-refinement iteration — color_{t+1}(v) =
+HASH(color_t(v), {{color_t(u) : u in N(v)}}) — is also the standard
+structural-feature generator for graph ML (WL kernels, GIN features) and a
+cheap "did the topology change" fingerprint for graph diffs.
+
+Hash discipline (the walks.py / hyperanf.py recipe): the multiset is
+combined ORDER-INVARIANTLY as a wrapping 64-bit sum of splitmix64(color_u),
+added to the vertex's own color, and re-finalized with splitmix64 — four
+wrapping BIGINT expressions per round, zero Python, and bit-replayable in
+DuckDB via the HUGEINT mod-2^64 machinery.  Non-cryptographic by design:
+a wrapping-sum multiset hash can collide adversarially, which is
+irrelevant for refinement fingerprints (documented; the same contract as
+every WL implementation that hashes).
+
+Two same-degree vertices whose neighborhoods differ split into different
+colors within diameter rounds; the DISTINCT color count per round is the
+classic refinement-progress signal.
+
+Plan shape per round: the static doubled adjacency is hash-partitioned
+once by the gather key and reused; each round is one co-located join
+(colors arrive partitioned by vertex from the previous groupBy) + ONE
+map-side-combined exchange — the exact-integer superstep family's plan
+(eigencentrality/hits), with wrapping adds instead of decimal sums.
+
+Requires spark.sql.ansi.enabled=false for Java wraparound (asserted), like
+walks.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..storage import release
+from .walks import _sm64
+
+_MASK63 = (1 << 63) - 1
+
+
+def wl_colors(edges: DataFrame, n_rounds: int = 3) -> DataFrame:
+    """(vertex, color) after ``n_rounds`` of 1-WL refinement over the
+    undirected graph; color_0 = splitmix64(degree), output masked to 63
+    bits (non-negative BIGINT, engine-portable)."""
+    if n_rounds < 0:
+        raise ValueError("n_rounds must be >= 0")
+    spark = edges.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # flip ANSI off for Java wraparound, restore on exit (walks.py contract)
+    ansi_was = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    adj = None
+    try:
+        und = edges.select(F.col("src").alias("v"), F.col("dst").alias("u")).unionAll(
+            edges.select(F.col("dst").alias("v"), F.col("src").alias("u"))
+        )
+        adj = und.repartition(shuffle_n, "u").localCheckpoint(eager=True)
+        colors = (
+            adj.groupBy("v")
+            .agg(F.count(F.lit(1)).alias("degree"))
+            .select("v", _sm64(F.col("degree")).alias("c"))
+            .repartition(shuffle_n, "v")
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(n_rounds):
+            prev = colors
+            nbr = (
+                adj.join(
+                    colors.select(F.col("v").alias("u"), "c").hint("shuffle_hash"),
+                    "u",
+                )
+                .groupBy("v")
+                .agg(F.sum(_sm64(F.col("c"))).alias("s"))  # wrapping multiset sum
+            )
+            colors = (
+                prev.join(nbr.hint("shuffle_hash"), "v")
+                .select("v", _sm64(F.col("c") + F.col("s")).alias("c"))
+                .localCheckpoint(eager=True)
+            )
+            release(prev)
+        # materialize the masked output while ANSI is still off (the mask
+        # itself is overflow-free, but the lazy _sm64 lineage would not be)
+        return colors.select(
+            F.col("v").alias("vertex"),
+            F.col("c").bitwiseAND(F.lit(_MASK63)).alias("color"),
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi_was)
+        if adj is not None:
+            release(adj)
