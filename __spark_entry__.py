@@ -1222,6 +1222,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return wl_colors(_edges(spark, sf), n_rounds=3)
 
+    def q_bowtie(spark, sf):
+        # Broder bow-tie decomposition (graph/bowtie.py): CORE/IN/OUT/TUBE/
+        # TENDRIL/DISC relative to the largest SCC, on the same functional
+        # digraph as q_scc; oracle = full transitive-closure replay
+        from split_merge_partitioner_spark.graph import bowtie_classes
+
+        dv = _docs(spark, sf).select(F.col("doc_id").alias("v"))
+        dir_edges = dv.select(
+            F.col("v").alias("src"), ((F.lit(7) * F.col("v") + 3) % 500).alias("dst")
+        ).unionAll(
+            dv.where(F.col("v") % 5 == 0).select(
+                F.col("v").alias("src"),
+                ((F.lit(31) * F.col("v") + 17) % 500).alias("dst"),
+            )
+        )
+        out, _ = bowtie_classes(dir_edges)
+        return out
+
     def q_rrf_knn(spark, sf):
         # reciprocal-rank fusion (functions/similarity.py::rrf_fuse) of two
         # independently-quantized retrievers (8-bit and 4-bit top-10) —
@@ -1634,6 +1652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_knn": q_rrf_knn,
         "growth_accounting": q_growth_accounting,
         "wl_colors": q_wl_colors,
+        "bowtie": q_bowtie,
     }
 
     # ------------------------------------------------------------------
@@ -1954,6 +1973,53 @@ reach(v, r) AS (
 SELECT f.v AS vertex, CAST(MIN(f.r) AS BIGINT) AS component
 FROM reach f JOIN reach b ON f.v = b.r AND f.r = b.v
 GROUP BY f.v
+"""
+
+    # bow-tie oracle (graph/bowtie.py): same transitive closure as scc_sql;
+    # CORE = largest SCC (tie: min id), fwd/bwd = closure rows of the core's
+    # min vertex, TUBE/TENDRIL via closure from IN / to OUT (exact for
+    # rest-set vertices — paths through CORE/OUT would reclassify the target)
+    bowtie_sql = """
+WITH RECURSIVE dv AS (SELECT doc_id AS v FROM documents),
+dir AS (
+    SELECT v AS a, (7 * v + 3) % 500 AS b FROM dv
+    UNION ALL
+    SELECT v, (31 * v + 17) % 500 FROM dv WHERE v % 5 = 0
+),
+verts AS (
+    SELECT DISTINCT v FROM (SELECT a AS v FROM dir UNION ALL SELECT b FROM dir)
+),
+reach(v, r) AS (
+    SELECT v, v FROM verts
+    UNION
+    SELECT reach.v, dir.b FROM reach JOIN dir ON reach.r = dir.a
+),
+comp AS (
+    SELECT f.v, MIN(f.r) AS c
+    FROM reach f JOIN reach b ON f.v = b.r AND f.r = b.v
+    GROUP BY f.v
+),
+core_pick AS (SELECT c FROM comp GROUP BY c ORDER BY COUNT(*) DESC, c ASC LIMIT 1),
+core AS (SELECT v FROM comp WHERE c = (SELECT c FROM core_pick)),
+fwd AS (SELECT r AS v FROM reach WHERE v = (SELECT c FROM core_pick)),
+bwd AS (SELECT v FROM reach WHERE r = (SELECT c FROM core_pick)),
+ins AS (SELECT b.v FROM bwd b LEFT JOIN fwd f ON f.v = b.v WHERE f.v IS NULL),
+outs AS (SELECT f.v FROM fwd f LEFT JOIN bwd b ON b.v = f.v WHERE b.v IS NULL),
+rf AS (SELECT DISTINCT r.r AS v FROM reach r JOIN ins i ON r.v = i.v),
+rb AS (SELECT DISTINCT r.v AS v FROM reach r JOIN outs o ON r.r = o.v)
+SELECT CAST(vt.v AS BIGINT) AS vertex,
+       CASE WHEN c.v IS NOT NULL THEN 'CORE'
+            WHEN i.v IS NOT NULL THEN 'IN'
+            WHEN o.v IS NOT NULL THEN 'OUT'
+            WHEN f.v IS NOT NULL AND bb.v IS NOT NULL THEN 'TUBE'
+            WHEN f.v IS NOT NULL OR bb.v IS NOT NULL THEN 'TENDRIL'
+            ELSE 'DISC' END AS cls
+FROM verts vt
+LEFT JOIN core c ON c.v = vt.v
+LEFT JOIN ins i ON i.v = vt.v
+LEFT JOIN outs o ON o.v = vt.v
+LEFT JOIN rf f ON f.v = vt.v
+LEFT JOIN rb bb ON bb.v = vt.v
 """
 
     # snapshot-diff oracles (graph/diff.py): pure set algebra — full
@@ -4778,6 +4844,7 @@ FROM documents
         "rrf_knn": rrf_knn_sql,
         "growth_accounting": growth_accounting_sql,
         "wl_colors": wl_colors_sql,
+        "bowtie": bowtie_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic
         # across engines): fsm_assign, fsm_stats (hep_local expansion kernels;
         # the dbh-portable flavor IS oracled above), hdrf_bucket_sizes,
