@@ -1240,6 +1240,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out, _ = bowtie_classes(dir_edges)
         return out
 
+    def q_scc_condensation(spark, sf):
+        # condensation DAG of the SCC labels (graph/scc.py): distinct
+        # cross-component edges with crossing counts; acyclic by
+        # construction, oracle = closure-derived comp labels + group
+        from split_merge_partitioner_spark.graph import scc_condensation
+
+        dv = _docs(spark, sf).select(F.col("doc_id").alias("v"))
+        dir_edges = dv.select(
+            F.col("v").alias("src"), ((F.lit(7) * F.col("v") + 3) % 500).alias("dst")
+        ).unionAll(
+            dv.where(F.col("v") % 5 == 0).select(
+                F.col("v").alias("src"),
+                ((F.lit(31) * F.col("v") + 17) % 500).alias("dst"),
+            )
+        )
+        return scc_condensation(dir_edges)
+
+    def q_mutual_knn(spark, sf):
+        # symmetric mutual-kNN graph (functions/similarity.py): edges kept
+        # iff both endpoints are in each other's int8-quantized top-10 —
+        # exact-integer weights, value-hash oracle
+        from split_merge_partitioner_spark.functions.similarity import (
+            mutual_knn_graph,
+        )
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        return mutual_knn_graph(emb, k=10, bits=8)
+
+    def q_assoc_rules(spark, sf):
+        # market-basket association rules over (order, part) baskets
+        # (functions/olap.py::association_rules): directed pairs with
+        # floor-ppm support/confidence/lift — pure integer metrics
+        from split_merge_partitioner_spark.functions.olap import association_rules
+
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        baskets = li.select(
+            F.col("l_orderkey").alias("basket_id"),
+            F.col("l_partkey").cast("long").alias("item"),
+        )
+        return association_rules(baskets, min_pairs=3)
+
     def q_rrf_knn(spark, sf):
         # reciprocal-rank fusion (functions/similarity.py::rrf_fuse) of two
         # independently-quantized retrievers (8-bit and 4-bit top-10) —
@@ -1653,6 +1694,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "growth_accounting": q_growth_accounting,
         "wl_colors": q_wl_colors,
         "bowtie": q_bowtie,
+        "scc_condensation": q_scc_condensation,
+        "mutual_knn": q_mutual_knn,
+        "assoc_rules": q_assoc_rules,
     }
 
     # ------------------------------------------------------------------
@@ -2020,6 +2064,107 @@ LEFT JOIN ins i ON i.v = vt.v
 LEFT JOIN outs o ON o.v = vt.v
 LEFT JOIN rf f ON f.v = vt.v
 LEFT JOIN rb bb ON bb.v = vt.v
+"""
+
+    # condensation-DAG oracle (graph/scc.py::scc_condensation): comp labels
+    # from the same closure as scc_sql, then a label join + group over the
+    # deduped self-loop-free edge set
+    scc_condensation_sql = """
+WITH RECURSIVE dv AS (SELECT doc_id AS v FROM documents),
+dir AS (
+    SELECT v AS a, (7 * v + 3) % 500 AS b FROM dv
+    UNION ALL
+    SELECT v, (31 * v + 17) % 500 FROM dv WHERE v % 5 = 0
+),
+e AS (SELECT DISTINCT a, b FROM dir WHERE a <> b),
+verts AS (
+    SELECT DISTINCT v FROM (SELECT a AS v FROM dir UNION ALL SELECT b FROM dir)
+),
+reach(v, r) AS (
+    SELECT v, v FROM verts
+    UNION
+    SELECT reach.v, dir.b FROM reach JOIN dir ON reach.r = dir.a
+),
+comp AS (
+    SELECT f.v, MIN(f.r) AS c
+    FROM reach f JOIN reach b ON f.v = b.r AND f.r = b.v
+    GROUP BY f.v
+)
+SELECT CAST(cs.c AS BIGINT) AS src_comp, CAST(cd.c AS BIGINT) AS dst_comp,
+       CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM e JOIN comp cs ON cs.v = e.a JOIN comp cd ON cd.v = e.b
+WHERE cs.c <> cd.c
+GROUP BY 1, 2
+"""
+
+    # mutual-kNN oracle (functions/similarity.py::mutual_knn_graph): the
+    # knn_quantized pipeline at k=10, then a pair self-join keeping edges
+    # present in both directions, canonicalized src < dst
+    mutual_knn_sql = """
+WITH q AS (
+    SELECT vec_id, embedding,
+           CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+               AS scale
+    FROM embeddings
+),
+qq AS (
+    SELECT vec_id, scale,
+           CASE WHEN scale = 0
+                THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                ELSE list_transform(embedding,
+                     x -> CAST(floor((CAST(x AS DOUBLE) * 127.0) / scale + 0.5)
+                               AS BIGINT)) END AS qvec
+    FROM q
+),
+pairs AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           CAST(list_sum(list_transform(generate_series(1, len(a.qvec)),
+                                        i -> a.qvec[i] * b.qvec[i])) AS BIGINT)
+               AS qdot,
+           a.scale AS sa, b.scale AS sb
+    FROM qq a JOIN qq b ON a.vec_id <> b.vec_id
+),
+rk AS (
+    SELECT query_id, neighbor_id, qdot,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY (CAST(qdot AS DOUBLE) * sa) * sb DESC,
+                                       neighbor_id ASC) AS rank
+    FROM pairs
+),
+topk AS (SELECT query_id, neighbor_id, qdot FROM rk WHERE rank <= 10)
+SELECT f.query_id AS src, f.neighbor_id AS dst, f.qdot
+FROM topk f
+JOIN topk r ON r.query_id = f.neighbor_id AND r.neighbor_id = f.query_id
+WHERE f.query_id < f.neighbor_id
+"""
+
+    # association-rules oracle (functions/olap.py::association_rules):
+    # distinct (order, part) baskets; all metrics are floor-ppm integer
+    # divisions, replayed verbatim (// in DuckDB on BIGINTs == Spark DIV)
+    assoc_rules_sql = """
+WITH b AS (
+    SELECT DISTINCT l_orderkey AS basket, CAST(l_partkey AS BIGINT) AS item
+    FROM lineitem
+),
+ok AS (SELECT basket FROM b GROUP BY basket HAVING COUNT(*) <= 1000),
+bb AS (SELECT b.basket, b.item FROM b JOIN ok USING (basket)),
+nb AS (SELECT COUNT(DISTINCT basket) AS n FROM bb),
+itn AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS item_n FROM bb GROUP BY item),
+pr AS (
+    SELECT l.item AS antecedent, r.item AS consequent,
+           CAST(COUNT(*) AS BIGINT) AS pair_n
+    FROM bb l JOIN bb r ON l.basket = r.basket AND l.item <> r.item
+    GROUP BY 1, 2 HAVING COUNT(*) >= 3
+)
+SELECT pr.antecedent, pr.consequent, pr.pair_n,
+       CAST(1000000 * pr.pair_n // nb.n AS BIGINT) AS support_ppm,
+       CAST(1000000 * pr.pair_n // a.item_n AS BIGINT) AS confidence_ppm,
+       CAST(1000000 * pr.pair_n * nb.n // (a.item_n * c.item_n) AS BIGINT)
+           AS lift_ppm
+FROM pr
+JOIN itn a ON a.item = pr.antecedent
+JOIN itn c ON c.item = pr.consequent
+CROSS JOIN nb
 """
 
     # snapshot-diff oracles (graph/diff.py): pure set algebra — full
@@ -4845,6 +4990,9 @@ FROM documents
         "growth_accounting": growth_accounting_sql,
         "wl_colors": wl_colors_sql,
         "bowtie": bowtie_sql,
+        "scc_condensation": scc_condensation_sql,
+        "mutual_knn": mutual_knn_sql,
+        "assoc_rules": assoc_rules_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic
         # across engines): fsm_assign, fsm_stats (hep_local expansion kernels;
         # the dbh-portable flavor IS oracled above), hdrf_bucket_sizes,

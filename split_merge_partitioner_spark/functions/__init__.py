@@ -10,7 +10,7 @@ from .dedup import (  # noqa: F401
 from .decontam import ngram_contamination  # noqa: F401
 from .pipeline import clean_corpus  # noqa: F401
 from .hashing import rolling_fingerprint, sha256_udf, verify_content_sha256  # noqa: F401
-from .similarity import brute_force_knn, ivf_knn, lsh_knn  # noqa: F401
+from .similarity import brute_force_knn, ivf_knn, lsh_knn, mutual_knn_graph  # noqa: F401
 from .hll import approx_distinct, hll_registers  # noqa: F401
 from .text import (  # noqa: F401
     bigram_coherence,
@@ -27,3 +27,4 @@ from .sampling import (  # noqa: F401
     sample_hash,
     stratified_sample,
 )
+from .olap import association_rules, revenue_rollup  # noqa: F401

@@ -51,3 +51,89 @@ def revenue_rollup(
             F.sum("rev_micros").alias("revenue_micros"),
         )
     )
+
+
+def association_rules(
+    baskets: DataFrame,
+    basket_col: str = "basket_id",
+    item_col: str = "item",
+    min_pairs: int = 5,
+    max_basket: int = 1000,
+) -> DataFrame:
+    """Market-basket association rules over (basket, item) rows:
+    (antecedent, consequent, pair_n, support_ppm, confidence_ppm,
+    lift_ppm) for every DIRECTED item pair co-occurring in >= ``min_pairs``
+    baskets.  All three metrics are floor-scaled parts-per-million BIGINTs
+    (pure integer division), so the result is bit-stable and hash-matchable
+    cross-engine:
+
+    - support_ppm    = 1e6 * pair_n // n_baskets
+    - confidence_ppm = 1e6 * pair_n // antecedent_n
+    - lift_ppm       = 1e6 * pair_n * n_baskets // (antecedent_n * consequent_n)
+
+    Execution: one distinct (basket, item) scan, one self-join per basket
+    key for the pair counts (map-side combined groupBy), two broadcast-able
+    item-frequency joins, and a single 1-row collect for n_baskets
+    (constant size).  Pair volume is quadratic in basket SIZE, so baskets
+    larger than ``max_basket`` items are excluded up front (the standard
+    truncation for degenerate mega-baskets; at TPC-H shape baskets are
+    ~4-7 items and nothing is dropped).  n_baskets counts the post-cap
+    basket universe so the three ppm metrics stay mutually consistent.
+    """
+    b = (
+        baskets.select(
+            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+        )
+        .distinct()
+    )
+    ok = (
+        b.groupBy("basket")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .where(F.col("sz") <= max_basket)
+        .select("basket")
+    )
+    b = b.join(ok, "basket", "left_semi")
+    n_baskets = b.select("basket").distinct().count()
+    item_n = b.groupBy("item").agg(F.count(F.lit(1)).alias("item_n"))
+    lhs = b.select("basket", F.col("item").alias("antecedent"))
+    rhs = b.select("basket", F.col("item").alias("consequent"))
+    pairs = (
+        lhs.join(rhs, "basket")
+        .where(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .where(F.col("pair_n") >= min_pairs)
+    )
+    M = F.lit(1000000).cast("long")
+    return (
+        pairs.join(
+            item_n.select(F.col("item").alias("antecedent"), F.col("item_n").alias("a_n")),
+            "antecedent",
+        )
+        .join(
+            item_n.select(F.col("item").alias("consequent"), F.col("item_n").alias("c_n")),
+            "consequent",
+        )
+        .select(
+            "antecedent",
+            "consequent",
+            "pair_n",
+            F.expr(f"CAST(1000000 * pair_n AS BIGINT) DIV {n_baskets}").alias(
+                "support_ppm"
+            ),
+            (M * F.col("pair_n")).cast("long").alias("_cp"),
+            "a_n",
+            "c_n",
+        )
+        .select(
+            "antecedent",
+            "consequent",
+            "pair_n",
+            "support_ppm",
+            F.expr("_cp DIV a_n").alias("confidence_ppm"),
+            F.expr(
+                f"CAST(1000000 * pair_n * CAST({n_baskets} AS BIGINT) AS BIGINT)"
+                " DIV (a_n * c_n)"
+            ).alias("lift_ppm"),
+        )
+    )

@@ -644,3 +644,43 @@ def rrf_fuse(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def mutual_knn_graph(
+    emb: DataFrame | None = None,
+    k: int = 10,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    knn: DataFrame | None = None,
+) -> DataFrame:
+    """Symmetric (mutual) kNN graph over an embedding column: canonical
+    undirected edges (src, dst, qdot) kept iff BOTH directions appear in
+    each other's top-k — the standard noise-robust graph construction for
+    embedding clustering/dedup (mutual-kNN prunes hub-induced asymmetric
+    links that plain kNN graphs keep).
+
+    Built on knn_quantized, so the edge weight ``qdot`` is an exact-integer
+    dot product (symmetric by commutativity) and the whole result is
+    bit-stable / oracle-matchable.  Pass ``knn=`` to reuse an existing
+    (query_id, neighbor_id, qdot, rank) result — at 100 TB that is the
+    retrieve-then-rerank output (lsh/ivf candidates reranked by
+    knn_quantized), so the mutuality filter is one self-join co-partitioned
+    on the pair key over k·n rows, never n².
+    """
+    r = (
+        knn
+        if knn is not None
+        else knn_quantized(emb, k=k, bits=bits, id_col=id_col, vec_col=vec_col)
+    )
+    fwd = r.select(
+        F.col("query_id").alias("u"), F.col("neighbor_id").alias("v"), "qdot"
+    )
+    rev = r.select(
+        F.col("neighbor_id").alias("u"), F.col("query_id").alias("v")
+    )
+    return (
+        fwd.join(rev, ["u", "v"], "left_semi")
+        .where(F.col("u") < F.col("v"))
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"), "qdot")
+    )

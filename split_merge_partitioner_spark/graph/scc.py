@@ -196,3 +196,43 @@ def strongly_connected_components(
     # `done` is returned AS the checkpointed relation (no projection wrapper)
     # so storage.release(result) hands the caller full ownership of its blocks
     return done, info
+
+
+def scc_condensation(edges: DataFrame, **scc_kwargs) -> DataFrame:
+    """Condensation DAG of the directed graph: one row per distinct
+    (src_comp, dst_comp) pair of DIFFERENT SCCs with an edge between them,
+    with ``n_edges`` = how many (deduped, self-loop-free) edges cross —
+    the macro-DAG a crawler/scheduler actually plans over once SCCs are
+    collapsed.  Provably acyclic, so it composes with dag.topological_levels.
+
+    Execution: one SCC call, then two broadcast-or-shuffle label joins on
+    the edge relation and a map-side-combined groupBy — nothing beyond the
+    SCC cost itself.
+    """
+    labels, _ = strongly_connected_components(edges, **scc_kwargs)
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    out = (
+        e.join(
+            labels.select(
+                F.col("vertex").alias("src"), F.col("component").alias("src_comp")
+            ),
+            "src",
+        )
+        .join(
+            labels.select(
+                F.col("vertex").alias("dst"), F.col("component").alias("dst_comp")
+            ),
+            "dst",
+        )
+        .where(F.col("src_comp") != F.col("dst_comp"))
+        .groupBy("src_comp", "dst_comp")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+        # materialize before releasing the labels the plan reads
+        .localCheckpoint(eager=True)
+    )
+    release(labels)
+    return out
