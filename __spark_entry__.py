@@ -1281,6 +1281,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return association_rules(baskets, min_pairs=3)
 
+    def q_rolling_activity(spark, sf):
+        # trailing-7-day per-user engagement panel (functions/events.py::
+        # rolling_user_activity): groupBy(user, day) then a RANGE window —
+        # integer day + micros, value-exact
+        from split_merge_partitioner_spark.functions.events import (
+            rolling_user_activity,
+        )
+
+        return rolling_user_activity(spark.read.parquet(f"{sf}/events.parquet"))
+
+    def q_rfm_segments(spark, sf):
+        # RFM quartile segmentation (functions/events.py::rfm_segments):
+        # NTILE under a total order (metric desc, user tie-break)
+        from split_merge_partitioner_spark.functions.events import rfm_segments
+
+        return rfm_segments(spark.read.parquet(f"{sf}/events.parquet"))
+
+    def q_outlier_events(spark, sf):
+        # exact integer 3-sigma outlier flags per event_type
+        # (functions/events.py::outlier_events): cross-multiplied z-test in
+        # DECIMAL(38,0) / HUGEINT — no float stddev anywhere
+        from split_merge_partitioner_spark.functions.events import outlier_events
+
+        return outlier_events(spark.read.parquet(f"{sf}/events.parquet"))
+
     def q_rrf_knn(spark, sf):
         # reciprocal-rank fusion (functions/similarity.py::rrf_fuse) of two
         # independently-quantized retrievers (8-bit and 4-bit top-10) —
@@ -1697,6 +1722,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_condensation": q_scc_condensation,
         "mutual_knn": q_mutual_knn,
         "assoc_rules": q_assoc_rules,
+        "rolling_activity": q_rolling_activity,
+        "rfm_segments": q_rfm_segments,
+        "outlier_events": q_outlier_events,
     }
 
     # ------------------------------------------------------------------
@@ -2165,6 +2193,70 @@ FROM pr
 JOIN itn a ON a.item = pr.antecedent
 JOIN itn c ON c.item = pr.consequent
 CROSS JOIN nb
+"""
+
+    # rolling-activity oracle (functions/events.py::rolling_user_activity):
+    # integer day buckets + micros, RANGE window identical in both engines
+    rolling_activity_sql = """
+WITH pd AS (
+    SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_micros
+    FROM events GROUP BY 1, 2
+)
+SELECT user_id, CAST(day AS BIGINT) AS day, n_events, value_micros,
+       CAST(SUM(n_events) OVER w AS BIGINT) AS n_events_rolling,
+       CAST(SUM(value_micros) OVER w AS BIGINT) AS value_micros_rolling
+FROM pd
+WINDOW w AS (PARTITION BY user_id ORDER BY day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+    # RFM oracle (functions/events.py::rfm_segments): NTILE(4) under the
+    # same total order (metric desc, user_id asc) — deterministic tiling
+    rfm_segments_sql = """
+WITH pu AS (
+    SELECT user_id,
+           CAST(MAX(epoch_us(ts) // 86400000000) AS BIGINT) AS recency_day,
+           CAST(COUNT(*) AS BIGINT) AS frequency,
+           CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+               AS monetary_micros
+    FROM events GROUP BY 1
+),
+tiled AS (
+    SELECT user_id, recency_day, frequency, monetary_micros,
+           CAST(NTILE(4) OVER (ORDER BY recency_day DESC, user_id ASC)
+                AS BIGINT) AS r_tile,
+           CAST(NTILE(4) OVER (ORDER BY frequency DESC, user_id ASC)
+                AS BIGINT) AS f_tile,
+           CAST(NTILE(4) OVER (ORDER BY monetary_micros DESC, user_id ASC)
+                AS BIGINT) AS m_tile
+    FROM pu
+)
+SELECT *, CAST(r_tile * 100 + f_tile * 10 + m_tile AS BIGINT) AS segment
+FROM tiled
+"""
+
+    # outlier oracle (functions/events.py::outlier_events): the
+    # cross-multiplied z-test in HUGEINT (Spark side: DECIMAL(38,0)) —
+    # (n*x - Sx)^2 > k^2 * (n*Sxx - Sx^2), x = value millis, k = 3
+    outlier_events_sql = """
+WITH x AS (
+    SELECT event_id, event_type, CAST(round(value * 1e3) AS BIGINT) AS v
+    FROM events
+),
+m AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS HUGEINT) AS n,
+           SUM(CAST(v AS HUGEINT)) AS sx,
+           SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS sxx
+    FROM x GROUP BY 1
+)
+SELECT x.event_id, x.event_type, x.v AS value_milli,
+       CAST(m.n * x.v - m.sx AS BIGINT) AS dev_scaled
+FROM x JOIN m USING (event_type)
+WHERE (m.n * x.v - m.sx) * (m.n * x.v - m.sx)
+      > 9 * (m.n * m.sxx - m.sx * m.sx)
 """
 
     # snapshot-diff oracles (graph/diff.py): pure set algebra — full
@@ -4993,6 +5085,9 @@ FROM documents
         "scc_condensation": scc_condensation_sql,
         "mutual_knn": mutual_knn_sql,
         "assoc_rules": assoc_rules_sql,
+        "rolling_activity": rolling_activity_sql,
+        "rfm_segments": rfm_segments_sql,
+        "outlier_events": outlier_events_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic
         # across engines): fsm_assign, fsm_stats (hep_local expansion kernels;
         # the dbh-portable flavor IS oracled above), hdrf_bucket_sizes,

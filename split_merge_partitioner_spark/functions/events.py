@@ -605,3 +605,154 @@ def growth_accounting(
             F.lag("n_active").over(w_p) - F.col("n_retained"), F.lit(0)
         ).cast("long").alias("n_churned"),
     )
+
+
+def rolling_user_activity(
+    events: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per (user, active day): event count + value micros that day, plus the
+    trailing ``window_days``-day rolling totals (current day inclusive) —
+    the DAU-style engagement panel.
+
+    Exactness: day = epoch_us // 86_400_000_000 (integer div — the
+    retention_cohorts discipline), value as micros BIGINT, rolling sums via
+    a RANGE window over the integer day (identical semantics in DuckDB).
+
+    Scale: one map-side-combined groupBy(user, day) collapses the event
+    volume to at most (users x active days) rows BEFORE the window; the
+    window partitions by user (no global sort) and its frame is O(window)
+    rows — the standard two-step that keeps a 100 TB event log out of the
+    window operator.
+    """
+    day = (_epoch_us(ts_col) / F.lit(86_400_000_000)).cast("long")
+    per_day = (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            day.alias("day"),
+            F.round(F.col(value_col) * 1e6).cast("long").alias("vm"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("vm").alias("value_micros"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    return per_day.select(
+        "user_id",
+        "day",
+        "n_events",
+        "value_micros",
+        F.sum("n_events").over(w).alias("n_events_rolling"),
+        F.sum("value_micros").over(w).alias("value_micros_rolling"),
+    )
+
+
+def rfm_segments(
+    events: DataFrame,
+    n_tiles: int = 4,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """RFM segmentation: per user recency (last active day), frequency
+    (event count), monetary (value micros sum), each quartiled with
+    NTILE(``n_tiles``) under a TOTAL order (metric desc for best-first,
+    user_id tie-break — no float, no instability), plus the packed
+    ``segment`` code r*100 + f*10 + m (1 = best tile).
+
+    Scale note: NTILE is a single global window (one sort of n_users
+    rows — the REPORT shape, fine for a per-user summary that is ~10^-6 of
+    the event volume).  At 10^12-user scale swap the exact NTILE for
+    percentile cutpoints computed on a sample and broadcast — documented
+    trade, same output schema.
+    """
+    day = (_epoch_us(ts_col) / F.lit(86_400_000_000)).cast("long")
+    per_user = (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            day.alias("day"),
+            F.round(F.col(value_col) * 1e6).cast("long").alias("vm"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("day").alias("recency_day"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("vm").alias("monetary_micros"),
+        )
+    )
+    wr = Window.orderBy(F.col("recency_day").desc(), F.col("user_id").asc())
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc())
+    wm = Window.orderBy(F.col("monetary_micros").desc(), F.col("user_id").asc())
+    return per_user.select(
+        "user_id",
+        "recency_day",
+        "frequency",
+        "monetary_micros",
+        F.ntile(n_tiles).over(wr).cast("long").alias("r_tile"),
+        F.ntile(n_tiles).over(wf).cast("long").alias("f_tile"),
+        F.ntile(n_tiles).over(wm).cast("long").alias("m_tile"),
+    ).withColumn(
+        "segment",
+        (F.col("r_tile") * 100 + F.col("f_tile") * 10 + F.col("m_tile")).cast(
+            "long"
+        ),
+    )
+
+
+def outlier_events(
+    events: DataFrame,
+    k_sigma: int = 3,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Events whose value is a > ``k_sigma``-sigma outlier WITHIN its group
+    (population sigma), decided by EXACT integer arithmetic — no float mean
+    or stddev anywhere, so the flag set is bit-stable and cross-engine
+    hash-matchable.
+
+    The z-test is cross-multiplied into integers: with x = value millis,
+    n/Sx/Sxx the group count and (square) sums,
+
+        |x - mean| > k*sigma   ⇔   n*(n*x - Sx)^2 > k^2 * n * (n*Sxx - Sx^2)
+                               ⇔   (n*x - Sx)^2 > k^2 * (n*Sxx - Sx^2)
+
+    evaluated in DECIMAL(38,0) (HUGEINT in the oracle) — exact up to 38
+    digits, far beyond the ~1e22 magnitudes here.  Execution: one
+    map-side-combined groupBy for the moments (decimal sums), a broadcast
+    join back onto the scan (groups are few), and a pure-column predicate.
+    """
+    x = F.round(F.col(value_col) * 1e3).cast("long")
+    base = events.withColumn("__x__", x)
+    mom = base.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("__x__").cast("decimal(38,0)")).alias("sx"),
+        F.sum(
+            (F.col("__x__").cast("decimal(38,0)") * F.col("__x__").cast("decimal(38,0)"))
+        ).alias("sxx"),
+    )
+    j = base.join(F.broadcast(mom), group_col)
+    dev = F.col("n") * F.col("__x__").cast("decimal(38,0)") - F.col("sx")
+    lhs = dev * dev
+    rhs = F.lit(k_sigma * k_sigma).cast("decimal(38,0)") * (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        j.where(lhs > rhs)
+        .select(
+            F.col("event_id"),
+            F.col(group_col),
+            F.col("__x__").alias("value_milli"),
+            # n*x - Sx fits comfortably in int64 (n ~ 1e5 groups x value
+            # millis ~ 1e6 → ~1e11); only the SQUARED terms need decimal
+            dev.cast("long").alias("dev_scaled"),
+        )
+    )
