@@ -1306,6 +1306,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return outlier_events(spark.read.parquet(f"{sf}/events.parquet"))
 
+    def q_eccentricity(spark, sf):
+        # per-seed eccentricity / reach profile (graph/closeness.py::
+        # eccentricity_profile): same top-4-degree seeds and 8-hop horizon
+        # as q_harmonic_closeness, aggregated per SEED — diameter/radius
+        # bound bookkeeping from exact BFS
+        from split_merge_partitioner_spark.graph import eccentricity_profile
+        from split_merge_partitioner_spark.sources import degrees as degrees_of
+
+        e = _edges(spark, sf).persist()
+        seeds = [
+            int(r["vertex"])
+            for r in degrees_of(e)
+            .orderBy(F.desc("degree"), F.asc("vertex"))
+            .limit(4)
+            .collect()
+        ]
+        return eccentricity_profile(e, seeds, max_dist=8)
+
+    def q_vocab_growth(spark, sf):
+        # Heaps'-law vocabulary growth curve (functions/text.py::
+        # vocab_growth): per 50-doc bucket, tokens + first-occurrence new
+        # types + cumulative totals — order-free exact integers
+        from split_merge_partitioner_spark.functions.text import vocab_growth
+
+        return vocab_growth(_docs(spark, sf), bucket_size=50)
+
     def q_rrf_knn(spark, sf):
         # reciprocal-rank fusion (functions/similarity.py::rrf_fuse) of two
         # independently-quantized retrievers (8-bit and 4-bit top-10) —
@@ -1725,6 +1751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_activity": q_rolling_activity,
         "rfm_segments": q_rfm_segments,
         "outlier_events": q_outlier_events,
+        "vocab_growth": q_vocab_growth,
+        "eccentricity": q_eccentricity,
     }
 
     # ------------------------------------------------------------------
@@ -2193,6 +2221,33 @@ FROM pr
 JOIN itn a ON a.item = pr.antecedent
 JOIN itn c ON c.item = pr.consequent
 CROSS JOIN nb
+"""
+
+    # vocab-growth oracle (functions/text.py::vocab_growth): min(doc_id)
+    # first occurrence per token — order-free, no token-stream window
+    vocab_growth_sql = r"""
+WITH tk AS (
+    SELECT doc_id AS d,
+           UNNEST(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                       ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+                  END) AS tok
+    FROM documents
+),
+bt AS (
+    SELECT d // 50 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM tk GROUP BY 1
+),
+fs AS (SELECT tok, MIN(d) AS d0 FROM tk GROUP BY tok),
+nt AS (
+    SELECT d0 // 50 AS bucket, CAST(COUNT(*) AS BIGINT) AS new_types
+    FROM fs GROUP BY 1
+)
+SELECT CAST(bt.bucket AS BIGINT) AS bucket, bt.n_tokens,
+       CAST(COALESCE(nt.new_types, 0) AS BIGINT) AS new_types,
+       CAST(SUM(bt.n_tokens) OVER (ORDER BY bt.bucket) AS BIGINT) AS cum_tokens,
+       CAST(SUM(COALESCE(nt.new_types, 0)) OVER (ORDER BY bt.bucket) AS BIGINT)
+           AS cum_types
+FROM bt LEFT JOIN nt ON nt.bucket = bt.bucket
 """
 
     # rolling-activity oracle (functions/events.py::rolling_user_activity):
@@ -3220,6 +3275,21 @@ FROM universe u LEFT JOIN scores s ON s.vertex = u.vertex
 """
 
     harmonic_closeness_sql = _harmonic_sql_for(_EDGES_CTE)
+
+    # eccentricity oracle (graph/closeness.py::eccentricity_profile): the
+    # SAME seed selection and 8-level min-merge BFS CTEs as the harmonic
+    # oracle, aggregated per seed instead of per vertex
+    eccentricity_sql = f"""
+WITH {_DEGREES_CTE},
+und AS (SELECT src AS frm, dst AS t FROM edges UNION ALL SELECT dst, src FROM edges),
+hseeds AS (SELECT vertex AS seed FROM degrees ORDER BY degree DESC, vertex ASC LIMIT 4),
+{','.join(_hc_ctes)}
+SELECT seed,
+       CAST(MAX(dist) AS BIGINT) AS ecc,
+       CAST(SUM(CASE WHEN dist >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_reached,
+       CAST(SUM(dist) AS BIGINT) AS sum_dist
+FROM b8 GROUP BY seed
+"""
 
     approx_diameter_sql = bfs_common + """,
 far AS (SELECT v FROM d1 ORDER BY d DESC, v ASC LIMIT 1),
@@ -5088,6 +5158,8 @@ FROM documents
         "rolling_activity": rolling_activity_sql,
         "rfm_segments": rfm_segments_sql,
         "outlier_events": outlier_events_sql,
+        "vocab_growth": vocab_growth_sql,
+        "eccentricity": eccentricity_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic
         # across engines): fsm_assign, fsm_stats (hep_local expansion kernels;
         # the dbh-portable flavor IS oracled above), hdrf_bucket_sizes,

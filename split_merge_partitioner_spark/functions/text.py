@@ -507,3 +507,58 @@ def collocation_lift(
             F.expr(f"(c_ab * {n}L * 1000000L) div (c_a * c_b)").alias("lift_ppm"),
         )
     )
+
+
+def vocab_growth(
+    docs: DataFrame,
+    bucket_size: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: documents in ``id_col`` order,
+    bucketed into groups of ``bucket_size`` ids; per bucket the token count,
+    the NEW distinct types (tokens whose corpus-first occurrence falls in
+    the bucket), and the cumulative token/type totals.  V(n) vs n is the
+    Heaps curve; a flattening cum_types signals a saturating (likely
+    duplicated/templated) corpus — the standard pretraining-data health
+    panel.
+
+    All-integer and order-free: "first occurrence" is min(doc_id) per token
+    (no window over the token stream), so the result is exact under any
+    partitioning.  Execution: one explode scan, two map-side-combined
+    groupBys (per-bucket tokens; per-token min-doc then per-bucket counts),
+    and ONE tiny global-window cumsum over n_docs/bucket_size rows — the
+    report relation, never the corpus.  Buckets whose documents contain no
+    tokens emit nothing (documented; the curve is over observed text).
+    """
+    if bucket_size < 1:
+        raise ValueError("bucket_size must be >= 1")
+    tk = docs.select(
+        F.col(id_col).alias("__d__"), F.explode(_token_array(text_col)).alias("tok")
+    )
+    bucket = F.expr(f"CAST(__d__ DIV {bucket_size} AS BIGINT)")
+    bt = tk.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    fs = tk.groupBy("tok").agg(F.min("__d__").alias("__d__"))
+    nt = fs.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("new_types")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        bt.join(nt, "bucket", "left")
+        .select(
+            "bucket",
+            "n_tokens",
+            F.coalesce("new_types", F.lit(0)).cast("long").alias("new_types"),
+        )
+        .select(
+            "bucket",
+            "n_tokens",
+            "new_types",
+            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+            F.sum("new_types").over(w).cast("long").alias("cum_types"),
+        )
+    )

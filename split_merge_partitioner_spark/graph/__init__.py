@@ -46,3 +46,4 @@ from .wl import wl_colors  # noqa: F401
 from .dag import topological_levels  # noqa: F401
 from .bowtie import bowtie_classes  # noqa: F401
 from .scc import scc_condensation  # noqa: F401
+from .closeness import eccentricity_profile  # noqa: F401

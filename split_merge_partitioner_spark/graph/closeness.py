@@ -40,6 +40,52 @@ from pyspark.sql import functions as F
 from ..storage import release
 
 
+def _seed_bfs(edges: DataFrame, seeds: list[int], max_dist: int, scratch: list):
+    """Batched exact BFS from ``seeds`` over the undirected edge table:
+    returns (und, visited) where visited = (seed, v, dist) rows for every
+    vertex within ``max_dist`` hops of each seed (dist 0 = the seed itself).
+    All checkpointed intermediates (including the returned relations) are
+    appended to ``scratch`` — the caller's finally block owns the release.
+    One co-located join + distinct + anti-join per level; all seeds ride a
+    single state relation, so job count is the eccentricity bound, not
+    |seeds|."""
+    spark = edges.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    und = (
+        edges.select(F.col("src").alias("v"), F.col("dst").alias("nb"))
+        .unionAll(edges.select(F.col("dst").alias("v"), F.col("src").alias("nb")))
+        .repartition(shuffle_n, "v")
+        .localCheckpoint(eager=True)
+    )
+    scratch.append(und)
+    seed_rows = [(int(s),) for s in sorted(set(seeds))]
+    frontier = (
+        spark.createDataFrame(seed_rows, "seed long")
+        .select("seed", F.col("seed").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    scratch.append(frontier)
+    visited = frontier.select("seed", "v", F.lit(0).cast("long").alias("dist"))
+    for t in range(1, max_dist + 1):
+        nxt = (
+            frontier.hint("shuffle_hash")
+            .join(und, "v")
+            .select("seed", F.col("nb").alias("v"))
+            .distinct()
+            .join(visited.select("seed", "v"), ["seed", "v"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        scratch.append(nxt)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionAll(
+            nxt.select("seed", "v", F.lit(t).cast("long").alias("dist"))
+        ).localCheckpoint(eager=True)
+        scratch.append(visited)
+        frontier = nxt
+    return und, visited
+
+
 def harmonic_closeness(
     edges: DataFrame,
     seeds: list[int],
@@ -66,43 +112,11 @@ def harmonic_closeness(
         )
     big_l = math.lcm(*range(1, max_dist + 1))
     spark = edges.sparkSession
-    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    und = None
     scratch: list = []  # per-level checkpoints, all released in finally
     try:
-        und = (
-            edges.select(F.col("src").alias("v"), F.col("dst").alias("nb"))
-            .unionAll(edges.select(F.col("dst").alias("v"), F.col("src").alias("nb")))
-            .repartition(shuffle_n, "v")
-            .localCheckpoint(eager=True)
-        )
-        seed_rows = [(int(s),) for s in sorted(set(seeds))]
-        frontier = (
-            spark.createDataFrame(seed_rows, "seed long")
-            .select("seed", F.col("seed").alias("v"))
-            .localCheckpoint(eager=True)
-        )
-        scratch.append(frontier)
-        visited = frontier.select("seed", "v", F.lit(0).cast("long").alias("dist"))
-        for t in range(1, max_dist + 1):
-            nxt = (
-                frontier.hint("shuffle_hash")
-                .join(und, "v")
-                .select("seed", F.col("nb").alias("v"))
-                .distinct()
-                .join(visited.select("seed", "v"), ["seed", "v"], "left_anti")
-                .localCheckpoint(eager=True)
-            )
-            scratch.append(nxt)
-            if nxt.isEmpty():
-                break
-            visited = visited.unionAll(
-                nxt.select("seed", "v", F.lit(t).cast("long").alias("dist"))
-            ).localCheckpoint(eager=True)
-            scratch.append(visited)
-            frontier = nxt
+        und, visited = _seed_bfs(edges, seeds, max_dist, scratch)
         scores = (
             visited.where(F.col("dist") >= 1)
             .groupBy(F.col("v").alias("vertex"))
@@ -131,7 +145,49 @@ def harmonic_closeness(
         ).localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
-        if und is not None:
-            release(und)
+        for df in scratch:  # includes und — _seed_bfs appends it
+            release(df)
+
+
+def eccentricity_profile(
+    edges: DataFrame,
+    seeds: list[int],
+    max_dist: int = 16,
+) -> DataFrame:
+    """(seed, ecc, n_reached, sum_dist) per seed over the undirected edge
+    table: ecc = max exact BFS distance (truncated at ``max_dist`` — the
+    harmonic_closeness horizon contract: a documented lower bound when the
+    true eccentricity exceeds it), n_reached / sum_dist over the reached
+    non-self vertices.  max(ecc) lower-bounds the graph diameter and
+    min(ecc) upper-bounds nothing but is the standard radius estimate from
+    a seed sample — the iFUB-style bound bookkeeping.
+
+    Same execution shape as harmonic_closeness (shared _seed_bfs): all
+    seeds in one state relation, one co-located join + anti-join per level,
+    O(eccentricity) supersteps regardless of |seeds|, statics and per-level
+    checkpoints released before return.
+    """
+    if not seeds:
+        raise ValueError("eccentricity_profile needs a non-empty seed set")
+    if max_dist < 1:
+        raise ValueError("max_dist must be >= 1")
+    spark = edges.sparkSession
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    scratch: list = []
+    try:
+        _, visited = _seed_bfs(edges, seeds, max_dist, scratch)
+        return (
+            visited.groupBy("seed")
+            .agg(
+                F.max("dist").cast("long").alias("ecc"),
+                F.sum((F.col("dist") >= 1).cast("long")).alias("n_reached"),
+                F.sum("dist").cast("long").alias("sum_dist"),
+            )
+            # materialize before the finally block drops the BFS state
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
         for df in scratch:
             release(df)
