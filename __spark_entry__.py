@@ -1324,6 +1324,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return eccentricity_profile(e, seeds, max_dist=8)
 
+    def q_label_spreading(spark, sf):
+        # clamped-seed semi-supervised label spreading (graph/
+        # labelspread.py): seeds = projection vertices with id % 10 == 0,
+        # label = id % 4; 3 majority-vote rounds, chained-CTE oracle
+        from split_merge_partitioner_spark.graph import label_spreading
+        from split_merge_partitioner_spark.sources import vertices_of
+
+        e = _proj_edges(spark, sf).persist()
+        seeds = (
+            vertices_of(e)
+            .where(F.col("vertex") % 10 == 0)
+            .select("vertex", (F.col("vertex") % 4).alias("label"))
+        )
+        return label_spreading(e, seeds, n_rounds=3)
+
     def q_vocab_growth(spark, sf):
         # Heaps'-law vocabulary growth curve (functions/text.py::
         # vocab_growth): per 50-doc bucket, tokens + first-occurrence new
@@ -1753,6 +1768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlier_events": q_outlier_events,
         "vocab_growth": q_vocab_growth,
         "eccentricity": q_eccentricity,
+        "label_spreading": q_label_spreading,
     }
 
     # ------------------------------------------------------------------
@@ -2248,6 +2264,42 @@ SELECT CAST(bt.bucket AS BIGINT) AS bucket, bt.n_tokens,
        CAST(SUM(COALESCE(nt.new_types, 0)) OVER (ORDER BY bt.bucket) AS BIGINT)
            AS cum_types
 FROM bt LEFT JOIN nt ON nt.bucket = bt.bucket
+"""
+
+    # label-spreading oracle (graph/labelspread.py): 3 chained rounds of
+    # clamped majority vote — argmax by (count desc, label asc), seeds
+    # re-unioned each round, non-seeds re-vote
+    _ls_ctes = [
+        "lund AS (SELECT src AS nb, dst AS v FROM proj"
+        " UNION ALL SELECT dst, src FROM proj)",
+        "lverts AS (SELECT DISTINCT v FROM lund)",
+        "l0 AS (SELECT v AS vertex, CAST(v % 4 AS BIGINT) AS label"
+        " FROM lverts WHERE v % 10 = 0)",
+    ]
+    for _t in range(1, 4):
+        _ls_ctes.append(
+            f"""a{_t} AS (
+  SELECT vertex, label FROM (
+    SELECT e.v AS vertex, l.label, COUNT(*) AS n,
+           ROW_NUMBER() OVER (PARTITION BY e.v
+                              ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+    FROM lund e JOIN l{_t - 1} l ON l.vertex = e.nb
+    GROUP BY e.v, l.label
+  ) WHERE rn = 1)"""
+        )
+        _ls_ctes.append(
+            f"l{_t} AS (SELECT * FROM l0 UNION ALL "
+            f"SELECT a.vertex, a.label FROM a{_t} a "
+            f"LEFT JOIN l0 s ON s.vertex = a.vertex WHERE s.vertex IS NULL)"
+        )
+    label_spreading_sql = f"""
+WITH {_EDGES_CTE}, {_PROJ_CTE},
+{','.join(_ls_ctes)}
+SELECT u.v AS vertex, l.label,
+       (s.vertex IS NOT NULL) AS is_seed
+FROM lverts u
+LEFT JOIN l3 l ON l.vertex = u.v
+LEFT JOIN l0 s ON s.vertex = u.v
 """
 
     # rolling-activity oracle (functions/events.py::rolling_user_activity):
@@ -5160,6 +5212,7 @@ FROM documents
         "outlier_events": outlier_events_sql,
         "vocab_growth": vocab_growth_sql,
         "eccentricity": eccentricity_sql,
+        "label_spreading": label_spreading_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic
         # across engines): fsm_assign, fsm_stats (hep_local expansion kernels;
         # the dbh-portable flavor IS oracled above), hdrf_bucket_sizes,

@@ -47,3 +47,4 @@ from .dag import topological_levels  # noqa: F401
 from .bowtie import bowtie_classes  # noqa: F401
 from .scc import scc_condensation  # noqa: F401
 from .closeness import eccentricity_profile  # noqa: F401
+from .labelspread import label_spreading  # noqa: F401
