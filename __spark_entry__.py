@@ -1339,6 +1339,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return label_spreading(e, seeds, n_rounds=3)
 
+    def q_ppr_sweep(spark, sf):
+        # ACL local community via the PPR sweep cut (graph/sweep.py): the
+        # same 5-smallest-id teleport set as q_personalized_pagerank, then
+        # per-prefix exact integer vol/cut/conductance over the top-64
+        # ordering — argmin(conductance_ppm) is the local community
+        from split_merge_partitioner_spark.graph import ppr_sweep_cut
+
+        e = _edges(spark, sf).persist()
+        seeds = [
+            r.vertex
+            for r in e.select(F.col("src").alias("vertex"))
+            .unionAll(e.select(F.col("dst").alias("vertex")))
+            .distinct()
+            .orderBy("vertex")
+            .limit(5)
+            .collect()
+        ]
+        return ppr_sweep_cut(e, seeds, k_max=64)
+
     def q_vocab_growth(spark, sf):
         # Heaps'-law vocabulary growth curve (functions/text.py::
         # vocab_growth): per 50-doc bucket, tokens + first-occurrence new
@@ -1769,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": q_vocab_growth,
         "eccentricity": q_eccentricity,
         "label_spreading": q_label_spreading,
+        "ppr_sweep": q_ppr_sweep,
     }
 
     # ------------------------------------------------------------------
@@ -3631,6 +3651,56 @@ pp0 AS (SELECT vertex, degree, s, s AS ppr FROM sv),
 SELECT vertex, ROUND(ppr, 9) AS ppr FROM pp10
 """
 
+    # -- PPR sweep-cut oracle (graph/sweep.py) --------------------------------
+    # the pp10 chain again, then: top-64 ordering (ROUND(ppr,9) desc,
+    # vertex), ±1 edge events, one window cumsum, floor-ppm conductance —
+    # all integers after the ordering key
+    ppr_sweep_sql = f"""
+WITH {_DEGREES_CTE},
+und AS (SELECT src AS v, dst AS w FROM edges UNION ALL SELECT dst, src FROM edges),
+sds AS (SELECT vertex FROM degrees ORDER BY vertex LIMIT 5),
+sv AS (SELECT d.vertex, d.degree,
+              CASE WHEN s.vertex IS NULL THEN 0.0 ELSE 0.2 END AS s
+       FROM degrees d LEFT JOIN sds s ON s.vertex = d.vertex),
+pp0 AS (SELECT vertex, degree, s, s AS ppr FROM sv),
+{','.join(_ppr_iters)},
+sc AS (SELECT vertex, ROUND(ppr, 9) AS ppr FROM pp10),
+tk AS (
+    SELECT vertex, ppr,
+           ROW_NUMBER() OVER (ORDER BY ppr DESC, vertex ASC) AS k
+    FROM sc QUALIFY k <= 64
+),
+er AS (
+    SELECT LEAST(ra.k, rb.k) AS kmin, GREATEST(ra.k, rb.k) AS kmax,
+           (ra.k IS NOT NULL AND rb.k IS NOT NULL) AS is_internal
+    FROM edges e
+    LEFT JOIN tk ra ON ra.vertex = e.src
+    LEFT JOIN tk rb ON rb.vertex = e.dst
+    WHERE ra.k IS NOT NULL OR rb.k IS NOT NULL
+),
+ev AS (
+    SELECT kmin AS k, 1 AS d FROM er
+    UNION ALL
+    SELECT kmax, -1 FROM er WHERE is_internal
+),
+perk AS (SELECT k, CAST(SUM(d) AS BIGINT) AS dcut FROM ev GROUP BY k),
+twom AS (SELECT CAST(2 * COUNT(*) AS BIGINT) AS m2 FROM edges),
+pre AS (
+    SELECT tk.k, tk.vertex, tk.ppr,
+           CAST(SUM(dg.degree) OVER (ORDER BY tk.k) AS BIGINT) AS vol,
+           CAST(SUM(COALESCE(perk.dcut, 0)) OVER (ORDER BY tk.k) AS BIGINT)
+               AS cut
+    FROM tk
+    JOIN degrees dg ON dg.vertex = tk.vertex
+    LEFT JOIN perk ON perk.k = tk.k
+)
+SELECT CAST(pre.k AS BIGINT) AS k, pre.vertex, pre.ppr, pre.vol, pre.cut,
+       CAST(1000000 * pre.cut // GREATEST(LEAST(pre.vol, twom.m2 - pre.vol), 1)
+            AS BIGINT) AS conductance_ppm
+FROM pre CROSS JOIN twom
+WHERE pre.vol < twom.m2
+"""
+
     # -- random-walk corpus oracle ------------------------------------------
     # graph/walks.py is a pure function of (edges, seed): next hop =
     # splitmix64 hash chain (HUGEINT modmul replay, same machinery as
@@ -5213,6 +5283,7 @@ FROM documents
         "vocab_growth": vocab_growth_sql,
         "eccentricity": eccentricity_sql,
         "label_spreading": label_spreading_sql,
+        "ppr_sweep": ppr_sweep_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic
         # across engines): fsm_assign, fsm_stats (hep_local expansion kernels;
         # the dbh-portable flavor IS oracled above), hdrf_bucket_sizes,

@@ -48,3 +48,4 @@ from .bowtie import bowtie_classes  # noqa: F401
 from .scc import scc_condensation  # noqa: F401
 from .closeness import eccentricity_profile  # noqa: F401
 from .labelspread import label_spreading  # noqa: F401
+from .sweep import ppr_sweep_cut  # noqa: F401
