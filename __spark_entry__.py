@@ -1358,6 +1358,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return ppr_sweep_cut(e, seeds, k_max=64)
 
+    def q_repeated_spans(spark, sf):
+        # ExactSubstr dedup primitive (functions/spans.py::repeated_spans,
+        # Lee et al. ACL 2022): maximal verbatim token runs >= 8 shared
+        # across doc pairs, positional 5-gram diagonal merging, df_cap=64
+        from split_merge_partitioner_spark.functions import repeated_spans
+
+        return repeated_spans(_docs(spark, sf), k=5, min_span=8, df_cap=64)
+
+    def q_containment_pairs(spark, sf):
+        # Broder containment (functions/spans.py::containment_pairs): docs
+        # >= 30% contained in another by distinct-5-gram overlap; exact
+        # floor-ppm, same df_cap=64 boilerplate discipline
+        from split_merge_partitioner_spark.functions import containment_pairs
+
+        return containment_pairs(_docs(spark, sf), n=5, threshold_ppm=300_000)
+
+    def q_pii_rates(spark, sf):
+        # corpus PII rate monitor (functions/pii.py): per-source doc counts
+        # + email/ipv4/phone match totals, engine-portable regexes.  The
+        # synthetic corpus is PII-free, so the VALUE signal here is the
+        # all-zero counts being exactly replicated (the planted-fixture
+        # pytest carries the positive-match verification)
+        from split_merge_partitioner_spark.functions import pii_rates
+
+        return pii_rates(_docs(spark, sf))
+
     def q_vocab_growth(spark, sf):
         # Heaps'-law vocabulary growth curve (functions/text.py::
         # vocab_growth): per 50-doc bucket, tokens + first-occurrence new
@@ -1789,6 +1815,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eccentricity": q_eccentricity,
         "label_spreading": q_label_spreading,
         "ppr_sweep": q_ppr_sweep,
+        "repeated_spans": q_repeated_spans,
+        "containment_pairs": q_containment_pairs,
+        "pii_rates": q_pii_rates,
     }
 
     # ------------------------------------------------------------------
@@ -3701,6 +3730,108 @@ FROM pre CROSS JOIN twom
 WHERE pre.vol < twom.m2
 """
 
+    # -- exact-substring spans oracle (functions/spans.py) --------------------
+    # positional 5-grams (parallel UNNEST zips gram + 1-based pos), df-capped
+    # gram universe [2, 64], cross-doc positional match, gaps-and-islands
+    # diagonal merge — all integers
+    repeated_spans_sql = r"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS arr
+  FROM documents
+),
+gp AS (
+  SELECT doc_id,
+         UNNEST(CASE WHEN len(arr) < 5 THEN CAST([] AS VARCHAR[])
+                ELSE list_transform(range(1, len(arr) - 3),
+                                    i -> array_to_string(arr[i:i+4], ' ')) END) AS gram,
+         UNNEST(CASE WHEN len(arr) < 5 THEN CAST([] AS BIGINT[])
+                ELSE range(1, len(arr) - 3) END) AS pos
+  FROM base
+),
+keep AS (
+  SELECT gram FROM (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM gp GROUP BY gram)
+  WHERE df BETWEEN 2 AND 64
+),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
+         a.pos - b.pos AS diag
+  FROM gp a
+  JOIN keep k ON k.gram = a.gram
+  JOIN gp b ON b.gram = a.gram AND a.doc_id < b.doc_id
+),
+isl AS (
+  SELECT *, pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS isl
+  FROM m
+)
+SELECT doc_a, doc_b, CAST(MIN(pa) AS BIGINT) AS start_a,
+       CAST(MIN(pb) AS BIGINT) AS start_b,
+       CAST(MAX(pa) - MIN(pa) + 5 AS BIGINT) AS span_tokens
+FROM isl GROUP BY doc_a, doc_b, diag, isl
+HAVING MAX(pa) - MIN(pa) + 5 >= 8
+"""
+
+    # -- containment oracle (functions/spans.py::containment_pairs) -----------
+    # distinct 5-grams, df cap <= 64 applied to BOTH the intersection and the
+    # per-doc denominator, asymmetric floor-ppm ratio
+    containment_pairs_sql = r"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS arr
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(CASE WHEN len(arr) < 5 THEN CAST([] AS VARCHAR[])
+                ELSE list_transform(range(1, len(arr) - 3),
+                                    i -> array_to_string(arr[i:i+4], ' ')) END) AS gram
+  FROM base
+),
+keep AS (
+  SELECT gram FROM (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram)
+  WHERE df <= 64
+),
+gk AS (SELECT g.doc_id, g.gram FROM g JOIN keep USING (gram)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM gk GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_common
+  FROM gk a JOIN gk b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+dirs AS (
+  SELECT da, db, n_common FROM inter
+  UNION ALL
+  SELECT db, da, n_common FROM inter
+)
+SELECT dirs.da AS doc_id, dirs.db AS container_id,
+       CAST(s.n_grams AS BIGINT) AS n_grams,
+       CAST(dirs.n_common AS BIGINT) AS n_common,
+       CAST(1000000 * dirs.n_common // s.n_grams AS BIGINT) AS containment_ppm
+FROM dirs JOIN sizes s ON s.doc_id = dirs.da
+WHERE 1000000 * dirs.n_common // s.n_grams >= 300000
+"""
+
+    # -- PII rate-monitor oracle (functions/pii.py) ----------------------------
+    # the exact same three regexes (common Java-regex/RE2 subset), extract-all
+    # match counts rolled up per source
+    pii_rates_sql = r"""
+WITH s AS (
+  SELECT source,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS e,
+         len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS i4,
+         len(regexp_extract_all(text, '\+?[0-9][0-9()./ -]{6,}[0-9]')) AS ph
+  FROM documents
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN e + i4 + ph > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+       CAST(SUM(e) AS BIGINT) AS total_emails,
+       CAST(SUM(i4) AS BIGINT) AS total_ipv4,
+       CAST(SUM(ph) AS BIGINT) AS total_phones
+FROM s GROUP BY source
+"""
+
     # -- random-walk corpus oracle ------------------------------------------
     # graph/walks.py is a pure function of (edges, seed): next hop =
     # splitmix64 hash chain (HUGEINT modmul replay, same machinery as
@@ -5284,6 +5415,9 @@ FROM documents
         "eccentricity": eccentricity_sql,
         "label_spreading": label_spreading_sql,
         "ppr_sweep": ppr_sweep_sql,
+        "repeated_spans": repeated_spans_sql,
+        "containment_pairs": containment_pairs_sql,
+        "pii_rates": pii_rates_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic
         # across engines): fsm_assign, fsm_stats (hep_local expansion kernels;
         # the dbh-portable flavor IS oracled above), hdrf_bucket_sizes,

@@ -8,6 +8,8 @@ from .dedup import (  # noqa: F401
     simhash_near_duplicates,
 )
 from .decontam import ngram_contamination  # noqa: F401
+from .spans import containment_pairs, repeated_spans  # noqa: F401
+from .pii import pii_rates, pii_stats, redact_pii  # noqa: F401
 from .pipeline import clean_corpus  # noqa: F401
 from .hashing import rolling_fingerprint, sha256_udf, verify_content_sha256  # noqa: F401
 from .similarity import brute_force_knn, ivf_knn, lsh_knn, mutual_knn_graph  # noqa: F401
