@@ -1358,6 +1358,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return ppr_sweep_cut(e, seeds, k_max=64)
 
+    def q_triadic_census(spark, sf):
+        # exact 16-class Holland-Leinhardt triadic census (graph/census.py)
+        # of the deterministic functional digraph (the scc fixture): closed
+        # classes from oriented triangle enumeration, open classes by
+        # closed-form subtraction — zero wedge enumeration
+        from split_merge_partitioner_spark.graph.census import triadic_census
+
+        dv = _docs(spark, sf).select(F.col("doc_id").alias("v"))
+        dir_edges = dv.select(
+            F.col("v").alias("src"), ((F.lit(7) * F.col("v") + 3) % 500).alias("dst")
+        ).unionAll(
+            dv.where(F.col("v") % 5 == 0).select(
+                F.col("v").alias("src"),
+                ((F.lit(31) * F.col("v") + 17) % 500).alias("dst"),
+            )
+        )
+        return triadic_census(dir_edges)
+
     def q_repeated_spans(spark, sf):
         # ExactSubstr dedup primitive (functions/spans.py::repeated_spans,
         # Lee et al. ACL 2022): maximal verbatim token runs >= 8 shared
@@ -1815,6 +1833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eccentricity": q_eccentricity,
         "label_spreading": q_label_spreading,
         "ppr_sweep": q_ppr_sweep,
+        "triadic_census": q_triadic_census,
         "repeated_spans": q_repeated_spans,
         "containment_pairs": q_containment_pairs,
         "pii_rates": q_pii_rates,
@@ -3730,6 +3749,143 @@ FROM pre CROSS JOIN twom
 WHERE pre.vol < twom.m2
 """
 
+    # -- triadic census oracle (graph/census.py) ------------------------------
+    # same closed-form scheme replayed in SQL: per-vertex dyad-role moments
+    # give the raw two-path counts, id-oriented triangle enumeration + the
+    # 6-direction-bit classifier gives the 7 closed classes, per-pair
+    # common-neighbor counts give the single-link isolation terms, 003 by
+    # subtraction from C(n,3) — every term BIGINT
+    triadic_census_sql = """
+WITH dv AS (SELECT doc_id AS v FROM documents),
+de0 AS (SELECT DISTINCT src, dst FROM (
+    SELECT v AS src, (7 * v + 3) % 500 AS dst FROM dv
+    UNION ALL
+    SELECT v, (31 * v + 17) % 500 FROM dv WHERE v % 5 = 0)),
+d AS (SELECT src, dst FROM de0 WHERE src <> dst),
+pr AS (SELECT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi,
+              MAX(CASE WHEN src < dst THEN 1 ELSE 0 END) AS f_lh,
+              MAX(CASE WHEN src > dst THEN 1 ELSE 0 END) AS f_hl
+       FROM d GROUP BY 1, 2),
+roles AS (
+  SELECT lo AS v,
+         CASE WHEN f_lh + f_hl = 2 THEN 1 ELSE 0 END AS im,
+         CASE WHEN f_lh + f_hl = 1 AND f_lh = 1 THEN 1 ELSE 0 END AS io,
+         CASE WHEN f_lh + f_hl = 1 AND f_hl = 1 THEN 1 ELSE 0 END AS ii
+  FROM pr
+  UNION ALL
+  SELECT hi,
+         CASE WHEN f_lh + f_hl = 2 THEN 1 ELSE 0 END,
+         CASE WHEN f_lh + f_hl = 1 AND f_hl = 1 THEN 1 ELSE 0 END,
+         CASE WHEN f_lh + f_hl = 1 AND f_lh = 1 THEN 1 ELSE 0 END
+  FROM pr),
+pv AS (SELECT v, SUM(im) AS m, SUM(io) AS aout, SUM(ii) AS ain FROM roles GROUP BY v),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pv),
+raw AS (SELECT SUM(m * (m - 1) // 2) AS r201,
+               SUM(m * ain) AS r111d, SUM(m * aout) AS r111u,
+               SUM(aout * (aout - 1) // 2) AS r021d,
+               SUM(ain * (ain - 1) // 2) AS r021u,
+               SUM(aout * ain) AS r021c
+        FROM pv),
+es AS (SELECT lo AS s, hi AS t FROM pr),
+tri AS (SELECT ab.s AS a, ab.t AS b, bc.t AS c
+        FROM es ab JOIN es bc ON bc.s = ab.t
+        JOIN es ac ON ac.s = ab.s AND ac.t = bc.t),
+trif AS (
+  SELECT t.a, t.b, t.c,
+         CASE WHEN p1.f_lh + p1.f_hl = 2 THEN 1 ELSE 0 END AS m1,
+         CASE WHEN p1.f_lh + p1.f_hl = 1 THEN
+              CASE WHEN p1.f_lh = 1 THEN p1.lo ELSE p1.hi END END AS s1,
+         CASE WHEN p2.f_lh + p2.f_hl = 2 THEN 1 ELSE 0 END AS m2,
+         CASE WHEN p2.f_lh + p2.f_hl = 1 THEN
+              CASE WHEN p2.f_lh = 1 THEN p2.lo ELSE p2.hi END END AS s2,
+         CASE WHEN p3.f_lh + p3.f_hl = 2 THEN 1 ELSE 0 END AS m3,
+         CASE WHEN p3.f_lh + p3.f_hl = 1 THEN
+              CASE WHEN p3.f_lh = 1 THEN p3.lo ELSE p3.hi END END AS s3
+  FROM tri t
+  JOIN pr p1 ON p1.lo = t.a AND p1.hi = t.b
+  JOIN pr p2 ON p2.lo = t.b AND p2.hi = t.c
+  JOIN pr p3 ON p3.lo = t.a AND p3.hi = t.c),
+tz AS (
+  SELECT *,
+         m1 + m2 + m3 AS nm,
+         CASE WHEN m1 = 1 THEN c WHEN m2 = 1 THEN a ELSE b END AS z,
+         (CASE WHEN s1 = a THEN 1 ELSE 0 END + CASE WHEN s2 = a THEN 1 ELSE 0 END
+          + CASE WHEN s3 = a THEN 1 ELSE 0 END) AS oa,
+         (CASE WHEN s1 = b THEN 1 ELSE 0 END + CASE WHEN s2 = b THEN 1 ELSE 0 END
+          + CASE WHEN s3 = b THEN 1 ELSE 0 END) AS ob,
+         (CASE WHEN s1 = c THEN 1 ELSE 0 END + CASE WHEN s2 = c THEN 1 ELSE 0 END
+          + CASE WHEN s3 = c THEN 1 ELSE 0 END) AS oc
+  FROM trif),
+tcls AS (
+  SELECT CASE
+    WHEN nm = 3 THEN '300'
+    WHEN nm = 2 THEN '210'
+    WHEN nm = 1 THEN CASE
+      WHEN (CASE WHEN s1 = z THEN 1 ELSE 0 END + CASE WHEN s2 = z THEN 1 ELSE 0 END
+            + CASE WHEN s3 = z THEN 1 ELSE 0 END) = 2 THEN '120D'
+      WHEN (CASE WHEN s1 = z THEN 1 ELSE 0 END + CASE WHEN s2 = z THEN 1 ELSE 0 END
+            + CASE WHEN s3 = z THEN 1 ELSE 0 END) = 0 THEN '120U'
+      ELSE '120C' END
+    ELSE CASE WHEN GREATEST(oa, ob, oc) = 2 THEN '030T' ELSE '030C' END
+  END AS cls
+  FROM tz),
+closed AS (SELECT cls, CAST(COUNT(*) AS BIGINT) AS c FROM tcls GROUP BY cls),
+cw AS (SELECT
+  COALESCE(MAX(CASE WHEN cls = '300' THEN c END), 0) AS c300,
+  COALESCE(MAX(CASE WHEN cls = '210' THEN c END), 0) AS c210,
+  COALESCE(MAX(CASE WHEN cls = '120D' THEN c END), 0) AS c120d,
+  COALESCE(MAX(CASE WHEN cls = '120U' THEN c END), 0) AS c120u,
+  COALESCE(MAX(CASE WHEN cls = '120C' THEN c END), 0) AS c120c,
+  COALESCE(MAX(CASE WHEN cls = '030T' THEN c END), 0) AS c030t,
+  COALESCE(MAX(CASE WHEN cls = '030C' THEN c END), 0) AS c030c
+  FROM closed),
+sup AS (SELECT x AS lo, y AS hi, COUNT(*) AS cn FROM (
+    SELECT a AS x, b AS y FROM tri
+    UNION ALL SELECT b, c FROM tri
+    UNION ALL SELECT a, c FROM tri) GROUP BY 1, 2),
+degs AS (SELECT v, m + aout + ain AS dstar FROM pv),
+sing AS (
+  SELECT CASE WHEN p.f_lh + p.f_hl = 2 THEN 1 ELSE 0 END AS ism,
+         (nn.n - 2) - (dl.dstar - 1) - (dh.dstar - 1) + COALESCE(s.cn, 0) AS iso
+  FROM pr p CROSS JOIN nn
+  LEFT JOIN sup s ON s.lo = p.lo AND s.hi = p.hi
+  JOIN degs dl ON dl.v = p.lo
+  JOIN degs dh ON dh.v = p.hi),
+sg AS (SELECT COALESCE(SUM(CASE WHEN ism = 1 THEN iso END), 0) AS n102,
+              COALESCE(SUM(CASE WHEN ism = 0 THEN iso END), 0) AS n012
+       FROM sing),
+fin AS (SELECT cw.c300, cw.c210, cw.c120d, cw.c120u, cw.c120c, cw.c030t, cw.c030c,
+               raw.r201 - 3 * cw.c300 - cw.c210 AS n201,
+               raw.r111d - 2 * cw.c120d - cw.c120c - cw.c210 AS n111d,
+               raw.r111u - 2 * cw.c120u - cw.c120c - cw.c210 AS n111u,
+               raw.r021d - cw.c120d - cw.c030t AS n021d,
+               raw.r021u - cw.c120u - cw.c030t AS n021u,
+               raw.r021c - cw.c120c - 3 * cw.c030c - cw.c030t AS n021c,
+               sg.n102, sg.n012, nn.n
+        FROM cw, raw, sg, nn)
+SELECT triad_type, CAST(n_triads AS BIGINT) AS n_triads FROM (
+  SELECT '300' AS triad_type, c300 AS n_triads FROM fin
+  UNION ALL SELECT '210', c210 FROM fin
+  UNION ALL SELECT '120D', c120d FROM fin
+  UNION ALL SELECT '120U', c120u FROM fin
+  UNION ALL SELECT '120C', c120c FROM fin
+  UNION ALL SELECT '030T', c030t FROM fin
+  UNION ALL SELECT '030C', c030c FROM fin
+  UNION ALL SELECT '201', n201 FROM fin
+  UNION ALL SELECT '111D', n111d FROM fin
+  UNION ALL SELECT '111U', n111u FROM fin
+  UNION ALL SELECT '021D', n021d FROM fin
+  UNION ALL SELECT '021U', n021u FROM fin
+  UNION ALL SELECT '021C', n021c FROM fin
+  UNION ALL SELECT '102', n102 FROM fin
+  UNION ALL SELECT '012', n012 FROM fin
+  UNION ALL SELECT '003',
+    n * (n - 1) * (n - 2) // 6
+    - (c300 + c210 + c120d + c120u + c120c + c030t + c030c
+       + n201 + n111d + n111u + n021d + n021u + n021c + n102 + n012) FROM fin
+)
+"""
+
     # -- exact-substring spans oracle (functions/spans.py) --------------------
     # positional 5-grams (parallel UNNEST zips gram + 1-based pos), df-capped
     # gram universe [2, 64], cross-doc positional match, gaps-and-islands
@@ -5415,6 +5571,7 @@ FROM documents
         "eccentricity": eccentricity_sql,
         "label_spreading": label_spreading_sql,
         "ppr_sweep": ppr_sweep_sql,
+        "triadic_census": triadic_census_sql,
         "repeated_spans": repeated_spans_sql,
         "containment_pairs": containment_pairs_sql,
         "pii_rates": pii_rates_sql,
