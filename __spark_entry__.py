@@ -1358,6 +1358,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return ppr_sweep_cut(e, seeds, k_max=64)
 
+    def q_onion(spark, sf):
+        # onion decomposition (graph/onion.py): k-core peel layers — the
+        # co-occurrence fixture converges in 46 batched rounds; the oracle
+        # replays 60 generated rounds (tail rounds no-op on the empty set)
+        from split_merge_partitioner_spark.graph.onion import onion_decomposition
+
+        out, _ = onion_decomposition(_edges(spark, sf))
+        return out
+
     def q_triadic_census(spark, sf):
         # exact 16-class Holland-Leinhardt triadic census (graph/census.py)
         # of the deterministic functional digraph (the scc fixture): closed
@@ -1833,6 +1842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eccentricity": q_eccentricity,
         "label_spreading": q_label_spreading,
         "ppr_sweep": q_ppr_sweep,
+        "onion": q_onion,
         "triadic_census": q_triadic_census,
         "repeated_spans": q_repeated_spans,
         "containment_pairs": q_containment_pairs,
@@ -3749,6 +3759,55 @@ FROM pre CROSS JOIN twom
 WHERE pre.vol < twom.m2
 """
 
+    # -- onion decomposition oracle (graph/onion.py) ---------------------------
+    # the batched peel replayed as generated round CTEs: alive-subgraph
+    # degrees (isolated-alive vertices kept at 0), monotone scalar core level
+    # k_r = GREATEST(k_{r-1}, min alive degree), remove dg <= k as layer r.
+    # The fixture peels in 46 rounds; 60 are generated (extra rounds no-op
+    # on the empty alive set) — all integers
+    _onion_rounds = []
+    for _r in range(1, 61):
+        _onion_rounds.append(f"""
+d{_r} AS MATERIALIZED (
+  SELECT e.src AS v FROM edges e
+  JOIN a{_r - 1} x ON x.vertex = e.src JOIN a{_r - 1} y ON y.vertex = e.dst
+  UNION ALL
+  SELECT e.dst FROM edges e
+  JOIN a{_r - 1} x ON x.vertex = e.src JOIN a{_r - 1} y ON y.vertex = e.dst),
+dg{_r} AS MATERIALIZED (
+           SELECT a.vertex, COALESCE(c.dg, 0) AS dg
+           FROM a{_r - 1} a LEFT JOIN
+                (SELECT v, COUNT(*) AS dg FROM d{_r} GROUP BY v) c
+                ON c.v = a.vertex),
+k{_r} AS MATERIALIZED (
+          SELECT GREATEST((SELECT k FROM k{_r - 1}),
+                 COALESCE((SELECT MIN(dg) FROM dg{_r}),
+                          (SELECT k FROM k{_r - 1}))) AS k),
+rm{_r} AS MATERIALIZED (
+           SELECT vertex, (SELECT k FROM k{_r}) AS coreness, {_r} AS layer
+           FROM dg{_r} WHERE dg <= (SELECT k FROM k{_r})),
+a{_r} AS MATERIALIZED (
+          SELECT vertex FROM a{_r - 1}
+          WHERE vertex NOT IN (SELECT vertex FROM rm{_r}))""")
+    _onion_union = "\nUNION ALL ".join(
+        f"SELECT vertex, CAST(coreness AS BIGINT) AS coreness, "
+        f"CAST(layer AS BIGINT) AS layer FROM rm{_r}"
+        for _r in range(1, 61)
+    )
+    onion_sql = f"""
+WITH edges AS MATERIALIZED (
+    SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS src,
+                    CAST(l.l_suppkey + 1000000 AS BIGINT) AS dst
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+a0 AS MATERIALIZED (
+    SELECT DISTINCT vertex FROM (
+        SELECT src AS vertex FROM edges UNION ALL SELECT dst FROM edges)),
+k0 AS (SELECT 0 AS k),
+{','.join(_onion_rounds)}
+{_onion_union}
+"""
+
     # -- triadic census oracle (graph/census.py) ------------------------------
     # same closed-form scheme replayed in SQL: per-vertex dyad-role moments
     # give the raw two-path counts, id-oriented triangle enumeration + the
@@ -5571,6 +5630,7 @@ FROM documents
         "eccentricity": eccentricity_sql,
         "label_spreading": label_spreading_sql,
         "ppr_sweep": ppr_sweep_sql,
+        "onion": onion_sql,
         "triadic_census": triadic_census_sql,
         "repeated_spans": repeated_spans_sql,
         "containment_pairs": containment_pairs_sql,

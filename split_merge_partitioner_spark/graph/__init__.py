@@ -49,3 +49,5 @@ from .scc import scc_condensation  # noqa: F401
 from .closeness import eccentricity_profile  # noqa: F401
 from .labelspread import label_spreading  # noqa: F401
 from .sweep import ppr_sweep_cut  # noqa: F401
+from .census import triadic_census  # noqa: F401
+from .onion import onion_decomposition  # noqa: F401
