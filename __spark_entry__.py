@@ -1367,6 +1367,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out, _ = onion_decomposition(_edges(spark, sf))
         return out
 
+    def q_onion_cp(spark, sf):
+        # onion on the customer-part fixture: different graph shape, different
+        # (data-dependent) round count — 44 vs 46
+        from split_merge_partitioner_spark.graph.onion import onion_decomposition
+
+        out, _ = onion_decomposition(_edges_cp(spark, sf))
+        return out
+
     def q_triadic_census(spark, sf):
         # exact 16-class Holland-Leinhardt triadic census (graph/census.py)
         # of the deterministic functional digraph (the scc fixture): closed
@@ -1843,6 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_spreading": q_label_spreading,
         "ppr_sweep": q_ppr_sweep,
         "onion": q_onion,
+        "onion_cp": q_onion_cp,
         "triadic_census": q_triadic_census,
         "repeated_spans": q_repeated_spans,
         "containment_pairs": q_containment_pairs,
@@ -3794,11 +3803,10 @@ a{_r} AS MATERIALIZED (
         f"CAST(layer AS BIGINT) AS layer FROM rm{_r}"
         for _r in range(1, 61)
     )
-    onion_sql = f"""
+    def _onion_sql_for(edges_body: str) -> str:
+        return f"""
 WITH edges AS MATERIALIZED (
-    SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS src,
-                    CAST(l.l_suppkey + 1000000 AS BIGINT) AS dst
-    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+{edges_body}
 ),
 a0 AS MATERIALIZED (
     SELECT DISTINCT vertex FROM (
@@ -3807,6 +3815,19 @@ k0 AS (SELECT 0 AS k),
 {','.join(_onion_rounds)}
 {_onion_union}
 """
+
+    onion_sql = _onion_sql_for(
+        """    SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS src,
+                    CAST(l.l_suppkey + 1000000 AS BIGINT) AS dst
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"""
+    )
+    # second fixture for the data-dependent round count (44 rounds here vs 46
+    # on the co-occurrence graph — the class where one fixture can hide bugs)
+    onion_cp_sql = _onion_sql_for(
+        """    SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS src,
+                    CAST(l.l_partkey + 2000000 AS BIGINT) AS dst
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"""
+    )
 
     # -- triadic census oracle (graph/census.py) ------------------------------
     # same closed-form scheme replayed in SQL: per-vertex dyad-role moments
@@ -5631,6 +5652,7 @@ FROM documents
         "label_spreading": label_spreading_sql,
         "ppr_sweep": ppr_sweep_sql,
         "onion": onion_sql,
+        "onion_cp": onion_cp_sql,
         "triadic_census": triadic_census_sql,
         "repeated_spans": repeated_spans_sql,
         "containment_pairs": containment_pairs_sql,
