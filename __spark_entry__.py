@@ -1358,6 +1358,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return ppr_sweep_cut(e, seeds, k_max=64)
 
+    def q_cms_registers(spark, sf):
+        # deterministic Count-Min Sketch counter matrix (functions/cms.py):
+        # d=4 splitmix64 row hashes, w=256 slots, exact BIGINT cells — the
+        # mergeable frequency-sketch state, replayed by the HUGEINT oracle
+        from split_merge_partitioner_spark.functions.cms import cms_registers
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return cms_registers(ev, "event_type", "user_id", d=4, w=256)
+
+    def q_cms_heavy_users(spark, sf):
+        # CMS heavy hitters: per event type, users whose min-over-rows
+        # estimate reaches 18 — one-sided (every true hitter present)
+        from split_merge_partitioner_spark.functions.cms import cms_heavy_hitters
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return cms_heavy_hitters(ev, "event_type", "user_id", threshold=18, d=4, w=256)
+
     def q_onion(spark, sf):
         # onion decomposition (graph/onion.py): k-core peel layers — the
         # co-occurrence fixture converges in 46 batched rounds; the oracle
@@ -1850,6 +1867,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eccentricity": q_eccentricity,
         "label_spreading": q_label_spreading,
         "ppr_sweep": q_ppr_sweep,
+        "cms_registers": q_cms_registers,
+        "cms_heavy_users": q_cms_heavy_users,
         "onion": q_onion,
         "onion_cp": q_onion_cp,
         "triadic_census": q_triadic_census,
@@ -4219,6 +4238,36 @@ SELECT key, j,
 FROM rr GROUP BY key, j
 """
 
+    # -- Count-Min Sketch oracles (functions/cms.py) --------------------------
+    # same splitmix64 row hashes (HUGEINT replay), w=256 slots = low 8 bits,
+    # exact integer cells; heavy hitters = min-over-rows register lookups
+    _cms_hx = f"""
+hx AS (
+  SELECT event_type AS key, CAST(user_id AS BIGINT) AS value, i.i AS row,
+         CAST(user_id AS HUGEINT) + i.i * 1000000007 AS x
+  FROM events CROSS JOIN (SELECT UNNEST(range(4)) AS i) i),
+hs AS (SELECT key, value, CAST(row AS INTEGER) AS row,
+              CAST({_sm64_sql('x')} % 256 AS BIGINT) AS slot
+       FROM hx),
+regs AS (SELECT key, row, slot, CAST(COUNT(*) AS BIGINT) AS c
+         FROM hs GROUP BY 1, 2, 3)"""
+
+    cms_registers_sql = f"""
+WITH {_cms_hx}
+SELECT key, row, slot, c FROM regs
+"""
+
+    cms_heavy_users_sql = f"""
+WITH {_cms_hx},
+probes AS (SELECT DISTINCT key, value, row, slot FROM hs),
+est AS (
+  SELECT p.key, p.value, MIN(COALESCE(r.c, 0)) AS est
+  FROM probes p LEFT JOIN regs r
+    ON r.key = p.key AND r.row = p.row AND r.slot = p.slot
+  GROUP BY 1, 2)
+SELECT key, value, CAST(est AS BIGINT) AS est FROM est WHERE est >= 18
+"""
+
     # -- rich-club oracle (graph/summary.py::rich_club) ---------------------
     rich_club_sql = f"""
 WITH {_DEGREES_CTE},
@@ -5651,6 +5700,8 @@ FROM documents
         "eccentricity": eccentricity_sql,
         "label_spreading": label_spreading_sql,
         "ppr_sweep": ppr_sweep_sql,
+        "cms_registers": cms_registers_sql,
+        "cms_heavy_users": cms_heavy_users_sql,
         "onion": onion_sql,
         "onion_cp": onion_cp_sql,
         "triadic_census": triadic_census_sql,
