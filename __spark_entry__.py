@@ -1358,6 +1358,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return ppr_sweep_cut(e, seeds, k_max=64)
 
+    def q_spectral_bisect(spark, sf):
+        # integer-exact Fiedler bisection (graph/spectral.py): 20 deflated
+        # lazy-walk steps, truncating-div arithmetic replayed bit-for-bit
+        # by the chained-CTE oracle; bucket = balanced median split
+        from split_merge_partitioner_spark.graph.spectral import spectral_bisect
+
+        return spectral_bisect(_edges(spark, sf), n_iter=20)
+
     def q_cms_registers(spark, sf):
         # deterministic Count-Min Sketch counter matrix (functions/cms.py):
         # d=4 splitmix64 row hashes, w=256 slots, exact BIGINT cells — the
@@ -1867,6 +1875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eccentricity": q_eccentricity,
         "label_spreading": q_label_spreading,
         "ppr_sweep": q_ppr_sweep,
+        "spectral_bisect": q_spectral_bisect,
         "cms_registers": q_cms_registers,
         "cms_heavy_users": q_cms_heavy_users,
         "onion": q_onion,
@@ -4238,6 +4247,290 @@ SELECT key, j,
 FROM rr GROUP BY key, j
 """
 
+    # -- spectral bisection oracle (graph/spectral.py) -------------------------
+    # the exact truncating-integer deflated lazy-walk chain: both engines
+    # truncate integer division toward zero (verified incl. negatives), so
+    # 20 generated step CTEs replay the iterate bit-for-bit; DuckDB's
+    # HUGEINT sums are a superset of the Spark BIGINT range the guard
+    # enforces
+    spectral_bisect_sql = f"""
+WITH {_EDGES_CTE},
+sund AS MATERIALIZED (
+  SELECT src AS v, dst AS nb FROM edges UNION ALL SELECT dst, src FROM edges),
+sdeg AS MATERIALIZED (
+  SELECT v AS vertex, CAST(COUNT(*) AS BIGINT) AS degree FROM sund GROUP BY v),
+stm AS (SELECT SUM(degree) AS m2 FROM sdeg),
+x0 AS MATERIALIZED (
+  SELECT vertex,
+         CAST({_sm64_sql('vertex')} % 2147483648 AS BIGINT) - 1073741824 AS x
+  FROM sdeg),
+g1 AS MATERIALIZED (
+  SELECT u.v AS vertex, SUM(x.x) AS s
+  FROM sund u JOIN x0 x ON x.vertex = u.nb GROUP BY u.v),
+ya1 AS MATERIALIZED (
+  SELECT x.vertex, d.degree, (x.x + (g.s // d.degree)) // 2 AS y0
+  FROM x0 x JOIN g1 g USING (vertex) JOIN sdeg d USING (vertex)),
+ss1 AS MATERIALIZED (SELECT SUM(degree * y0) AS sv FROM ya1),
+yb1 AS MATERIALIZED (
+  SELECT vertex, y0 - (SELECT sv FROM ss1) // (SELECT m2 FROM stm) AS y1
+  FROM ya1),
+mx1 AS MATERIALIZED (SELECT GREATEST(MAX(ABS(y1)), 1) AS mx FROM yb1),
+x1 AS MATERIALIZED (
+  SELECT vertex, (y1 * 1000000000) // (SELECT mx FROM mx1) AS x FROM yb1),
+g2 AS MATERIALIZED (
+  SELECT u.v AS vertex, SUM(x.x) AS s
+  FROM sund u JOIN x1 x ON x.vertex = u.nb GROUP BY u.v),
+ya2 AS MATERIALIZED (
+  SELECT x.vertex, d.degree, (x.x + (g.s // d.degree)) // 2 AS y0
+  FROM x1 x JOIN g2 g USING (vertex) JOIN sdeg d USING (vertex)),
+ss2 AS MATERIALIZED (SELECT SUM(degree * y0) AS sv FROM ya2),
+yb2 AS MATERIALIZED (
+  SELECT vertex, y0 - (SELECT sv FROM ss2) // (SELECT m2 FROM stm) AS y1
+  FROM ya2),
+mx2 AS MATERIALIZED (SELECT GREATEST(MAX(ABS(y1)), 1) AS mx FROM yb2),
+x2 AS MATERIALIZED (
+  SELECT vertex, (y1 * 1000000000) // (SELECT mx FROM mx2) AS x FROM yb2),
+g3 AS MATERIALIZED (
+  SELECT u.v AS vertex, SUM(x.x) AS s
+  FROM sund u JOIN x2 x ON x.vertex = u.nb GROUP BY u.v),
+ya3 AS MATERIALIZED (
+  SELECT x.vertex, d.degree, (x.x + (g.s // d.degree)) // 2 AS y0
+  FROM x2 x JOIN g3 g USING (vertex) JOIN sdeg d USING (vertex)),
+ss3 AS MATERIALIZED (SELECT SUM(degree * y0) AS sv FROM ya3),
+yb3 AS MATERIALIZED (
+  SELECT vertex, y0 - (SELECT sv FROM ss3) // (SELECT m2 FROM stm) AS y1
+  FROM ya3),
+mx3 AS MATERIALIZED (SELECT GREATEST(MAX(ABS(y1)), 1) AS mx FROM yb3),
+x3 AS MATERIALIZED (
+  SELECT vertex, (y1 * 1000000000) // (SELECT mx FROM mx3) AS x FROM yb3),
+g4 AS MATERIALIZED (
+  SELECT u.v AS vertex, SUM(x.x) AS s
+  FROM sund u JOIN x3 x ON x.vertex = u.nb GROUP BY u.v),
+ya4 AS MATERIALIZED (
+  SELECT x.vertex, d.degree, (x.x + (g.s // d.degree)) // 2 AS y0
+  FROM x3 x JOIN g4 g USING (vertex) JOIN sdeg d USING (vertex)),
+ss4 AS MATERIALIZED (SELECT SUM(degree * y0) AS sv FROM ya4),
+yb4 AS MATERIALIZED (
+  SELECT vertex, y0 - (SELECT sv FROM ss4) // (SELECT m2 FROM stm) AS y1
+  FROM ya4),
+mx4 AS MATERIALIZED (SELECT GREATEST(MAX(ABS(y1)), 1) AS mx FROM yb4),
+x4 AS MATERIALIZED (
+  SELECT vertex, (y1 * 1000000000) // (SELECT mx FROM mx4) AS x FROM yb4),
+g5 AS MATERIALIZED (
+  SELECT u.v AS vertex, SUM(x.x) AS s
+  FROM sund u JOIN x4 x ON x.vertex = u.nb GROUP BY u.v),
+ya5 AS MATERIALIZED (
+  SELECT x.vertex, d.degree, (x.x + (g.s // d.degree)) // 2 AS y0
+  FROM x4 x JOIN g5 g USING (vertex) JOIN sdeg d USING (vertex)),
+ss5 AS MATERIALIZED (SELECT SUM(degree * y0) AS sv FROM ya5),
+yb5 AS MATERIALIZED (
+  SELECT vertex, y0 - (SELECT sv FROM ss5) // (SELECT m2 FROM stm) AS y1
+  FROM ya5),
+mx5 AS MATERIALIZED (SELECT GREATEST(MAX(ABS(y1)), 1) AS mx FROM yb5),
+x5 AS MATERIALIZED (
+  SELECT vertex, (y1 * 1000000000) // (SELECT mx FROM mx5) AS x FROM yb5),
+g6 AS MATERIALIZED (
+  SELECT u.v AS vertex, SUM(x.x) AS s
+  FROM sund u JOIN x5 x ON x.vertex = u.nb GROUP BY u.v),
+ya6 AS MATERIALIZED (
+  SELECT x.vertex, d.degree, (x.x + (g.s // d.degree)) // 2 AS y0
+  FROM x5 x JOIN g6 g USING (vertex) JOIN sdeg d USING (vertex)),
+ss6 AS MATERIALIZED (SELECT SUM(degree * y0) AS sv FROM ya6),
+yb6 AS MATERIALIZED (
+  SELECT vertex, y0 - (SELECT sv FROM ss6) // (SELECT m2 FROM stm) AS y1
+  FROM ya6),
+mx6 AS MATERIALIZED (SELECT GREATEST(MAX(ABS(y1)), 1) AS mx FROM yb6),
+x6 AS MATERIALIZED (
+  SELECT vertex, (y1 * 1000000000) // (SELECT mx FROM mx6) AS x FROM yb6),
+g7 AS MATERIALIZED (
+  SELECT u.v AS vertex, SUM(x.x) AS s
+  FROM sund u JOIN x6 x ON x.vertex = u.nb GROUP BY u.v),
+ya7 AS MATERIALIZED (
+  SELECT x.vertex, d.degree, (x.x + (g.s // d.degree)) // 2 AS y0
+  FROM x6 x JOIN g7 g USING (vertex) JOIN sdeg d USING (vertex)),
+ss7 AS MATERIALIZED (SELECT SUM(degree * y0) AS sv FROM ya7),
+yb7 AS MATERIALIZED (
+  SELECT vertex, y0 - (SELECT sv FROM ss7) // (SELECT m2 FROM stm) AS y1
+  FROM ya7),
+mx7 AS MATERIALIZED (SELECT GREATEST(MAX(ABS(y1)), 1) AS mx FROM yb7),
+x7 AS MATERIALIZED (
+  SELECT vertex, (y1 * 1000000000) // (SELECT mx FROM mx7) AS x FROM yb7),
+g8 AS MATERIALIZED (
+  SELECT u.v AS vertex, SUM(x.x) AS s
+  FROM sund u JOIN x7 x ON x.vertex = u.nb GROUP BY u.v),
+ya8 AS MATERIALIZED (
+  SELECT x.vertex, d.degree, (x.x + (g.s // d.degree)) // 2 AS y0
+  FROM x7 x JOIN g8 g USING (vertex) JOIN sdeg d USING (vertex)),
+ss8 AS MATERIALIZED (SELECT SUM(degree * y0) AS sv FROM ya8),
+yb8 AS MATERIALIZED (
+  SELECT vertex, y0 - (SELECT sv FROM ss8) // (SELECT m2 FROM stm) AS y1
+  FROM ya8),
+mx8 AS MATERIALIZED (SELECT GREATEST(MAX(ABS(y1)), 1) AS mx FROM yb8),
+x8 AS MATERIALIZED (
+  SELECT vertex, (y1 * 1000000000) // (SELECT mx FROM mx8) AS x FROM yb8),
+g9 AS MATERIALIZED (
+  SELECT u.v AS vertex, SUM(x.x) AS s
+  FROM sund u JOIN x8 x ON x.vertex = u.nb GROUP BY u.v),
+ya9 AS MATERIALIZED (
+  SELECT x.vertex, d.degree, (x.x + (g.s // d.degree)) // 2 AS y0
+  FROM x8 x JOIN g9 g USING (vertex) JOIN sdeg d USING (vertex)),
+ss9 AS MATERIALIZED (SELECT SUM(degree * y0) AS sv FROM ya9),
+yb9 AS MATERIALIZED (
+  SELECT vertex, y0 - (SELECT sv FROM ss9) // (SELECT m2 FROM stm) AS y1
+  FROM ya9),
+mx9 AS MATERIALIZED (SELECT GREATEST(MAX(ABS(y1)), 1) AS mx FROM yb9),
+x9 AS MATERIALIZED (
+  SELECT vertex, (y1 * 1000000000) // (SELECT mx FROM mx9) AS x FROM yb9),
+g10 AS MATERIALIZED (
+  SELECT u.v AS vertex, SUM(x.x) AS s
+  FROM sund u JOIN x9 x ON x.vertex = u.nb GROUP BY u.v),
+ya10 AS MATERIALIZED (
+  SELECT x.vertex, d.degree, (x.x + (g.s // d.degree)) // 2 AS y0
+  FROM x9 x JOIN g10 g USING (vertex) JOIN sdeg d USING (vertex)),
+ss10 AS MATERIALIZED (SELECT SUM(degree * y0) AS sv FROM ya10),
+yb10 AS MATERIALIZED (
+  SELECT vertex, y0 - (SELECT sv FROM ss10) // (SELECT m2 FROM stm) AS y1
+  FROM ya10),
+mx10 AS MATERIALIZED (SELECT GREATEST(MAX(ABS(y1)), 1) AS mx FROM yb10),
+x10 AS MATERIALIZED (
+  SELECT vertex, (y1 * 1000000000) // (SELECT mx FROM mx10) AS x FROM yb10),
+g11 AS MATERIALIZED (
+  SELECT u.v AS vertex, SUM(x.x) AS s
+  FROM sund u JOIN x10 x ON x.vertex = u.nb GROUP BY u.v),
+ya11 AS MATERIALIZED (
+  SELECT x.vertex, d.degree, (x.x + (g.s // d.degree)) // 2 AS y0
+  FROM x10 x JOIN g11 g USING (vertex) JOIN sdeg d USING (vertex)),
+ss11 AS MATERIALIZED (SELECT SUM(degree * y0) AS sv FROM ya11),
+yb11 AS MATERIALIZED (
+  SELECT vertex, y0 - (SELECT sv FROM ss11) // (SELECT m2 FROM stm) AS y1
+  FROM ya11),
+mx11 AS MATERIALIZED (SELECT GREATEST(MAX(ABS(y1)), 1) AS mx FROM yb11),
+x11 AS MATERIALIZED (
+  SELECT vertex, (y1 * 1000000000) // (SELECT mx FROM mx11) AS x FROM yb11),
+g12 AS MATERIALIZED (
+  SELECT u.v AS vertex, SUM(x.x) AS s
+  FROM sund u JOIN x11 x ON x.vertex = u.nb GROUP BY u.v),
+ya12 AS MATERIALIZED (
+  SELECT x.vertex, d.degree, (x.x + (g.s // d.degree)) // 2 AS y0
+  FROM x11 x JOIN g12 g USING (vertex) JOIN sdeg d USING (vertex)),
+ss12 AS MATERIALIZED (SELECT SUM(degree * y0) AS sv FROM ya12),
+yb12 AS MATERIALIZED (
+  SELECT vertex, y0 - (SELECT sv FROM ss12) // (SELECT m2 FROM stm) AS y1
+  FROM ya12),
+mx12 AS MATERIALIZED (SELECT GREATEST(MAX(ABS(y1)), 1) AS mx FROM yb12),
+x12 AS MATERIALIZED (
+  SELECT vertex, (y1 * 1000000000) // (SELECT mx FROM mx12) AS x FROM yb12),
+g13 AS MATERIALIZED (
+  SELECT u.v AS vertex, SUM(x.x) AS s
+  FROM sund u JOIN x12 x ON x.vertex = u.nb GROUP BY u.v),
+ya13 AS MATERIALIZED (
+  SELECT x.vertex, d.degree, (x.x + (g.s // d.degree)) // 2 AS y0
+  FROM x12 x JOIN g13 g USING (vertex) JOIN sdeg d USING (vertex)),
+ss13 AS MATERIALIZED (SELECT SUM(degree * y0) AS sv FROM ya13),
+yb13 AS MATERIALIZED (
+  SELECT vertex, y0 - (SELECT sv FROM ss13) // (SELECT m2 FROM stm) AS y1
+  FROM ya13),
+mx13 AS MATERIALIZED (SELECT GREATEST(MAX(ABS(y1)), 1) AS mx FROM yb13),
+x13 AS MATERIALIZED (
+  SELECT vertex, (y1 * 1000000000) // (SELECT mx FROM mx13) AS x FROM yb13),
+g14 AS MATERIALIZED (
+  SELECT u.v AS vertex, SUM(x.x) AS s
+  FROM sund u JOIN x13 x ON x.vertex = u.nb GROUP BY u.v),
+ya14 AS MATERIALIZED (
+  SELECT x.vertex, d.degree, (x.x + (g.s // d.degree)) // 2 AS y0
+  FROM x13 x JOIN g14 g USING (vertex) JOIN sdeg d USING (vertex)),
+ss14 AS MATERIALIZED (SELECT SUM(degree * y0) AS sv FROM ya14),
+yb14 AS MATERIALIZED (
+  SELECT vertex, y0 - (SELECT sv FROM ss14) // (SELECT m2 FROM stm) AS y1
+  FROM ya14),
+mx14 AS MATERIALIZED (SELECT GREATEST(MAX(ABS(y1)), 1) AS mx FROM yb14),
+x14 AS MATERIALIZED (
+  SELECT vertex, (y1 * 1000000000) // (SELECT mx FROM mx14) AS x FROM yb14),
+g15 AS MATERIALIZED (
+  SELECT u.v AS vertex, SUM(x.x) AS s
+  FROM sund u JOIN x14 x ON x.vertex = u.nb GROUP BY u.v),
+ya15 AS MATERIALIZED (
+  SELECT x.vertex, d.degree, (x.x + (g.s // d.degree)) // 2 AS y0
+  FROM x14 x JOIN g15 g USING (vertex) JOIN sdeg d USING (vertex)),
+ss15 AS MATERIALIZED (SELECT SUM(degree * y0) AS sv FROM ya15),
+yb15 AS MATERIALIZED (
+  SELECT vertex, y0 - (SELECT sv FROM ss15) // (SELECT m2 FROM stm) AS y1
+  FROM ya15),
+mx15 AS MATERIALIZED (SELECT GREATEST(MAX(ABS(y1)), 1) AS mx FROM yb15),
+x15 AS MATERIALIZED (
+  SELECT vertex, (y1 * 1000000000) // (SELECT mx FROM mx15) AS x FROM yb15),
+g16 AS MATERIALIZED (
+  SELECT u.v AS vertex, SUM(x.x) AS s
+  FROM sund u JOIN x15 x ON x.vertex = u.nb GROUP BY u.v),
+ya16 AS MATERIALIZED (
+  SELECT x.vertex, d.degree, (x.x + (g.s // d.degree)) // 2 AS y0
+  FROM x15 x JOIN g16 g USING (vertex) JOIN sdeg d USING (vertex)),
+ss16 AS MATERIALIZED (SELECT SUM(degree * y0) AS sv FROM ya16),
+yb16 AS MATERIALIZED (
+  SELECT vertex, y0 - (SELECT sv FROM ss16) // (SELECT m2 FROM stm) AS y1
+  FROM ya16),
+mx16 AS MATERIALIZED (SELECT GREATEST(MAX(ABS(y1)), 1) AS mx FROM yb16),
+x16 AS MATERIALIZED (
+  SELECT vertex, (y1 * 1000000000) // (SELECT mx FROM mx16) AS x FROM yb16),
+g17 AS MATERIALIZED (
+  SELECT u.v AS vertex, SUM(x.x) AS s
+  FROM sund u JOIN x16 x ON x.vertex = u.nb GROUP BY u.v),
+ya17 AS MATERIALIZED (
+  SELECT x.vertex, d.degree, (x.x + (g.s // d.degree)) // 2 AS y0
+  FROM x16 x JOIN g17 g USING (vertex) JOIN sdeg d USING (vertex)),
+ss17 AS MATERIALIZED (SELECT SUM(degree * y0) AS sv FROM ya17),
+yb17 AS MATERIALIZED (
+  SELECT vertex, y0 - (SELECT sv FROM ss17) // (SELECT m2 FROM stm) AS y1
+  FROM ya17),
+mx17 AS MATERIALIZED (SELECT GREATEST(MAX(ABS(y1)), 1) AS mx FROM yb17),
+x17 AS MATERIALIZED (
+  SELECT vertex, (y1 * 1000000000) // (SELECT mx FROM mx17) AS x FROM yb17),
+g18 AS MATERIALIZED (
+  SELECT u.v AS vertex, SUM(x.x) AS s
+  FROM sund u JOIN x17 x ON x.vertex = u.nb GROUP BY u.v),
+ya18 AS MATERIALIZED (
+  SELECT x.vertex, d.degree, (x.x + (g.s // d.degree)) // 2 AS y0
+  FROM x17 x JOIN g18 g USING (vertex) JOIN sdeg d USING (vertex)),
+ss18 AS MATERIALIZED (SELECT SUM(degree * y0) AS sv FROM ya18),
+yb18 AS MATERIALIZED (
+  SELECT vertex, y0 - (SELECT sv FROM ss18) // (SELECT m2 FROM stm) AS y1
+  FROM ya18),
+mx18 AS MATERIALIZED (SELECT GREATEST(MAX(ABS(y1)), 1) AS mx FROM yb18),
+x18 AS MATERIALIZED (
+  SELECT vertex, (y1 * 1000000000) // (SELECT mx FROM mx18) AS x FROM yb18),
+g19 AS MATERIALIZED (
+  SELECT u.v AS vertex, SUM(x.x) AS s
+  FROM sund u JOIN x18 x ON x.vertex = u.nb GROUP BY u.v),
+ya19 AS MATERIALIZED (
+  SELECT x.vertex, d.degree, (x.x + (g.s // d.degree)) // 2 AS y0
+  FROM x18 x JOIN g19 g USING (vertex) JOIN sdeg d USING (vertex)),
+ss19 AS MATERIALIZED (SELECT SUM(degree * y0) AS sv FROM ya19),
+yb19 AS MATERIALIZED (
+  SELECT vertex, y0 - (SELECT sv FROM ss19) // (SELECT m2 FROM stm) AS y1
+  FROM ya19),
+mx19 AS MATERIALIZED (SELECT GREATEST(MAX(ABS(y1)), 1) AS mx FROM yb19),
+x19 AS MATERIALIZED (
+  SELECT vertex, (y1 * 1000000000) // (SELECT mx FROM mx19) AS x FROM yb19),
+g20 AS MATERIALIZED (
+  SELECT u.v AS vertex, SUM(x.x) AS s
+  FROM sund u JOIN x19 x ON x.vertex = u.nb GROUP BY u.v),
+ya20 AS MATERIALIZED (
+  SELECT x.vertex, d.degree, (x.x + (g.s // d.degree)) // 2 AS y0
+  FROM x19 x JOIN g20 g USING (vertex) JOIN sdeg d USING (vertex)),
+ss20 AS MATERIALIZED (SELECT SUM(degree * y0) AS sv FROM ya20),
+yb20 AS MATERIALIZED (
+  SELECT vertex, y0 - (SELECT sv FROM ss20) // (SELECT m2 FROM stm) AS y1
+  FROM ya20),
+mx20 AS MATERIALIZED (SELECT GREATEST(MAX(ABS(y1)), 1) AS mx FROM yb20),
+x20 AS MATERIALIZED (
+  SELECT vertex, (y1 * 1000000000) // (SELECT mx FROM mx20) AS x FROM yb20)
+SELECT vertex, CAST(x AS BIGINT) AS fiedler,
+       CAST(CASE WHEN ROW_NUMBER() OVER (ORDER BY x ASC, vertex ASC)
+                      <= (SELECT COUNT(*) FROM x20) // 2
+                 THEN 0 ELSE 1 END AS INTEGER) AS bucket
+FROM x20
+"""
+
     # -- Count-Min Sketch oracles (functions/cms.py) --------------------------
     # same splitmix64 row hashes (HUGEINT replay), w=256 slots = low 8 bits,
     # exact integer cells; heavy hitters = min-over-rows register lookups
@@ -5700,6 +5993,7 @@ FROM documents
         "eccentricity": eccentricity_sql,
         "label_spreading": label_spreading_sql,
         "ppr_sweep": ppr_sweep_sql,
+        "spectral_bisect": spectral_bisect_sql,
         "cms_registers": cms_registers_sql,
         "cms_heavy_users": cms_heavy_users_sql,
         "onion": onion_sql,
