@@ -1366,6 +1366,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return spectral_bisect(_edges(spark, sf), n_iter=20)
 
+    def q_spectral_cut_stats(spark, sf):
+        # the spectral bisection fed through the A2 vertex-partition stats
+        # (operators/vertex_cut.py): balance / Jain's / cut ratio at p=2 —
+        # the partition-quality readout of the Fiedler split
+        from split_merge_partitioner_spark.graph.spectral import spectral_bisect
+        from split_merge_partitioner_spark.operators import vertex_partition_stats
+
+        e = _edges(spark, sf)
+        vp = spectral_bisect(e, n_iter=20).select(
+            "vertex", F.col("bucket").cast("long").alias("bucket")
+        )
+        st = vertex_partition_stats(e, vp, 2)
+        return st.select(*[F.round(c, 6).alias(c) for c in st.columns])
+
     def q_cms_registers(spark, sf):
         # deterministic Count-Min Sketch counter matrix (functions/cms.py):
         # d=4 splitmix64 row hashes, w=256 slots, exact BIGINT cells — the
@@ -1876,6 +1890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_spreading": q_label_spreading,
         "ppr_sweep": q_ppr_sweep,
         "spectral_bisect": q_spectral_bisect,
+        "spectral_cut_stats": q_spectral_cut_stats,
         "cms_registers": q_cms_registers,
         "cms_heavy_users": q_cms_heavy_users,
         "onion": q_onion,
@@ -4531,6 +4546,26 @@ SELECT vertex, CAST(x AS BIGINT) AS fiedler,
 FROM x20
 """
 
+    # -- spectral cut-stats oracle: the bisection relation (inner WITH scope)
+    # through the A2 stats formulas — same float op order as
+    # vertex_partition_stats, ROUND 6 at the end
+    spectral_cut_stats_sql = f"""
+WITH sp AS MATERIALIZED (
+{spectral_bisect_sql}
+),
+{_EDGES_CTE},
+sizes AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS nv FROM sp GROUP BY bucket),
+nn AS (SELECT COUNT(*) AS n FROM sp),
+mm AS (SELECT COUNT(*) AS m FROM edges),
+cut AS (SELECT COUNT(*) AS c
+        FROM edges e JOIN sp a ON a.vertex = e.src JOIN sp b ON b.vertex = e.dst
+        WHERE a.bucket <> b.bucket)
+SELECT ROUND(MAX(nv) / ((SELECT n FROM nn) / 2.0), 6) AS balance,
+       ROUND((SUM(nv) * SUM(nv)) / (COUNT(*) * SUM(nv * nv)), 6) AS jains_v,
+       ROUND((SELECT c FROM cut) * 1.0 / (SELECT m FROM mm), 6) AS cut_ratio
+FROM sizes
+"""
+
     # -- Count-Min Sketch oracles (functions/cms.py) --------------------------
     # same splitmix64 row hashes (HUGEINT replay), w=256 slots = low 8 bits,
     # exact integer cells; heavy hitters = min-over-rows register lookups
@@ -5994,6 +6029,7 @@ FROM documents
         "label_spreading": label_spreading_sql,
         "ppr_sweep": ppr_sweep_sql,
         "spectral_bisect": spectral_bisect_sql,
+        "spectral_cut_stats": spectral_cut_stats_sql,
         "cms_registers": cms_registers_sql,
         "cms_heavy_users": cms_heavy_users_sql,
         "onion": onion_sql,
