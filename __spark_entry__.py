@@ -1358,6 +1358,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return ppr_sweep_cut(e, seeds, k_max=64)
 
+    def q_langid_confusion(spark, sf):
+        # marker-vote language-ID confusion matrix vs the labeled lang
+        # column (functions/text.py::langid_confusion) — zh has no markers
+        # and lands in the off-diagonal/unk mass by design
+        from split_merge_partitioner_spark.functions.text import langid_confusion
+
+        return langid_confusion(_docs(spark, sf))
+
+    def q_cusum_changepoints(spark, sf):
+        # Page's one-sided CUSUM per event type over hour buckets
+        # (functions/events.py): the max-reset recurrence as prefix-sum
+        # minus running-min — two windows, all integers
+        from split_merge_partitioner_spark.functions.events import cusum_changepoints
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return cusum_changepoints(ev)
+
     def q_spectral_bisect(spark, sf):
         # integer-exact Fiedler bisection (graph/spectral.py): 20 deflated
         # lazy-walk steps, truncating-div arithmetic replayed bit-for-bit
@@ -1889,6 +1906,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eccentricity": q_eccentricity,
         "label_spreading": q_label_spreading,
         "ppr_sweep": q_ppr_sweep,
+        "langid_confusion": q_langid_confusion,
+        "cusum_changepoints": q_cusum_changepoints,
         "spectral_bisect": q_spectral_bisect,
         "spectral_cut_stats": q_spectral_cut_stats,
         "cms_registers": q_cms_registers,
@@ -4262,6 +4281,60 @@ SELECT key, j,
 FROM rr GROUP BY key, j
 """
 
+    # -- language-ID confusion oracle (functions/text.py::langid_confusion) ---
+    langid_confusion_sql = f"""
+WITH padded_docs AS (
+    SELECT doc_id, lang, ' ' || LOWER(text) || ' ' AS padded FROM documents
+),
+scored AS (
+    SELECT doc_id, lang, {', '.join(marker_counts)} FROM padded_docs
+),
+with_best AS (
+    SELECT doc_id, lang, {best} AS best, scored.* EXCLUDE (doc_id, lang) FROM scored
+),
+preds AS (
+    SELECT lang, CASE WHEN best <= 0 THEN 'unk' {whens} END AS lang_pred
+    FROM with_best
+),
+cells AS (SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM preds GROUP BY 1, 2)
+SELECT lang, lang_pred, n_docs,
+       CAST(1000000 * n_docs // SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+           AS row_frac_ppm
+FROM cells
+"""
+
+    # -- CUSUM changepoint oracle (functions/events.py::cusum_changepoints) ---
+    # hour buckets, densified per-type range, k = total div #buckets, the
+    # windowed max-reset identity C = S - least(0, running min S) — integers
+    cusum_changepoints_sql = """
+WITH b AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS bucket FROM events),
+counts AS (SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS n_events
+           FROM b GROUP BY 1, 2),
+span AS (SELECT event_type, MIN(bucket) AS b0, MAX(bucket) AS b1
+         FROM counts GROUP BY 1),
+dense AS (SELECT event_type, UNNEST(range(b0, b1 + 1)) AS bucket FROM span),
+x AS (SELECT d.event_type, d.bucket, COALESCE(c.n_events, 0) AS n_events
+      FROM dense d LEFT JOIN counts c
+        ON c.event_type = d.event_type AND c.bucket = d.bucket),
+wk AS (SELECT *,
+              SUM(n_events) OVER (PARTITION BY event_type)
+                // COUNT(*) OVER (PARTITION BY event_type) AS k
+       FROM x),
+ws AS (SELECT *,
+              SUM(n_events - k) OVER (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+       FROM wk),
+wc AS (SELECT *,
+              s - LEAST(0, MIN(s) OVER (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum
+       FROM ws)
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket, n_events,
+       CAST(cusum AS BIGINT) AS cusum, cusum > k * 5 AS is_alarm
+FROM wc
+"""
+
     # -- spectral bisection oracle (graph/spectral.py) -------------------------
     # the exact truncating-integer deflated lazy-walk chain: both engines
     # truncate integer division toward zero (verified incl. negatives), so
@@ -6028,6 +6101,8 @@ FROM documents
         "eccentricity": eccentricity_sql,
         "label_spreading": label_spreading_sql,
         "ppr_sweep": ppr_sweep_sql,
+        "langid_confusion": langid_confusion_sql,
+        "cusum_changepoints": cusum_changepoints_sql,
         "spectral_bisect": spectral_bisect_sql,
         "spectral_cut_stats": spectral_cut_stats_sql,
         "cms_registers": cms_registers_sql,

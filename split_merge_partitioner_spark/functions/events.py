@@ -756,3 +756,62 @@ def outlier_events(
             dev.cast("long").alias("dev_scaled"),
         )
     )
+
+
+def cusum_changepoints(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    bucket_us: int = 3_600_000_000,
+    threshold_mult: int = 5,
+) -> DataFrame:
+    """One-sided CUSUM rate-shift detector per event type over fixed time
+    buckets (Page 1954): with x_t the bucket count and k the per-type
+    expected rate (total div #buckets — integer), the classic recurrence
+    C_t = max(0, C_{t-1} + x_t - k) is rewritten windowed-exact as
+    C_t = S_t - min(0, min_{j<=t} S_j) over the prefix sums S of (x - k)
+    — the max-reset recurrence equals the prefix sum minus its running
+    minimum, so TWO window passes replace the sequential scan and the
+    whole detector is integer arithmetic end to end (cross-engine exact).
+
+    Returns (event_type, bucket, n_events, cusum, is_alarm) for every
+    bucket in the DENSIFIED per-type range (empty buckets count 0 —
+    silence is evidence under CUSUM); is_alarm = cusum > threshold_mult*k.
+
+    Scale shape: one exchange for the bucket counts, one broadcast-size
+    min/max relation exploded to the dense bucket axis, one window
+    exchange keyed by event_type.  Buckets per key are bounded by the
+    observation window, not the event volume."""
+    us = _epoch_us(ts_col)
+    b = events.select(
+        F.col(type_col).alias("event_type"), us.alias("ts_us")
+    ).select("event_type", F.expr(f"ts_us div {bucket_us}").alias("bucket"))
+    counts = b.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    span = counts.groupBy("event_type").agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    dense = span.select(
+        "event_type", F.explode(F.sequence("b0", "b1")).alias("bucket")
+    )
+    x = dense.join(counts, ["event_type", "bucket"], "left").select(
+        "event_type", "bucket", F.coalesce("n_events", F.lit(0)).alias("n_events")
+    )
+    wo = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    with_k = x.withColumn(
+        "k", F.expr("SUM(n_events) OVER (PARTITION BY event_type) div COUNT(*) OVER (PARTITION BY event_type)")
+    )
+    s = with_k.withColumn("s", F.sum(F.col("n_events") - F.col("k")).over(wo))
+    c = s.withColumn(
+        "cusum", F.col("s") - F.least(F.lit(0).cast("long"), F.min("s").over(wo))
+    )
+    return c.select(
+        "event_type",
+        "bucket",
+        "n_events",
+        F.col("cusum").cast("long").alias("cusum"),
+        (F.col("cusum") > F.col("k") * threshold_mult).alias("is_alarm"),
+    )

@@ -562,3 +562,31 @@ def vocab_growth(
             F.sum("new_types").over(w).cast("long").alias("cum_types"),
         )
     )
+
+
+def langid_confusion(
+    docs: DataFrame, truth_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """(lang, lang_pred, n_docs, row_frac_ppm): confusion matrix of the
+    marker-vote language identifier against the labeled ``truth_col`` —
+    the evaluation readout a pipeline tracks when the classifier or the
+    corpus mix changes.  Languages outside the marker set (e.g. zh in the
+    fixtures) fall into 'unk' or a false vote and show up as off-diagonal
+    mass rather than being silently dropped.  One map-side-combined
+    exchange on (lang, pred) + one window over the <=|langs|^2 cells;
+    row_frac_ppm is floor-ppm of the truth-row total (exact integers)."""
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(truth_col).alias("lang"), lang_pred_col(text_col).alias("lang_pred")
+    )
+    cnt = base.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w = Window.partitionBy("lang")
+    return cnt.withColumn("total", F.sum("n_docs").over(w)).select(
+        "lang",
+        "lang_pred",
+        "n_docs",
+        F.expr("CAST(1000000 * n_docs div total AS BIGINT)").alias("row_frac_ppm"),
+    )
