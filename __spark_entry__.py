@@ -1358,6 +1358,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return ppr_sweep_cut(e, seeds, k_max=64)
 
+    def q_trussness(spark, sf):
+        # FULL truss decomposition of the projection graph (graph/truss.py::
+        # truss_decomposition): monotone support peel, 32 data-dependent
+        # rounds on this fixture; oracle replays 40 generated rounds (tail
+        # no-ops once the edge set drains)
+        from split_merge_partitioner_spark.graph.truss import truss_decomposition
+
+        out, _ = truss_decomposition(_proj_edges(spark, sf))
+        return out
+
     def q_langid_confusion(spark, sf):
         # marker-vote language-ID confusion matrix vs the labeled lang
         # column (functions/text.py::langid_confusion) — zh has no markers
@@ -1906,6 +1916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eccentricity": q_eccentricity,
         "label_spreading": q_label_spreading,
         "ppr_sweep": q_ppr_sweep,
+        "trussness": q_trussness,
         "langid_confusion": q_langid_confusion,
         "cusum_changepoints": q_cusum_changepoints,
         "spectral_bisect": q_spectral_bisect,
@@ -4281,6 +4292,980 @@ SELECT key, j,
 FROM rr GROUP BY key, j
 """
 
+    # -- full trussness oracle (graph/truss.py::truss_decomposition) -----------
+    # 40 generated peel rounds over the MATERIALIZED live edge relation:
+    # per-round triangle enumeration (id orientation — support counts are
+    # orientation-invariant), monotone t = max(t, min sup + 2), batch
+    # removal — all integers, tail rounds no-op on the drained edge set
+    trussness_sql = f"""
+WITH {_EDGES_CTE},
+le0 AS MATERIALIZED (
+    SELECT a.src AS src, b.src AS dst
+    FROM edges a JOIN edges b ON a.dst = b.dst AND a.src < b.src
+    GROUP BY a.src, b.src HAVING COUNT(*) >= 30),
+tlv0 AS (SELECT 2 AS t),
+ttr1 AS MATERIALIZED (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM le0 ab JOIN le0 bc ON bc.src = ab.dst
+  JOIN le0 ac ON ac.src = ab.src AND ac.dst = bc.dst),
+tsp1 AS MATERIALIZED (
+  SELECT e.src, e.dst, COALESCE(s.c, 0) AS sup
+  FROM le0 e LEFT JOIN (
+    SELECT x AS src, y AS dst, COUNT(*) AS c FROM (
+      SELECT a AS x, b AS y FROM ttr1
+      UNION ALL SELECT b, c FROM ttr1
+      UNION ALL SELECT a, c FROM ttr1) GROUP BY 1, 2) s
+    ON s.src = e.src AND s.dst = e.dst),
+tlv1 AS MATERIALIZED (
+  SELECT GREATEST((SELECT t FROM tlv0),
+         COALESCE((SELECT MIN(sup) + 2 FROM tsp1),
+                  (SELECT t FROM tlv0))) AS t),
+trm1 AS MATERIALIZED (
+  SELECT src, dst, (SELECT t FROM tlv1) AS trussness
+  FROM tsp1 WHERE sup <= (SELECT t FROM tlv1) - 2),
+le1 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM le0 e LEFT JOIN trm1 r
+    ON r.src = e.src AND r.dst = e.dst
+  WHERE r.src IS NULL),
+ttr2 AS MATERIALIZED (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM le1 ab JOIN le1 bc ON bc.src = ab.dst
+  JOIN le1 ac ON ac.src = ab.src AND ac.dst = bc.dst),
+tsp2 AS MATERIALIZED (
+  SELECT e.src, e.dst, COALESCE(s.c, 0) AS sup
+  FROM le1 e LEFT JOIN (
+    SELECT x AS src, y AS dst, COUNT(*) AS c FROM (
+      SELECT a AS x, b AS y FROM ttr2
+      UNION ALL SELECT b, c FROM ttr2
+      UNION ALL SELECT a, c FROM ttr2) GROUP BY 1, 2) s
+    ON s.src = e.src AND s.dst = e.dst),
+tlv2 AS MATERIALIZED (
+  SELECT GREATEST((SELECT t FROM tlv1),
+         COALESCE((SELECT MIN(sup) + 2 FROM tsp2),
+                  (SELECT t FROM tlv1))) AS t),
+trm2 AS MATERIALIZED (
+  SELECT src, dst, (SELECT t FROM tlv2) AS trussness
+  FROM tsp2 WHERE sup <= (SELECT t FROM tlv2) - 2),
+le2 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM le1 e LEFT JOIN trm2 r
+    ON r.src = e.src AND r.dst = e.dst
+  WHERE r.src IS NULL),
+ttr3 AS MATERIALIZED (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM le2 ab JOIN le2 bc ON bc.src = ab.dst
+  JOIN le2 ac ON ac.src = ab.src AND ac.dst = bc.dst),
+tsp3 AS MATERIALIZED (
+  SELECT e.src, e.dst, COALESCE(s.c, 0) AS sup
+  FROM le2 e LEFT JOIN (
+    SELECT x AS src, y AS dst, COUNT(*) AS c FROM (
+      SELECT a AS x, b AS y FROM ttr3
+      UNION ALL SELECT b, c FROM ttr3
+      UNION ALL SELECT a, c FROM ttr3) GROUP BY 1, 2) s
+    ON s.src = e.src AND s.dst = e.dst),
+tlv3 AS MATERIALIZED (
+  SELECT GREATEST((SELECT t FROM tlv2),
+         COALESCE((SELECT MIN(sup) + 2 FROM tsp3),
+                  (SELECT t FROM tlv2))) AS t),
+trm3 AS MATERIALIZED (
+  SELECT src, dst, (SELECT t FROM tlv3) AS trussness
+  FROM tsp3 WHERE sup <= (SELECT t FROM tlv3) - 2),
+le3 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM le2 e LEFT JOIN trm3 r
+    ON r.src = e.src AND r.dst = e.dst
+  WHERE r.src IS NULL),
+ttr4 AS MATERIALIZED (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM le3 ab JOIN le3 bc ON bc.src = ab.dst
+  JOIN le3 ac ON ac.src = ab.src AND ac.dst = bc.dst),
+tsp4 AS MATERIALIZED (
+  SELECT e.src, e.dst, COALESCE(s.c, 0) AS sup
+  FROM le3 e LEFT JOIN (
+    SELECT x AS src, y AS dst, COUNT(*) AS c FROM (
+      SELECT a AS x, b AS y FROM ttr4
+      UNION ALL SELECT b, c FROM ttr4
+      UNION ALL SELECT a, c FROM ttr4) GROUP BY 1, 2) s
+    ON s.src = e.src AND s.dst = e.dst),
+tlv4 AS MATERIALIZED (
+  SELECT GREATEST((SELECT t FROM tlv3),
+         COALESCE((SELECT MIN(sup) + 2 FROM tsp4),
+                  (SELECT t FROM tlv3))) AS t),
+trm4 AS MATERIALIZED (
+  SELECT src, dst, (SELECT t FROM tlv4) AS trussness
+  FROM tsp4 WHERE sup <= (SELECT t FROM tlv4) - 2),
+le4 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM le3 e LEFT JOIN trm4 r
+    ON r.src = e.src AND r.dst = e.dst
+  WHERE r.src IS NULL),
+ttr5 AS MATERIALIZED (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM le4 ab JOIN le4 bc ON bc.src = ab.dst
+  JOIN le4 ac ON ac.src = ab.src AND ac.dst = bc.dst),
+tsp5 AS MATERIALIZED (
+  SELECT e.src, e.dst, COALESCE(s.c, 0) AS sup
+  FROM le4 e LEFT JOIN (
+    SELECT x AS src, y AS dst, COUNT(*) AS c FROM (
+      SELECT a AS x, b AS y FROM ttr5
+      UNION ALL SELECT b, c FROM ttr5
+      UNION ALL SELECT a, c FROM ttr5) GROUP BY 1, 2) s
+    ON s.src = e.src AND s.dst = e.dst),
+tlv5 AS MATERIALIZED (
+  SELECT GREATEST((SELECT t FROM tlv4),
+         COALESCE((SELECT MIN(sup) + 2 FROM tsp5),
+                  (SELECT t FROM tlv4))) AS t),
+trm5 AS MATERIALIZED (
+  SELECT src, dst, (SELECT t FROM tlv5) AS trussness
+  FROM tsp5 WHERE sup <= (SELECT t FROM tlv5) - 2),
+le5 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM le4 e LEFT JOIN trm5 r
+    ON r.src = e.src AND r.dst = e.dst
+  WHERE r.src IS NULL),
+ttr6 AS MATERIALIZED (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM le5 ab JOIN le5 bc ON bc.src = ab.dst
+  JOIN le5 ac ON ac.src = ab.src AND ac.dst = bc.dst),
+tsp6 AS MATERIALIZED (
+  SELECT e.src, e.dst, COALESCE(s.c, 0) AS sup
+  FROM le5 e LEFT JOIN (
+    SELECT x AS src, y AS dst, COUNT(*) AS c FROM (
+      SELECT a AS x, b AS y FROM ttr6
+      UNION ALL SELECT b, c FROM ttr6
+      UNION ALL SELECT a, c FROM ttr6) GROUP BY 1, 2) s
+    ON s.src = e.src AND s.dst = e.dst),
+tlv6 AS MATERIALIZED (
+  SELECT GREATEST((SELECT t FROM tlv5),
+         COALESCE((SELECT MIN(sup) + 2 FROM tsp6),
+                  (SELECT t FROM tlv5))) AS t),
+trm6 AS MATERIALIZED (
+  SELECT src, dst, (SELECT t FROM tlv6) AS trussness
+  FROM tsp6 WHERE sup <= (SELECT t FROM tlv6) - 2),
+le6 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM le5 e LEFT JOIN trm6 r
+    ON r.src = e.src AND r.dst = e.dst
+  WHERE r.src IS NULL),
+ttr7 AS MATERIALIZED (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM le6 ab JOIN le6 bc ON bc.src = ab.dst
+  JOIN le6 ac ON ac.src = ab.src AND ac.dst = bc.dst),
+tsp7 AS MATERIALIZED (
+  SELECT e.src, e.dst, COALESCE(s.c, 0) AS sup
+  FROM le6 e LEFT JOIN (
+    SELECT x AS src, y AS dst, COUNT(*) AS c FROM (
+      SELECT a AS x, b AS y FROM ttr7
+      UNION ALL SELECT b, c FROM ttr7
+      UNION ALL SELECT a, c FROM ttr7) GROUP BY 1, 2) s
+    ON s.src = e.src AND s.dst = e.dst),
+tlv7 AS MATERIALIZED (
+  SELECT GREATEST((SELECT t FROM tlv6),
+         COALESCE((SELECT MIN(sup) + 2 FROM tsp7),
+                  (SELECT t FROM tlv6))) AS t),
+trm7 AS MATERIALIZED (
+  SELECT src, dst, (SELECT t FROM tlv7) AS trussness
+  FROM tsp7 WHERE sup <= (SELECT t FROM tlv7) - 2),
+le7 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM le6 e LEFT JOIN trm7 r
+    ON r.src = e.src AND r.dst = e.dst
+  WHERE r.src IS NULL),
+ttr8 AS MATERIALIZED (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM le7 ab JOIN le7 bc ON bc.src = ab.dst
+  JOIN le7 ac ON ac.src = ab.src AND ac.dst = bc.dst),
+tsp8 AS MATERIALIZED (
+  SELECT e.src, e.dst, COALESCE(s.c, 0) AS sup
+  FROM le7 e LEFT JOIN (
+    SELECT x AS src, y AS dst, COUNT(*) AS c FROM (
+      SELECT a AS x, b AS y FROM ttr8
+      UNION ALL SELECT b, c FROM ttr8
+      UNION ALL SELECT a, c FROM ttr8) GROUP BY 1, 2) s
+    ON s.src = e.src AND s.dst = e.dst),
+tlv8 AS MATERIALIZED (
+  SELECT GREATEST((SELECT t FROM tlv7),
+         COALESCE((SELECT MIN(sup) + 2 FROM tsp8),
+                  (SELECT t FROM tlv7))) AS t),
+trm8 AS MATERIALIZED (
+  SELECT src, dst, (SELECT t FROM tlv8) AS trussness
+  FROM tsp8 WHERE sup <= (SELECT t FROM tlv8) - 2),
+le8 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM le7 e LEFT JOIN trm8 r
+    ON r.src = e.src AND r.dst = e.dst
+  WHERE r.src IS NULL),
+ttr9 AS MATERIALIZED (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM le8 ab JOIN le8 bc ON bc.src = ab.dst
+  JOIN le8 ac ON ac.src = ab.src AND ac.dst = bc.dst),
+tsp9 AS MATERIALIZED (
+  SELECT e.src, e.dst, COALESCE(s.c, 0) AS sup
+  FROM le8 e LEFT JOIN (
+    SELECT x AS src, y AS dst, COUNT(*) AS c FROM (
+      SELECT a AS x, b AS y FROM ttr9
+      UNION ALL SELECT b, c FROM ttr9
+      UNION ALL SELECT a, c FROM ttr9) GROUP BY 1, 2) s
+    ON s.src = e.src AND s.dst = e.dst),
+tlv9 AS MATERIALIZED (
+  SELECT GREATEST((SELECT t FROM tlv8),
+         COALESCE((SELECT MIN(sup) + 2 FROM tsp9),
+                  (SELECT t FROM tlv8))) AS t),
+trm9 AS MATERIALIZED (
+  SELECT src, dst, (SELECT t FROM tlv9) AS trussness
+  FROM tsp9 WHERE sup <= (SELECT t FROM tlv9) - 2),
+le9 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM le8 e LEFT JOIN trm9 r
+    ON r.src = e.src AND r.dst = e.dst
+  WHERE r.src IS NULL),
+ttr10 AS MATERIALIZED (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM le9 ab JOIN le9 bc ON bc.src = ab.dst
+  JOIN le9 ac ON ac.src = ab.src AND ac.dst = bc.dst),
+tsp10 AS MATERIALIZED (
+  SELECT e.src, e.dst, COALESCE(s.c, 0) AS sup
+  FROM le9 e LEFT JOIN (
+    SELECT x AS src, y AS dst, COUNT(*) AS c FROM (
+      SELECT a AS x, b AS y FROM ttr10
+      UNION ALL SELECT b, c FROM ttr10
+      UNION ALL SELECT a, c FROM ttr10) GROUP BY 1, 2) s
+    ON s.src = e.src AND s.dst = e.dst),
+tlv10 AS MATERIALIZED (
+  SELECT GREATEST((SELECT t FROM tlv9),
+         COALESCE((SELECT MIN(sup) + 2 FROM tsp10),
+                  (SELECT t FROM tlv9))) AS t),
+trm10 AS MATERIALIZED (
+  SELECT src, dst, (SELECT t FROM tlv10) AS trussness
+  FROM tsp10 WHERE sup <= (SELECT t FROM tlv10) - 2),
+le10 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM le9 e LEFT JOIN trm10 r
+    ON r.src = e.src AND r.dst = e.dst
+  WHERE r.src IS NULL),
+ttr11 AS MATERIALIZED (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM le10 ab JOIN le10 bc ON bc.src = ab.dst
+  JOIN le10 ac ON ac.src = ab.src AND ac.dst = bc.dst),
+tsp11 AS MATERIALIZED (
+  SELECT e.src, e.dst, COALESCE(s.c, 0) AS sup
+  FROM le10 e LEFT JOIN (
+    SELECT x AS src, y AS dst, COUNT(*) AS c FROM (
+      SELECT a AS x, b AS y FROM ttr11
+      UNION ALL SELECT b, c FROM ttr11
+      UNION ALL SELECT a, c FROM ttr11) GROUP BY 1, 2) s
+    ON s.src = e.src AND s.dst = e.dst),
+tlv11 AS MATERIALIZED (
+  SELECT GREATEST((SELECT t FROM tlv10),
+         COALESCE((SELECT MIN(sup) + 2 FROM tsp11),
+                  (SELECT t FROM tlv10))) AS t),
+trm11 AS MATERIALIZED (
+  SELECT src, dst, (SELECT t FROM tlv11) AS trussness
+  FROM tsp11 WHERE sup <= (SELECT t FROM tlv11) - 2),
+le11 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM le10 e LEFT JOIN trm11 r
+    ON r.src = e.src AND r.dst = e.dst
+  WHERE r.src IS NULL),
+ttr12 AS MATERIALIZED (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM le11 ab JOIN le11 bc ON bc.src = ab.dst
+  JOIN le11 ac ON ac.src = ab.src AND ac.dst = bc.dst),
+tsp12 AS MATERIALIZED (
+  SELECT e.src, e.dst, COALESCE(s.c, 0) AS sup
+  FROM le11 e LEFT JOIN (
+    SELECT x AS src, y AS dst, COUNT(*) AS c FROM (
+      SELECT a AS x, b AS y FROM ttr12
+      UNION ALL SELECT b, c FROM ttr12
+      UNION ALL SELECT a, c FROM ttr12) GROUP BY 1, 2) s
+    ON s.src = e.src AND s.dst = e.dst),
+tlv12 AS MATERIALIZED (
+  SELECT GREATEST((SELECT t FROM tlv11),
+         COALESCE((SELECT MIN(sup) + 2 FROM tsp12),
+                  (SELECT t FROM tlv11))) AS t),
+trm12 AS MATERIALIZED (
+  SELECT src, dst, (SELECT t FROM tlv12) AS trussness
+  FROM tsp12 WHERE sup <= (SELECT t FROM tlv12) - 2),
+le12 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM le11 e LEFT JOIN trm12 r
+    ON r.src = e.src AND r.dst = e.dst
+  WHERE r.src IS NULL),
+ttr13 AS MATERIALIZED (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM le12 ab JOIN le12 bc ON bc.src = ab.dst
+  JOIN le12 ac ON ac.src = ab.src AND ac.dst = bc.dst),
+tsp13 AS MATERIALIZED (
+  SELECT e.src, e.dst, COALESCE(s.c, 0) AS sup
+  FROM le12 e LEFT JOIN (
+    SELECT x AS src, y AS dst, COUNT(*) AS c FROM (
+      SELECT a AS x, b AS y FROM ttr13
+      UNION ALL SELECT b, c FROM ttr13
+      UNION ALL SELECT a, c FROM ttr13) GROUP BY 1, 2) s
+    ON s.src = e.src AND s.dst = e.dst),
+tlv13 AS MATERIALIZED (
+  SELECT GREATEST((SELECT t FROM tlv12),
+         COALESCE((SELECT MIN(sup) + 2 FROM tsp13),
+                  (SELECT t FROM tlv12))) AS t),
+trm13 AS MATERIALIZED (
+  SELECT src, dst, (SELECT t FROM tlv13) AS trussness
+  FROM tsp13 WHERE sup <= (SELECT t FROM tlv13) - 2),
+le13 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM le12 e LEFT JOIN trm13 r
+    ON r.src = e.src AND r.dst = e.dst
+  WHERE r.src IS NULL),
+ttr14 AS MATERIALIZED (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM le13 ab JOIN le13 bc ON bc.src = ab.dst
+  JOIN le13 ac ON ac.src = ab.src AND ac.dst = bc.dst),
+tsp14 AS MATERIALIZED (
+  SELECT e.src, e.dst, COALESCE(s.c, 0) AS sup
+  FROM le13 e LEFT JOIN (
+    SELECT x AS src, y AS dst, COUNT(*) AS c FROM (
+      SELECT a AS x, b AS y FROM ttr14
+      UNION ALL SELECT b, c FROM ttr14
+      UNION ALL SELECT a, c FROM ttr14) GROUP BY 1, 2) s
+    ON s.src = e.src AND s.dst = e.dst),
+tlv14 AS MATERIALIZED (
+  SELECT GREATEST((SELECT t FROM tlv13),
+         COALESCE((SELECT MIN(sup) + 2 FROM tsp14),
+                  (SELECT t FROM tlv13))) AS t),
+trm14 AS MATERIALIZED (
+  SELECT src, dst, (SELECT t FROM tlv14) AS trussness
+  FROM tsp14 WHERE sup <= (SELECT t FROM tlv14) - 2),
+le14 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM le13 e LEFT JOIN trm14 r
+    ON r.src = e.src AND r.dst = e.dst
+  WHERE r.src IS NULL),
+ttr15 AS MATERIALIZED (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM le14 ab JOIN le14 bc ON bc.src = ab.dst
+  JOIN le14 ac ON ac.src = ab.src AND ac.dst = bc.dst),
+tsp15 AS MATERIALIZED (
+  SELECT e.src, e.dst, COALESCE(s.c, 0) AS sup
+  FROM le14 e LEFT JOIN (
+    SELECT x AS src, y AS dst, COUNT(*) AS c FROM (
+      SELECT a AS x, b AS y FROM ttr15
+      UNION ALL SELECT b, c FROM ttr15
+      UNION ALL SELECT a, c FROM ttr15) GROUP BY 1, 2) s
+    ON s.src = e.src AND s.dst = e.dst),
+tlv15 AS MATERIALIZED (
+  SELECT GREATEST((SELECT t FROM tlv14),
+         COALESCE((SELECT MIN(sup) + 2 FROM tsp15),
+                  (SELECT t FROM tlv14))) AS t),
+trm15 AS MATERIALIZED (
+  SELECT src, dst, (SELECT t FROM tlv15) AS trussness
+  FROM tsp15 WHERE sup <= (SELECT t FROM tlv15) - 2),
+le15 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM le14 e LEFT JOIN trm15 r
+    ON r.src = e.src AND r.dst = e.dst
+  WHERE r.src IS NULL),
+ttr16 AS MATERIALIZED (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM le15 ab JOIN le15 bc ON bc.src = ab.dst
+  JOIN le15 ac ON ac.src = ab.src AND ac.dst = bc.dst),
+tsp16 AS MATERIALIZED (
+  SELECT e.src, e.dst, COALESCE(s.c, 0) AS sup
+  FROM le15 e LEFT JOIN (
+    SELECT x AS src, y AS dst, COUNT(*) AS c FROM (
+      SELECT a AS x, b AS y FROM ttr16
+      UNION ALL SELECT b, c FROM ttr16
+      UNION ALL SELECT a, c FROM ttr16) GROUP BY 1, 2) s
+    ON s.src = e.src AND s.dst = e.dst),
+tlv16 AS MATERIALIZED (
+  SELECT GREATEST((SELECT t FROM tlv15),
+         COALESCE((SELECT MIN(sup) + 2 FROM tsp16),
+                  (SELECT t FROM tlv15))) AS t),
+trm16 AS MATERIALIZED (
+  SELECT src, dst, (SELECT t FROM tlv16) AS trussness
+  FROM tsp16 WHERE sup <= (SELECT t FROM tlv16) - 2),
+le16 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM le15 e LEFT JOIN trm16 r
+    ON r.src = e.src AND r.dst = e.dst
+  WHERE r.src IS NULL),
+ttr17 AS MATERIALIZED (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM le16 ab JOIN le16 bc ON bc.src = ab.dst
+  JOIN le16 ac ON ac.src = ab.src AND ac.dst = bc.dst),
+tsp17 AS MATERIALIZED (
+  SELECT e.src, e.dst, COALESCE(s.c, 0) AS sup
+  FROM le16 e LEFT JOIN (
+    SELECT x AS src, y AS dst, COUNT(*) AS c FROM (
+      SELECT a AS x, b AS y FROM ttr17
+      UNION ALL SELECT b, c FROM ttr17
+      UNION ALL SELECT a, c FROM ttr17) GROUP BY 1, 2) s
+    ON s.src = e.src AND s.dst = e.dst),
+tlv17 AS MATERIALIZED (
+  SELECT GREATEST((SELECT t FROM tlv16),
+         COALESCE((SELECT MIN(sup) + 2 FROM tsp17),
+                  (SELECT t FROM tlv16))) AS t),
+trm17 AS MATERIALIZED (
+  SELECT src, dst, (SELECT t FROM tlv17) AS trussness
+  FROM tsp17 WHERE sup <= (SELECT t FROM tlv17) - 2),
+le17 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM le16 e LEFT JOIN trm17 r
+    ON r.src = e.src AND r.dst = e.dst
+  WHERE r.src IS NULL),
+ttr18 AS MATERIALIZED (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM le17 ab JOIN le17 bc ON bc.src = ab.dst
+  JOIN le17 ac ON ac.src = ab.src AND ac.dst = bc.dst),
+tsp18 AS MATERIALIZED (
+  SELECT e.src, e.dst, COALESCE(s.c, 0) AS sup
+  FROM le17 e LEFT JOIN (
+    SELECT x AS src, y AS dst, COUNT(*) AS c FROM (
+      SELECT a AS x, b AS y FROM ttr18
+      UNION ALL SELECT b, c FROM ttr18
+      UNION ALL SELECT a, c FROM ttr18) GROUP BY 1, 2) s
+    ON s.src = e.src AND s.dst = e.dst),
+tlv18 AS MATERIALIZED (
+  SELECT GREATEST((SELECT t FROM tlv17),
+         COALESCE((SELECT MIN(sup) + 2 FROM tsp18),
+                  (SELECT t FROM tlv17))) AS t),
+trm18 AS MATERIALIZED (
+  SELECT src, dst, (SELECT t FROM tlv18) AS trussness
+  FROM tsp18 WHERE sup <= (SELECT t FROM tlv18) - 2),
+le18 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM le17 e LEFT JOIN trm18 r
+    ON r.src = e.src AND r.dst = e.dst
+  WHERE r.src IS NULL),
+ttr19 AS MATERIALIZED (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM le18 ab JOIN le18 bc ON bc.src = ab.dst
+  JOIN le18 ac ON ac.src = ab.src AND ac.dst = bc.dst),
+tsp19 AS MATERIALIZED (
+  SELECT e.src, e.dst, COALESCE(s.c, 0) AS sup
+  FROM le18 e LEFT JOIN (
+    SELECT x AS src, y AS dst, COUNT(*) AS c FROM (
+      SELECT a AS x, b AS y FROM ttr19
+      UNION ALL SELECT b, c FROM ttr19
+      UNION ALL SELECT a, c FROM ttr19) GROUP BY 1, 2) s
+    ON s.src = e.src AND s.dst = e.dst),
+tlv19 AS MATERIALIZED (
+  SELECT GREATEST((SELECT t FROM tlv18),
+         COALESCE((SELECT MIN(sup) + 2 FROM tsp19),
+                  (SELECT t FROM tlv18))) AS t),
+trm19 AS MATERIALIZED (
+  SELECT src, dst, (SELECT t FROM tlv19) AS trussness
+  FROM tsp19 WHERE sup <= (SELECT t FROM tlv19) - 2),
+le19 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM le18 e LEFT JOIN trm19 r
+    ON r.src = e.src AND r.dst = e.dst
+  WHERE r.src IS NULL),
+ttr20 AS MATERIALIZED (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM le19 ab JOIN le19 bc ON bc.src = ab.dst
+  JOIN le19 ac ON ac.src = ab.src AND ac.dst = bc.dst),
+tsp20 AS MATERIALIZED (
+  SELECT e.src, e.dst, COALESCE(s.c, 0) AS sup
+  FROM le19 e LEFT JOIN (
+    SELECT x AS src, y AS dst, COUNT(*) AS c FROM (
+      SELECT a AS x, b AS y FROM ttr20
+      UNION ALL SELECT b, c FROM ttr20
+      UNION ALL SELECT a, c FROM ttr20) GROUP BY 1, 2) s
+    ON s.src = e.src AND s.dst = e.dst),
+tlv20 AS MATERIALIZED (
+  SELECT GREATEST((SELECT t FROM tlv19),
+         COALESCE((SELECT MIN(sup) + 2 FROM tsp20),
+                  (SELECT t FROM tlv19))) AS t),
+trm20 AS MATERIALIZED (
+  SELECT src, dst, (SELECT t FROM tlv20) AS trussness
+  FROM tsp20 WHERE sup <= (SELECT t FROM tlv20) - 2),
+le20 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM le19 e LEFT JOIN trm20 r
+    ON r.src = e.src AND r.dst = e.dst
+  WHERE r.src IS NULL),
+ttr21 AS MATERIALIZED (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM le20 ab JOIN le20 bc ON bc.src = ab.dst
+  JOIN le20 ac ON ac.src = ab.src AND ac.dst = bc.dst),
+tsp21 AS MATERIALIZED (
+  SELECT e.src, e.dst, COALESCE(s.c, 0) AS sup
+  FROM le20 e LEFT JOIN (
+    SELECT x AS src, y AS dst, COUNT(*) AS c FROM (
+      SELECT a AS x, b AS y FROM ttr21
+      UNION ALL SELECT b, c FROM ttr21
+      UNION ALL SELECT a, c FROM ttr21) GROUP BY 1, 2) s
+    ON s.src = e.src AND s.dst = e.dst),
+tlv21 AS MATERIALIZED (
+  SELECT GREATEST((SELECT t FROM tlv20),
+         COALESCE((SELECT MIN(sup) + 2 FROM tsp21),
+                  (SELECT t FROM tlv20))) AS t),
+trm21 AS MATERIALIZED (
+  SELECT src, dst, (SELECT t FROM tlv21) AS trussness
+  FROM tsp21 WHERE sup <= (SELECT t FROM tlv21) - 2),
+le21 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM le20 e LEFT JOIN trm21 r
+    ON r.src = e.src AND r.dst = e.dst
+  WHERE r.src IS NULL),
+ttr22 AS MATERIALIZED (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM le21 ab JOIN le21 bc ON bc.src = ab.dst
+  JOIN le21 ac ON ac.src = ab.src AND ac.dst = bc.dst),
+tsp22 AS MATERIALIZED (
+  SELECT e.src, e.dst, COALESCE(s.c, 0) AS sup
+  FROM le21 e LEFT JOIN (
+    SELECT x AS src, y AS dst, COUNT(*) AS c FROM (
+      SELECT a AS x, b AS y FROM ttr22
+      UNION ALL SELECT b, c FROM ttr22
+      UNION ALL SELECT a, c FROM ttr22) GROUP BY 1, 2) s
+    ON s.src = e.src AND s.dst = e.dst),
+tlv22 AS MATERIALIZED (
+  SELECT GREATEST((SELECT t FROM tlv21),
+         COALESCE((SELECT MIN(sup) + 2 FROM tsp22),
+                  (SELECT t FROM tlv21))) AS t),
+trm22 AS MATERIALIZED (
+  SELECT src, dst, (SELECT t FROM tlv22) AS trussness
+  FROM tsp22 WHERE sup <= (SELECT t FROM tlv22) - 2),
+le22 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM le21 e LEFT JOIN trm22 r
+    ON r.src = e.src AND r.dst = e.dst
+  WHERE r.src IS NULL),
+ttr23 AS MATERIALIZED (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM le22 ab JOIN le22 bc ON bc.src = ab.dst
+  JOIN le22 ac ON ac.src = ab.src AND ac.dst = bc.dst),
+tsp23 AS MATERIALIZED (
+  SELECT e.src, e.dst, COALESCE(s.c, 0) AS sup
+  FROM le22 e LEFT JOIN (
+    SELECT x AS src, y AS dst, COUNT(*) AS c FROM (
+      SELECT a AS x, b AS y FROM ttr23
+      UNION ALL SELECT b, c FROM ttr23
+      UNION ALL SELECT a, c FROM ttr23) GROUP BY 1, 2) s
+    ON s.src = e.src AND s.dst = e.dst),
+tlv23 AS MATERIALIZED (
+  SELECT GREATEST((SELECT t FROM tlv22),
+         COALESCE((SELECT MIN(sup) + 2 FROM tsp23),
+                  (SELECT t FROM tlv22))) AS t),
+trm23 AS MATERIALIZED (
+  SELECT src, dst, (SELECT t FROM tlv23) AS trussness
+  FROM tsp23 WHERE sup <= (SELECT t FROM tlv23) - 2),
+le23 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM le22 e LEFT JOIN trm23 r
+    ON r.src = e.src AND r.dst = e.dst
+  WHERE r.src IS NULL),
+ttr24 AS MATERIALIZED (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM le23 ab JOIN le23 bc ON bc.src = ab.dst
+  JOIN le23 ac ON ac.src = ab.src AND ac.dst = bc.dst),
+tsp24 AS MATERIALIZED (
+  SELECT e.src, e.dst, COALESCE(s.c, 0) AS sup
+  FROM le23 e LEFT JOIN (
+    SELECT x AS src, y AS dst, COUNT(*) AS c FROM (
+      SELECT a AS x, b AS y FROM ttr24
+      UNION ALL SELECT b, c FROM ttr24
+      UNION ALL SELECT a, c FROM ttr24) GROUP BY 1, 2) s
+    ON s.src = e.src AND s.dst = e.dst),
+tlv24 AS MATERIALIZED (
+  SELECT GREATEST((SELECT t FROM tlv23),
+         COALESCE((SELECT MIN(sup) + 2 FROM tsp24),
+                  (SELECT t FROM tlv23))) AS t),
+trm24 AS MATERIALIZED (
+  SELECT src, dst, (SELECT t FROM tlv24) AS trussness
+  FROM tsp24 WHERE sup <= (SELECT t FROM tlv24) - 2),
+le24 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM le23 e LEFT JOIN trm24 r
+    ON r.src = e.src AND r.dst = e.dst
+  WHERE r.src IS NULL),
+ttr25 AS MATERIALIZED (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM le24 ab JOIN le24 bc ON bc.src = ab.dst
+  JOIN le24 ac ON ac.src = ab.src AND ac.dst = bc.dst),
+tsp25 AS MATERIALIZED (
+  SELECT e.src, e.dst, COALESCE(s.c, 0) AS sup
+  FROM le24 e LEFT JOIN (
+    SELECT x AS src, y AS dst, COUNT(*) AS c FROM (
+      SELECT a AS x, b AS y FROM ttr25
+      UNION ALL SELECT b, c FROM ttr25
+      UNION ALL SELECT a, c FROM ttr25) GROUP BY 1, 2) s
+    ON s.src = e.src AND s.dst = e.dst),
+tlv25 AS MATERIALIZED (
+  SELECT GREATEST((SELECT t FROM tlv24),
+         COALESCE((SELECT MIN(sup) + 2 FROM tsp25),
+                  (SELECT t FROM tlv24))) AS t),
+trm25 AS MATERIALIZED (
+  SELECT src, dst, (SELECT t FROM tlv25) AS trussness
+  FROM tsp25 WHERE sup <= (SELECT t FROM tlv25) - 2),
+le25 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM le24 e LEFT JOIN trm25 r
+    ON r.src = e.src AND r.dst = e.dst
+  WHERE r.src IS NULL),
+ttr26 AS MATERIALIZED (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM le25 ab JOIN le25 bc ON bc.src = ab.dst
+  JOIN le25 ac ON ac.src = ab.src AND ac.dst = bc.dst),
+tsp26 AS MATERIALIZED (
+  SELECT e.src, e.dst, COALESCE(s.c, 0) AS sup
+  FROM le25 e LEFT JOIN (
+    SELECT x AS src, y AS dst, COUNT(*) AS c FROM (
+      SELECT a AS x, b AS y FROM ttr26
+      UNION ALL SELECT b, c FROM ttr26
+      UNION ALL SELECT a, c FROM ttr26) GROUP BY 1, 2) s
+    ON s.src = e.src AND s.dst = e.dst),
+tlv26 AS MATERIALIZED (
+  SELECT GREATEST((SELECT t FROM tlv25),
+         COALESCE((SELECT MIN(sup) + 2 FROM tsp26),
+                  (SELECT t FROM tlv25))) AS t),
+trm26 AS MATERIALIZED (
+  SELECT src, dst, (SELECT t FROM tlv26) AS trussness
+  FROM tsp26 WHERE sup <= (SELECT t FROM tlv26) - 2),
+le26 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM le25 e LEFT JOIN trm26 r
+    ON r.src = e.src AND r.dst = e.dst
+  WHERE r.src IS NULL),
+ttr27 AS MATERIALIZED (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM le26 ab JOIN le26 bc ON bc.src = ab.dst
+  JOIN le26 ac ON ac.src = ab.src AND ac.dst = bc.dst),
+tsp27 AS MATERIALIZED (
+  SELECT e.src, e.dst, COALESCE(s.c, 0) AS sup
+  FROM le26 e LEFT JOIN (
+    SELECT x AS src, y AS dst, COUNT(*) AS c FROM (
+      SELECT a AS x, b AS y FROM ttr27
+      UNION ALL SELECT b, c FROM ttr27
+      UNION ALL SELECT a, c FROM ttr27) GROUP BY 1, 2) s
+    ON s.src = e.src AND s.dst = e.dst),
+tlv27 AS MATERIALIZED (
+  SELECT GREATEST((SELECT t FROM tlv26),
+         COALESCE((SELECT MIN(sup) + 2 FROM tsp27),
+                  (SELECT t FROM tlv26))) AS t),
+trm27 AS MATERIALIZED (
+  SELECT src, dst, (SELECT t FROM tlv27) AS trussness
+  FROM tsp27 WHERE sup <= (SELECT t FROM tlv27) - 2),
+le27 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM le26 e LEFT JOIN trm27 r
+    ON r.src = e.src AND r.dst = e.dst
+  WHERE r.src IS NULL),
+ttr28 AS MATERIALIZED (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM le27 ab JOIN le27 bc ON bc.src = ab.dst
+  JOIN le27 ac ON ac.src = ab.src AND ac.dst = bc.dst),
+tsp28 AS MATERIALIZED (
+  SELECT e.src, e.dst, COALESCE(s.c, 0) AS sup
+  FROM le27 e LEFT JOIN (
+    SELECT x AS src, y AS dst, COUNT(*) AS c FROM (
+      SELECT a AS x, b AS y FROM ttr28
+      UNION ALL SELECT b, c FROM ttr28
+      UNION ALL SELECT a, c FROM ttr28) GROUP BY 1, 2) s
+    ON s.src = e.src AND s.dst = e.dst),
+tlv28 AS MATERIALIZED (
+  SELECT GREATEST((SELECT t FROM tlv27),
+         COALESCE((SELECT MIN(sup) + 2 FROM tsp28),
+                  (SELECT t FROM tlv27))) AS t),
+trm28 AS MATERIALIZED (
+  SELECT src, dst, (SELECT t FROM tlv28) AS trussness
+  FROM tsp28 WHERE sup <= (SELECT t FROM tlv28) - 2),
+le28 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM le27 e LEFT JOIN trm28 r
+    ON r.src = e.src AND r.dst = e.dst
+  WHERE r.src IS NULL),
+ttr29 AS MATERIALIZED (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM le28 ab JOIN le28 bc ON bc.src = ab.dst
+  JOIN le28 ac ON ac.src = ab.src AND ac.dst = bc.dst),
+tsp29 AS MATERIALIZED (
+  SELECT e.src, e.dst, COALESCE(s.c, 0) AS sup
+  FROM le28 e LEFT JOIN (
+    SELECT x AS src, y AS dst, COUNT(*) AS c FROM (
+      SELECT a AS x, b AS y FROM ttr29
+      UNION ALL SELECT b, c FROM ttr29
+      UNION ALL SELECT a, c FROM ttr29) GROUP BY 1, 2) s
+    ON s.src = e.src AND s.dst = e.dst),
+tlv29 AS MATERIALIZED (
+  SELECT GREATEST((SELECT t FROM tlv28),
+         COALESCE((SELECT MIN(sup) + 2 FROM tsp29),
+                  (SELECT t FROM tlv28))) AS t),
+trm29 AS MATERIALIZED (
+  SELECT src, dst, (SELECT t FROM tlv29) AS trussness
+  FROM tsp29 WHERE sup <= (SELECT t FROM tlv29) - 2),
+le29 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM le28 e LEFT JOIN trm29 r
+    ON r.src = e.src AND r.dst = e.dst
+  WHERE r.src IS NULL),
+ttr30 AS MATERIALIZED (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM le29 ab JOIN le29 bc ON bc.src = ab.dst
+  JOIN le29 ac ON ac.src = ab.src AND ac.dst = bc.dst),
+tsp30 AS MATERIALIZED (
+  SELECT e.src, e.dst, COALESCE(s.c, 0) AS sup
+  FROM le29 e LEFT JOIN (
+    SELECT x AS src, y AS dst, COUNT(*) AS c FROM (
+      SELECT a AS x, b AS y FROM ttr30
+      UNION ALL SELECT b, c FROM ttr30
+      UNION ALL SELECT a, c FROM ttr30) GROUP BY 1, 2) s
+    ON s.src = e.src AND s.dst = e.dst),
+tlv30 AS MATERIALIZED (
+  SELECT GREATEST((SELECT t FROM tlv29),
+         COALESCE((SELECT MIN(sup) + 2 FROM tsp30),
+                  (SELECT t FROM tlv29))) AS t),
+trm30 AS MATERIALIZED (
+  SELECT src, dst, (SELECT t FROM tlv30) AS trussness
+  FROM tsp30 WHERE sup <= (SELECT t FROM tlv30) - 2),
+le30 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM le29 e LEFT JOIN trm30 r
+    ON r.src = e.src AND r.dst = e.dst
+  WHERE r.src IS NULL),
+ttr31 AS MATERIALIZED (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM le30 ab JOIN le30 bc ON bc.src = ab.dst
+  JOIN le30 ac ON ac.src = ab.src AND ac.dst = bc.dst),
+tsp31 AS MATERIALIZED (
+  SELECT e.src, e.dst, COALESCE(s.c, 0) AS sup
+  FROM le30 e LEFT JOIN (
+    SELECT x AS src, y AS dst, COUNT(*) AS c FROM (
+      SELECT a AS x, b AS y FROM ttr31
+      UNION ALL SELECT b, c FROM ttr31
+      UNION ALL SELECT a, c FROM ttr31) GROUP BY 1, 2) s
+    ON s.src = e.src AND s.dst = e.dst),
+tlv31 AS MATERIALIZED (
+  SELECT GREATEST((SELECT t FROM tlv30),
+         COALESCE((SELECT MIN(sup) + 2 FROM tsp31),
+                  (SELECT t FROM tlv30))) AS t),
+trm31 AS MATERIALIZED (
+  SELECT src, dst, (SELECT t FROM tlv31) AS trussness
+  FROM tsp31 WHERE sup <= (SELECT t FROM tlv31) - 2),
+le31 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM le30 e LEFT JOIN trm31 r
+    ON r.src = e.src AND r.dst = e.dst
+  WHERE r.src IS NULL),
+ttr32 AS MATERIALIZED (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM le31 ab JOIN le31 bc ON bc.src = ab.dst
+  JOIN le31 ac ON ac.src = ab.src AND ac.dst = bc.dst),
+tsp32 AS MATERIALIZED (
+  SELECT e.src, e.dst, COALESCE(s.c, 0) AS sup
+  FROM le31 e LEFT JOIN (
+    SELECT x AS src, y AS dst, COUNT(*) AS c FROM (
+      SELECT a AS x, b AS y FROM ttr32
+      UNION ALL SELECT b, c FROM ttr32
+      UNION ALL SELECT a, c FROM ttr32) GROUP BY 1, 2) s
+    ON s.src = e.src AND s.dst = e.dst),
+tlv32 AS MATERIALIZED (
+  SELECT GREATEST((SELECT t FROM tlv31),
+         COALESCE((SELECT MIN(sup) + 2 FROM tsp32),
+                  (SELECT t FROM tlv31))) AS t),
+trm32 AS MATERIALIZED (
+  SELECT src, dst, (SELECT t FROM tlv32) AS trussness
+  FROM tsp32 WHERE sup <= (SELECT t FROM tlv32) - 2),
+le32 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM le31 e LEFT JOIN trm32 r
+    ON r.src = e.src AND r.dst = e.dst
+  WHERE r.src IS NULL),
+ttr33 AS MATERIALIZED (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM le32 ab JOIN le32 bc ON bc.src = ab.dst
+  JOIN le32 ac ON ac.src = ab.src AND ac.dst = bc.dst),
+tsp33 AS MATERIALIZED (
+  SELECT e.src, e.dst, COALESCE(s.c, 0) AS sup
+  FROM le32 e LEFT JOIN (
+    SELECT x AS src, y AS dst, COUNT(*) AS c FROM (
+      SELECT a AS x, b AS y FROM ttr33
+      UNION ALL SELECT b, c FROM ttr33
+      UNION ALL SELECT a, c FROM ttr33) GROUP BY 1, 2) s
+    ON s.src = e.src AND s.dst = e.dst),
+tlv33 AS MATERIALIZED (
+  SELECT GREATEST((SELECT t FROM tlv32),
+         COALESCE((SELECT MIN(sup) + 2 FROM tsp33),
+                  (SELECT t FROM tlv32))) AS t),
+trm33 AS MATERIALIZED (
+  SELECT src, dst, (SELECT t FROM tlv33) AS trussness
+  FROM tsp33 WHERE sup <= (SELECT t FROM tlv33) - 2),
+le33 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM le32 e LEFT JOIN trm33 r
+    ON r.src = e.src AND r.dst = e.dst
+  WHERE r.src IS NULL),
+ttr34 AS MATERIALIZED (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM le33 ab JOIN le33 bc ON bc.src = ab.dst
+  JOIN le33 ac ON ac.src = ab.src AND ac.dst = bc.dst),
+tsp34 AS MATERIALIZED (
+  SELECT e.src, e.dst, COALESCE(s.c, 0) AS sup
+  FROM le33 e LEFT JOIN (
+    SELECT x AS src, y AS dst, COUNT(*) AS c FROM (
+      SELECT a AS x, b AS y FROM ttr34
+      UNION ALL SELECT b, c FROM ttr34
+      UNION ALL SELECT a, c FROM ttr34) GROUP BY 1, 2) s
+    ON s.src = e.src AND s.dst = e.dst),
+tlv34 AS MATERIALIZED (
+  SELECT GREATEST((SELECT t FROM tlv33),
+         COALESCE((SELECT MIN(sup) + 2 FROM tsp34),
+                  (SELECT t FROM tlv33))) AS t),
+trm34 AS MATERIALIZED (
+  SELECT src, dst, (SELECT t FROM tlv34) AS trussness
+  FROM tsp34 WHERE sup <= (SELECT t FROM tlv34) - 2),
+le34 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM le33 e LEFT JOIN trm34 r
+    ON r.src = e.src AND r.dst = e.dst
+  WHERE r.src IS NULL),
+ttr35 AS MATERIALIZED (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM le34 ab JOIN le34 bc ON bc.src = ab.dst
+  JOIN le34 ac ON ac.src = ab.src AND ac.dst = bc.dst),
+tsp35 AS MATERIALIZED (
+  SELECT e.src, e.dst, COALESCE(s.c, 0) AS sup
+  FROM le34 e LEFT JOIN (
+    SELECT x AS src, y AS dst, COUNT(*) AS c FROM (
+      SELECT a AS x, b AS y FROM ttr35
+      UNION ALL SELECT b, c FROM ttr35
+      UNION ALL SELECT a, c FROM ttr35) GROUP BY 1, 2) s
+    ON s.src = e.src AND s.dst = e.dst),
+tlv35 AS MATERIALIZED (
+  SELECT GREATEST((SELECT t FROM tlv34),
+         COALESCE((SELECT MIN(sup) + 2 FROM tsp35),
+                  (SELECT t FROM tlv34))) AS t),
+trm35 AS MATERIALIZED (
+  SELECT src, dst, (SELECT t FROM tlv35) AS trussness
+  FROM tsp35 WHERE sup <= (SELECT t FROM tlv35) - 2),
+le35 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM le34 e LEFT JOIN trm35 r
+    ON r.src = e.src AND r.dst = e.dst
+  WHERE r.src IS NULL),
+ttr36 AS MATERIALIZED (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM le35 ab JOIN le35 bc ON bc.src = ab.dst
+  JOIN le35 ac ON ac.src = ab.src AND ac.dst = bc.dst),
+tsp36 AS MATERIALIZED (
+  SELECT e.src, e.dst, COALESCE(s.c, 0) AS sup
+  FROM le35 e LEFT JOIN (
+    SELECT x AS src, y AS dst, COUNT(*) AS c FROM (
+      SELECT a AS x, b AS y FROM ttr36
+      UNION ALL SELECT b, c FROM ttr36
+      UNION ALL SELECT a, c FROM ttr36) GROUP BY 1, 2) s
+    ON s.src = e.src AND s.dst = e.dst),
+tlv36 AS MATERIALIZED (
+  SELECT GREATEST((SELECT t FROM tlv35),
+         COALESCE((SELECT MIN(sup) + 2 FROM tsp36),
+                  (SELECT t FROM tlv35))) AS t),
+trm36 AS MATERIALIZED (
+  SELECT src, dst, (SELECT t FROM tlv36) AS trussness
+  FROM tsp36 WHERE sup <= (SELECT t FROM tlv36) - 2),
+le36 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM le35 e LEFT JOIN trm36 r
+    ON r.src = e.src AND r.dst = e.dst
+  WHERE r.src IS NULL),
+ttr37 AS MATERIALIZED (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM le36 ab JOIN le36 bc ON bc.src = ab.dst
+  JOIN le36 ac ON ac.src = ab.src AND ac.dst = bc.dst),
+tsp37 AS MATERIALIZED (
+  SELECT e.src, e.dst, COALESCE(s.c, 0) AS sup
+  FROM le36 e LEFT JOIN (
+    SELECT x AS src, y AS dst, COUNT(*) AS c FROM (
+      SELECT a AS x, b AS y FROM ttr37
+      UNION ALL SELECT b, c FROM ttr37
+      UNION ALL SELECT a, c FROM ttr37) GROUP BY 1, 2) s
+    ON s.src = e.src AND s.dst = e.dst),
+tlv37 AS MATERIALIZED (
+  SELECT GREATEST((SELECT t FROM tlv36),
+         COALESCE((SELECT MIN(sup) + 2 FROM tsp37),
+                  (SELECT t FROM tlv36))) AS t),
+trm37 AS MATERIALIZED (
+  SELECT src, dst, (SELECT t FROM tlv37) AS trussness
+  FROM tsp37 WHERE sup <= (SELECT t FROM tlv37) - 2),
+le37 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM le36 e LEFT JOIN trm37 r
+    ON r.src = e.src AND r.dst = e.dst
+  WHERE r.src IS NULL),
+ttr38 AS MATERIALIZED (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM le37 ab JOIN le37 bc ON bc.src = ab.dst
+  JOIN le37 ac ON ac.src = ab.src AND ac.dst = bc.dst),
+tsp38 AS MATERIALIZED (
+  SELECT e.src, e.dst, COALESCE(s.c, 0) AS sup
+  FROM le37 e LEFT JOIN (
+    SELECT x AS src, y AS dst, COUNT(*) AS c FROM (
+      SELECT a AS x, b AS y FROM ttr38
+      UNION ALL SELECT b, c FROM ttr38
+      UNION ALL SELECT a, c FROM ttr38) GROUP BY 1, 2) s
+    ON s.src = e.src AND s.dst = e.dst),
+tlv38 AS MATERIALIZED (
+  SELECT GREATEST((SELECT t FROM tlv37),
+         COALESCE((SELECT MIN(sup) + 2 FROM tsp38),
+                  (SELECT t FROM tlv37))) AS t),
+trm38 AS MATERIALIZED (
+  SELECT src, dst, (SELECT t FROM tlv38) AS trussness
+  FROM tsp38 WHERE sup <= (SELECT t FROM tlv38) - 2),
+le38 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM le37 e LEFT JOIN trm38 r
+    ON r.src = e.src AND r.dst = e.dst
+  WHERE r.src IS NULL),
+ttr39 AS MATERIALIZED (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM le38 ab JOIN le38 bc ON bc.src = ab.dst
+  JOIN le38 ac ON ac.src = ab.src AND ac.dst = bc.dst),
+tsp39 AS MATERIALIZED (
+  SELECT e.src, e.dst, COALESCE(s.c, 0) AS sup
+  FROM le38 e LEFT JOIN (
+    SELECT x AS src, y AS dst, COUNT(*) AS c FROM (
+      SELECT a AS x, b AS y FROM ttr39
+      UNION ALL SELECT b, c FROM ttr39
+      UNION ALL SELECT a, c FROM ttr39) GROUP BY 1, 2) s
+    ON s.src = e.src AND s.dst = e.dst),
+tlv39 AS MATERIALIZED (
+  SELECT GREATEST((SELECT t FROM tlv38),
+         COALESCE((SELECT MIN(sup) + 2 FROM tsp39),
+                  (SELECT t FROM tlv38))) AS t),
+trm39 AS MATERIALIZED (
+  SELECT src, dst, (SELECT t FROM tlv39) AS trussness
+  FROM tsp39 WHERE sup <= (SELECT t FROM tlv39) - 2),
+le39 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM le38 e LEFT JOIN trm39 r
+    ON r.src = e.src AND r.dst = e.dst
+  WHERE r.src IS NULL),
+ttr40 AS MATERIALIZED (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM le39 ab JOIN le39 bc ON bc.src = ab.dst
+  JOIN le39 ac ON ac.src = ab.src AND ac.dst = bc.dst),
+tsp40 AS MATERIALIZED (
+  SELECT e.src, e.dst, COALESCE(s.c, 0) AS sup
+  FROM le39 e LEFT JOIN (
+    SELECT x AS src, y AS dst, COUNT(*) AS c FROM (
+      SELECT a AS x, b AS y FROM ttr40
+      UNION ALL SELECT b, c FROM ttr40
+      UNION ALL SELECT a, c FROM ttr40) GROUP BY 1, 2) s
+    ON s.src = e.src AND s.dst = e.dst),
+tlv40 AS MATERIALIZED (
+  SELECT GREATEST((SELECT t FROM tlv39),
+         COALESCE((SELECT MIN(sup) + 2 FROM tsp40),
+                  (SELECT t FROM tlv39))) AS t),
+trm40 AS MATERIALIZED (
+  SELECT src, dst, (SELECT t FROM tlv40) AS trussness
+  FROM tsp40 WHERE sup <= (SELECT t FROM tlv40) - 2),
+le40 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM le39 e LEFT JOIN trm40 r
+    ON r.src = e.src AND r.dst = e.dst
+  WHERE r.src IS NULL)
+SELECT src, dst, CAST(trussness AS BIGINT) AS trussness FROM trm1
+UNION ALL SELECT src, dst, CAST(trussness AS BIGINT) AS trussness FROM trm2
+UNION ALL SELECT src, dst, CAST(trussness AS BIGINT) AS trussness FROM trm3
+UNION ALL SELECT src, dst, CAST(trussness AS BIGINT) AS trussness FROM trm4
+UNION ALL SELECT src, dst, CAST(trussness AS BIGINT) AS trussness FROM trm5
+UNION ALL SELECT src, dst, CAST(trussness AS BIGINT) AS trussness FROM trm6
+UNION ALL SELECT src, dst, CAST(trussness AS BIGINT) AS trussness FROM trm7
+UNION ALL SELECT src, dst, CAST(trussness AS BIGINT) AS trussness FROM trm8
+UNION ALL SELECT src, dst, CAST(trussness AS BIGINT) AS trussness FROM trm9
+UNION ALL SELECT src, dst, CAST(trussness AS BIGINT) AS trussness FROM trm10
+UNION ALL SELECT src, dst, CAST(trussness AS BIGINT) AS trussness FROM trm11
+UNION ALL SELECT src, dst, CAST(trussness AS BIGINT) AS trussness FROM trm12
+UNION ALL SELECT src, dst, CAST(trussness AS BIGINT) AS trussness FROM trm13
+UNION ALL SELECT src, dst, CAST(trussness AS BIGINT) AS trussness FROM trm14
+UNION ALL SELECT src, dst, CAST(trussness AS BIGINT) AS trussness FROM trm15
+UNION ALL SELECT src, dst, CAST(trussness AS BIGINT) AS trussness FROM trm16
+UNION ALL SELECT src, dst, CAST(trussness AS BIGINT) AS trussness FROM trm17
+UNION ALL SELECT src, dst, CAST(trussness AS BIGINT) AS trussness FROM trm18
+UNION ALL SELECT src, dst, CAST(trussness AS BIGINT) AS trussness FROM trm19
+UNION ALL SELECT src, dst, CAST(trussness AS BIGINT) AS trussness FROM trm20
+UNION ALL SELECT src, dst, CAST(trussness AS BIGINT) AS trussness FROM trm21
+UNION ALL SELECT src, dst, CAST(trussness AS BIGINT) AS trussness FROM trm22
+UNION ALL SELECT src, dst, CAST(trussness AS BIGINT) AS trussness FROM trm23
+UNION ALL SELECT src, dst, CAST(trussness AS BIGINT) AS trussness FROM trm24
+UNION ALL SELECT src, dst, CAST(trussness AS BIGINT) AS trussness FROM trm25
+UNION ALL SELECT src, dst, CAST(trussness AS BIGINT) AS trussness FROM trm26
+UNION ALL SELECT src, dst, CAST(trussness AS BIGINT) AS trussness FROM trm27
+UNION ALL SELECT src, dst, CAST(trussness AS BIGINT) AS trussness FROM trm28
+UNION ALL SELECT src, dst, CAST(trussness AS BIGINT) AS trussness FROM trm29
+UNION ALL SELECT src, dst, CAST(trussness AS BIGINT) AS trussness FROM trm30
+UNION ALL SELECT src, dst, CAST(trussness AS BIGINT) AS trussness FROM trm31
+UNION ALL SELECT src, dst, CAST(trussness AS BIGINT) AS trussness FROM trm32
+UNION ALL SELECT src, dst, CAST(trussness AS BIGINT) AS trussness FROM trm33
+UNION ALL SELECT src, dst, CAST(trussness AS BIGINT) AS trussness FROM trm34
+UNION ALL SELECT src, dst, CAST(trussness AS BIGINT) AS trussness FROM trm35
+UNION ALL SELECT src, dst, CAST(trussness AS BIGINT) AS trussness FROM trm36
+UNION ALL SELECT src, dst, CAST(trussness AS BIGINT) AS trussness FROM trm37
+UNION ALL SELECT src, dst, CAST(trussness AS BIGINT) AS trussness FROM trm38
+UNION ALL SELECT src, dst, CAST(trussness AS BIGINT) AS trussness FROM trm39
+UNION ALL SELECT src, dst, CAST(trussness AS BIGINT) AS trussness FROM trm40
+"""
+
     # -- language-ID confusion oracle (functions/text.py::langid_confusion) ---
     langid_confusion_sql = f"""
 WITH padded_docs AS (
@@ -6101,6 +7086,7 @@ FROM documents
         "eccentricity": eccentricity_sql,
         "label_spreading": label_spreading_sql,
         "ppr_sweep": ppr_sweep_sql,
+        "trussness": trussness_sql,
         "langid_confusion": langid_confusion_sql,
         "cusum_changepoints": cusum_changepoints_sql,
         "spectral_bisect": spectral_bisect_sql,

@@ -107,3 +107,115 @@ def ktruss(
     release(scratch)
     release(e)
     return out
+
+
+def _trussness_dense(spark, e_canon: DataFrame, max_rounds: int):
+    rows = e_canon.toPandas()
+    live = {(int(u), int(v)) for u, v in zip(rows["src"], rows["dst"])}
+    adj: dict[int, set[int]] = {}
+    for u, v in live:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    t, rounds = 2, 0
+    out = []
+    while live:
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError(f"trussness peel did not finish in {max_rounds} rounds")
+        sup = {
+            (u, v): len(adj[u] & adj[v])
+            for (u, v) in live
+        }
+        t = max(t, min(sup.values()) + 2)
+        rm = [p for p, s in sup.items() if s <= t - 2]
+        for u, v in rm:
+            live.discard((u, v))
+            adj[u].discard(v)
+            adj[v].discard(u)
+            out.append((u, v, t))
+    df = spark.createDataFrame(out, "src long, dst long, trussness long")
+    return df, {"rounds": rounds, "mode": "dense"}
+
+
+def _trussness_shuffle(spark, e_canon: DataFrame, max_rounds: int, orient: str):
+    live = e_canon.localCheckpoint(eager=True)
+    t, rounds = 2, 0
+    layers: list[DataFrame] = []
+    try:
+        while True:
+            m = live.count()
+            if m == 0:
+                break
+            rounds += 1
+            if rounds > max_rounds:
+                raise RuntimeError(
+                    f"trussness peel did not finish in {max_rounds} rounds"
+                )
+            sup_pos, scratch = _edge_support(live, orient)
+            sup = (
+                live.join(sup_pos, ["src", "dst"], "left")
+                .select("src", "dst", F.coalesce("sup", F.lit(0)).alias("sup"))
+                .localCheckpoint(eager=True)
+            )
+            release(scratch)
+            mn = sup.agg(F.min("sup")).collect()[0][0]  # constant scalar
+            t = max(t, int(mn) + 2)
+            rm = sup.where(F.col("sup") <= t - 2)
+            layers.append(
+                rm.select(
+                    "src", "dst", F.lit(t).cast("long").alias("trussness")
+                ).localCheckpoint(eager=True)
+            )
+            new_live = live.join(
+                rm.select("src", "dst"), ["src", "dst"], "left_anti"
+            ).localCheckpoint(eager=True)
+            release(live)
+            release(sup)
+            live = new_live
+    finally:
+        release(live)
+    if not layers:
+        out = spark.createDataFrame([], "src long, dst long, trussness long")
+    else:
+        out = layers[0]
+        for df in layers[1:]:
+            out = out.unionAll(df)
+    return out, {"rounds": rounds, "mode": "shuffle"}
+
+
+def truss_decomposition(
+    edges: DataFrame,
+    max_rounds: int = 100_000,
+    orient: str = "degree",
+    dense_threshold: int = 2_000_000,
+) -> tuple[DataFrame, dict]:
+    """((src, dst, trussness) DataFrame, info): the FULL truss number of
+    every canonical edge — the maximum k such that the edge survives in
+    the k-truss — via monotone support peeling (the onion.py batching
+    applied to ktruss's per-round recount: with t the current truss level,
+    every round removes ALL edges of within-subgraph support <= t-2 and t
+    rises to min support + 2 when the minimum clears it).  Rounds scale
+    with the truss width (~32 on the fixtures), not edge count.
+
+    Equivalent to running ktruss() at every k, collapsed into one pass:
+    ktruss(edges, k) == edges with trussness >= k (cross-checked in
+    tests).  Dual path per kcore.py/onion.py: the driver-dense peel below
+    ``dense_threshold`` edges, else the distributed per-round recount
+    (degree-oriented wedge join, one scalar collect per round, per-round
+    relations localCheckpointed + released, assignments unioned
+    lineage-free)."""
+    spark = edges.sparkSession
+    e_canon = (
+        edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    m = e_canon.count()
+    if m == 0:
+        out = spark.createDataFrame([], "src long, dst long, trussness long")
+        return out, {"rounds": 0, "mode": "empty"}
+    if m <= dense_threshold:
+        return _trussness_dense(spark, e_canon, max_rounds)
+    return _trussness_shuffle(spark, e_canon, max_rounds, orient)
