@@ -1358,6 +1358,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return ppr_sweep_cut(e, seeds, k_max=64)
 
+    def q_minhash_decontam(spark, sf):
+        # fuzzy decontamination (functions/decontam.py::minhash_decontam):
+        # train docs (id % 50 != 0) whose minhash signature near-collides
+        # with the eval split — same portable hash family as minhash_pairs
+        from split_merge_partitioner_spark.functions.decontam import minhash_decontam
+
+        d = _docs(spark, sf)
+        return minhash_decontam(
+            d.where(F.col("doc_id") % 50 != 0),
+            d.where(F.col("doc_id") % 50 == 0),
+            threshold=0.4,
+        )
+
     def q_trussness(spark, sf):
         # FULL truss decomposition of the projection graph (graph/truss.py::
         # truss_decomposition): monotone support peel, 32 data-dependent
@@ -1916,6 +1929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eccentricity": q_eccentricity,
         "label_spreading": q_label_spreading,
         "ppr_sweep": q_ppr_sweep,
+        "minhash_decontam": q_minhash_decontam,
         "trussness": q_trussness,
         "langid_confusion": q_langid_confusion,
         "cusum_changepoints": q_cusum_changepoints,
@@ -3597,6 +3611,23 @@ est AS (
     WHERE {_bands}
 )
 SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.4
+"""
+
+    # fuzzy-decontam oracle: the SAME signature pipeline (prefix reused
+    # verbatim so the family can never drift), but the band join is
+    # train (id % 50 != 0) x eval (id % 50 == 0), aggregated per train doc
+    _mh_sig_prefix = minhash_pairs_sql[: minhash_pairs_sql.rindex("est AS (")]
+    minhash_decontam_sql = _mh_sig_prefix + f"""est AS (
+    SELECT a.doc_id AS tid, b.doc_id AS eid,
+           ROUND(CAST(len(list_filter(range(64),
+                     i -> a.sig[CAST(i + 1 AS INT)] = b.sig[CAST(i + 1 AS INT)]))
+                 AS DOUBLE) / 64, 6) AS est_jaccard
+    FROM sigf a JOIN sigf b ON a.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
+    WHERE {_bands}
+)
+SELECT tid AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_eval_matches,
+       MAX(est_jaccard) AS max_est_jaccard
+FROM est WHERE est_jaccard >= 0.4 GROUP BY tid
 """
 
     # near-dup clustering oracle: the SAME pair pipeline, then recursive
@@ -7086,6 +7117,7 @@ FROM documents
         "eccentricity": eccentricity_sql,
         "label_spreading": label_spreading_sql,
         "ppr_sweep": ppr_sweep_sql,
+        "minhash_decontam": minhash_decontam_sql,
         "trussness": trussness_sql,
         "langid_confusion": langid_confusion_sql,
         "cusum_changepoints": cusum_changepoints_sql,

@@ -85,3 +85,86 @@ def ngram_contamination(
         )
     )
 
+
+
+def minhash_decontam(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    threshold: float = 0.4,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """FUZZY benchmark decontamination: training documents whose MinHash
+    signature near-collides with any eval document — the modern complement
+    of :func:`ngram_contamination`'s exact n-gram overlap (GPT-3's 13-gram
+    filter generalized to Jaccard-similarity contamination, the approach
+    most current decontamination pipelines layer on top of exact matching).
+
+    Returns (doc_id, n_eval_matches, max_est_jaccard) for each CONTAMINATED
+    training doc (>= 1 eval doc at est_jaccard >= threshold).
+
+    Same portable signature family, band count, and threshold semantics as
+    dedup.py::minhash_near_duplicates — the shared `_band_buckets` helper
+    guarantees the banding cannot drift — but the candidate join is
+    train x eval (LSH buckets on each side), so the shuffle is
+    (|train| + |eval|) * bands rows and candidates are bounded by bucket
+    co-occupancy, never the cross product.  At 10^12 training docs the
+    eval side is tiny: its bucket relation broadcasts.
+    """
+    from pyspark.sql import functions as F
+
+    from .dedup import _band_buckets, _minhash_udf
+
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    udf = _minhash_udf(num_hashes, shingle_n, seed)
+    sig_t = train.select(
+        F.col(id_col).alias("doc_id"), udf(F.col(text_col)).alias("sig")
+    ).persist()
+    sig_e = eval_docs.select(
+        F.col(id_col).alias("doc_id"), udf(F.col(text_col)).alias("sig")
+    ).persist()
+    try:
+        bt = _band_buckets(sig_t, bands, rows_per_band, seed)
+        be = _band_buckets(sig_e, bands, rows_per_band, seed).select(
+            F.col("doc_id").alias("eid"), "band", "bh"
+        )
+        cand = (
+            bt.join(F.broadcast(be), ["band", "bh"])
+            .select(F.col("doc_id").alias("tid"), "eid")
+            .distinct()
+        )
+        st = sig_t.select(F.col("doc_id").alias("tid"), F.col("sig").alias("sig_t"))
+        se = sig_e.select(F.col("doc_id").alias("eid"), F.col("sig").alias("sig_e"))
+        est = (
+            cand.join(st, "tid")
+            .join(F.broadcast(se), "eid")
+            .select(
+                "tid",
+                "eid",
+                F.round(
+                    F.aggregate(
+                        F.zip_with("sig_t", "sig_e", lambda x, y: (x == y).cast("int")),
+                        F.lit(0),
+                        lambda acc, v: acc + v,
+                    ).cast("double")
+                    / F.lit(float(num_hashes)),
+                    6,
+                ).alias("est_jaccard"),
+            )
+            .where(F.col("est_jaccard") >= threshold)
+        )
+        out = est.groupBy(F.col("tid").alias("doc_id")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval_matches"),
+            F.max("est_jaccard").alias("max_est_jaccard"),
+        )
+        # materialize so the persisted signatures can release here
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        sig_t.unpersist()
+        sig_e.unpersist()

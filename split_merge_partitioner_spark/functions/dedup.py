@@ -158,6 +158,27 @@ def shingle_hashes(s: str, n: int) -> np.ndarray:
     return np.unique(h & _MERSENNE)
 
 
+def _band_buckets(sig: DataFrame, bands: int, rows_per_band: int, seed: int) -> DataFrame:
+    """(doc_id, band, bh) LSH band-bucket rows of a (doc_id, sig) relation —
+    shared by the self-join near-dup pipeline and the train-vs-eval
+    decontamination variant so the banding can never drift between them."""
+    band_slices = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(",", F.slice("sig", i * rows_per_band + 1, rows_per_band)),
+                    F.lit(seed),
+                ).alias("bh"),
+            )
+            for i in range(bands)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_slices).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+
+
 def minhash_near_duplicates(
     docs: DataFrame,
     num_hashes: int = 64,
@@ -180,21 +201,7 @@ def minhash_near_duplicates(
         F.col(id_col).alias("doc_id"),
         _minhash_udf(num_hashes, shingle_n, seed)(F.col(text_col)).alias("sig"),
     ).persist()
-    band_slices = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(",", F.slice("sig", i * rows_per_band + 1, rows_per_band)),
-                    F.lit(seed),
-                ).alias("bh"),
-            )
-            for i in range(bands)
-        ]
-    )
-    buckets = sig.select("doc_id", F.explode(band_slices).alias("b")).select(
-        "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
-    )
+    buckets = _band_buckets(sig, bands, rows_per_band, seed)
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
