@@ -1358,6 +1358,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return ppr_sweep_cut(e, seeds, k_max=64)
 
+    def q_lang_homophily(spark, sf):
+        # Newman categorical assortativity of the lang label over the
+        # minhash near-dup pair graph (graph/summary.py::
+        # attribute_assortativity): near-duplicates should be
+        # overwhelmingly same-language — the +ppm homophily readout
+        from split_merge_partitioner_spark.functions import minhash_near_duplicates
+        from split_merge_partitioner_spark.graph.summary import attribute_assortativity
+
+        d = _docs(spark, sf)
+        pairs = minhash_near_duplicates(d, threshold=0.4).select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+        labels = d.select(F.col("doc_id").alias("vertex"), F.col("lang").alias("label"))
+        return attribute_assortativity(pairs, labels)
+
     def q_minhash_decontam(spark, sf):
         # fuzzy decontamination (functions/decontam.py::minhash_decontam):
         # train docs (id % 50 != 0) whose minhash signature near-collides
@@ -1929,6 +1944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eccentricity": q_eccentricity,
         "label_spreading": q_label_spreading,
         "ppr_sweep": q_ppr_sweep,
+        "lang_homophily": q_lang_homophily,
         "minhash_decontam": q_minhash_decontam,
         "trussness": q_trussness,
         "langid_confusion": q_langid_confusion,
@@ -3628,6 +3644,27 @@ SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.4
 SELECT tid AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_eval_matches,
        MAX(est_jaccard) AS max_est_jaccard
 FROM est WHERE est_jaccard >= 0.4 GROUP BY tid
+"""
+
+    # lang-homophily oracle: the minhash pair prefix (verbatim reuse) into
+    # the Newman mixing formula — HUGEINT products, floor-ppm
+    _mh_pair_prefix = minhash_pairs_sql[: minhash_pairs_sql.rindex("SELECT doc_a")]
+    lang_homophily_sql = _mh_pair_prefix + """,
+hp AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.4),
+hl AS (SELECT doc_id AS v, lang FROM documents),
+hdd AS (
+  SELECT la.lang AS la, lb.lang AS lb
+  FROM (SELECT doc_a AS a, doc_b AS b FROM hp
+        UNION ALL SELECT doc_b, doc_a FROM hp) d
+  JOIN hl la ON la.v = d.a JOIN hl lb ON lb.v = d.b),
+hrows AS (SELECT la, CAST(COUNT(*) AS HUGEINT) AS row_t,
+                 CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS HUGEINT) AS row_s
+          FROM hdd GROUP BY la),
+hagg AS (SELECT SUM(row_t) AS t, SUM(row_s) AS s, SUM(row_t * row_t) AS a2 FROM hrows)
+SELECT CAST((1000000 * (t * s - a2)) // (t * t - a2) AS BIGINT) AS assortativity_ppm,
+       CAST(t // 2 AS BIGINT) AS n_pairs,
+       CAST(s // 2 AS BIGINT) AS same_label_pairs
+FROM hagg
 """
 
     # near-dup clustering oracle: the SAME pair pipeline, then recursive
@@ -7117,6 +7154,7 @@ FROM documents
         "eccentricity": eccentricity_sql,
         "label_spreading": label_spreading_sql,
         "ppr_sweep": ppr_sweep_sql,
+        "lang_homophily": lang_homophily_sql,
         "minhash_decontam": minhash_decontam_sql,
         "trussness": trussness_sql,
         "langid_confusion": langid_confusion_sql,

@@ -222,3 +222,46 @@ def degree_gini(edges: DataFrame) -> DataFrame:
             "div (sum(c) * sum(degree * c)) AS BIGINT)"
         ).alias("gini_ppm"),
     )
+
+
+def attribute_assortativity(
+    edges: DataFrame, labels: DataFrame, label_col: str = "label"
+) -> DataFrame:
+    """One row (assortativity_ppm, n_pairs, same_label_pairs): Newman's
+    categorical assortativity coefficient (Newman 2003, "Mixing patterns
+    in networks" eq. 2) of a vertex attribute over an undirected edge
+    relation — the homophily scalar (+1e6 = perfect same-label mixing,
+    0 = random, negative = disassortative).
+
+    Exact integer arithmetic: with T = 2m directed endpoint pairs,
+    S = same-label directed pairs, and A = sum_i (row_i)^2 over the
+    mixing-matrix row marginals, r = (T*S - A) / (T^2 - A); the single
+    division is a floor-ppm on DECIMAL(38,0) (T^2 overflows int64 at
+    cluster scale — 128-bit on both engines, truncation toward zero
+    verified identical).  Plan: two broadcast-joinable label lookups on
+    the edge table + two map-side-combined aggregates — no shuffle wider
+    than the label-marginal relation.  ``labels`` must cover every
+    endpoint (inner joins drop unlabeled edges — documented)."""
+    lab = F.broadcast(labels.select(F.col("vertex"), F.col(label_col).alias("lab")))
+    dd = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionAll(
+        edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    )
+    paired = (
+        dd.join(lab.withColumnRenamed("vertex", "a").withColumnRenamed("lab", "la"), "a")
+        .join(lab.withColumnRenamed("vertex", "b").withColumnRenamed("lab", "lb"), "b")
+    )
+    rows = paired.groupBy("la").agg(
+        F.count(F.lit(1)).cast("long").alias("row_t"),
+        F.sum((F.col("la") == F.col("lb")).cast("long")).cast("long").alias("row_s"),
+    )
+    return rows.agg(
+        F.sum("row_t").alias("t"), F.sum("row_s").alias("s"),
+        F.sum(F.col("row_t").cast("decimal(38,0)") * F.col("row_t")).alias("a2"),
+    ).select(
+        F.expr(
+            "CAST((1000000 * (CAST(t AS DECIMAL(38,0)) * s - a2))"
+            " div (CAST(t AS DECIMAL(38,0)) * t - a2) AS BIGINT)"
+        ).alias("assortativity_ppm"),
+        F.expr("CAST(t div 2 AS BIGINT)").alias("n_pairs"),
+        F.expr("CAST(s div 2 AS BIGINT)").alias("same_label_pairs"),
+    )
