@@ -1358,6 +1358,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return ppr_sweep_cut(e, seeds, k_max=64)
 
+    def q_trussness_cp(spark, sf):
+        # second-fixture trussness on the customer--customer projection
+        # (>= 5 shared parts): 9 peel rounds / max truss 5 vs the primary's
+        # 32 / 13 — the data-dependent-rounds class needs two fixtures
+        from split_merge_partitioner_spark.graph.truss import truss_decomposition
+        from split_merge_partitioner_spark.sources import bipartite_project
+
+        out, _ = truss_decomposition(bipartite_project(_edges_cp(spark, sf), min_shared=5))
+        return out
+
+    def q_census_cp(spark, sf):
+        # second-fixture triadic census on a different functional digraph
+        # ((13v+7)%500 plus (17v+5)%500 for v%3==0): different dyad mix
+        from split_merge_partitioner_spark.graph.census import triadic_census
+
+        dv = _docs(spark, sf).select(F.col("doc_id").alias("v"))
+        dir_edges = dv.select(
+            F.col("v").alias("src"), ((F.lit(13) * F.col("v") + 7) % 500).alias("dst")
+        ).unionAll(
+            dv.where(F.col("v") % 3 == 0).select(
+                F.col("v").alias("src"),
+                ((F.lit(17) * F.col("v") + 5) % 500).alias("dst"),
+            )
+        )
+        return triadic_census(dir_edges)
+
     def q_lang_homophily(spark, sf):
         # Newman categorical assortativity of the lang label over the
         # minhash near-dup pair graph (graph/summary.py::
@@ -1944,6 +1970,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eccentricity": q_eccentricity,
         "label_spreading": q_label_spreading,
         "ppr_sweep": q_ppr_sweep,
+        "trussness_cp": q_trussness_cp,
+        "census_cp": q_census_cp,
         "lang_homophily": q_lang_homophily,
         "minhash_decontam": q_minhash_decontam,
         "trussness": q_trussness,
@@ -5334,6 +5362,18 @@ UNION ALL SELECT src, dst, CAST(trussness AS BIGINT) AS trussness FROM trm39
 UNION ALL SELECT src, dst, CAST(trussness AS BIGINT) AS trussness FROM trm40
 """
 
+    # cp twins by constant swap on the generated oracles (the verbatim-reuse
+    # discipline: the round machinery text is shared, only fixture constants
+    # differ)
+    trussness_cp_sql = trussness_sql.replace(
+        "l_suppkey + 1000000", "l_partkey + 2000000"
+    ).replace("HAVING COUNT(*) >= 30", "HAVING COUNT(*) >= 5")
+    census_cp_sql = (
+        triadic_census_sql.replace("(7 * v + 3)", "(13 * v + 7)")
+        .replace("v % 5 = 0", "v % 3 = 0")
+        .replace("(31 * v + 17)", "(17 * v + 5)")
+    )
+
     # -- language-ID confusion oracle (functions/text.py::langid_confusion) ---
     langid_confusion_sql = f"""
 WITH padded_docs AS (
@@ -7154,6 +7194,8 @@ FROM documents
         "eccentricity": eccentricity_sql,
         "label_spreading": label_spreading_sql,
         "ppr_sweep": ppr_sweep_sql,
+        "trussness_cp": trussness_cp_sql,
+        "census_cp": census_cp_sql,
         "lang_homophily": lang_homophily_sql,
         "minhash_decontam": minhash_decontam_sql,
         "trussness": trussness_sql,
