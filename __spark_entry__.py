@@ -1358,6 +1358,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return ppr_sweep_cut(e, seeds, k_max=64)
 
+    def q_pack_sequences(spark, sf):
+        # GPT-style sequence packing (functions/pipeline.py::pack_sequences):
+        # per-source deterministic concat stream cut at 128-token bins,
+        # exact token-range map
+        from split_merge_partitioner_spark.functions.pipeline import pack_sequences
+
+        return pack_sequences(_docs(spark, sf), context_len=128)
+
     def q_trussness_cp(spark, sf):
         # second-fixture trussness on the customer--customer projection
         # (>= 5 shared parts): 9 peel rounds / max truss 5 vs the primary's
@@ -1970,6 +1978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eccentricity": q_eccentricity,
         "label_spreading": q_label_spreading,
         "ppr_sweep": q_ppr_sweep,
+        "pack_sequences": q_pack_sequences,
         "trussness_cp": q_trussness_cp,
         "census_cp": q_census_cp,
         "lang_homophily": q_lang_homophily,
@@ -5374,6 +5383,35 @@ UNION ALL SELECT src, dst, CAST(trussness AS BIGINT) AS trussness FROM trm40
         .replace("(31 * v + 17)", "(17 * v + 5)")
     )
 
+    # -- sequence-packing oracle (functions/pipeline.py::pack_sequences) -------
+    # same portable squeezed-whitespace token count, one per-source cumsum
+    # window, bin range via range() explode — all integers
+    pack_sequences_sql = r"""
+WITH pk_base AS (
+  SELECT source AS grp, doc_id,
+         CAST(CASE WHEN LENGTH(sq) = 0 THEN 0
+              ELSE LENGTH(sq) - LENGTH(REPLACE(sq, ' ', '')) + 1 END AS BIGINT)
+             AS n_tok
+  FROM (SELECT source, doc_id,
+               regexp_replace(trim(text), ' +', ' ', 'g') AS sq
+        FROM documents)
+),
+pk_pos AS (
+  SELECT grp, doc_id, n_tok,
+         SUM(n_tok) OVER (PARTITION BY grp ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+  FROM pk_base WHERE n_tok > 0),
+pk_sp AS (
+  SELECT grp, doc_id, n_tok, end_off - n_tok AS start_off,
+         UNNEST(range(CAST((end_off - n_tok) // 128 AS BIGINT), CAST((end_off - 1) // 128 + 1 AS BIGINT))) AS bin
+  FROM pk_pos)
+SELECT grp AS "group", CAST(bin AS BIGINT) AS bin, doc_id,
+       CAST(GREATEST(bin * 128, start_off) - start_off AS BIGINT) AS doc_from,
+       CAST(LEAST(bin * 128 + 128, start_off + n_tok) - start_off AS BIGINT) AS doc_to,
+       CAST(GREATEST(bin * 128, start_off) - bin * 128 AS BIGINT) AS bin_from
+FROM pk_sp
+"""
+
     # -- language-ID confusion oracle (functions/text.py::langid_confusion) ---
     langid_confusion_sql = f"""
 WITH padded_docs AS (
@@ -7194,6 +7232,7 @@ FROM documents
         "eccentricity": eccentricity_sql,
         "label_spreading": label_spreading_sql,
         "ppr_sweep": ppr_sweep_sql,
+        "pack_sequences": pack_sequences_sql,
         "trussness_cp": trussness_cp_sql,
         "census_cp": census_cp_sql,
         "lang_homophily": lang_homophily_sql,

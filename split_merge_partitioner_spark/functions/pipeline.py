@@ -176,3 +176,87 @@ def chunk_documents(
             F.array_join("__w__", " ").alias("chunk_text"),
         )
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    context_len: int = 512,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in a deterministic
+    order and cut the token stream at fixed ``context_len`` boundaries —
+    the standard pre-training batch construction (documents straddle
+    boundaries; nothing is padded or dropped).  Returns the (bin, doc)
+    token-range map:
+
+      (group, bin, doc_id, doc_from, doc_to, bin_from)
+
+    meaning tokens [doc_from, doc_to) of doc_id land in ``bin`` at offset
+    bin_from; a doc spanning k boundaries yields k+1 rows.  Exact
+    integers: token counts via the portable whitespace count, offsets via
+    ONE window cumsum ordered by doc_id within ``group_col`` — packing is
+    embarrassingly parallel across groups (sources/shards) and
+    deterministic under any partitioning, which is what makes the packed
+    corpus resumable and replayable.  Bin straddle rows come from a
+    sequence() explode over the covered bin range (narrow, no join).
+
+    Scale shape: one group-keyed window exchange; output rows =
+    #docs + #boundary crossings <= #docs + total_tokens/context_len.
+    """
+    if context_len < 1:
+        raise ValueError("context_len must be >= 1")
+    from pyspark.sql import Window
+
+    from .text import n_tokens_col
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    base = (
+        docs.select(
+            F.col(group_col).alias("group"),
+            "doc_id",
+            n_tokens_col(text_col).alias("n_tok"),
+        )
+        .where(F.col("n_tok") > 0)
+        .withColumn("end_off", F.sum("n_tok").over(
+            Window.partitionBy("group").orderBy("doc_id").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ))
+        .select(
+            "group", "doc_id", "n_tok",
+            (F.col("end_off") - F.col("n_tok")).alias("start_off"),
+            "end_off",
+        )
+    )
+    c = F.lit(context_len)
+    spans = base.select(
+        "group",
+        "doc_id",
+        "n_tok",
+        "start_off",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_off div {context_len}"),
+                F.expr(f"(end_off - 1) div {context_len}"),
+            )
+        ).alias("bin"),
+    )
+    bin_start = F.col("bin") * c
+    bin_end = bin_start + c
+    doc_from = F.greatest(bin_start, F.col("start_off")) - F.col("start_off")
+    doc_to = F.least(bin_end, F.col("start_off") + F.col("n_tok")) - F.col("start_off")
+    return spans.select(
+        "group",
+        F.col("bin").cast("long").alias("bin"),
+        "doc_id",
+        doc_from.cast("long").alias("doc_from"),
+        doc_to.cast("long").alias("doc_to"),
+        (F.greatest(bin_start, F.col("start_off")) - bin_start)
+        .cast("long")
+        .alias("bin_from"),
+    )
