@@ -2023,7 +2023,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # source_overlap, square_count, user_cochange, knn_quantized,
     # component_sizes, degree_gini, revenue_rollup, decayed_user_value,
     # value_percentiles) — all green in tests/test_entry_contract.py, which
-    # the judge re-runs.
+    # the judge re-runs.  Sessions 4-5 added 21 more oracle-bearing queries
+    # (ppr_sweep, repeated_spans, containment_pairs, pii_rates,
+    # triadic_census(+cp), onion(+cp), cms_registers, cms_heavy_users,
+    # spectral_bisect, spectral_cut_stats, langid_confusion,
+    # cusum_changepoints, trussness(+cp), minhash_decontam, lang_homophily,
+    # pack_sequences, plus rrf_knn/growth_accounting/wl_colors from the
+    # session-3 tail) at the dict tail — same promotion rule for r6.
     _WINDOW_ORDER = [
         # -- 1. never driver-checked (r4 VERDICT list, positions 51-87) --
         "eigencentrality", "hits", "sssp_weighted", "harmonic_closeness",
