@@ -61,7 +61,8 @@ def main(argv=None, stop: bool = True) -> None:
                  "closeness", "scc", "densest", "wpagerank", "mis", "matching",
                  "dpagerank", "coloring", "butterfly", "nsample", "louvain", "node2vec",
                  "richclub", "katz", "daglevels", "salsa", "kclique", "squares",
-                 "gini", "compsizes"],
+                 "gini", "compsizes", "onion", "trussness", "census", "spectral",
+                 "sweep", "wl"],
     )
     ap.add_argument("--output", default=None, help="result parquet")
     ap.add_argument("--json-out", default=None, help="write the info dict here")
@@ -285,6 +286,39 @@ def main(argv=None, stop: bool = True) -> None:
         from split_merge_partitioner_spark.graph import component_size_histogram
 
         out = component_size_histogram(edges)
+    elif args.algo == "onion":
+        # k-core peel layers (onion decomposition)
+        from split_merge_partitioner_spark.graph import onion_decomposition
+
+        out, info = onion_decomposition(edges)
+    elif args.algo == "trussness":
+        # full per-edge truss numbers via batched support peeling
+        from split_merge_partitioner_spark.graph.truss import truss_decomposition
+
+        out, info = truss_decomposition(edges)
+    elif args.algo == "census":
+        # exact 16-class directed triadic census (directed edges as-is)
+        from split_merge_partitioner_spark.graph import triadic_census
+
+        out = triadic_census(edges)
+    elif args.algo == "spectral":
+        # integer-exact Fiedler bisection; --n-iter supersteps
+        from split_merge_partitioner_spark.graph.spectral import spectral_bisect
+
+        out = spectral_bisect(edges, n_iter=max(args.n_iter, 12))
+    elif args.algo == "sweep":
+        # ACL local community around --seeds via the PPR sweep cut
+        from split_merge_partitioner_spark.graph import ppr_sweep_cut
+
+        seeds = [int(x) for x in (args.seeds or "").split(",") if x != ""]
+        if not seeds:
+            ap.error("--seeds is required for --algo sweep")
+        out = ppr_sweep_cut(edges, seeds)
+    elif args.algo == "wl":
+        # 1-WL color refinement fingerprints
+        from split_merge_partitioner_spark.graph import wl_colors
+
+        out = wl_colors(edges, n_rounds=args.n_rounds)
     elif args.algo == "butterfly":
         # bipartite 4-cycle count + per-vertex participation (butterflies.py)
         from split_merge_partitioner_spark.graph import (

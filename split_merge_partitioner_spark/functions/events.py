@@ -764,6 +764,8 @@ def cusum_changepoints(
     type_col: str = "event_type",
     bucket_us: int = 3_600_000_000,
     threshold_mult: int = 5,
+    k: int | None = None,
+    h: int | None = None,
 ) -> DataFrame:
     """One-sided CUSUM rate-shift detector per event type over fixed time
     buckets (Page 1954): with x_t the bucket count and k the per-type
@@ -801,8 +803,16 @@ def cusum_changepoints(
     wo = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, 0
     )
+    # k/h override: the streaming twin (streaming/cusum_stream.py) cannot
+    # derive k from "the whole dataset" — equivalence tests pin them
     with_k = x.withColumn(
-        "k", F.expr("SUM(n_events) OVER (PARTITION BY event_type) div COUNT(*) OVER (PARTITION BY event_type)")
+        "k",
+        F.lit(k).cast("long")
+        if k is not None
+        else F.expr(
+            "SUM(n_events) OVER (PARTITION BY event_type)"
+            " div COUNT(*) OVER (PARTITION BY event_type)"
+        ),
     )
     s = with_k.withColumn("s", F.sum(F.col("n_events") - F.col("k")).over(wo))
     c = s.withColumn(
@@ -813,5 +823,7 @@ def cusum_changepoints(
         "bucket",
         "n_events",
         F.col("cusum").cast("long").alias("cusum"),
-        (F.col("cusum") > F.col("k") * threshold_mult).alias("is_alarm"),
+        (
+            F.col("cusum") > (F.lit(h) if h is not None else F.col("k") * threshold_mult)
+        ).alias("is_alarm"),
     )

@@ -10,3 +10,4 @@ from .dedup_stream import (  # noqa: F401
 from .sessions_stream import streaming_sessionize  # noqa: F401
 from .enrich_stream import streaming_recent_meta_join  # noqa: F401
 from .transitions_stream import streaming_transitions  # noqa: F401
+from .cusum_stream import streaming_cusum  # noqa: F401

@@ -298,3 +298,70 @@ def test_streaming_transitions_state_across_batches_matches_batch_twin(spark, tm
             k = (r.from_type, r.to_type)
             stream_counts[k] = stream_counts.get(k, 0) + 1
     assert stream_counts == batch_counts
+
+
+def test_streaming_cusum_matches_batch_twin_across_batches(spark, tmp_path):
+    """CUSUM state (open bucket + folded value) carries across micro-batches
+    and restarts; the closed-bucket rows equal the batch twin with the same
+    (k, h) on the concatenated log, minus the still-open final bucket."""
+    import datetime as dt
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from split_merge_partitioner_spark.functions.events import cusum_changepoints
+    from split_merge_partitioner_spark.streaming import streaming_cusum
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    hour = lambda b, j: t0 + dt.timedelta(hours=b, minutes=j % 50)  # noqa: E731
+
+    # type "a": 2/bucket for buckets 0..3, then a gap (4), then 7/bucket 5..6
+    def rows(buckets):
+        out, eid = [], 0
+        for b, n in buckets:
+            for j in range(n):
+                out.append((eid, hour(b, j), 1, "a"))
+                eid += 1
+        return pd.DataFrame(out, columns=["event_id", "ts", "user_id", "event_type"])
+
+    b1 = rows([(0, 2), (1, 2), (2, 2)])
+    b2 = rows([(3, 2), (5, 7), (6, 7), (7, 1)])  # bucket 4 is silent
+
+    def make(src_dir):
+        ev = spark.readStream.schema(schema).parquet(src_dir)
+        return streaming_cusum(ev, k=2, h=4)
+
+    out1, out2 = _run_batches(spark, tmp_path, make, [b1, b2], "cusum_state")
+    got = pd.concat([out1, out2]).sort_values("bucket")
+
+    # batch twin on the full log with same k/h; drop the open bucket (7)
+    full = spark.createDataFrame(pd.concat([b1, b2]))
+    exp = (
+        cusum_changepoints(full, k=2, h=4)
+        .toPandas()
+        .sort_values("bucket")
+    )
+    exp = exp[exp["bucket"] < exp["bucket"].max()]
+    got_rel = got.copy()
+    got_rel["bucket"] = got_rel["bucket"] - got_rel["bucket"].min()
+    assert list(got_rel["n_events"]) == list(exp["n_events"])
+    assert list(got_rel["cusum"]) == list(exp["cusum"])
+    assert list(got_rel["is_alarm"]) == list(exp["is_alarm"])
+    # the gap bucket (silence) emitted its own row
+    assert (got_rel["n_events"] == 0).sum() == 1
+    # alarm fires only after the rate shift
+    alarmed = got_rel[got_rel["is_alarm"]]
+    assert len(alarmed) > 0 and alarmed["bucket"].min() >= 5
