@@ -1358,6 +1358,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return ppr_sweep_cut(e, seeds, k_max=64)
 
+    def q_jaccard_prefix(spark, sf):
+        # PPJoin-style prefix-filtered exact Jaccard join (functions/dedup.py
+        # ::jaccard_join_prefix) — DIFFERENT plan (rarest-first prefix
+        # candidates), IDENTICAL result contract: its oracle is literally
+        # ngram_jaccard's plain-join SQL
+        from split_merge_partitioner_spark.functions.dedup import jaccard_join_prefix
+
+        return jaccard_join_prefix(_docs(spark, sf), n=5, threshold_ppm=400_000)
+
     def q_pack_sequences(spark, sf):
         # GPT-style sequence packing (functions/pipeline.py::pack_sequences):
         # per-source deterministic concat stream cut at 128-token bins,
@@ -1978,6 +1987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eccentricity": q_eccentricity,
         "label_spreading": q_label_spreading,
         "ppr_sweep": q_ppr_sweep,
+        "jaccard_prefix": q_jaccard_prefix,
         "pack_sequences": q_pack_sequences,
         "trussness_cp": q_trussness_cp,
         "census_cp": q_census_cp,
@@ -7238,6 +7248,9 @@ FROM documents
         "eccentricity": eccentricity_sql,
         "label_spreading": label_spreading_sql,
         "ppr_sweep": ppr_sweep_sql,
+        # jaccard_prefix: the prefix-filtered plan must reproduce the naive
+        # join bit-for-bit — same oracle text as ngram_jaccard
+        "jaccard_prefix": ngram_jaccard_sql,
         "pack_sequences": pack_sequences_sql,
         "trussness_cp": trussness_cp_sql,
         "census_cp": census_cp_sql,

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..storage import release
@@ -604,3 +604,87 @@ def segment_dedup(
             " ",
         ).alias("text_kept"),
     )
+
+
+def jaccard_join_prefix(
+    docs: DataFrame,
+    n: int = 5,
+    threshold_ppm: int = 400_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard): EXACTLY ngram_jaccard_pairs at threshold =
+    threshold_ppm/1e6, computed with PPJoin-style prefix filtering
+    (Chaudhuri et al. 2006; Xiao et al. WWW 2008) — the scale path for
+    exact-threshold similarity joins.
+
+    Lossless pruning: order each doc's shingles globally by (document
+    frequency, shingle) ascending — rarest first — and keep only the first
+    |S| - ceil(t*|S|) + 1 as the doc's PREFIX.  Two sets with Jaccard >= t
+    MUST collide inside their prefixes (if all prefix tokens miss, the
+    intersection is too small by the pigeonhole bound), so the candidate
+    join runs on prefix rows only; the full intersection is then counted
+    for candidates alone.  The hot shingles that dominate the naive
+    self-join's fanout are exactly the ones the rarest-first prefix
+    excludes, so candidate volume collapses on skewed corpora while the
+    RESULT stays bit-identical (the oracle is the plain join's SQL, and
+    equality with ngram_jaccard_pairs is pinned in tests).
+
+    ceil(t*|S|) is exact integer arithmetic on ppm: (t_ppm*s + 999_999)
+    div 1_000_000 — no float enters until the final ROUND(jaccard, 6).
+    """
+    sh = _shingles(docs, n, text_col, id_col).persist()
+    try:
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
+        ranked = (
+            sh.join(dfreq, "shingle")
+            .withColumn("rk", F.row_number().over(w))
+            .join(sizes, "doc_id")
+        )
+        prefix = ranked.where(
+            F.col("rk")
+            <= F.col("ns")
+            - F.expr(f"(({threshold_ppm} * ns) + 999999) div 1000000")
+            + 1
+        ).select("doc_id", "shingle")
+        pa = prefix.select(F.col("doc_id").alias("doc_a"), "shingle")
+        pb = prefix.select(F.col("doc_id").alias("doc_b"), "shingle")
+        cand = (
+            pa.join(pb, "shingle")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        # exact verification on candidates only
+        ja = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        jb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (
+            cand.join(ja, "doc_a")
+            .join(jb, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        out = (
+            inter.join(
+                sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("ns", "sa"),
+                "doc_a",
+            )
+            .join(
+                sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("ns", "sb"),
+                "doc_b",
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(
+                    F.col("n_common") / (F.col("sa") + F.col("sb") - F.col("n_common")),
+                    6,
+                ).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= threshold_ppm / 1_000_000)
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
