@@ -1358,6 +1358,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return ppr_sweep_cut(e, seeds, k_max=64)
 
+    def q_skew_report(spark, sf):
+        # pre-shuffle skew diagnosis (functions/profiling.py::skew_report):
+        # top-10 heaviest dst keys of the co-occurrence edge table (the
+        # supplier hubs DBH/FSM exist to tame), exact floor-ppm shares
+        from split_merge_partitioner_spark.functions.profiling import skew_report
+
+        return skew_report(_edges(spark, sf), "dst", top_k=10)
+
     def q_jaccard_prefix(spark, sf):
         # PPJoin-style prefix-filtered exact Jaccard join (functions/dedup.py
         # ::jaccard_join_prefix) — DIFFERENT plan (rarest-first prefix
@@ -1987,6 +1995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eccentricity": q_eccentricity,
         "label_spreading": q_label_spreading,
         "ppr_sweep": q_ppr_sweep,
+        "skew_report": q_skew_report,
         "jaccard_prefix": q_jaccard_prefix,
         "pack_sequences": q_pack_sequences,
         "trussness_cp": q_trussness_cp,
@@ -5399,6 +5408,24 @@ UNION ALL SELECT src, dst, CAST(trussness AS BIGINT) AS trussness FROM trm40
         .replace("(31 * v + 17)", "(17 * v + 5)")
     )
 
+    # -- skew-report oracle (functions/profiling.py::skew_report) --------------
+    skew_report_sql = f"""
+WITH {_EDGES_CTE},
+kc AS (SELECT dst AS key, CAST(COUNT(*) AS BIGINT) AS n_rows FROM edges GROUP BY dst),
+tt AS (SELECT SUM(n_rows) AS rows_total, CAST(COUNT(*) AS BIGINT) AS n_keys_total FROM kc),
+rk AS (
+  SELECT key, n_rows,
+         ROW_NUMBER() OVER (ORDER BY n_rows DESC, key ASC) AS rank,
+         SUM(n_rows) OVER (ORDER BY n_rows DESC, key ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rows
+  FROM kc)
+SELECT CAST(rank AS BIGINT) AS rank, key, n_rows,
+       CAST(1000000 * n_rows // tt.rows_total AS BIGINT) AS share_ppm,
+       CAST(1000000 * cum_rows // tt.rows_total AS BIGINT) AS cum_share_ppm,
+       tt.n_keys_total, CAST(tt.rows_total AS BIGINT) AS rows_total
+FROM rk CROSS JOIN tt WHERE rank <= 10
+"""
+
     # -- sequence-packing oracle (functions/pipeline.py::pack_sequences) -------
     # same portable squeezed-whitespace token count, one per-source cumsum
     # window, bin range via range() explode — all integers
@@ -7248,6 +7275,7 @@ FROM documents
         "eccentricity": eccentricity_sql,
         "label_spreading": label_spreading_sql,
         "ppr_sweep": ppr_sweep_sql,
+        "skew_report": skew_report_sql,
         # jaccard_prefix: the prefix-filtered plan must reproduce the naive
         # join bit-for-bit — same oracle text as ngram_jaccard
         "jaccard_prefix": ngram_jaccard_sql,

@@ -216,3 +216,49 @@ def exact_percentiles(
         hits.join(cum, "value_micros")
         .select("p_ppm", "value_micros", "cum_count", "n_rows")
     )
+
+
+def skew_report(
+    df: DataFrame, key_col: str, top_k: int = 10
+) -> DataFrame:
+    """(rank, key, n_rows, share_ppm, cum_share_ppm, n_keys_total,
+    rows_total): the top-``top_k`` heaviest keys of a relation with exact
+    floor-ppm shares — the pre-shuffle skew diagnosis every groupBy/join
+    key deserves before it becomes a straggler at 1000 executors (a key
+    holding >1/executors of the rows caps your speedup; salting/AQE-skew
+    thresholds come straight from this report).
+
+    One map-side-combined exchange for the per-key counts; the global
+    ordering window only materializes the top_k rows (WindowGroupLimit
+    pushes the limit below the sort, the neighbor_sample audit), and the
+    scalar totals ride a broadcast cross-join — nothing driver-side.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    totals = counts.agg(
+        F.sum("n_rows").alias("rows_total"),
+        F.count(F.lit(1)).cast("long").alias("n_keys_total"),
+    )
+    w = Window.orderBy(F.desc("n_rows"), F.asc("key"))
+    wc = Window.orderBy(F.desc("n_rows"), F.asc("key")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .withColumn("cum_rows", F.sum("n_rows").over(wc))
+        .where(F.col("rank") <= top_k)
+    )
+    return ranked.crossJoin(F.broadcast(totals)).select(
+        F.col("rank").cast("long").alias("rank"),
+        "key",
+        "n_rows",
+        F.expr("CAST(1000000 * n_rows div rows_total AS BIGINT)").alias("share_ppm"),
+        F.expr("CAST(1000000 * cum_rows div rows_total AS BIGINT)").alias(
+            "cum_share_ppm"
+        ),
+        F.col("n_keys_total"),
+        F.col("rows_total").cast("long").alias("rows_total"),
+    )
