@@ -1358,6 +1358,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return ppr_sweep_cut(e, seeds, k_max=64)
 
+    def q_prepare_corpus(spark, sf):
+        # END-TO-END corpus preparation (functions/pipeline.py::
+        # prepare_training_corpus): Gopher gate -> exact dedup -> 5-gram
+        # decontamination vs the eval split -> 128-token sequence packing;
+        # the oracle chains the four stage oracles into one query
+        from split_merge_partitioner_spark.functions.pipeline import (
+            prepare_training_corpus,
+        )
+
+        d = _docs(spark, sf)
+        return prepare_training_corpus(
+            d.where(F.col("doc_id") % 50 != 0),
+            d.where(F.col("doc_id") % 50 == 0),
+            context_len=128,
+            decontam_n=5,
+        )
+
     def q_skew_report(spark, sf):
         # pre-shuffle skew diagnosis (functions/profiling.py::skew_report):
         # top-10 heaviest dst keys of the co-occurrence edge table (the
@@ -1995,6 +2012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eccentricity": q_eccentricity,
         "label_spreading": q_label_spreading,
         "ppr_sweep": q_ppr_sweep,
+        "prepare_corpus": q_prepare_corpus,
         "skew_report": q_skew_report,
         "jaccard_prefix": q_jaccard_prefix,
         "pack_sequences": q_pack_sequences,
@@ -5408,6 +5426,65 @@ UNION ALL SELECT src, dst, CAST(trussness AS BIGINT) AS trussness FROM trm40
         .replace("(31 * v + 17)", "(17 * v + 5)")
     )
 
+    # -- end-to-end corpus-preparation oracle -----------------------------------
+    # the four stage oracles chained: quality gate (verbatim
+    # quality_filter_sql as a subquery), md5 min-id dedup among kept train
+    # docs, 5-gram decontam semi-join vs the eval split, then the packing
+    # cumsum over the survivors
+    prepare_corpus_sql = f"""
+WITH qf AS (SELECT doc_id FROM ({quality_filter_sql}) WHERE keep),
+tr AS (
+  SELECT d.doc_id, d.text, d.source FROM documents d
+  JOIN qf USING (doc_id) WHERE d.doc_id % 50 <> 0),
+kp AS (SELECT MIN(doc_id) AS doc_id FROM tr GROUP BY md5(text)),
+dd AS (SELECT tr.* FROM tr JOIN kp USING (doc_id)),
+evb AS (
+  SELECT CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS arr
+  FROM documents WHERE doc_id % 50 = 0),
+evg AS (
+  SELECT DISTINCT UNNEST(CASE WHEN len(arr) < 5 THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(range(1, len(arr) - 3),
+                             i -> array_to_string(arr[i:i+4], ' ')) END) AS gram
+  FROM evb),
+trb AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS arr
+  FROM dd),
+trg AS (
+  SELECT doc_id,
+         UNNEST(CASE WHEN len(arr) < 5 THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(range(1, len(arr) - 3),
+                             i -> array_to_string(arr[i:i+4], ' ')) END) AS gram
+  FROM trb),
+cont AS (SELECT DISTINCT t.doc_id FROM trg t JOIN evg e ON e.gram = t.gram),
+surv AS (SELECT dd.* FROM dd LEFT JOIN cont USING (doc_id)
+         WHERE cont.doc_id IS NULL),
+pc_base AS (
+  SELECT source AS grp, doc_id,
+         CAST(CASE WHEN LENGTH(sq) = 0 THEN 0
+              ELSE LENGTH(sq) - LENGTH(REPLACE(sq, ' ', '')) + 1 END AS BIGINT)
+             AS n_tok
+  FROM (SELECT source, doc_id,
+               regexp_replace(trim(text), ' +', ' ', 'g') AS sq FROM surv)),
+pc_pos AS (
+  SELECT grp, doc_id, n_tok,
+         SUM(n_tok) OVER (PARTITION BY grp ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+  FROM pc_base WHERE n_tok > 0),
+pc_sp AS (
+  SELECT grp, doc_id, n_tok, end_off - n_tok AS start_off,
+         UNNEST(range(CAST((end_off - n_tok) // 128 AS BIGINT),
+                      CAST((end_off - 1) // 128 + 1 AS BIGINT))) AS bin
+  FROM pc_pos)
+SELECT grp AS "group", CAST(bin AS BIGINT) AS bin, doc_id,
+       CAST(GREATEST(bin * 128, start_off) - start_off AS BIGINT) AS doc_from,
+       CAST(LEAST(bin * 128 + 128, start_off + n_tok) - start_off AS BIGINT) AS doc_to,
+       CAST(GREATEST(bin * 128, start_off) - bin * 128 AS BIGINT) AS bin_from
+FROM pc_sp
+"""
+
     # -- skew-report oracle (functions/profiling.py::skew_report) --------------
     skew_report_sql = f"""
 WITH {_EDGES_CTE},
@@ -7275,6 +7352,7 @@ FROM documents
         "eccentricity": eccentricity_sql,
         "label_spreading": label_spreading_sql,
         "ppr_sweep": ppr_sweep_sql,
+        "prepare_corpus": prepare_corpus_sql,
         "skew_report": skew_report_sql,
         # jaccard_prefix: the prefix-filtered plan must reproduce the naive
         # join bit-for-bit — same oracle text as ngram_jaccard

@@ -260,3 +260,53 @@ def pack_sequences(
         .cast("long")
         .alias("bin_from"),
     )
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    context_len: int = 128,
+    decontam_n: int = 5,
+    min_overlap: int = 1,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """The end-to-end training-corpus preparation pipeline, composed from
+    the individually-oracled stages in their production order:
+
+      1. quality gate   — Gopher rule table (quality_filter), keep only '' reasons
+      2. exact dedup    — one keeper per distinct text (min doc_id) AMONG
+                          quality survivors (dedup after the gate: a junk
+                          copy must not shadow a clean one)
+      3. decontamination — drop survivors sharing any word decontam_n-gram
+                          with the eval corpus (ngram_contamination)
+      4. sequence packing — pack_sequences over the survivors per
+                          ``group_col``: the final (bin, doc, token-range)
+                          map a trainer consumes
+
+    Returns the packing map restricted to surviving documents.  Every
+    stage is a narrow addition to the same logical plan: the gate is
+    column logic + one (doc, gram) exchange, dedup one md5-keyed exchange,
+    decontamination one broadcast gram join, packing one group-keyed
+    window — 4 exchanges total on top of the scan, nothing quadratic.
+    """
+    from pyspark.sql import functions as F
+
+    from .decontam import ngram_contamination
+    from .dedup import exact_dedup
+
+    kept = quality_filter(docs, text_col=text_col).where(F.col("keep")).select("doc_id")
+    qd = docs.join(kept, "doc_id", "leftsemi")
+    keepers = exact_dedup(qd, text_col=text_col).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    dd = qd.join(keepers, "doc_id", "leftsemi")
+    contaminated = (
+        ngram_contamination(dd, eval_docs, n=decontam_n, min_overlap=min_overlap,
+                            text_col=text_col)
+        .where(F.col("is_contaminated"))
+        .select("doc_id")
+    )
+    surv = dd.join(contaminated, "doc_id", "left_anti")
+    return pack_sequences(surv, context_len=context_len, group_col=group_col,
+                          text_col=text_col)
