@@ -1571,6 +1571,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return containment_pairs(_docs(spark, sf), n=5, threshold_ppm=300_000)
 
+    def q_gap_regularity(spark, sf):
+        # inter-event-time regularity / bot signal (functions/events.py::
+        # gap_regularity): exact-integer CV^2 of per-user gaps in ppm —
+        # n*Sxx - Sx^2 over Sx^2 in DECIMAL(38,0), one exchange shared by
+        # the lag window and the aggregate
+        from split_merge_partitioner_spark.functions.events import gap_regularity
+
+        return gap_regularity(spark.read.parquet(f"{sf}/events.parquet"))
+
+    def q_km_survival(spark, sf):
+        # Kaplan-Meier time-to-next-event curve (functions/events.py::
+        # km_survival): observed = interior gaps, censored = last-event ->
+        # horizon tails; product-limit estimate as the floor-ppm recurrence
+        # s = floor(s*(n-d)/n) folded JVM-side over the aggregated curve
+        from split_merge_partitioner_spark.functions.events import km_survival
+
+        return km_survival(spark.read.parquet(f"{sf}/events.parquet"))
+
     def q_pii_rates(spark, sf):
         # corpus PII rate monitor (functions/pii.py): per-source doc counts
         # + email/ipv4/phone match totals, engine-portable regexes.  The
@@ -2033,6 +2051,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_spans": q_repeated_spans,
         "containment_pairs": q_containment_pairs,
         "pii_rates": q_pii_rates,
+        "gap_regularity": q_gap_regularity,
+        "km_survival": q_km_survival,
     }
 
     # ------------------------------------------------------------------
@@ -2065,6 +2085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # triadic_census(+cp), onion(+cp), cms_registers, cms_heavy_users,
     # spectral_bisect, spectral_cut_stats, langid_confusion,
     # cusum_changepoints, trussness(+cp), minhash_decontam, lang_homophily,
+    # gap_regularity/km_survival (session 6),
     # pack_sequences, plus rrf_knn/growth_accounting/wl_colors from the
     # session-3 tail) at the dict tail — same promotion rule for r6.
     _WINDOW_ORDER = [
@@ -4288,6 +4309,70 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(ph) AS BIGINT) AS total_phones
 FROM s GROUP BY source
 """
+
+    # -- gap_regularity oracle (functions/events.py::gap_regularity) ---------
+    # exact-integer CV^2 ppm of per-user inter-event gaps: HUGEINT mirrors
+    # the Spark DECIMAL(38,0) for Sx^2 / 1e6*varnum; // mirrors div
+    gap_regularity_sql = """
+WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+g AS (SELECT user_id,
+             ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap
+      FROM ev),
+a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             CAST(SUM(gap) AS BIGINT) AS sum_gap_us,
+             CAST(MIN(gap) AS BIGINT) AS min_gap_us,
+             CAST(MAX(gap) AS BIGINT) AS max_gap_us,
+             SUM(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT)) AS sxx
+      FROM g WHERE gap IS NOT NULL GROUP BY user_id HAVING COUNT(*) >= 4),
+sc0 AS (SELECT user_id, n_gaps, sum_gap_us // n_gaps AS mean_gap_us,
+               min_gap_us, max_gap_us,
+               CAST(CASE WHEN sum_gap_us > 0 THEN
+                 (1000000::HUGEINT * (n_gaps::HUGEINT * sxx
+                                      - sum_gap_us::HUGEINT * sum_gap_us::HUGEINT))
+                 // (sum_gap_us::HUGEINT * sum_gap_us::HUGEINT)
+               ELSE 0 END AS BIGINT) AS cv2_ppm
+        FROM a)
+SELECT user_id, n_gaps, mean_gap_us, min_gap_us, max_gap_us, cv2_ppm,
+       cv2_ppm < 250000 AS is_regular
+FROM sc0
+"""
+
+    # -- km_survival oracle (functions/events.py::km_survival) ---------------
+    # the floor-ppm product-limit recurrence replayed as a LINEAR recursive
+    # CTE over the rn-ordered curve (DuckDB working-table iteration — no
+    # exponential CTE inlining, unlike nested generated rounds)
+    km_survival_sql = """
+WITH RECURSIVE
+ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+hz AS (SELECT MAX(ts_us) AS h0 FROM ev),
+gaps AS (
+  SELECT gap // 3600000000 AS duration, CAST(1 AS BIGINT) AS observed FROM (
+    SELECT ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS gap
+    FROM ev)
+  WHERE gap IS NOT NULL),
+tails AS (
+  SELECT (h0 - last_us) // 3600000000 AS duration, CAST(0 AS BIGINT) AS observed
+  FROM (SELECT user_id, MAX(ts_us) AS last_us FROM ev GROUP BY user_id), hz),
+lab AS (SELECT * FROM gaps UNION ALL SELECT * FROM tails),
+curve AS (SELECT duration, CAST(SUM(observed) AS BIGINT) AS d,
+                 CAST(SUM(1 - observed) AS BIGINT) AS c
+          FROM lab GROUP BY duration),
+cr AS (SELECT duration, d, c,
+              CAST(SUM(d + c) OVER ()
+                   - SUM(d + c) OVER (ORDER BY duration
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   + d + c AS BIGINT) AS n,
+              ROW_NUMBER() OVER (ORDER BY duration) AS rn
+       FROM curve),
+km AS (SELECT CAST(0 AS BIGINT) AS rn, CAST(1000000 AS BIGINT) AS s
+       UNION ALL
+       SELECT CAST(c.rn AS BIGINT), km.s * (c.n - c.d) // c.n
+       FROM km JOIN cr c ON c.rn = km.rn + 1)
+SELECT c.duration AS duration_unit, c.n AS n_at_risk, c.d AS n_events,
+       c.c AS n_censored, km.s AS survival_ppm
+FROM cr c JOIN km ON km.rn = c.rn
+"""
+
 
     # -- random-walk corpus oracle ------------------------------------------
     # graph/walks.py is a pure function of (edges, seed): next hop =
@@ -7375,6 +7460,8 @@ FROM documents
         "repeated_spans": repeated_spans_sql,
         "containment_pairs": containment_pairs_sql,
         "pii_rates": pii_rates_sql,
+        "gap_regularity": gap_regularity_sql,
+        "km_survival": km_survival_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic
         # across engines): fsm_assign, fsm_stats (hep_local expansion kernels;
         # the dbh-portable flavor IS oracled above), hdrf_bucket_sizes,

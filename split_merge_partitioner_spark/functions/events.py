@@ -827,3 +827,175 @@ def cusum_changepoints(
             F.col("cusum") > (F.lit(h) if h is not None else F.col("k") * threshold_mult)
         ).alias("is_alarm"),
     )
+
+
+def gap_regularity(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    min_gaps: int = 4,
+    cv2_ppm_threshold: int = 250_000,
+) -> DataFrame:
+    """Inter-event-time regularity profile per user — the classic bot /
+    automation signal: scripted clients fire on near-fixed intervals, so the
+    squared coefficient of variation CV^2 = Var(gap)/Mean(gap)^2 of their
+    inter-event gaps collapses toward 0, while organic humans sit near (or
+    above, for bursty sessions) the exponential baseline CV^2 = 1.
+
+    Everything is EXACT integer arithmetic so the DuckDB oracle hash-matches:
+    gaps are microsecond-epoch differences (BIGINT); with n/Sx/Sxx the gap
+    count and (square) sums, the population-variance numerator is
+    V = n*Sxx - Sx^2 and
+
+        cv2_ppm = floor(1e6 * V / Sx^2)        (CV^2 = V/Sx^2 exactly)
+
+    evaluated in DECIMAL(38,0) (HUGEINT oracle-side) — Sx^2 alone can pass
+    int64 at ~1e3 gaps x month-long microsecond spans.  Sx = 0 (all gaps
+    zero) is declared perfectly regular (cv2_ppm = 0) rather than 0/0.
+
+    Scale shape: ONE exchange (hash by user) shared by the lag window and
+    the aggregate — the grouping key equals the window partition key, so
+    Catalyst plans no second shuffle.  Per-user state is one lag row; no
+    driver-side anything.  min_gaps drops users too short to score.
+    """
+    us = _epoch_us(ts_col)
+    w = Window.partitionBy("user_id").orderBy("ts_us", id_col)
+    g = (
+        events.select(
+            F.col(user_col).alias("user_id"), us.alias("ts_us"), F.col(id_col)
+        )
+        .withColumn("gap", F.col("ts_us") - F.lag("ts_us").over(w))
+        .where(F.col("gap").isNotNull())
+    )
+    gd = F.col("gap").cast("decimal(38,0)")
+    agg = (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.sum("gap").cast("long").alias("sum_gap_us"),
+            F.min("gap").cast("long").alias("min_gap_us"),
+            F.max("gap").cast("long").alias("max_gap_us"),
+            F.sum(gd * gd).alias("sxx"),
+        )
+        .where(F.col("n_gaps") >= min_gaps)
+    )
+    cv2 = F.when(
+        F.col("sum_gap_us") > 0,
+        F.expr(
+            "CAST(1000000 AS DECIMAL(38,0))"
+            " * (CAST(n_gaps AS DECIMAL(38,0)) * sxx"
+            "    - CAST(sum_gap_us AS DECIMAL(38,0)) * CAST(sum_gap_us AS DECIMAL(38,0)))"
+            " div (CAST(sum_gap_us AS DECIMAL(38,0)) * CAST(sum_gap_us AS DECIMAL(38,0)))"
+        ),
+    ).otherwise(F.lit(0))
+    return agg.select(
+        "user_id",
+        "n_gaps",
+        F.expr("sum_gap_us div n_gaps").alias("mean_gap_us"),
+        "min_gap_us",
+        "max_gap_us",
+        cv2.cast("long").alias("cv2_ppm"),
+        (cv2.cast("long") < F.lit(cv2_ppm_threshold)).alias("is_regular"),
+    )
+
+
+def km_survival(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    unit_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Kaplan-Meier curve (Kaplan & Meier 1958) of TIME-TO-NEXT-EVENT with
+    right-censoring, exact-integer end to end: every inter-event gap inside a
+    user's stream is an OBSERVED duration (the user did come back, after
+    gap div unit_us units); each user's final open gap — last event to the
+    global horizon max(ts) — is right-CENSORED (they had not returned when
+    observation stopped).  This is the classical product-limit treatment of
+    return-time data; ignoring the censored tails (naive mean gap) biases
+    return-time estimates low.
+
+    The curve at each distinct duration t carries n_at_risk (observations
+    with duration >= t), n_events d_t, n_censored c_t, and the product-limit
+    estimate as the floor-ppm recurrence
+
+        s_0 = 1_000_000;   s_t = floor(s_prev * (n_t - d_t) / n_t)
+
+    applied at EVERY curve row in duration order (rows with d_t = 0 are
+    exact no-ops: floor(s*n/n) = s), so the DuckDB recursive-CTE replay is
+    bit-identical — no float product, no exp/ln anywhere.
+
+    Scale shape: one exchange (hash by user, shared by the lag window and
+    the per-user max) to build observations, one map-side-combined groupBy
+    onto the duration axis.  The sequential product-limit fold runs over the
+    AGGREGATED curve — bounded by #distinct duration units (the observation
+    window), not the event count — inside one JVM ``aggregate()`` over a
+    collect_list'd array: constant-size state, zero Python, never on the
+    driver.  s*(n-d) <= 1e6 * n stays in BIGINT to ~9e12 observations.
+    """
+    us = _epoch_us(ts_col)
+    ev = events.select(F.col(user_col).alias("user_id"), us.alias("ts_us"))
+    horizon = ev.agg(F.max("ts_us").alias("h0"))
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    gaps = (
+        ev.withColumn("gap", F.col("ts_us") - F.lag("ts_us").over(w))
+        .where(F.col("gap").isNotNull())
+        .select(
+            F.expr(f"gap div {unit_us}").alias("duration"),
+            F.lit(1).cast("long").alias("observed"),
+        )
+    )
+    tails = (
+        ev.groupBy("user_id")
+        .agg(F.max("ts_us").alias("last_us"))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.expr(f"(h0 - last_us) div {unit_us}").alias("duration"),
+            F.lit(0).cast("long").alias("observed"),
+        )
+    )
+    lab = gaps.unionAll(tails)
+    curve = lab.groupBy("duration").agg(
+        F.sum("observed").cast("long").alias("d"),
+        F.sum(F.lit(1) - F.col("observed")).cast("long").alias("c"),
+    )
+    wo = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    at_risk = curve.select(
+        "duration",
+        (
+            F.sum(F.col("d") + F.col("c")).over(tot)
+            - F.sum(F.col("d") + F.col("c")).over(wo)
+            + F.col("d")
+            + F.col("c")
+        ).cast("long").alias("n"),
+        "d",
+        "c",
+    )
+    # product-limit fold: one row in, array of curve rows out — JVM higher-
+    # order functions only (sort_array on struct sorts by leading field)
+    arr = at_risk.agg(
+        F.collect_list(F.struct("duration", "n", "d", "c")).alias("rows")
+    )
+    folded = arr.select(
+        F.explode(
+            F.expr(
+                """
+aggregate(
+  sort_array(rows),
+  struct(
+    CAST(1000000 AS BIGINT) AS s,
+    CAST(array() AS array<struct<
+      duration_unit: bigint, n_at_risk: bigint, n_events: bigint,
+      n_censored: bigint, survival_ppm: bigint>>) AS out),
+  (acc, x) -> struct(
+    (acc.s * (x.n - x.d)) div x.n AS s,
+    concat(acc.out, array(struct(
+      x.duration AS duration_unit, x.n AS n_at_risk, x.d AS n_events,
+      x.c AS n_censored, (acc.s * (x.n - x.d)) div x.n AS survival_ppm))) AS out),
+  acc -> acc.out)
+"""
+            )
+        ).alias("r")
+    )
+    return folded.select("r.*")
