@@ -1571,6 +1571,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return containment_pairs(_docs(spark, sf), n=5, threshold_ppm=300_000)
 
+    def _weighted_edges(spark, sf, cp=False):
+        # deterministic BIGINT weights over the fixture edges — the mixing
+        # constants are arbitrary; what matters is the (w, src, dst) TOTAL
+        # order making the MSF unique (graph/mst.py docstring)
+        e = (_edges_cp if cp else _edges)(spark, sf)
+        return e.select(
+            "src", "dst",
+            ((F.col("src") * 2654435761 + F.col("dst") * 40503) % 100000 + 1)
+            .cast("long").alias("w"),
+        )
+
+    def q_msf(spark, sf):
+        # Borůvka minimum spanning forest (graph/mst.py::boruvka_msf):
+        # unique under the (w, src, dst) total order; 5 rounds on this
+        # fixture, oracle replays 8 generated rounds (tail rounds no-op)
+        from split_merge_partitioner_spark.graph.mst import boruvka_msf
+
+        out, _ = boruvka_msf(_weighted_edges(spark, sf))
+        return out
+
+    def q_msf_cp(spark, sf):
+        # MSF on the customer-part fixture: 2.2x vertices, different round
+        # count (6 vs 5) — the data-dependent-round second-fixture class
+        from split_merge_partitioner_spark.graph.mst import boruvka_msf
+
+        out, _ = boruvka_msf(_weighted_edges(spark, sf, cp=True))
+        return out
+
     def q_gap_regularity(spark, sf):
         # inter-event-time regularity / bot signal (functions/events.py::
         # gap_regularity): exact-integer CV^2 of per-user gaps in ppm —
@@ -2053,6 +2081,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_rates": q_pii_rates,
         "gap_regularity": q_gap_regularity,
         "km_survival": q_km_survival,
+        "msf": q_msf,
+        "msf_cp": q_msf_cp,
     }
 
     # ------------------------------------------------------------------
@@ -2085,7 +2115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # triadic_census(+cp), onion(+cp), cms_registers, cms_heavy_users,
     # spectral_bisect, spectral_cut_stats, langid_confusion,
     # cusum_changepoints, trussness(+cp), minhash_decontam, lang_homophily,
-    # gap_regularity/km_survival (session 6),
+    # gap_regularity/km_survival/msf(+cp) (session 6),
     # pack_sequences, plus rrf_knn/growth_accounting/wl_colors from the
     # session-3 tail) at the dict tail — same promotion rule for r6.
     _WINDOW_ORDER = [
@@ -4309,6 +4339,72 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(ph) AS BIGINT) AS total_phones
 FROM s GROUP BY source
 """
+
+    # -- Borůvka MSF oracle (graph/mst.py::boruvka_msf) -----------------------
+    # full round replay: per generated round, comp-argmin by the (w, src,
+    # dst) total order, then POINTER DOUBLING (12 self-join steps, 2^12 >=
+    # any chain at this scale) into the min-edge 2-cycle, new comp id =
+    # min(p, n(p)).  8 rounds pinned above the measured 5 (cooccur) / 6
+    # (cp); tail rounds no-op on empty candidate sets.
+    _MSF_W = "((e.src * 2654435761 + e.dst * 40503) % 100000 + 1)"
+
+    def _msf_sql_for(edges_body: str, rounds: int = 8, dbl: int = 12) -> str:
+        parts = [
+            f"""WITH edges AS MATERIALIZED (
+{edges_body}
+),
+wedges AS MATERIALIZED (
+    SELECT e.src, e.dst, CAST({_MSF_W} AS BIGINT) AS w FROM edges e),
+lab0 AS MATERIALIZED (
+    SELECT vertex, vertex AS comp FROM (
+        SELECT DISTINCT src AS vertex FROM wedges
+        UNION SELECT DISTINCT dst FROM wedges))"""
+        ]
+        for r in range(1, rounds + 1):
+            pr = r - 1
+            parts.append(f"""cand{r} AS MATERIALIZED (
+    SELECT la.comp AS c, lb.comp AS oc, e.w, e.src, e.dst
+    FROM wedges e JOIN lab{pr} la ON e.src = la.vertex
+                  JOIN lab{pr} lb ON e.dst = lb.vertex
+    WHERE la.comp <> lb.comp
+    UNION ALL
+    SELECT lb.comp, la.comp, e.w, e.src, e.dst
+    FROM wedges e JOIN lab{pr} la ON e.src = la.vertex
+                  JOIN lab{pr} lb ON e.dst = lb.vertex
+    WHERE la.comp <> lb.comp)""")
+            parts.append(f"""ptr{r} AS MATERIALIZED (
+    SELECT c, oc, w, src, dst FROM (
+        SELECT c, oc, w, src, dst,
+               ROW_NUMBER() OVER (PARTITION BY c ORDER BY w, src, dst) AS rn
+        FROM cand{r}) WHERE rn = 1)""")
+            parts.append(f"ch{r} AS (SELECT DISTINCT src, dst, w FROM ptr{r})")
+            parts.append(f"p{r}_0 AS MATERIALIZED (SELECT c, oc AS p FROM ptr{r})")
+            for k in range(1, dbl + 1):
+                parts.append(
+                    f"p{r}_{k} AS MATERIALIZED (SELECT a.c, b.p FROM p{r}_{k-1} a "
+                    f"JOIN p{r}_{k-1} b ON a.p = b.c)"
+                )
+            parts.append(f"""nl{r} AS MATERIALIZED (
+    SELECT a.c, LEAST(a.p, t.oc) AS nc
+    FROM p{r}_{dbl} a JOIN ptr{r} t ON a.p = t.c)""")
+            parts.append(f"""lab{r} AS MATERIALIZED (
+    SELECT l.vertex, COALESCE(n.nc, l.comp) AS comp
+    FROM lab{pr} l LEFT JOIN nl{r} n ON l.comp = n.c)""")
+        union = "\nUNION ALL\n".join(
+            f"SELECT src, dst, w FROM ch{r}" for r in range(1, rounds + 1)
+        )
+        return ",\n".join(parts) + "\n" + union
+
+    msf_sql = _msf_sql_for(
+        """    SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS src,
+                    CAST(l.l_suppkey + 1000000 AS BIGINT) AS dst
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"""
+    )
+    msf_cp_sql = _msf_sql_for(
+        """    SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS src,
+                    CAST(l.l_partkey + 2000000 AS BIGINT) AS dst
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"""
+    )
 
     # -- gap_regularity oracle (functions/events.py::gap_regularity) ---------
     # exact-integer CV^2 ppm of per-user inter-event gaps: HUGEINT mirrors
@@ -7462,6 +7558,8 @@ FROM documents
         "pii_rates": pii_rates_sql,
         "gap_regularity": gap_regularity_sql,
         "km_survival": km_survival_sql,
+        "msf": msf_sql,
+        "msf_cp": msf_cp_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic
         # across engines): fsm_assign, fsm_stats (hep_local expansion kernels;
         # the dbh-portable flavor IS oracled above), hdrf_bucket_sizes,
