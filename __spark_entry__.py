@@ -1599,6 +1599,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out, _ = boruvka_msf(_weighted_edges(spark, sf, cp=True))
         return out
 
+    def q_bpe_merges(spark, sf):
+        # BPE tokenizer training (functions/bpe.py::bpe_merges): 12 merge
+        # rounds over the character-split word vocabulary; greedy merge
+        # vectorized exactly via the run-parity rule; deterministic argmax
+        # tie-break (count DESC, lhs, rhs)
+        from split_merge_partitioner_spark.functions.bpe import bpe_merges
+
+        return bpe_merges(_docs(spark, sf), n_merges=12)
+
     def q_gap_regularity(spark, sf):
         # inter-event-time regularity / bot signal (functions/events.py::
         # gap_regularity): exact-integer CV^2 of per-user gaps in ppm —
@@ -2083,6 +2092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "km_survival": q_km_survival,
         "msf": q_msf,
         "msf_cp": q_msf_cp,
+        "bpe_merges": q_bpe_merges,
     }
 
     # ------------------------------------------------------------------
@@ -2115,7 +2125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # triadic_census(+cp), onion(+cp), cms_registers, cms_heavy_users,
     # spectral_bisect, spectral_cut_stats, langid_confusion,
     # cusum_changepoints, trussness(+cp), minhash_decontam, lang_homophily,
-    # gap_regularity/km_survival/msf(+cp) (session 6),
+    # gap_regularity/km_survival/msf(+cp)/bpe_merges (session 6),
     # pack_sequences, plus rrf_knn/growth_accounting/wl_colors from the
     # session-3 tail) at the dict tail — same promotion rule for r6.
     _WINDOW_ORDER = [
@@ -4339,6 +4349,60 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(ph) AS BIGINT) AS total_phones
 FROM s GROUP BY source
 """
+
+    # -- BPE merge-training oracle (functions/bpe.py::bpe_merges) ------------
+    # full 12-round replay: per round, weighted adjacent-pair argmax
+    # (count DESC, lhs, rhs), then the run-parity greedy merge — see the
+    # module docstring for why parity == greedy (consecutive matches force
+    # rhs = lhs).  CROSS JOIN bm{r} is safe: the Spark side fail-fasts on
+    # vocabulary exhaustion, so bm is always exactly one row here.
+    def _bpe_sql_for(n_merges: int = 12) -> str:
+        parts = [r"""WITH w0 AS MATERIALIZED (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT UNNEST(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(lower(trim(text)), '\s+') END) AS word
+        FROM documents)
+    GROUP BY word),
+p0 AS MATERIALIZED (
+    SELECT word, cnt, CAST(i AS BIGINT) AS pos, substring(word, i, 1) AS sym
+    FROM w0, UNNEST(range(1, length(word) + 1)) AS t(i))"""]
+        for r in range(1, n_merges + 1):
+            pr = r - 1
+            parts.append(f"""pr{r} AS MATERIALIZED (
+    SELECT word, cnt, pos, sym,
+           LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+    FROM p{pr})""")
+            parts.append(f"""bm{r} AS MATERIALIZED (
+    SELECT sym AS lhs, nxt AS rhs, CAST(SUM(cnt) AS BIGINT) AS c
+    FROM pr{r} WHERE nxt IS NOT NULL
+    GROUP BY sym, nxt ORDER BY c DESC, lhs, rhs LIMIT 1)""")
+            parts.append(f"""mt{r} AS MATERIALIZED (
+    SELECT word, pos FROM (
+        SELECT word, pos,
+               ROW_NUMBER() OVER (PARTITION BY word, pos - rn ORDER BY pos) AS k
+        FROM (SELECT t.word, t.pos,
+                     ROW_NUMBER() OVER (PARTITION BY t.word ORDER BY t.pos) AS rn
+              FROM pr{r} t, bm{r} b WHERE t.sym = b.lhs AND t.nxt = b.rhs))
+    WHERE k % 2 = 1)""")
+            parts.append(f"""p{r} AS MATERIALIZED (
+    SELECT word, cnt,
+           CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
+           sym
+    FROM (
+        SELECT t.word, t.cnt, t.pos,
+               CASE WHEN k1.pos IS NOT NULL THEN b.lhs || b.rhs ELSE t.sym END AS sym
+        FROM pr{r} t
+        CROSS JOIN bm{r} b
+        LEFT JOIN mt{r} k1 ON t.word = k1.word AND t.pos = k1.pos
+        LEFT JOIN mt{r} k2 ON t.word = k2.word AND t.pos = k2.pos + 1
+        WHERE k2.pos IS NULL))""")
+        union = "\nUNION ALL\n".join(
+            f"SELECT CAST({r} AS BIGINT) AS rank, lhs, rhs, c AS pair_count FROM bm{r}"
+            for r in range(1, n_merges + 1)
+        )
+        return ",\n".join(parts) + "\n" + union
+
+    bpe_merges_sql = _bpe_sql_for(12)
 
     # -- Borůvka MSF oracle (graph/mst.py::boruvka_msf) -----------------------
     # full round replay: per generated round, comp-argmin by the (w, src,
@@ -7560,6 +7624,7 @@ FROM documents
         "km_survival": km_survival_sql,
         "msf": msf_sql,
         "msf_cp": msf_cp_sql,
+        "bpe_merges": bpe_merges_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic
         # across engines): fsm_assign, fsm_stats (hep_local expansion kernels;
         # the dbh-portable flavor IS oracled above), hdrf_bucket_sizes,
