@@ -1599,6 +1599,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out, _ = boruvka_msf(_weighted_edges(spark, sf, cp=True))
         return out
 
+    def _bridge_fixture(spark, sf):
+        # deterministic tree+chords graph over doc ids: v -> v div 3 tree
+        # (all bridges a priori) + v%9 chords (v-10, v) that close local
+        # cycles — 298 bridges / 553 edges at 500 docs
+        dv = _docs(spark, sf).select(F.col("doc_id").alias("v"))
+        t = dv.where(F.col("v") >= 1).select(
+            F.least("v", F.expr("v div 3")).alias("src"),
+            F.greatest("v", F.expr("v div 3")).alias("dst"),
+        )
+        ch = dv.where((F.col("v") % 9 == 0) & (F.col("v") >= 10)).select(
+            (F.col("v") - 10).alias("src"), F.col("v").alias("dst")
+        )
+        return t.unionAll(ch).where(F.col("src") != F.col("dst")).distinct()
+
+    def q_bridges(spark, sf):
+        # bridge detection via spanning-forest XOR sketching
+        # (graph/bridges.py): seeded splitmix64 non-tree hashes, subtree
+        # xor bottom-up — deterministic, full-pipeline SQL replay
+        from split_merge_partitioner_spark.graph.bridges import bridges
+
+        out, _ = bridges(_bridge_fixture(spark, sf))
+        return out
+
+    def q_two_edge_components(spark, sf):
+        # 2-edge-connected components = star-contraction CC over the
+        # non-bridge subgraph (graph/bridges.py::two_edge_components)
+        from split_merge_partitioner_spark.graph.bridges import two_edge_components
+
+        out, _ = two_edge_components(_bridge_fixture(spark, sf))
+        return out
+
     def q_bpe_merges(spark, sf):
         # BPE tokenizer training (functions/bpe.py::bpe_merges): 12 merge
         # rounds over the character-split word vocabulary; greedy merge
@@ -2093,6 +2124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf": q_msf,
         "msf_cp": q_msf_cp,
         "bpe_merges": q_bpe_merges,
+        "bridges": q_bridges,
+        "two_edge_components": q_two_edge_components,
     }
 
     # ------------------------------------------------------------------
@@ -2125,7 +2158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # triadic_census(+cp), onion(+cp), cms_registers, cms_heavy_users,
     # spectral_bisect, spectral_cut_stats, langid_confusion,
     # cusum_changepoints, trussness(+cp), minhash_decontam, lang_homophily,
-    # gap_regularity/km_survival/msf(+cp)/bpe_merges (session 6),
+    # gap_regularity/km_survival/msf(+cp)/bpe_merges/bridges/
+    # two_edge_components (session 6),
     # pack_sequences, plus rrf_knn/growth_accounting/wl_colors from the
     # session-3 tail) at the dict tail — same promotion rule for r6.
     _WINDOW_ORDER = [
@@ -4617,6 +4651,146 @@ SELECT v AS vertex, CAST(c % 9223372036854775808 AS BIGINT) AS color FROM wc3
 """
 
     # -- node2vec oracle ----------------------------------------------------
+    # -- bridges / 2-edge-components oracle (graph/bridges.py) ----------------
+    # full pipeline replay on the tree+chords fixture (v -> v div 3 tree,
+    # v%9 chords): MSF at w=1 (same generated-round machinery as msf_sql,
+    # pinned 3 rounds / 10 doubling steps for the 500-vertex graph), 62-bit
+    # splitmix64 non-tree edge hashes, bit_xor incidence S(v), min-label
+    # rooting (12 rounds >= measured ecc 6), BFS depths (10 >= measured 6),
+    # bottom-up subtree xor by depth; tree edge bridge iff xor = 0.
+    _BR_MSF_R, _BR_DBL, _BR_LBL, _BR_DEP = 3, 10, 12, 10
+
+    def _bridges_parts() -> tuple[list, str]:
+        parts = ["""dv AS (SELECT doc_id AS v FROM documents),
+edges AS MATERIALIZED (
+    SELECT DISTINCT src, dst FROM (
+        SELECT LEAST(v, v // 3) AS src, GREATEST(v, v // 3) AS dst FROM dv WHERE v >= 1
+        UNION ALL
+        SELECT v - 10, v FROM dv WHERE v % 9 = 0 AND v >= 10)
+    WHERE src <> dst)"""]
+        parts.append("""bwedges AS MATERIALIZED (
+    SELECT e.src, e.dst, CAST(1 AS BIGINT) AS w FROM edges e),
+blab0 AS MATERIALIZED (
+    SELECT vertex, vertex AS comp FROM (
+        SELECT DISTINCT src AS vertex FROM bwedges
+        UNION SELECT DISTINCT dst FROM bwedges))""")
+        for r in range(1, _BR_MSF_R + 1):
+            pr = r - 1
+            parts.append(f"""bcand{r} AS MATERIALIZED (
+    SELECT la.comp AS c, lb.comp AS oc, e.w, e.src, e.dst
+    FROM bwedges e JOIN blab{pr} la ON e.src = la.vertex
+                   JOIN blab{pr} lb ON e.dst = lb.vertex
+    WHERE la.comp <> lb.comp
+    UNION ALL
+    SELECT lb.comp, la.comp, e.w, e.src, e.dst
+    FROM bwedges e JOIN blab{pr} la ON e.src = la.vertex
+                   JOIN blab{pr} lb ON e.dst = lb.vertex
+    WHERE la.comp <> lb.comp)""")
+            parts.append(f"""bptr{r} AS MATERIALIZED (
+    SELECT c, oc, w, src, dst FROM (
+        SELECT c, oc, w, src, dst,
+               ROW_NUMBER() OVER (PARTITION BY c ORDER BY w, src, dst) AS rn
+        FROM bcand{r}) WHERE rn = 1)""")
+            parts.append(f"bch{r} AS (SELECT DISTINCT src, dst FROM bptr{r})")
+            parts.append(f"bp{r}_0 AS MATERIALIZED (SELECT c, oc AS p FROM bptr{r})")
+            for k in range(1, _BR_DBL + 1):
+                parts.append(
+                    f"bp{r}_{k} AS MATERIALIZED (SELECT a.c, b.p FROM bp{r}_{k-1} a "
+                    f"JOIN bp{r}_{k-1} b ON a.p = b.c)"
+                )
+            parts.append(f"""bnl{r} AS MATERIALIZED (
+    SELECT a.c, LEAST(a.p, t.oc) AS nc
+    FROM bp{r}_{_BR_DBL} a JOIN bptr{r} t ON a.p = t.c)""")
+            parts.append(f"""blab{r} AS MATERIALIZED (
+    SELECT l.vertex, COALESCE(n.nc, l.comp) AS comp
+    FROM blab{pr} l LEFT JOIN bnl{r} n ON l.comp = n.c)""")
+        tree_union = "\n        UNION ALL ".join(
+            f"SELECT src, dst FROM bch{r}" for r in range(1, _BR_MSF_R + 1)
+        )
+        parts.append(
+            f"btree AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({tree_union}))"
+        )
+        parts.append("""bnt AS MATERIALIZED (
+    SELECT e.src, e.dst FROM edges e LEFT JOIN btree t
+    ON e.src = t.src AND e.dst = t.dst WHERE t.src IS NULL)""")
+        bh = _sm64_sql("(e.src * 1000003 + e.dst + 42)")
+        parts.append(f"""bnth AS MATERIALIZED (
+    SELECT e.src, e.dst, CAST({bh} % 4611686018427387904 AS BIGINT) AS h FROM bnt e)""")
+        parts.append("""bsv AS MATERIALIZED (
+    SELECT vertex, bit_xor(h) AS s FROM (
+        SELECT src AS vertex, h FROM bnth UNION ALL SELECT dst, h FROM bnth)
+    GROUP BY vertex)""")
+        parts.append("""btb AS MATERIALIZED (
+    SELECT src AS a, dst AS b FROM btree UNION ALL SELECT dst, src FROM btree)""")
+        parts.append(
+            "blb0 AS MATERIALIZED (SELECT vertex, vertex AS lb FROM blab0)"
+        )
+        for i in range(1, _BR_LBL + 1):
+            parts.append(f"""blb{i} AS MATERIALIZED (
+    SELECT l.vertex, LEAST(l.lb, COALESCE(n.nl, l.lb)) AS lb
+    FROM blb{i-1} l LEFT JOIN (
+        SELECT t.a AS vertex, MIN(l2.lb) AS nl
+        FROM btb t JOIN blb{i-1} l2 ON t.b = l2.vertex GROUP BY t.a) n
+    ON l.vertex = n.vertex)""")
+        parts.append(f"""bst0 AS MATERIALIZED (
+    SELECT vertex, CASE WHEN vertex = lb THEN 0 END AS depth,
+           CAST(NULL AS BIGINT) AS parent
+    FROM blb{_BR_LBL})""")
+        for d in range(1, _BR_DEP + 1):
+            parts.append(f"""bst{d} AS MATERIALIZED (
+    SELECT s.vertex, COALESCE(s.depth, n.d) AS depth,
+           COALESCE(s.parent, n.p) AS parent
+    FROM bst{d-1} s LEFT JOIN (
+        SELECT t.b AS vertex, MIN(t.a) AS p, {d} AS d
+        FROM btb t JOIN bst{d-1} f ON t.a = f.vertex AND f.depth = {d-1}
+        JOIN bst{d-1} u ON t.b = u.vertex AND u.depth IS NULL
+        GROUP BY t.b) n ON s.vertex = n.vertex)""")
+        parts.append(f"""bsx0 AS MATERIALIZED (
+    SELECT s.vertex, s.depth, s.parent, COALESCE(v.s, 0) AS sx
+    FROM bst{_BR_DEP} s LEFT JOIN bsv v ON s.vertex = v.vertex)""")
+        i = 0
+        for dd in range(_BR_DEP, 0, -1):
+            i += 1
+            parts.append(f"""bsx{i} AS MATERIALIZED (
+    SELECT s.vertex, s.depth, s.parent,
+           CASE WHEN c.cx IS NOT NULL THEN xor(s.sx, c.cx) ELSE s.sx END AS sx
+    FROM bsx{i-1} s LEFT JOIN (
+        SELECT parent AS vertex, bit_xor(sx) AS cx FROM bsx{i-1}
+        WHERE depth = {dd} GROUP BY parent) c
+    ON s.vertex = c.vertex)""")
+        last = f"bsx{i}"
+        parts.append(f"""bflags AS MATERIALIZED (
+    SELECT t.src, t.dst,
+           (CASE WHEN a.depth > b.depth THEN a.sx ELSE b.sx END = 0) AS is_bridge
+    FROM btree t JOIN {last} a ON t.src = a.vertex JOIN {last} b ON t.dst = b.vertex)""")
+        return parts, last
+
+    _br_parts, _ = _bridges_parts()
+    bridges_sql = (
+        "WITH " + ",\n".join(_br_parts) + """
+SELECT e.src, e.dst, COALESCE(f.is_bridge, FALSE) AS is_bridge
+FROM edges e LEFT JOIN bflags f ON e.src = f.src AND e.dst = f.dst
+"""
+    )
+    # 2-edge-connected components: min-reachability over the NON-bridge
+    # subgraph (the minhash_dedup_clusters recursive pattern)
+    two_ecc_sql = (
+        "WITH RECURSIVE " + ",\n".join(_br_parts) + """,
+nb AS MATERIALIZED (
+    SELECT e.src, e.dst FROM edges e LEFT JOIN bflags f
+    ON e.src = f.src AND e.dst = f.dst
+    WHERE NOT COALESCE(f.is_bridge, FALSE)),
+nbund AS MATERIALIZED (
+    SELECT src AS a, dst AS b FROM nb UNION ALL SELECT dst, src FROM nb),
+verts AS (SELECT vertex FROM blab0),
+reach(vertex, r) AS (
+    SELECT vertex, vertex FROM verts
+    UNION
+    SELECT nb2.b, reach.r FROM reach JOIN nbund nb2 ON reach.vertex = nb2.a)
+SELECT vertex, CAST(MIN(r) AS BIGINT) AS component FROM reach GROUP BY vertex
+"""
+    )
+
     # second-order biased walks (graph/walks.py::node2vec_walks): first hop
     # = the uniform index pick; later hops classify each neighbor of cur
     # against prev (return/common/explore integer weights 1/2/4) and map
@@ -7625,6 +7799,8 @@ FROM documents
         "msf": msf_sql,
         "msf_cp": msf_cp_sql,
         "bpe_merges": bpe_merges_sql,
+        "bridges": bridges_sql,
+        "two_edge_components": two_ecc_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic
         # across engines): fsm_assign, fsm_stats (hep_local expansion kernels;
         # the dbh-portable flavor IS oracled above), hdrf_bucket_sizes,
