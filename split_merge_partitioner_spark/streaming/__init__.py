@@ -11,3 +11,4 @@ from .sessions_stream import streaming_sessionize  # noqa: F401
 from .enrich_stream import streaming_recent_meta_join  # noqa: F401
 from .transitions_stream import streaming_transitions  # noqa: F401
 from .cusum_stream import streaming_cusum  # noqa: F401
+from .regularity_stream import streaming_gap_regularity  # noqa: F401

@@ -365,3 +365,71 @@ def test_streaming_cusum_matches_batch_twin_across_batches(spark, tmp_path):
     # alarm fires only after the rate shift
     alarmed = got_rel[got_rel["is_alarm"]]
     assert len(alarmed) > 0 and alarmed["bucket"].min() >= 5
+
+
+def test_streaming_gap_regularity_matches_batch_twin(spark, tmp_path):
+    """Per-user gap moments carry across micro-batches and restarts; the
+    LATEST emitted row per user equals the batch twin on the whole log —
+    including the >int64 square-sum path (month-long microsecond gaps)."""
+    import datetime as dt
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from split_merge_partitioner_spark.functions.events import gap_regularity
+    from split_merge_partitioner_spark.streaming import streaming_gap_regularity
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1)
+
+    def rows(specs):
+        # specs: (event_id, user, offset_seconds)
+        return pd.DataFrame(
+            [(i, t0 + dt.timedelta(seconds=s), u, "x") for i, u, s in specs],
+            columns=["event_id", "ts", "user_id", "event_type"],
+        )
+
+    # user 1: bot (fixed 60 s); user 2: human-ish varied gaps incl. a
+    # 20-day gap (square sum far past int64); user 3: stays under min_gaps
+    b1 = rows([(1, 1, 0), (2, 1, 60), (3, 1, 120),
+               (10, 2, 0), (11, 2, 50), (12, 2, 1_728_000),
+               (20, 3, 0)])
+    b2 = rows([(4, 1, 180), (5, 1, 240),
+               (13, 2, 1_728_100), (14, 2, 3_456_000),
+               (21, 3, 7)])
+
+    def make(src_dir):
+        ev = spark.readStream.schema(schema).parquet(src_dir)
+        return streaming_gap_regularity(ev)
+
+    out1, out2 = _run_batches(spark, tmp_path, make, [b1, b2], "reg_state")
+    latest = {}
+    for df in (out1, out2):
+        for _, r in df.iterrows():
+            latest[int(r.user_id)] = tuple(
+                int(r[c]) for c in
+                ("n_gaps", "mean_gap_us", "min_gap_us", "max_gap_us", "cv2_ppm")
+            ) + (bool(r.is_regular),)
+
+    full = spark.createDataFrame(pd.concat([b1, b2]))
+    exp = {
+        int(r["user_id"]): (
+            int(r["n_gaps"]), int(r["mean_gap_us"]), int(r["min_gap_us"]),
+            int(r["max_gap_us"]), int(r["cv2_ppm"]), bool(r["is_regular"]),
+        )
+        for r in gap_regularity(full).collect()
+    }
+    assert latest == exp
+    assert 3 not in latest  # under min_gaps never emits
