@@ -62,7 +62,7 @@ def main(argv=None, stop: bool = True) -> None:
                  "dpagerank", "coloring", "butterfly", "nsample", "louvain", "node2vec",
                  "richclub", "katz", "daglevels", "salsa", "kclique", "squares",
                  "gini", "compsizes", "onion", "trussness", "census", "spectral",
-                 "sweep", "wl"],
+                 "sweep", "wl", "msf", "bridges", "twoecc"],
     )
     ap.add_argument("--output", default=None, help="result parquet")
     ap.add_argument("--json-out", default=None, help="write the info dict here")
@@ -319,6 +319,28 @@ def main(argv=None, stop: bool = True) -> None:
         from split_merge_partitioner_spark.graph import wl_colors
 
         out = wl_colors(edges, n_rounds=args.n_rounds)
+    elif args.algo == "msf":
+        # Borůvka minimum spanning forest (--weight-col, default unit
+        # weights => the lexicographically least forest)
+        from split_merge_partitioner_spark.graph.mst import boruvka_msf
+        from pyspark.sql import functions as F
+
+        we = (
+            edges
+            if args.weight_col
+            else edges.withColumn("w", F.lit(1).cast("long"))
+        )
+        out, info = boruvka_msf(we, weight_col=args.weight_col or "w")
+    elif args.algo == "bridges":
+        # seeded XOR cut-sketch bridge detection
+        from split_merge_partitioner_spark.graph.bridges import bridges as _bridges
+
+        out, info = _bridges(edges, seed=args.seed)
+    elif args.algo == "twoecc":
+        # 2-edge-connected components (CC of the non-bridge subgraph)
+        from split_merge_partitioner_spark.graph.bridges import two_edge_components
+
+        out, info = two_edge_components(edges, seed=args.seed)
     elif args.algo == "butterfly":
         # bipartite 4-cycle count + per-vertex participation (butterflies.py)
         from split_merge_partitioner_spark.graph import (

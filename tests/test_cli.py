@@ -133,6 +133,9 @@ def test_build_pyfiles_zip_importable(tmp_path):
     ("spectral", []),
     ("sweep", ["--seeds", "0"]),
     ("wl", ["--n-rounds", "2"]),
+    ("msf", []),
+    ("bridges", []),
+    ("twoecc", []),
 ])
 def test_run_analytics_cli(spark, edges_parquet, tmp_path, capsys, algo, extra):
     from jobs.run_analytics import main as analytics_main
