@@ -1639,6 +1639,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return bpe_merges(_docs(spark, sf), n_merges=12)
 
+    def q_bpe_segmented(spark, sf):
+        # train 6 merges, then segment every token occurrence
+        # (functions/bpe.py::bpe_segment) — the chained tokenizer pipeline;
+        # the oracle reuses the merge replay's final positions relation
+        from split_merge_partitioner_spark.functions.bpe import bpe_merges, bpe_segment
+
+        docs = _docs(spark, sf)
+        merges = [
+            (r["lhs"], r["rhs"])
+            for r in bpe_merges(docs, n_merges=6).orderBy("rank").collect()
+        ]
+        return bpe_segment(docs, merges)
+
+    def q_dsir_select(spark, sf):
+        # DSIR-style importance shift (functions/selection.py): linear
+        # floor-ppm unigram shift toward the lang='en' slice; selected =
+        # shift > 0
+        from split_merge_partitioner_spark.functions.selection import dsir_shift_select
+
+        return dsir_shift_select(_docs(spark, sf))
+
     def q_gap_regularity(spark, sf):
         # inter-event-time regularity / bot signal (functions/events.py::
         # gap_regularity): exact-integer CV^2 of per-user gaps in ppm —
@@ -2126,6 +2147,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bridges": q_bridges,
         "two_edge_components": q_two_edge_components,
+        "bpe_segmented": q_bpe_segmented,
+        "dsir_select": q_dsir_select,
     }
 
     # ------------------------------------------------------------------
@@ -2159,7 +2182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # spectral_bisect, spectral_cut_stats, langid_confusion,
     # cusum_changepoints, trussness(+cp), minhash_decontam, lang_homophily,
     # gap_regularity/km_survival/msf(+cp)/bpe_merges/bridges/
-    # two_edge_components (session 6),
+    # two_edge_components/bpe_segmented/dsir_select (session 6),
     # pack_sequences, plus rrf_knn/growth_accounting/wl_colors from the
     # session-3 tail) at the dict tail — same promotion rule for r6.
     _WINDOW_ORDER = [
@@ -4390,7 +4413,7 @@ FROM s GROUP BY source
     # module docstring for why parity == greedy (consecutive matches force
     # rhs = lhs).  CROSS JOIN bm{r} is safe: the Spark side fail-fasts on
     # vocabulary exhaustion, so bm is always exactly one row here.
-    def _bpe_sql_for(n_merges: int = 12) -> str:
+    def _bpe_sql_for(n_merges: int = 12, final: str | None = None) -> str:
         parts = [r"""WITH w0 AS MATERIALIZED (
     SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
         SELECT UNNEST(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
@@ -4430,13 +4453,48 @@ p0 AS MATERIALIZED (
         LEFT JOIN mt{r} k1 ON t.word = k1.word AND t.pos = k1.pos
         LEFT JOIN mt{r} k2 ON t.word = k2.word AND t.pos = k2.pos + 1
         WHERE k2.pos IS NULL))""")
-        union = "\nUNION ALL\n".join(
+        union = final if final is not None else "\nUNION ALL\n".join(
             f"SELECT CAST({r} AS BIGINT) AS rank, lhs, rhs, c AS pair_count FROM bm{r}"
             for r in range(1, n_merges + 1)
         )
         return ",\n".join(parts) + "\n" + union
 
     bpe_merges_sql = _bpe_sql_for(12)
+    # segmentation: the merge replay's FINAL positions relation p6 IS the
+    # per-word-type segmentation; join it back onto token occurrences
+    bpe_segmented_sql = _bpe_sql_for(
+        6,
+        final=r""",
+doctoks AS (
+    SELECT doc_id, UNNEST(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(lower(trim(text)), '\s+') END) AS word
+    FROM documents)
+SELECT d.doc_id, d.word, p.pos, p.sym
+FROM doctoks d JOIN p6 p ON d.word = p.word""",
+    )
+
+    # -- DSIR shift selection oracle (functions/selection.py) ----------------
+    dsir_select_sql = r"""
+WITH toks AS MATERIALIZED (
+    SELECT doc_id, (lang = 'en') AS is_target,
+           UNNEST(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(lower(trim(text)), '\s+') END) AS tok
+    FROM documents),
+tgt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS ct FROM toks WHERE is_target GROUP BY tok),
+srcv AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cs FROM toks GROUP BY tok),
+tot AS (SELECT (SELECT CAST(SUM(ct) AS BIGINT) FROM tgt) AS tt,
+               (SELECT CAST(SUM(cs) AS BIGINT) FROM srcv) AS ts),
+vocab AS MATERIALIZED (
+    SELECT s.tok,
+           CAST(COALESCE(t.ct, 0) * 1000000 // tot.tt
+                - s.cs * 1000000 // tot.ts AS BIGINT) AS dppm
+    FROM srcv s LEFT JOIN tgt t ON s.tok = t.tok, tot)
+SELECT toks.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(v.dppm) AS BIGINT) AS shift_score,
+       CAST(SUM(v.dppm) AS BIGINT) > 0 AS selected
+FROM toks JOIN vocab v ON toks.tok = v.tok
+GROUP BY toks.doc_id
+"""
 
     # -- Borůvka MSF oracle (graph/mst.py::boruvka_msf) -----------------------
     # full round replay: per generated round, comp-argmin by the (w, src,
@@ -7801,6 +7859,8 @@ FROM documents
         "bpe_merges": bpe_merges_sql,
         "bridges": bridges_sql,
         "two_edge_components": two_ecc_sql,
+        "bpe_segmented": bpe_segmented_sql,
+        "dsir_select": dsir_select_sql,
         # intentionally no oracle (non-SQL-expressible / nondeterministic
         # across engines): fsm_assign, fsm_stats (hep_local expansion kernels;
         # the dbh-portable flavor IS oracled above), hdrf_bucket_sizes,
