@@ -1652,6 +1652,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return bpe_segment(docs, merges)
 
+    def q_burst_stats(spark, sf):
+        # peak trailing-window burst per user (functions/events.py::
+        # burst_stats): exact sliding-window max via a RANGE frame — the
+        # rate-limit signal a tumbling bucket underestimates
+        from split_merge_partitioner_spark.functions.events import burst_stats
+
+        return burst_stats(
+            spark.read.parquet(f"{sf}/events.parquet"), burst_threshold=30
+        )
+
     def q_dsir_select(spark, sf):
         # DSIR-style importance shift (functions/selection.py): linear
         # floor-ppm unigram shift toward the lang='en' slice; selected =
@@ -2149,6 +2159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "two_edge_components": q_two_edge_components,
         "bpe_segmented": q_bpe_segmented,
         "dsir_select": q_dsir_select,
+        "burst_stats": q_burst_stats,
     }
 
     # ------------------------------------------------------------------
@@ -2182,7 +2193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # spectral_bisect, spectral_cut_stats, langid_confusion,
     # cusum_changepoints, trussness(+cp), minhash_decontam, lang_homophily,
     # gap_regularity/km_survival/msf(+cp)/bpe_merges/bridges/
-    # two_edge_components/bpe_segmented/dsir_select (session 6),
+    # two_edge_components/bpe_segmented/dsir_select/burst_stats (session 6),
     # pack_sequences, plus rrf_knn/growth_accounting/wl_colors from the
     # session-3 tail) at the dict tail — same promotion rule for r6.
     _WINDOW_ORDER = [
@@ -7861,6 +7872,18 @@ FROM documents
         "two_edge_components": two_ecc_sql,
         "bpe_segmented": bpe_segmented_sql,
         "dsir_select": dsir_select_sql,
+        "burst_stats": """
+WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+c AS (SELECT user_id,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_us
+                            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             AS trail
+      FROM ev)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(trail) AS BIGINT) AS peak_burst,
+       CAST(MAX(trail) AS BIGINT) > 30 AS is_burst
+FROM c GROUP BY user_id
+""",
         # intentionally no oracle (non-SQL-expressible / nondeterministic
         # across engines): fsm_assign, fsm_stats (hep_local expansion kernels;
         # the dbh-portable flavor IS oracled above), hdrf_bucket_sizes,

@@ -999,3 +999,49 @@ aggregate(
         ).alias("r")
     )
     return folded.select("r.*")
+
+
+def burst_stats(
+    events: DataFrame,
+    window_us: int = 3_600_000_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    burst_threshold: int = 50,
+) -> DataFrame:
+    """Per-user peak burst rate: the maximum number of events inside ANY
+    trailing ``window_us`` window (evaluated at event granularity — the
+    exact sliding-window maximum, not a fixed-bucket approximation, since a
+    burst straddling two buckets halves in a tumbling count).  The classic
+    rate-limit / scraping signal.
+
+    For each event, a RANGE window frame [t - window_us, t] keyed by user
+    counts the trailing events; the per-user MAX of that count is the peak.
+    Exact integers end to end; ``is_burst`` = peak > burst_threshold.
+
+    Scale shape: ONE exchange (hash by user) shared by the range window and
+    the final aggregate; the range frame is a two-pointer scan within each
+    sorted user partition — linear, no self-join quadratics (the naive
+    "count events within 1h of each event" theta-join explodes on exactly
+    the bursty users this flags).
+    """
+    us = _epoch_us(ts_col)
+    base = events.select(F.col(user_col).alias("user_id"), us.alias("ts_us"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-int(window_us), 0)
+    )
+    c = base.withColumn("trail", F.count(F.lit(1)).over(w))
+    return (
+        c.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("trail").cast("long").alias("peak_burst"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "peak_burst",
+            (F.col("peak_burst") > burst_threshold).alias("is_burst"),
+        )
+    )

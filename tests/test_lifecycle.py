@@ -85,3 +85,22 @@ def test_km_survival_monotone_and_conserved(spark):
         s_prev = r["survival_ppm"]
     total_obs = sum(r["n_events"] + r["n_censored"] for r in df)
     assert df[0]["n_at_risk"] == total_obs  # first row sees every observation
+
+
+def test_burst_stats_sliding_vs_tumbling(spark):
+    from split_merge_partitioner_spark.functions.events import burst_stats
+
+    # 6 events straddling an hour boundary 30 min apart each side: a
+    # trailing 1h window sees 4 together; 1h tumbling buckets would see 3
+    rows = [(i, 1, 3000 + i * 600) for i in range(6)]
+    # and a quiet user
+    rows += [(10, 2, 0), (11, 2, 50)]
+    out = {r.user_id: r for r in
+           burst_stats(_events(spark, rows), burst_threshold=5).collect()}
+    assert out[1].peak_burst == 6  # 6 events in 3000..6000s all within 1h
+    assert out[2].peak_burst == 2 and not out[2].is_burst
+    # tight window: 10-minute trailing window sees at most 2
+    out2 = {r.user_id: r for r in
+            burst_stats(_events(spark, rows), window_us=600_000_000,
+                        burst_threshold=1).collect()}
+    assert out2[1].peak_burst == 2 and out2[1].is_burst
