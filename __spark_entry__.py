@@ -1652,6 +1652,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return bpe_segment(docs, merges)
 
+    def q_graphlet_census4(spark, sf):
+        # exact induced 4-vertex graphlet census (graph/graphlets.py):
+        # closed-form motif algebra over the triangle/square/k4 primitives
+        # — machine-derived inclusion-matrix inversion, zero 4-set work
+        from split_merge_partitioner_spark.graph.graphlets import graphlet_census4
+
+        return graphlet_census4(_proj_edges(spark, sf))
+
     def q_burst_stats(spark, sf):
         # peak trailing-window burst per user (functions/events.py::
         # burst_stats): exact sliding-window max via a RANGE frame — the
@@ -2160,6 +2168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_segmented": q_bpe_segmented,
         "dsir_select": q_dsir_select,
         "burst_stats": q_burst_stats,
+        "graphlet_census4": q_graphlet_census4,
     }
 
     # ------------------------------------------------------------------
@@ -2193,7 +2202,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # spectral_bisect, spectral_cut_stats, langid_confusion,
     # cusum_changepoints, trussness(+cp), minhash_decontam, lang_homophily,
     # gap_regularity/km_survival/msf(+cp)/bpe_merges/bridges/
-    # two_edge_components/bpe_segmented/dsir_select/burst_stats (session 6),
+    # two_edge_components/bpe_segmented/dsir_select/burst_stats/
+    # graphlet_census4 (session 6),
     # pack_sequences, plus rrf_knn/growth_accounting/wl_colors from the
     # session-3 tail) at the dict tail — same promotion rule for r6.
     _WINDOW_ORDER = [
@@ -4483,6 +4493,55 @@ doctoks AS (
 SELECT d.doc_id, d.word, p.pos, p.sym
 FROM doctoks d JOIN p6 p ON d.word = p.word""",
     )
+
+    # -- graphlet census oracle (graph/graphlets.py) --------------------------
+    # every non-induced primitive recomputed on id orientation (counts are
+    # orientation-invariant), then the same machine-derived inversion
+    graphlet_census4_sql = f"""
+WITH {_EDGES_CTE}, {_PROJ_CTE},
+e AS MATERIALIZED (SELECT src, dst FROM proj),
+und AS (SELECT src AS v FROM e UNION ALL SELECT dst FROM e),
+deg AS MATERIALIZED (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY v),
+tri AS MATERIALIZED (
+    SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+    FROM e ab JOIN e bc ON ab.dst = bc.src
+              JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst),
+tcount AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM tri),
+sup AS MATERIALIZED (
+    SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS s FROM (
+        SELECT a AS src, b AS dst FROM tri
+        UNION ALL SELECT b, c FROM tri
+        UNION ALL SELECT a, c FROM tri) GROUP BY src, dst),
+tv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM (
+        SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri) GROUP BY v),
+k4c AS (SELECT CAST(COUNT(*) AS BIGINT) AS nk4
+        FROM e ab
+        JOIN e ac ON ac.src = ab.src AND ac.dst > ab.dst
+        JOIN e ad ON ad.src = ab.src AND ad.dst > ac.dst
+        JOIN e bc ON bc.src = ab.dst AND bc.dst = ac.dst
+        JOIN e bd ON bd.src = ab.dst AND bd.dst = ad.dst
+        JOIN e cd ON cd.src = ac.dst AND cd.dst = ad.dst),
+wund AS (SELECT src AS w, dst AS u FROM e UNION ALL SELECT dst, src FROM e),
+pc AS (SELECT l.u AS x, r.u AS y, CAST(COUNT(*) AS BIGINT) AS c
+       FROM wund l JOIN wund r ON l.w = r.w WHERE l.u < r.u GROUP BY 1, 2),
+sq AS (SELECT CAST(COALESCE(SUM((c * (c - 1)) // 2) // 2, 0) AS BIGINT) AS nsq FROM pc),
+nd0 AS (SELECT CAST(COALESCE(SUM((s * (s - 1)) // 2), 0) AS BIGINT) AS nd FROM sup),
+nt0 AS (SELECT CAST(COALESCE(SUM(tv.t * (deg.d - 2)), 0) AS BIGINT) AS nt
+        FROM tv JOIN deg ON tv.v = deg.v),
+ncl0 AS (SELECT CAST(COALESCE(SUM((d * (d - 1) * (d - 2)) // 6), 0) AS BIGINT) AS ncl
+         FROM deg),
+p40 AS (SELECT CAST(COALESCE(SUM((du.d - 1) * (dv.d - 1)), 0) AS BIGINT) AS np4raw
+        FROM e JOIN deg du ON e.src = du.v JOIN deg dv ON e.dst = dv.v),
+m0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+SELECT m0.n_edges, tcount.t AS n_triangles, k4c.nk4 AS k4,
+       CAST(nd - 6 * nk4 AS BIGINT) AS diamond,
+       CAST(nsq - nd + 3 * nk4 AS BIGINT) AS c4,
+       CAST(nt - 4 * nd + 12 * nk4 AS BIGINT) AS tailed_triangle,
+       CAST(ncl - nt + 2 * nd - 4 * nk4 AS BIGINT) AS claw,
+       CAST(np4raw - 3 * t - 2 * nt - 4 * nsq + 6 * nd - 12 * nk4 AS BIGINT) AS path4
+FROM m0, tcount, k4c, sq, nd0, nt0, ncl0, p40
+"""
 
     # -- DSIR shift selection oracle (functions/selection.py) ----------------
     dsir_select_sql = r"""
@@ -7872,6 +7931,7 @@ FROM documents
         "two_edge_components": two_ecc_sql,
         "bpe_segmented": bpe_segmented_sql,
         "dsir_select": dsir_select_sql,
+        "graphlet_census4": graphlet_census4_sql,
         "burst_stats": """
 WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
 c AS (SELECT user_id,
