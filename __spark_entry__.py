@@ -142,12 +142,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         triangles_per_vertex,
     )
     from split_merge_partitioner_spark.operators import (
+        compare_partitioners,
         dbh_partition,
         degree_decade_histogram,
         fsm_partition,
+        grid_partition,
         hdrf_partition,
         hybrid_partition,
         partition_stats,
+        random_partition,
     )
     from split_merge_partitioner_spark.operators.stats import bucket_sizes, replica_sets
     from split_merge_partitioner_spark.sources import degrees
@@ -176,6 +179,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_dbh_bucket_sizes(spark, sf):
         return bucket_sizes(dbh_partition(_edges(spark, sf), P_DEFAULT))
+
+    def q_grid_assign(spark, sf):
+        # p = 16 (N = 4): the grid needs a perfect square
+        return grid_partition(_edges(spark, sf), 16)
+
+    def q_random_assign(spark, sf):
+        return random_partition(_edges(spark, sf), 16, seed=42)
+
+    def q_partitioner_compare(spark, sf):
+        return compare_partitioners(_edges(spark, sf), p=16)
 
     def q_fsm_assign(spark, sf):
         e = _edges(spark, sf).persist()
@@ -2169,6 +2182,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "burst_stats": q_burst_stats,
         "graphlet_census4": q_graphlet_census4,
+        "grid_assign": q_grid_assign,
+        "random_assign": q_random_assign,
+        "partitioner_compare": q_partitioner_compare,
     }
 
     # ------------------------------------------------------------------
@@ -2326,6 +2342,69 @@ SELECT
   ROUND(POWER(SUM(n_replicas), 2) / (COUNT(*) * SUM(n_replicas * n_replicas)), 6) AS jains_v
 FROM sizes
 """
+
+    # -- stateless baselines: grid / random / side-by-side compare ----------
+    grid_assign_sql = """
+SELECT src, dst, CAST((src % 4) * 4 + (dst % 4) AS BIGINT) AS bucket FROM edges
+"""
+
+    # functions/sampling.py::sample_hash replay (seed 42 -> +43), mod p=16
+    _rand_bucket = (
+        "CAST(((((src * 1000003 + dst) % 2147483647 + 2147483647) % 2147483647"
+        " + 43) % 2147483647 * 48271 % 2147483647 + 1) * 69621"
+        " % 2147483647 % 16 AS BIGINT)"
+    )
+    random_assign_sql = f"""
+SELECT src, dst, {_rand_bucket} AS bucket FROM edges
+"""
+
+    _cmp_assign_sel = {
+        "dbh": (
+            "SELECT e.src, e.dst, CAST((CASE WHEN ds.degree <= dd.degree"
+            " THEN e.src ELSE e.dst END) % 16 AS BIGINT) AS bucket"
+            " FROM edges e JOIN degrees ds ON ds.vertex = e.src"
+            " JOIN degrees dd ON dd.vertex = e.dst"
+        ),
+        "grid": "SELECT src, dst, CAST((src % 4) * 4 + (dst % 4) AS BIGINT) AS bucket FROM edges",
+        "hybrid": (
+            "SELECT e.src, e.dst, CAST((CASE WHEN dd.degree < 100"
+            " THEN e.dst ELSE e.src END) % 16 AS BIGINT) AS bucket"
+            " FROM edges e JOIN degrees ds ON ds.vertex = e.src"
+            " JOIN degrees dd ON dd.vertex = e.dst"
+        ),
+        "random": f"SELECT src, dst, {_rand_bucket} AS bucket FROM edges",
+    }
+    _cmp_parts = [
+        "tot AS (SELECT (SELECT COUNT(*) FROM degrees) AS n,"
+        " (SELECT COUNT(*) FROM edges) AS m)"
+    ]
+    for _m, _sel in _cmp_assign_sel.items():
+        _cmp_parts.append(f"a_{_m} AS MATERIALIZED ({_sel})")
+        _cmp_parts.append(
+            f"sizes_{_m} AS (SELECT a.bucket, a.n_edges, r.n_replicas FROM"
+            f" (SELECT bucket, COUNT(*) AS n_edges FROM a_{_m} GROUP BY bucket) a"
+            f" JOIN (SELECT bucket, COUNT(*) AS n_replicas FROM"
+            f" (SELECT DISTINCT bucket, vertex FROM (SELECT bucket, src AS vertex"
+            f" FROM a_{_m} UNION ALL SELECT bucket, dst FROM a_{_m})) GROUP BY bucket) r"
+            f" USING (bucket))"
+        )
+        _cmp_parts.append(
+            f"row_{_m} AS (SELECT '{_m}' AS method,"
+            " ROUND(SUM(n_replicas) / (SELECT n FROM tot), 6) AS rf,"
+            " ROUND(MAX(n_replicas) / ((SELECT n FROM tot) / 16.0), 6) AS s_v,"
+            " ROUND(MAX(n_edges) / ((SELECT m FROM tot) / 16.0), 6) AS s_e,"
+            " ROUND(STDDEV_POP(n_replicas) / AVG(n_replicas), 6) AS sigma_v,"
+            " ROUND(STDDEV_POP(n_edges) / AVG(n_edges), 6) AS sigma_e,"
+            " ROUND(POWER(SUM(n_replicas), 2) /"
+            " (COUNT(*) * SUM(n_replicas * n_replicas)), 6) AS jains_v"
+            f" FROM sizes_{_m})"
+        )
+    partitioner_compare_sql = (
+        f"WITH {_DEGREES_CTE},\n"
+        + ",\n".join(_cmp_parts)
+        + "\n"
+        + " UNION ALL ".join(f"SELECT * FROM row_{m}" for m in sorted(_cmp_assign_sel))
+    )
 
     # -- portable FSM oracle (operators/fsm.py portable=True) ---------------
     # Full split->merge->rearrange replay: DBH sub-bucket spread at k*p=16
@@ -7932,6 +8011,9 @@ FROM documents
         "bpe_segmented": bpe_segmented_sql,
         "dsir_select": dsir_select_sql,
         "graphlet_census4": graphlet_census4_sql,
+        "grid_assign": "WITH " + _EDGES_CTE + grid_assign_sql,
+        "random_assign": "WITH " + _EDGES_CTE + random_assign_sql,
+        "partitioner_compare": partitioner_compare_sql,
         "burst_stats": """
 WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
 c AS (SELECT user_id,

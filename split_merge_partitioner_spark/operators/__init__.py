@@ -1,6 +1,11 @@
 from .bpart import bpart_partition  # noqa: F401
 from .ebv import ebv_partition  # noqa: F401
-from .expr_partitioners import dbh_partition, hybrid_partition  # noqa: F401
+from .expr_partitioners import (  # noqa: F401
+    dbh_partition,
+    grid_partition,
+    hybrid_partition,
+    random_partition,
+)
 from .fennel import fennel_partition  # noqa: F401
 from .hybridbl import hybridbl_partition  # noqa: F401
 from .fsm import FsmResult, fsm_partition  # noqa: F401
@@ -8,6 +13,7 @@ from .hdrf import hdrf_partition  # noqa: F401
 from .hep import hep_partition  # noqa: F401
 from .ne import ne_partition  # noqa: F401
 from .stats import (  # noqa: F401
+    compare_partitioners,
     core_boundary_stats,
     degree_decade_histogram,
     partition_stats,

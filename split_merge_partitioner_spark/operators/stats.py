@@ -66,6 +66,45 @@ def partition_stats(assigned: DataFrame, p: int, n: int | None = None, m: int | 
     )
 
 
+def compare_partitioners(edges: DataFrame, p: int, seed: int = 42) -> DataFrame:
+    """Side-by-side quality table for the stateless partitioner family at the
+    same ``p``: one row per method with the A1 metrics (rf, s_v, s_e,
+    sigma_v, sigma_e, jains_v), rounded to 6 places — the reference's Table-6
+    comparison shape (src/partitioner.hpp:35-92) as ONE query.
+
+    n and m are computed once and shared; the degree table is computed once
+    and broadcast into both degree-aware methods, so the whole table costs
+    one degree aggregation + four single-pass assignments + four small
+    bucket aggregations.  ``p`` must be a perfect square (grid is included).
+    """
+    from ..sources.edges import degrees
+    from .expr_partitioners import (
+        dbh_partition,
+        grid_partition,
+        hybrid_partition,
+        random_partition,
+    )
+
+    deg = degrees(edges).localCheckpoint(eager=True)
+    n = deg.count()
+    m = edges.count()
+    assigns = {
+        "dbh": dbh_partition(edges, p, deg),
+        "grid": grid_partition(edges, p),
+        "hybrid": hybrid_partition(edges, p, deg),
+        "random": random_partition(edges, p, seed),
+    }
+    out = None
+    for name in sorted(assigns):
+        st = partition_stats(assigns[name], p, n=n, m=m)
+        row = st.select(
+            F.lit(name).alias("method"),
+            *[F.round(c, 6).alias(c) for c in st.columns],
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
 def replication_by_degree_decade(assigned: DataFrame, deg: DataFrame) -> DataFrame:
     """Extended metrics (HEP -extended_metrics analog,
     src/hep_partitioner.cpp:79-147): average replication factor per degree

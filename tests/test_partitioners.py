@@ -204,3 +204,69 @@ def test_stats_formulas(spark):
     assert st.sigma_v == pytest.approx(0.0)
     assert st.sigma_e == pytest.approx(0.0)
     assert st.jains_v == pytest.approx(1.0)
+
+
+def test_grid_matches_rule(spark):
+    """bucket = (src mod N)*N + (dst mod N) on a tiny graph, p = 9."""
+    from split_merge_partitioner_spark.operators import grid_partition
+
+    t = tiny_graph_pdf()
+    got = grid_partition(spark.createDataFrame(t), 9).toPandas()
+    got = got.sort_values(["src", "dst"]).reset_index(drop=True)
+    want = ((t.src % 3) * 3 + (t.dst % 3)).astype("int64")
+    t2 = t.assign(bucket=want).sort_values(["src", "dst"]).reset_index(drop=True)
+    assert got["bucket"].tolist() == t2["bucket"].tolist()
+
+
+def test_grid_invariants_and_replica_bound(spark, powerlaw):
+    """Valid partition + the grid's hard per-vertex bound |replicas(v)| <= 2N-1."""
+    from split_merge_partitioner_spark.operators import grid_partition
+    from split_merge_partitioner_spark.operators.stats import replica_sets
+
+    p, n_side = 16, 4
+    a = grid_partition(powerlaw, p).persist()
+    _assert_valid(powerlaw, a, p)
+    worst = (
+        replica_sets(a)
+        .groupBy("vertex")
+        .count()
+        .agg({"count": "max"})
+        .collect()[0][0]
+    )
+    assert worst <= 2 * n_side - 1
+    with pytest.raises(ValueError, match="perfect-square"):
+        grid_partition(powerlaw, 8)
+    a.unpersist()
+
+
+def test_random_invariants_and_determinism(spark, powerlaw):
+    from split_merge_partitioner_spark.operators import random_partition
+
+    p = 16
+    a = random_partition(powerlaw, p, seed=42).persist()
+    _assert_valid(powerlaw, a, p)
+    # pure function of (edge, seed): bit-identical on re-evaluation
+    assert a.exceptAll(random_partition(powerlaw, p, seed=42)).count() == 0
+    # a different seed moves a nontrivial share of edges
+    moved = (
+        a.withColumnRenamed("bucket", "b1")
+        .join(random_partition(powerlaw, p, seed=7).withColumnRenamed("bucket", "b2"),
+              ["src", "dst"])
+        .where("b1 <> b2")
+        .count()
+    )
+    assert moved > 0
+    a.unpersist()
+
+
+def test_compare_partitioners_table(spark, powerlaw):
+    """One row per method, same (n, m, p); degree-aware beats random on RF."""
+    from split_merge_partitioner_spark.operators import compare_partitioners
+
+    t = compare_partitioners(powerlaw, p=16).toPandas().set_index("method")
+    assert sorted(t.index) == ["dbh", "grid", "hybrid", "random"]
+    assert (t["rf"] > 0).all() and (t["s_e"] >= 1.0 - 1e-9).all()
+    # random replicates hubs everywhere; degree-based hashing must do better
+    assert t.loc["dbh", "rf"] <= t.loc["random", "rf"]
+    # the grid bound caps its rf at 2*sqrt(p)-1
+    assert t.loc["grid", "rf"] <= 7.0
