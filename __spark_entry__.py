@@ -1533,6 +1533,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = spark.read.parquet(f"{sf}/events.parquet")
         return cms_heavy_hitters(ev, "event_type", "user_id", threshold=18, d=4, w=256)
 
+    def q_bloom_registers(spark, sf):
+        # deterministic Bloom membership registers (functions/bloom.py):
+        # k=4 splitmix64 bit hashes into m=1024 bits packed as 62-bit words —
+        # the broadcastable join pre-filter state, replayed by the oracle
+        from split_merge_partitioner_spark.functions.bloom import bloom_registers
+
+        docs = _docs(spark, sf)
+        return bloom_registers(
+            docs.where("lang = 'en'").select("doc_id"), "doc_id", 1024, 4
+        )
+
+    def q_bloom_membership(spark, sf):
+        # probe EVERY doc id against the en-docs Bloom filter and carry the
+        # exact truth column: maybe=false is definitive (pre-filter drops the
+        # row before any join exchange); maybe=true ∧ ¬actual is the exact
+        # false-positive accounting
+        from split_merge_partitioner_spark.functions.bloom import (
+            bloom_membership,
+            bloom_registers,
+        )
+
+        docs = _docs(spark, sf)
+        regs = bloom_registers(
+            docs.where("lang = 'en'").select("doc_id"), "doc_id", 1024, 4
+        )
+        mem = bloom_membership(docs.select("doc_id"), regs, "doc_id", 1024, 4)
+        actual = docs.select(
+            F.col("doc_id").alias("key"), (F.col("lang") == "en").alias("actual")
+        )
+        return mem.join(actual, "key")
+
     def q_onion(spark, sf):
         # onion decomposition (graph/onion.py): k-core peel layers — the
         # co-occurrence fixture converges in 46 batched rounds; the oracle
@@ -2185,6 +2216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_assign": q_grid_assign,
         "random_assign": q_random_assign,
         "partitioner_compare": q_partitioner_compare,
+        "bloom_registers": q_bloom_registers,
+        "bloom_membership": q_bloom_membership,
     }
 
     # ------------------------------------------------------------------
@@ -6546,6 +6579,41 @@ est AS (
 SELECT key, value, CAST(est AS BIGINT) AS est FROM est WHERE est >= 18
 """
 
+    # -- Bloom oracle (functions/bloom.py) -----------------------------------
+    _bloom_seed = 1_000_000_007
+    _bloom_legs = " UNION ALL ".join(
+        f"SELECT CAST({_sm64_sql(f'(doc_id + {i * _bloom_seed})')} % 1024 AS BIGINT)"
+        f" AS idx FROM endocs"
+        for i in range(4)
+    )
+    bloom_regs_core = f"""
+WITH endocs AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+bpos AS ({_bloom_legs}),
+regs AS (
+  SELECT CAST(idx // 62 AS BIGINT) AS word,
+         CAST(bit_or(1::BIGINT << CAST(idx % 62 AS INT)) AS BIGINT) AS bits
+  FROM bpos GROUP BY 1)
+"""
+    bloom_registers_sql = bloom_regs_core + "SELECT word, bits FROM regs"
+
+    _bloom_probe_legs = " UNION ALL ".join(
+        f"SELECT doc_id AS key,"
+        f" CAST({_sm64_sql(f'(doc_id + {i * _bloom_seed})')} % 1024 AS BIGINT) AS idx"
+        f" FROM documents"
+        for i in range(4)
+    )
+    bloom_membership_sql = bloom_regs_core + f""",
+pr AS (SELECT key, CAST(idx // 62 AS BIGINT) AS word, CAST(idx % 62 AS INT) AS bit
+       FROM ({_bloom_probe_legs})),
+hits AS (
+  SELECT p.key,
+         CASE WHEN (COALESCE(r.bits, 0) >> p.bit) & 1 = 1 THEN 1 ELSE 0 END AS hit
+  FROM pr p LEFT JOIN regs r USING (word))
+SELECT h.key, SUM(h.hit) = 4 AS maybe, d.lang = 'en' AS actual
+FROM hits h JOIN documents d ON d.doc_id = h.key
+GROUP BY h.key, d.lang
+"""
+
     # -- rich-club oracle (graph/summary.py::rich_club) ---------------------
     rich_club_sql = f"""
 WITH {_DEGREES_CTE},
@@ -8014,6 +8082,8 @@ FROM documents
         "grid_assign": "WITH " + _EDGES_CTE + grid_assign_sql,
         "random_assign": "WITH " + _EDGES_CTE + random_assign_sql,
         "partitioner_compare": partitioner_compare_sql,
+        "bloom_registers": bloom_registers_sql,
+        "bloom_membership": bloom_membership_sql,
         "burst_stats": """
 WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
 c AS (SELECT user_id,
