@@ -1704,6 +1704,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return graphlet_census4(_proj_edges(spark, sf))
 
+    def q_gap_fill_daily(spark, sf):
+        # densify-to-daily-spine + LOCF forward fill (functions/events.py::
+        # gap_fill_daily): every day between a user's first and last event,
+        # exact integer epoch-days, gap days carry the last observed count
+        from split_merge_partitioner_spark.functions.events import gap_fill_daily
+
+        return gap_fill_daily(spark.read.parquet(f"{sf}/events.parquet"))
+
     def q_burst_stats(spark, sf):
         # peak trailing-window burst per user (functions/events.py::
         # burst_stats): exact sliding-window max via a RANGE frame — the
@@ -2218,6 +2226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partitioner_compare": q_partitioner_compare,
         "bloom_registers": q_bloom_registers,
         "bloom_membership": q_bloom_membership,
+        "gap_fill_daily": q_gap_fill_daily,
     }
 
     # ------------------------------------------------------------------
@@ -4747,6 +4756,25 @@ lab0 AS MATERIALIZED (
     # -- gap_regularity oracle (functions/events.py::gap_regularity) ---------
     # exact-integer CV^2 ppm of per-user inter-event gaps: HUGEINT mirrors
     # the Spark DECIMAL(38,0) for Sx^2 / 1e6*varnum; // mirrors div
+    gap_fill_daily_sql = """
+WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+daily AS (SELECT user_id, CAST(day AS BIGINT) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS n_obs
+          FROM ev GROUP BY 1, 2),
+span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+spine AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM span),
+dense AS (SELECT s.user_id, s.day, d.n_obs
+          FROM spine s LEFT JOIN daily d USING (user_id, day))
+SELECT user_id, day,
+       CAST(COALESCE(n_obs, 0) AS BIGINT) AS n_obs,
+       CAST(LAST_VALUE(n_obs IGNORE NULLS) OVER w AS BIGINT) AS filled,
+       CAST(day - LAST_VALUE(CASE WHEN n_obs IS NOT NULL THEN day END IGNORE NULLS)
+            OVER w AS BIGINT) AS days_since_obs
+FROM dense
+WINDOW w AS (PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
     gap_regularity_sql = """
 WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
 g AS (SELECT user_id,
@@ -8084,6 +8112,7 @@ FROM documents
         "partitioner_compare": partitioner_compare_sql,
         "bloom_registers": bloom_registers_sql,
         "bloom_membership": bloom_membership_sql,
+        "gap_fill_daily": gap_fill_daily_sql,
         "burst_stats": """
 WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
 c AS (SELECT user_id,

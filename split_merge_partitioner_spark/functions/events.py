@@ -1045,3 +1045,63 @@ def burst_stats(
             (F.col("peak_burst") > burst_threshold).alias("is_burst"),
         )
     )
+
+
+def gap_fill_daily(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Densify each user's activity to a complete daily spine and forward-
+    fill (LOCF): (user_id, day, n_obs, filled, days_since_obs) for EVERY day
+    between the user's first and last event — n_obs the day's exact event
+    count (0 on gap days), ``filled`` the most recent observed day's count
+    carried forward, ``days_since_obs`` the staleness of that carry.
+
+    The densify-then-LOCF idiom every panel/feature pipeline needs (training
+    snapshots, churn features, balance histories): downstream windows over
+    the dense panel see every calendar day, not just active ones.
+
+    Days are integer epoch-days (timezone-free ``_epoch_us div 86400e6``),
+    so every column is exact BIGINT and the DuckDB oracle replays it
+    bit-for-bit.
+
+    Scale shape: one groupBy(user, day) with map-side combine, one
+    groupBy(user) for the [min, max] span, a ``sequence()`` explode that
+    generates the spine DISTRIBUTED (rows appear only in the user's own
+    partition — no driver-side calendar, no cross join against a global
+    date dimension), then one window over the shared (user, day) sort.  Two
+    exchanges total; spine length is bounded by the observation span, not
+    by |users| x |calendar|.
+    """
+    us = _epoch_us(ts_col)
+    # integer epoch-day: `div` (not float /) keeps it exact at any horizon
+    base = events.select(
+        F.col(user_col).alias("user_id"), us.alias("_us")
+    ).select("user_id", F.expr("CAST(_us div 86400000000 AS BIGINT)").alias("day"))
+    daily = base.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs")
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    dense = spine.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = F.last("n_obs", ignorenulls=True).over(w)
+    last_day = F.last(
+        F.when(F.col("n_obs").isNotNull(), F.col("day")), ignorenulls=True
+    ).over(w)
+    return dense.select(
+        "user_id",
+        "day",
+        F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+        filled.cast("long").alias("filled"),
+        (F.col("day") - last_day).cast("long").alias("days_since_obs"),
+    )

@@ -86,3 +86,33 @@ def test_outlier_events_singleton_group_never_flagged(spark):
         "event_id long, user_id long, ts timestamp, event_type string, value double",
     )
     assert outlier_events(ev).count() == 0
+
+
+def test_gap_fill_daily_locf(spark):
+    """Dense spine + LOCF on a planted 3-active-day user (+1 single-day)."""
+    import pandas as pd
+
+    from split_merge_partitioner_spark.functions.events import gap_fill_daily
+
+    rows = []
+    base = pd.Timestamp("2024-01-01 06:00:00")
+    for day, cnt in [(0, 2), (3, 1), (4, 3)]:
+        for j in range(cnt):
+            rows.append({"user_id": 1, "ts": base + pd.Timedelta(days=day, hours=j)})
+    rows.append({"user_id": 2, "ts": base})
+    got = (
+        gap_fill_daily(spark.createDataFrame(pd.DataFrame(rows)))
+        .orderBy("user_id", "day")
+        .collect()
+    )
+    u1 = [(r.day - got[0].day, r.n_obs, r.filled, r.days_since_obs)
+          for r in got if r.user_id == 1]
+    assert u1 == [
+        (0, 2, 2, 0),
+        (1, 0, 2, 1),
+        (2, 0, 2, 2),
+        (3, 1, 1, 0),
+        (4, 3, 3, 0),
+    ]
+    u2 = [r for r in got if r.user_id == 2]
+    assert len(u2) == 1 and u2[0].n_obs == 1 and u2[0].days_since_obs == 0
