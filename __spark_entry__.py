@@ -976,6 +976,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return segment_dedup(_docs(spark, sf))
 
+    def q_semdedup_pairs(spark, sf):
+        # SemDeDup (functions/dedup.py::semdedup_pairs): within-kmeans-
+        # cluster exact-integer cosine pairs at t=0.30 — the published
+        # sub-quadratic semantic-dedup recipe, DECIMAL(38,0) predicate
+        from split_merge_partitioner_spark.functions.dedup import semdedup_pairs
+
+        return semdedup_pairs(spark.read.parquet(f"{sf}/embeddings.parquet"))
+
+    def q_semdedup_keep(spark, sf):
+        # the keep-first corpus decision over the same pair set
+        from split_merge_partitioner_spark.functions.dedup import semdedup_keep
+
+        return semdedup_keep(spark.read.parquet(f"{sf}/embeddings.parquet"))
+
     def q_kmeans_assign(spark, sf):
         # one quantized-integer Lloyd assignment (functions/kmeans.py):
         # k=8 seed centroids inlined as literals, argmin inside one codegen
@@ -2227,6 +2241,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_registers": q_bloom_registers,
         "bloom_membership": q_bloom_membership,
         "gap_fill_daily": q_gap_fill_daily,
+        "semdedup_pairs": q_semdedup_pairs,
+        "semdedup_keep": q_semdedup_keep,
     }
 
     # ------------------------------------------------------------------
@@ -7613,6 +7629,39 @@ col0 AS (SELECT CAST(NULL AS BIGINT) AS vertex, CAST(NULL AS BIGINT) AS color,
 SELECT vertex, color, round_colored FROM col{rounds}
 """
 
+    # -- SemDeDup oracle (functions/dedup.py::semdedup_pairs/_keep) ----------
+    # within-cluster exact-integer cosine: dot>0 AND dot^2*10^12 >=
+    # t^2*|a|^2*|b|^2, all HUGEINT — replays the DECIMAL(38,0) Spark predicate
+    semdedup_core = f"""
+WITH {_KMEANS_PRE},
+asg AS (
+  SELECT vec_id, cid FROM dists
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+),
+nn2 AS (SELECT vec_id, SUM(qv * qv) AS n2 FROM qx GROUP BY 1),
+px AS (
+  SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b
+  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+sdots AS (
+  SELECT p.cid, p.id_a, p.id_b, SUM(xa.qv * xb.qv) AS dot
+  FROM px p
+  JOIN qx xa ON xa.vec_id = p.id_a
+  JOIN qx xb ON xb.vec_id = p.id_b AND xb.dim = xa.dim
+  GROUP BY 1, 2, 3),
+sdp AS (
+  SELECT d.cid, d.id_a, d.id_b, CAST(d.dot AS BIGINT) AS dot
+  FROM sdots d JOIN nn2 na ON na.vec_id = d.id_a JOIN nn2 nb ON nb.vec_id = d.id_b
+  WHERE d.dot > 0
+    AND CAST(d.dot AS HUGEINT) * d.dot * 1000000000000::HUGEINT
+        >= 300000::HUGEINT * 300000 * na.n2 * nb.n2)
+"""
+    semdedup_pairs_sql = semdedup_core + "SELECT cid, id_a, id_b, dot FROM sdp"
+    semdedup_keep_sql = semdedup_core + """
+SELECT e.vec_id, d.id_b IS NULL AS keep
+FROM embeddings e
+LEFT JOIN (SELECT DISTINCT id_b FROM sdp) d ON d.id_b = e.vec_id
+"""
+
     # -- 2-iteration Lloyd oracle (functions/kmeans.py::kmeans_train) --------
     # chained replay: assign(seeds) -> integer floor-mean centroids
     # (FLOOR(CAST(s AS DOUBLE)/n) — exact, |s| << 2^53; empty clusters keep
@@ -8113,6 +8162,8 @@ FROM documents
         "bloom_registers": bloom_registers_sql,
         "bloom_membership": bloom_membership_sql,
         "gap_fill_daily": gap_fill_daily_sql,
+        "semdedup_pairs": semdedup_pairs_sql,
+        "semdedup_keep": semdedup_keep_sql,
         "burst_stats": """
 WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
 c AS (SELECT user_id,

@@ -688,3 +688,97 @@ def jaccard_join_prefix(
         return out.localCheckpoint(eager=True)
     finally:
         sh.unpersist()
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: semantic dedup via within-kmeans-cluster exact cosine
+# --------------------------------------------------------------------------
+
+def semdedup_pairs(
+    emb: DataFrame,
+    k: int = 8,
+    threshold_ppm: int = 300_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): find semantic
+    near-duplicate pairs by clustering the embedding space with k-means and
+    comparing ONLY within clusters — the published recipe that makes
+    embedding dedup sub-quadratic at corpus scale: the all-pairs matrix is
+    never formed; quadratic work is confined to cluster blocks (expected
+    n^2/k per cluster, parallel across clusters).
+
+    Returns (cid, id_a, id_b, dot) with id_a < id_b for every within-cluster
+    pair whose cosine >= threshold_ppm/1e6.  The cosine test is EXACT
+    integer arithmetic over the kmeans SCALE-quantized vectors — the
+    predicate ``dot > 0 AND dot^2 * 10^12 >= t_ppm^2 * |a|^2 * |b|^2``
+    evaluated in DECIMAL(38,0) (HUGEINT in the DuckDB oracle), so no float
+    cosine ever enters and the pair set is bit-stable across engines,
+    partitionings, and retries.  ``dot`` is the exact quantized inner
+    product (BIGINT).
+
+    Scale shape: one zero-shuffle kmeans assign scan, one exchange on cid
+    for the block self-join (AQE skew-split handles fat clusters), dot
+    products inside one codegen stage via zip_with/aggregate.
+    """
+    from .kmeans import _quantized, kmeans_assign
+
+    q = _quantized(emb, vec_col, id_col)
+    asg = kmeans_assign(emb, k=k, vec_col=vec_col, id_col=id_col).select("vec_id", "cid")
+    n2 = F.aggregate(
+        F.transform("q", lambda x: x * x), F.lit(0).cast("long"), lambda s, x: s + x
+    )
+    aq = asg.join(q, "vec_id").select("vec_id", "cid", "q", n2.alias("n2"))
+    left = aq.select(
+        F.col("cid"),
+        F.col("vec_id").alias("id_a"),
+        F.col("q").alias("qa"),
+        F.col("n2").alias("na2"),
+    )
+    right = aq.select(
+        F.col("cid"),
+        F.col("vec_id").alias("id_b"),
+        F.col("q").alias("qb"),
+        F.col("n2").alias("nb2"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+    pairs = (
+        left.join(right, "cid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("cid", "id_a", "id_b", dot.alias("dot"), "na2", "nb2")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    lhs = dec(F.col("dot")) * dec(F.col("dot")) * dec(F.lit(10**12))
+    rhs = (
+        dec(F.lit(int(threshold_ppm)))
+        * dec(F.lit(int(threshold_ppm)))
+        * dec(F.col("na2"))
+        * dec(F.col("nb2"))
+    )
+    return pairs.where((F.col("dot") > 0) & (lhs >= rhs)).select(
+        "cid", "id_a", "id_b", "dot"
+    )
+
+
+def semdedup_keep(
+    emb: DataFrame,
+    k: int = 8,
+    threshold_ppm: int = 300_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, keep): the SemDeDup keep decision — drop every vector that
+    has a LOWER-id near-duplicate in its own cluster (keep-first rule, the
+    deterministic representative choice; same discipline as dedup_corpus).
+    keep=true rows are the deduplicated corpus membership."""
+    pairs = semdedup_pairs(emb, k, threshold_ppm, id_col, vec_col)
+    drops = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return (
+        emb.select(F.col(id_col).cast("long").alias("vec_id"))
+        .join(drops.withColumn("_drop", F.lit(True)), "vec_id", "left")
+        .select("vec_id", F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"))
+    )
