@@ -2045,6 +2045,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return betweenness(e, seeds, max_levels=8)
 
+    def q_spinner_assign(spark, sf):
+        # Spinner LP-based balanced k-way VERTEX partitioning
+        # (operators/spinner.py) — the in-engine producer of the vertex
+        # partitions the reference's vertex2edgepart.cpp consumes from
+        # gpmetis.  k=4, 6 synchronous rounds, integer-exact scoring; the
+        # oracle replays all 6 rounds as generated CTEs
+        from split_merge_partitioner_spark.operators.spinner import spinner_partition
+
+        labels, _ = spinner_partition(_edges(spark, sf), k=4, rounds=6)
+        return labels
+
+    def q_spinner_quality(spark, sf):
+        # per-label balance/cut table of the same run: n_vertices,
+        # internal_edges, cut_edges (sum(internal) + sum(cut)/2 = m)
+        from split_merge_partitioner_spark.operators.spinner import (
+            spinner_partition,
+            spinner_quality,
+        )
+
+        e = _edges(spark, sf)
+        labels, _ = spinner_partition(e, k=4, rounds=6)
+        return spinner_quality(e, labels)
+
     qd = {
         "edges_cooccur": q_edges,
         "degrees": q_degrees,
@@ -2243,6 +2266,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill_daily": q_gap_fill_daily,
         "semdedup_pairs": q_semdedup_pairs,
         "semdedup_keep": q_semdedup_keep,
+        "spinner_assign": q_spinner_assign,
+        "spinner_quality": q_spinner_quality,
     }
 
     # ------------------------------------------------------------------
@@ -7934,6 +7959,77 @@ SELECT CAST(hop AS INT) AS hop, src, dst, CAST(rn AS BIGINT) AS rn
 FROM (SELECT * FROM p1 UNION ALL SELECT * FROM h2 WHERE rn <= 2)
 """
 
+    # -- Spinner balanced k-way vertex partitioning (operators/spinner.py):
+    #    all 6 synchronous rounds replayed as generated CTEs — integer score
+    #    nl*CAP + deg*(CAP - load), ties to the smaller label, moves gated on
+    #    (vertex + round) % 2 = 0.  Init label = Lehmer(vertex, 42) % 4; CAP
+    #    = ceil(n/4) as a scalar CTE.  MATERIALIZED throughout: each round
+    #    references the previous label relation three times
+    _spin_rounds = []
+    for _r in range(1, 7):
+        _spin_rounds.append(f"""
+ld{_r} AS MATERIALIZED (
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS load FROM l{_r - 1} GROUP BY label),
+cn{_r} AS MATERIALIZED (
+    SELECT a.v, lb.label, CAST(COUNT(*) AS BIGINT) AS nl
+    FROM adj a JOIN l{_r - 1} lb ON lb.vertex = a.nb GROUP BY a.v, lb.label),
+cd{_r} AS MATERIALIZED (
+    SELECT v, label, MAX(nl) AS nl FROM (
+        SELECT v, label, nl FROM cn{_r}
+        UNION ALL SELECT vertex, label, CAST(0 AS BIGINT) FROM l{_r - 1})
+    GROUP BY v, label),
+sc{_r} AS MATERIALIZED (
+    SELECT c.v, c.label,
+           c.nl * (SELECT cap FROM cap)
+           + d.degree * ((SELECT cap FROM cap) - ld.load) AS score
+    FROM cd{_r} c JOIN ld{_r} ld ON ld.label = c.label
+    JOIN degs d ON d.vertex = c.v),
+bs{_r} AS MATERIALIZED (
+    SELECT v, label AS bl, score AS bs FROM (
+        SELECT v, label, score,
+               ROW_NUMBER() OVER (PARTITION BY v
+                   ORDER BY score DESC, label ASC) AS rn
+        FROM sc{_r}) WHERE rn = 1),
+l{_r} AS MATERIALIZED (
+    SELECT s.v AS vertex,
+           CASE WHEN b.bs > s.score AND (s.v + {_r}) % 2 = 0
+                THEN b.bl ELSE s.label END AS label
+    FROM sc{_r} s
+    JOIN l{_r - 1} p ON p.vertex = s.v AND p.label = s.label
+    JOIN bs{_r} b ON b.v = s.v)""")
+    _spinner_core = f"""
+WITH {_EDGES_CTE},
+adj AS MATERIALIZED (
+    SELECT src AS v, dst AS nb FROM edges
+    UNION ALL SELECT dst, src FROM edges),
+degs AS MATERIALIZED (
+    SELECT v AS vertex, CAST(COUNT(*) AS BIGINT) AS degree FROM adj GROUP BY v),
+cap AS (SELECT (COUNT(*) + 3) // 4 AS cap FROM degs),
+l0 AS MATERIALIZED (
+    SELECT vertex, CAST({_lehmer('vertex', 42)} % 4 AS BIGINT) AS label
+    FROM degs),
+{','.join(_spin_rounds)}
+"""
+    spinner_assign_sql = (
+        _spinner_core + "SELECT vertex, CAST(label AS BIGINT) AS label FROM l6"
+    )
+    spinner_quality_sql = _spinner_core + """,
+el AS (SELECT ls.label AS l_src, lt.label AS l_dst
+       FROM edges e JOIN l6 ls ON ls.vertex = e.src
+       JOIN l6 lt ON lt.vertex = e.dst),
+pe AS (SELECT l_src AS label,
+              CASE WHEN l_src = l_dst THEN 1 ELSE 0 END AS internal FROM el
+       UNION ALL SELECT l_dst, 0 FROM el WHERE l_src <> l_dst),
+ct AS (SELECT label, CAST(SUM(internal) AS BIGINT) AS internal_edges,
+              CAST(SUM(1 - internal) AS BIGINT) AS cut_edges
+       FROM pe GROUP BY label),
+nv AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vertices FROM l6 GROUP BY label)
+SELECT CAST(nv.label AS BIGINT) AS label, nv.n_vertices,
+       COALESCE(ct.internal_edges, 0) AS internal_edges,
+       COALESCE(ct.cut_edges, 0) AS cut_edges
+FROM nv LEFT JOIN ct ON ct.label = nv.label
+"""
+
     return {
         "edges_cooccur": edges_sql,
         "degrees": degrees_sql,
@@ -8164,6 +8260,8 @@ FROM documents
         "gap_fill_daily": gap_fill_daily_sql,
         "semdedup_pairs": semdedup_pairs_sql,
         "semdedup_keep": semdedup_keep_sql,
+        "spinner_assign": spinner_assign_sql,
+        "spinner_quality": spinner_quality_sql,
         "burst_stats": """
 WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
 c AS (SELECT user_id,

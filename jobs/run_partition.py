@@ -4,7 +4,7 @@
 Knob names mirror the reference CLI (gflags surface, src/main.cpp:20-35):
   --p            number of final partitions        (-p)
   --k            split multiplier for FSM          (-k)
-  --method       fsm | dbh | hybrid | hdrf | ebv | ne | hep | fennel | hybridbl | bpart | v2e | v2e_metis  (-method)
+  --method       fsm | dbh | hybrid | hdrf | ebv | ne | hep | fennel | hybridbl | bpart | spinner | v2e | v2e_metis  (-method)
   --fastmerge    use fast_merge instead of precise (-fastmerge)
   --hdf          high-degree factor                (-hdf)
   --lambda_      HDRF balance lambda               (-lambda)
@@ -37,7 +37,8 @@ def main(argv=None, stop: bool = True) -> None:
     ap.add_argument("--k", type=int, default=2)
     ap.add_argument("--method", default="fsm",
                     choices=["fsm", "dbh", "hybrid", "hdrf", "ebv", "ne", "hep",
-                             "fennel", "hybridbl", "bpart", "v2e", "v2e_metis"])
+                             "fennel", "hybridbl", "bpart", "spinner", "v2e",
+                             "v2e_metis"])
     ap.add_argument("--fastmerge", action="store_true")
     ap.add_argument("--hdf", type=float, default=100.0)
     ap.add_argument("--lambda_", "--lambda", type=float, default=1.1, dest="lambda_")
@@ -116,6 +117,18 @@ def main(argv=None, stop: bool = True) -> None:
         from split_merge_partitioner_spark.operators import bpart_partition
 
         assigned = vertex2edge_partition(edges, bpart_partition(edges, args.p))
+    elif args.method == "spinner":
+        # Spinner LP vertex partitioner (ICDE'17) — the in-engine producer
+        # of the vertex partition the v2e pipeline otherwise imports from
+        # gpmetis; same v2e conversion as fennel/bpart
+        from split_merge_partitioner_spark.operators.spinner import (
+            spinner_partition,
+        )
+
+        vlabels, _ = spinner_partition(edges, k=args.p)
+        assigned = vertex2edge_partition(
+            edges, vlabels.withColumnRenamed("label", "bucket")
+        )
     elif args.method == "v2e_metis":
         # the reference's documented three-step pipeline: adjlist export ->
         # external gpmetis -> read .part.<p> -> edge assignment

@@ -26,6 +26,7 @@ def edges_parquet(spark, tmp_path_factory):
         ["--method", "hep", "--hdf", "10"],
         ["--method", "hybridbl"],
         ["--method", "bpart"],
+        ["--method", "spinner"],
     ],
 )
 def test_run_partition_cli(spark, edges_parquet, tmp_path, capsys, argv_extra):
