@@ -51,3 +51,4 @@ from .labelspread import label_spreading  # noqa: F401
 from .sweep import ppr_sweep_cut  # noqa: F401
 from .census import triadic_census  # noqa: F401
 from .onion import onion_decomposition  # noqa: F401
+from .scan import scan_clusters  # noqa: F401
