@@ -1825,6 +1825,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark.read.parquet(f"{sf}/region.parquet"),
         )
 
+    def q_revenue_cube(spark, sf):
+        # full CUBE over (status, priority, year) in one Expand + one
+        # map-side-combined aggregate (functions/olap.py::revenue_cube);
+        # exact integer micros, grouping id disambiguates rollup cells
+        from split_merge_partitioner_spark.functions.olap import revenue_cube
+
+        return revenue_cube(spark.read.parquet(f"{sf}/orders.parquet"))
+
     def q_decayed_user_value(spark, sf):
         # recency-weighted engagement with EXACT power-of-two decay
         # (functions/events.py::decayed_user_value): BIGINT shifts, one
@@ -2228,6 +2236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_gini": q_degree_gini,
         "salsa_auth_cp": q_salsa_auth_cp,
         "revenue_rollup": q_revenue_rollup,
+        "revenue_cube": q_revenue_cube,
         "decayed_user_value": q_decayed_user_value,
         "value_percentiles": q_value_percentiles,
         "rrf_knn": q_rrf_knn,
@@ -8298,6 +8307,20 @@ FROM documents
         "degree_gini": degree_gini_sql,
         "salsa_auth_cp": salsa_auth_sql.replace(_EDGES_CTE, _EDGES_CP_CTE),
         "revenue_rollup": revenue_rollup_sql,
+        "revenue_cube": """
+WITH o AS (SELECT o_orderstatus AS status, o_orderpriority AS priority,
+                  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+                  CAST(ROUND(o_totalprice * 1000000) AS BIGINT) AS micros
+           FROM orders)
+SELECT COALESCE(status, 'ALL') AS status,
+       COALESCE(priority, 'ALL') AS priority,
+       CAST(COALESCE(order_year, -1) AS BIGINT) AS order_year,
+       CAST(GROUPING(status) * 4 + GROUPING(priority) * 2
+            + GROUPING(order_year) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(micros) AS BIGINT) AS total_micros
+FROM o GROUP BY CUBE (status, priority, order_year)
+""",
         "decayed_user_value": decayed_user_value_sql,
         "value_percentiles": value_percentiles_sql,
         "rrf_knn": rrf_knn_sql,

@@ -53,6 +53,43 @@ def revenue_rollup(
     )
 
 
+def revenue_cube(orders: DataFrame) -> DataFrame:
+    """(status, priority, order_year, gid, n_orders, total_micros) — the
+    FULL CUBE over (order status, priority, order year) with exact integer
+    money: every 2³ = 8 grouping-set combination in one pass.
+
+    gid is the standard grouping id (first dim = most significant bit:
+    status·4 + priority·2 + year·1, bit set = dim rolled up), which keeps
+    rolled-up cells distinguishable from a hypothetical literal 'ALL'
+    value.  Spark computes the cube with ONE Expand + one map-side-combined
+    aggregate (no 8-way union of scans); at 100 TB the Expand multiplies
+    rows 8x BEFORE the partial aggregate collapses them per map task, so
+    the exchange carries at most 8·|groups| rows per task, not 8·|input| —
+    the reason CUBE beats unioning 8 GROUP BYs on a fact table."""
+    o = orders.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.expr("CAST(ROUND(o_totalprice * 1000000) AS BIGINT)").alias("micros"),
+    )
+    return (
+        o.cube("o_orderstatus", "o_orderpriority", "order_year")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("micros").alias("total_micros"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("order_year", F.lit(-1)).cast("long").alias("order_year"),
+            "gid",
+            "n_orders",
+            "total_micros",
+        )
+    )
+
+
 def association_rules(
     baskets: DataFrame,
     basket_col: str = "basket_id",
