@@ -1825,6 +1825,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark.read.parquet(f"{sf}/region.parquet"),
         )
 
+    def q_bm25_search(spark, sf):
+        # exact fixed-point BM25 top-25 (functions/search.py::bm25_topk):
+        # k1=6/5 b=3/4 as rationals, linear idf, DECIMAL(38,0) products,
+        # remainder-subtracted floor division — ranking bit-stable
+        from split_merge_partitioner_spark.functions.search import bm25_topk
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return bm25_topk(docs, ["spark", "join", "merge", "scan", "window"], k=25)
+
     def q_revenue_cube(spark, sf):
         # full CUBE over (status, priority, year) in one Expand + one
         # map-side-combined aggregate (functions/olap.py::revenue_cube);
@@ -2237,6 +2246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salsa_auth_cp": q_salsa_auth_cp,
         "revenue_rollup": q_revenue_rollup,
         "revenue_cube": q_revenue_cube,
+        "bm25_search": q_bm25_search,
         "decayed_user_value": q_decayed_user_value,
         "value_percentiles": q_value_percentiles,
         "rrf_knn": q_rrf_knn,
@@ -8307,6 +8317,34 @@ FROM documents
         "degree_gini": degree_gini_sql,
         "salsa_auth_cp": salsa_auth_sql.replace(_EDGES_CTE, _EDGES_CP_CTE),
         "revenue_rollup": revenue_rollup_sql,
+        "bm25_search": r"""
+WITH toks AS (
+    SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS t
+    FROM documents),
+dlen AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS len FROM toks),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(COALESCE(SUM(len), 0) AS BIGINT) AS total_len FROM dlen),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+           SELECT doc_id, UNNEST(t) AS term FROM toks)
+       WHERE term IN ('join', 'merge', 'scan', 'spark', 'window')
+       GROUP BY doc_id, term),
+dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id,
+              CAST((CAST(2 * st.n_docs - 2 * dfq.df + 1 AS HUGEINT)
+                    * 22 * tf.tf * st.total_len * 1000000)
+                   // (CAST(2 * dfq.df + 1 AS HUGEINT)
+                       * (CAST(10 AS HUGEINT) * st.total_len * tf.tf
+                          + CAST(3 AS HUGEINT) * st.total_len
+                          + CAST(9 AS HUGEINT) * dl.len * st.n_docs))
+                   AS BIGINT) AS ppm
+       FROM tf JOIN dfq USING (term) JOIN dlen dl USING (doc_id) CROSS JOIN st),
+agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+               CAST(SUM(ppm) AS BIGINT) AS score_ppm FROM sc GROUP BY doc_id)
+SELECT doc_id, n_terms, score_ppm, CAST(rnk AS BIGINT) AS rank FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY score_ppm DESC, doc_id) AS rnk FROM agg)
+WHERE rnk <= 25
+""",
         "revenue_cube": """
 WITH o AS (SELECT o_orderstatus AS status, o_orderpriority AS priority,
                   CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
