@@ -1718,6 +1718,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return graphlet_census4(_proj_edges(spark, sf))
 
+    def q_orbit_counts(spark, sf):
+        # per-vertex graphlet degree vector (graph/orbits.py): exact induced
+        # orbit counts for all 15 connected <=4-vertex orbits — the motif
+        # algebra of graphlet_census4 extended per vertex, all BIGINT
+        from split_merge_partitioner_spark.graph.orbits import orbit_counts
+
+        return orbit_counts(_proj_edges(spark, sf))
+
     def q_gap_fill_daily(spark, sf):
         # densify-to-daily-spine + LOCF forward fill (functions/events.py::
         # gap_fill_daily): every day between a user's first and last event,
@@ -2307,6 +2315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spinner_quality": q_spinner_quality,
         "scan_roles": q_scan_roles,
         "scan_roles_cp": q_scan_roles_cp,
+        "orbit_counts": q_orbit_counts,
     }
 
     # ------------------------------------------------------------------
@@ -2341,7 +2350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cusum_changepoints, trussness(+cp), minhash_decontam, lang_homophily,
     # gap_regularity/km_survival/msf(+cp)/bpe_merges/bridges/
     # two_edge_components/bpe_segmented/dsir_select/burst_stats/
-    # graphlet_census4 (session 6),
+    # graphlet_census4 (session 6), orbit_counts (session 7),
     # pack_sequences, plus rrf_knn/growth_accounting/wl_colors from the
     # session-3 tail) at the dict tail — same promotion rule for r6.
     # FINAL-ROUND NOTE (r5): the registry (199 queries) outgrew the 50-row
@@ -4753,6 +4762,113 @@ SELECT m0.n_edges, tcount.t AS n_triangles, k4c.nk4 AS k4,
 FROM m0, tcount, k4c, sq, nd0, nt0, ncl0, p40
 """
 
+    # -- per-vertex graphlet orbit oracle (graph/orbits.py) -------------------
+    # the same non-induced primitives as the Spark plan, replayed on the id
+    # orientation (per-vertex counts are orientation-invariant), then the
+    # identical machine-derived inclusion-matrix inversion per vertex
+    orbit_counts_sql = f"""
+WITH {_EDGES_CTE}, {_PROJ_CTE},
+e AS MATERIALIZED (SELECT src, dst FROM proj),
+und AS (SELECT src AS v, dst AS nb FROM e UNION ALL SELECT dst, src FROM e),
+deg AS MATERIALIZED (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY v),
+tri AS MATERIALIZED (
+    SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+    FROM e ab JOIN e bc ON ab.dst = bc.src
+              JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst),
+sup0 AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS s FROM (
+        SELECT a AS src, b AS dst FROM tri
+        UNION ALL SELECT b, c FROM tri
+        UNION ALL SELECT a, c FROM tri) GROUP BY src, dst),
+supf AS MATERIALIZED (
+    SELECT e.src, e.dst, COALESCE(s.s, 0) AS s
+    FROM e LEFT JOIN sup0 s ON e.src = s.src AND e.dst = s.dst),
+sdir AS (SELECT src AS v, dst AS u, s FROM supf
+         UNION ALL SELECT dst, src, s FROM supf),
+tv AS MATERIALIZED (
+    SELECT v, CAST(SUM(s) // 2 AS BIGINT) AS t FROM sdir GROUP BY v),
+nbr AS MATERIALIZED (
+    SELECT sd.v,
+           CAST(SUM(du.d) AS BIGINT) AS s1,
+           CAST(SUM(((du.d - 1) * (du.d - 2)) // 2) AS BIGINT) AS clawl,
+           CAST(SUM(COALESCE(tu.t, 0) - sd.s) AS BIGINT) AS pawtail,
+           CAST(SUM(sd.s * (du.d - 2)) AS BIGINT) AS pawtri,
+           CAST(SUM((sd.s * (sd.s - 1)) // 2) AS BIGINT) AS diahub
+    FROM sdir sd JOIN deg du ON sd.u = du.v
+    LEFT JOIN tv tu ON sd.u = tu.v
+    GROUP BY sd.v),
+pc AS MATERIALIZED (
+    SELECT l.nb AS a, r.nb AS b, CAST(COUNT(*) AS BIGINT) AS c
+    FROM und l JOIN und r ON l.v = r.v WHERE l.nb < r.nb GROUP BY 1, 2),
+cdir AS (SELECT a AS v, b AS w, c FROM pc UNION ALL SELECT b, a, c FROM pc),
+cdagg AS MATERIALIZED (
+    SELECT cd.v,
+           CAST(SUM(cd.c * (dw.d - 1)) AS BIGINT) AS p4raw,
+           CAST(SUM((cd.c * (cd.c - 1)) // 2) AS BIGINT) AS c4
+    FROM cdir cd JOIN deg dw ON cd.w = dw.v GROUP BY cd.v),
+dias AS MATERIALIZED (
+    SELECT v, CAST(SUM(s - 1) AS BIGINT) AS diaside FROM (
+        SELECT t.a AS v, f.s FROM tri t JOIN supf f ON f.src = t.b AND f.dst = t.c
+        UNION ALL
+        SELECT t.b, f.s FROM tri t JOIN supf f ON f.src = t.a AND f.dst = t.c
+        UNION ALL
+        SELECT t.c, f.s FROM tri t JOIN supf f ON f.src = t.a AND f.dst = t.b)
+    GROUP BY v),
+k4s AS MATERIALIZED (
+    SELECT ab.src AS a, ab.dst AS b, ac.dst AS c, ad.dst AS d4
+    FROM e ab
+    JOIN e ac ON ac.src = ab.src AND ac.dst > ab.dst
+    JOIN e ad ON ad.src = ab.src AND ad.dst > ac.dst
+    JOIN e bc ON bc.src = ab.dst AND bc.dst = ac.dst
+    JOIN e bd ON bd.src = ab.dst AND bd.dst = ad.dst
+    JOIN e cd ON cd.src = ac.dst AND cd.dst = ad.dst),
+k4v AS MATERIALIZED (
+    SELECT v, CAST(COUNT(*) AS BIGINT) AS k4 FROM (
+        SELECT a AS v FROM k4s UNION ALL SELECT b FROM k4s
+        UNION ALL SELECT c FROM k4s UNION ALL SELECT d4 FROM k4s) GROUP BY v),
+base AS (
+    SELECT deg.v, deg.d,
+           COALESCE(tv.t, 0) AS t,
+           COALESCE(nbr.s1, 0) AS s1,
+           COALESCE(nbr.clawl, 0) AS clawl,
+           COALESCE(nbr.pawtail, 0) AS n_pawtail,
+           COALESCE(nbr.pawtri, 0) AS n_pawtri,
+           COALESCE(nbr.diahub, 0) AS n_diahub,
+           COALESCE(cdagg.p4raw, 0) AS p4raw,
+           COALESCE(cdagg.c4, 0) AS n_c4,
+           COALESCE(dias.diaside, 0) AS n_diaside,
+           COALESCE(k4v.k4, 0) AS n_k4
+    FROM deg LEFT JOIN tv ON deg.v = tv.v
+             LEFT JOIN nbr ON deg.v = nbr.v
+             LEFT JOIN cdagg ON deg.v = cdagg.v
+             LEFT JOIN dias ON deg.v = dias.v
+             LEFT JOIN k4v ON deg.v = k4v.v),
+ext AS (
+    SELECT *, p4raw - 2 * t AS n_p4end,
+           (d - 1) * (s1 - d) - 2 * t AS n_p4mid,
+           t * (d - 2) AS n_pawatt
+    FROM base)
+SELECT v AS vertex, CAST(d AS BIGINT) AS deg,
+       CAST(s1 - d - 2 * t AS BIGINT) AS p3_end,
+       CAST((d * (d - 1)) // 2 - t AS BIGINT) AS p3_center,
+       CAST(t AS BIGINT) AS tri,
+       CAST(n_p4end - 2 * n_c4 - 2 * n_pawtail - n_pawtri
+            + 4 * n_diaside + 2 * n_diahub - 6 * n_k4 AS BIGINT) AS p4_end,
+       CAST(n_p4mid - 2 * n_c4 - 2 * n_pawatt - n_pawtri
+            + 2 * n_diaside + 4 * n_diahub - 6 * n_k4 AS BIGINT) AS p4_mid,
+       CAST(clawl - n_pawtail - n_pawtri + 2 * n_diaside
+            + n_diahub - 3 * n_k4 AS BIGINT) AS claw_leaf,
+       CAST((d * (d - 1) * (d - 2)) // 6 - n_pawatt
+            + n_diahub - n_k4 AS BIGINT) AS claw_center,
+       CAST(n_c4 - n_diaside - n_diahub + 3 * n_k4 AS BIGINT) AS c4,
+       CAST(n_pawtail - 2 * n_diaside + 3 * n_k4 AS BIGINT) AS paw_tail,
+       CAST(n_pawatt - 2 * n_diahub + 3 * n_k4 AS BIGINT) AS paw_attach,
+       CAST(n_pawtri - 2 * n_diaside - 2 * n_diahub + 6 * n_k4 AS BIGINT) AS paw_tri,
+       CAST(n_diaside - 3 * n_k4 AS BIGINT) AS diamond_side,
+       CAST(n_diahub - 3 * n_k4 AS BIGINT) AS diamond_hub,
+       CAST(n_k4 AS BIGINT) AS k4
+FROM ext
+"""
+
     # -- DSIR shift selection oracle (functions/selection.py) ----------------
     dsir_select_sql = r"""
 WITH toks AS MATERIALIZED (
@@ -6207,7 +6323,7 @@ UNION ALL SELECT src, dst, CAST(trussness AS BIGINT) AS trussness FROM trm40
     # quality_filter_sql as a subquery), md5 min-id dedup among kept train
     # docs, 5-gram decontam semi-join vs the eval split, then the packing
     # cumsum over the survivors
-    prepare_corpus_sql = f"""
+    prepare_corpus_sql = rf"""
 WITH qf AS (SELECT doc_id FROM ({quality_filter_sql}) WHERE keep),
 tr AS (
   SELECT d.doc_id, d.text, d.source FROM documents d
@@ -8420,6 +8536,7 @@ FROM o GROUP BY CUBE (status, priority, order_year)
         "spinner_quality": spinner_quality_sql,
         "scan_roles": scan_roles_sql,
         "scan_roles_cp": scan_roles_cp_sql,
+        "orbit_counts": orbit_counts_sql,
         "burst_stats": """
 WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
 c AS (SELECT user_id,
