@@ -1718,6 +1718,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return graphlet_census4(_proj_edges(spark, sf))
 
+    def q_abcore(spark, sf):
+        # bipartite (α,β)-core of the raw customer–supplier graph
+        # (graph/abcore.py): α=22/β=410 sits just inside the survival
+        # threshold — a 4-round cascade leaving a nontrivial core
+        from split_merge_partitioner_spark.graph.abcore import ab_core
+
+        return ab_core(_edges(spark, sf), alpha=22, beta=410)[0]
+
+    def q_abcore_cp(spark, sf):
+        # second fixture (customer–part): same operator, structurally
+        # different right side (2000 moderate-degree parts vs 100 hubs) —
+        # a 15-round peel here vs 4 on the co-occurrence graph, the
+        # data-dependent-round-count class that needs two fixtures
+        from split_merge_partitioner_spark.graph.abcore import ab_core
+
+        return ab_core(_edges_cp(spark, sf), alpha=30, beta=19)[0]
+
     def q_orbit_counts(spark, sf):
         # per-vertex graphlet degree vector (graph/orbits.py): exact induced
         # orbit counts for all 15 connected <=4-vertex orbits — the motif
@@ -2316,6 +2333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_roles": q_scan_roles,
         "scan_roles_cp": q_scan_roles_cp,
         "orbit_counts": q_orbit_counts,
+        "abcore": q_abcore,
+        "abcore_cp": q_abcore_cp,
     }
 
     # ------------------------------------------------------------------
@@ -4761,6 +4780,40 @@ SELECT m0.n_edges, tcount.t AS n_triangles, k4c.nk4 AS k4,
        CAST(np4raw - 3 * t - 2 * nt - 4 * nsq + 6 * nd - 12 * nk4 AS BIGINT) AS path4
 FROM m0, tcount, k4c, sq, nd0, nt0, ncl0, p40
 """
+
+    # -- bipartite (α,β)-core oracle (graph/abcore.py) ------------------------
+    # the simultaneous batched peel replayed as generated round CTEs: per
+    # round, the >=α left keep-set and >=β right keep-set from the current
+    # edge relation, then both semi-filters at once.  The cooccur fixture
+    # peels in 4 rounds, the cp fixture in 15; 20 are generated (tail
+    # rounds no-op on the stable fixpoint) — all integers
+    def _abcore_sql_for(edges_body: str, alpha: int, beta: int,
+                        rounds: int = 20) -> str:
+        parts = [f"WITH e0 AS MATERIALIZED (\n{edges_body}\n)"]
+        for _r in range(1, rounds + 1):
+            parts.append(f"""kl{_r} AS MATERIALIZED (
+    SELECT src FROM e{_r - 1} GROUP BY src HAVING COUNT(*) >= {alpha})""")
+            parts.append(f"""kr{_r} AS MATERIALIZED (
+    SELECT dst FROM e{_r - 1} GROUP BY dst HAVING COUNT(*) >= {beta})""")
+            parts.append(f"""e{_r} AS MATERIALIZED (
+    SELECT t.src, t.dst FROM e{_r - 1} t
+    JOIN kl{_r} ON t.src = kl{_r}.src
+    JOIN kr{_r} ON t.dst = kr{_r}.dst)""")
+        return ",\n".join(parts) + f"""
+SELECT vertex, side, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+    SELECT src AS vertex, 'L' AS side FROM e{rounds}
+    UNION ALL SELECT dst, 'R' FROM e{rounds})
+GROUP BY vertex, side
+"""
+
+    _ABCORE_EDGES = """    SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS src,
+                    CAST(l.l_suppkey + 1000000 AS BIGINT) AS dst
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"""
+    _ABCORE_EDGES_CP = """    SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS src,
+                    CAST(l.l_partkey + 2000000 AS BIGINT) AS dst
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"""
+    abcore_sql = _abcore_sql_for(_ABCORE_EDGES, 22, 410)
+    abcore_cp_sql = _abcore_sql_for(_ABCORE_EDGES_CP, 30, 19)
 
     # -- per-vertex graphlet orbit oracle (graph/orbits.py) -------------------
     # the same non-induced primitives as the Spark plan, replayed on the id
@@ -8537,6 +8590,8 @@ FROM o GROUP BY CUBE (status, priority, order_year)
         "scan_roles": scan_roles_sql,
         "scan_roles_cp": scan_roles_cp_sql,
         "orbit_counts": orbit_counts_sql,
+        "abcore": abcore_sql,
+        "abcore_cp": abcore_cp_sql,
         "burst_stats": """
 WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
 c AS (SELECT user_id,

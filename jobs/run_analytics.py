@@ -33,7 +33,9 @@ per-vertex participation), nsample (layer-wise GraphSAGE fanout sample;
 --fanouts/--seed-fraction), node2vec (second-order
 biased walks, --bias "wr,wc,wx"), louvain (multi-level Louvain community
 detection: --levels levels x --n-iter parity-gated local-move rounds
-with weighted contraction between levels).  Partition-aware algos
+with weighted contraction between levels), abcore (bipartite (α,β)-core
+peel; --alpha/--beta per-side degree floors, disjoint-id fail-fast),
+orbits (per-vertex 15-orbit graphlet degree vectors).  Partition-aware algos
 (cc, lp, bfs, diameter, hyperanf) partition the edges with DBH first
 (cheap, pure expression) unless --no-partition is given.
 """
@@ -62,7 +64,7 @@ def main(argv=None, stop: bool = True) -> None:
                  "dpagerank", "coloring", "butterfly", "nsample", "louvain", "node2vec",
                  "richclub", "katz", "daglevels", "salsa", "kclique", "squares",
                  "gini", "compsizes", "onion", "trussness", "census", "spectral",
-                 "sweep", "wl", "msf", "bridges", "twoecc"],
+                 "sweep", "wl", "msf", "bridges", "twoecc", "abcore", "orbits"],
     )
     ap.add_argument("--output", default=None, help="result parquet")
     ap.add_argument("--json-out", default=None, help="write the info dict here")
@@ -80,6 +82,8 @@ def main(argv=None, stop: bool = True) -> None:
     ap.add_argument("--n-iter", type=int, default=5,
                     help="lp synchronous supersteps (lp runs EXACTLY this many)")
     ap.add_argument("--k", type=int, default=5, help="linkpred suggestions per vertex")
+    ap.add_argument("--alpha", type=int, default=2, help="abcore src-side degree floor")
+    ap.add_argument("--beta", type=int, default=2, help="abcore dst-side degree floor")
     ap.add_argument("--min-common", type=int, default=2,
                     help="linkpred common-neighbor floor")
     ap.add_argument("--max-center-degree", default="auto",
@@ -341,6 +345,17 @@ def main(argv=None, stop: bool = True) -> None:
         from split_merge_partitioner_spark.graph.bridges import two_edge_components
 
         out, info = two_edge_components(edges, seed=args.seed)
+    elif args.algo == "abcore":
+        # bipartite (α,β)-core peel (abcore.py) — src side needs --alpha,
+        # dst side --beta; fails fast if the id spaces overlap
+        from split_merge_partitioner_spark.graph import ab_core
+
+        out, info = ab_core(edges, alpha=args.alpha, beta=args.beta)
+    elif args.algo == "orbits":
+        # per-vertex 15-orbit graphlet degree vectors (orbits.py)
+        from split_merge_partitioner_spark.graph import orbit_counts
+
+        out = orbit_counts(edges)
     elif args.algo == "butterfly":
         # bipartite 4-cycle count + per-vertex participation (butterflies.py)
         from split_merge_partitioner_spark.graph import (

@@ -52,5 +52,6 @@ from .sweep import ppr_sweep_cut  # noqa: F401
 from .census import triadic_census  # noqa: F401
 from .onion import onion_decomposition  # noqa: F401
 from .scan import scan_clusters  # noqa: F401
+from .abcore import ab_core  # noqa: F401
 from .graphlets import graphlet_census4  # noqa: F401
 from .orbits import orbit_counts  # noqa: F401

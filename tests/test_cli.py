@@ -137,6 +137,7 @@ def test_build_pyfiles_zip_importable(tmp_path):
     ("msf", []),
     ("bridges", []),
     ("twoecc", []),
+    ("orbits", []),
 ])
 def test_run_analytics_cli(spark, edges_parquet, tmp_path, capsys, algo, extra):
     from jobs.run_analytics import main as analytics_main
@@ -152,6 +153,26 @@ def test_run_analytics_cli(spark, edges_parquet, tmp_path, capsys, algo, extra):
     assert len(res) > 0
     info = json.loads(open(jinfo).read())
     assert isinstance(info, dict)
+
+
+def test_run_analytics_abcore_cli(spark, tmp_path, tmp_path_factory):
+    """abcore needs a bipartite input (the powerlaw CLI fixture would fail
+    its disjointness validation, by design) — K_{4,5} minus a corner."""
+    from jobs.run_analytics import main as analytics_main
+
+    path = str(tmp_path_factory.mktemp("cli_bip") / "bip.parquet")
+    pairs = [(i, 1000 + j) for i in range(4) for j in range(5)][:-1]
+    spark.createDataFrame(pairs, "src long, dst long").write.parquet(path)
+    out = str(tmp_path / "abcore.parquet")
+    analytics_main(["--input", path, "--algo", "abcore",
+                    "--alpha", "5", "--beta", "4", "--output", out], stop=False)
+    import pandas as pd_
+
+    got = pd_.read_parquet(out)
+    # the missing corner drops vertex 3 and col 1004, leaving K_{3,4}... but
+    # alpha=5 > 4 available cols for rows 0-2 after the cascade: verify the
+    # peel result is exactly the brute-force fixpoint (empty here)
+    assert len(got) == 0
 
 
 def test_run_analytics_no_partition_cc(spark, edges_parquet, tmp_path):
