@@ -399,6 +399,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         comps, _ = connected_components_stars(_edges(spark, sf))
         return comps
 
+    def q_cc_incremental(spark, sf):
+        # the daily-update path (graph/components.py::
+        # connected_components_incremental): split the edge table 90/10 by
+        # a deterministic multiplicative hash, CC the 90% base, then merge
+        # the 10% delta through the component graph WITHOUT rescanning the
+        # base edges.  Output provably equals a full recompute, so the
+        # full-graph recursive min-reach oracle applies unchanged.
+        from split_merge_partitioner_spark.graph import (
+            connected_components_incremental,
+            connected_components_stars,
+        )
+
+        e = _edges(spark, sf)
+        h = (F.col("src") * F.lit(2654435761) + F.col("dst") * F.lit(40503)) % 10
+        base_lab, _ = connected_components_stars(e.where(h < 9))
+        out, _ = connected_components_incremental(base_lab, e.where(h >= 9))
+        return out
+
     def q_pagerank(spark, sf):
         e = _edges(spark, sf).persist()
         from split_merge_partitioner_spark.operators import dbh_partition as dbh
@@ -2335,6 +2353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orbit_counts": q_orbit_counts,
         "abcore": q_abcore,
         "abcore_cp": q_abcore_cp,
+        "cc_incremental": q_cc_incremental,
     }
 
     # ------------------------------------------------------------------
@@ -8592,6 +8611,9 @@ FROM o GROUP BY CUBE (status, priority, order_year)
         "orbit_counts": orbit_counts_sql,
         "abcore": abcore_sql,
         "abcore_cp": abcore_cp_sql,
+        # incremental CC ≡ full recompute by the min-label composition
+        # argument (components.py docstring) — same oracle as the batch CC
+        "cc_incremental": components_sql,
         "burst_stats": """
 WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
 c AS (SELECT user_id,

@@ -84,6 +84,12 @@ def main(argv=None, stop: bool = True) -> None:
     ap.add_argument("--k", type=int, default=5, help="linkpred suggestions per vertex")
     ap.add_argument("--alpha", type=int, default=2, help="abcore src-side degree floor")
     ap.add_argument("--beta", type=int, default=2, help="abcore dst-side degree floor")
+    ap.add_argument("--labels-input", default=None,
+                    help="cc: precomputed (vertex, component) parquet — with "
+                         "--delta-input, merge the delta incrementally instead "
+                         "of recomputing from --input")
+    ap.add_argument("--delta-input", default=None,
+                    help="cc: delta edge parquet for the incremental merge")
     ap.add_argument("--min-common", type=int, default=2,
                     help="linkpred common-neighbor floor")
     ap.add_argument("--max-center-degree", default="auto",
@@ -140,7 +146,17 @@ def main(argv=None, stop: bool = True) -> None:
     cc_lp_mode = "join" if assigned is None else "gas"
     info: dict = {}
     if args.algo == "cc":
-        if args.cc_algo == "stars":
+        if args.labels_input and args.delta_input:
+            # incremental merge: precomputed labels + a delta edge batch;
+            # equals a full recompute without rescanning the base edges
+            from split_merge_partitioner_spark.graph import (
+                connected_components_incremental,
+            )
+
+            lab = spark.read.parquet(args.labels_input)
+            delta = spark.read.parquet(args.delta_input)
+            out, info = connected_components_incremental(lab, delta)
+        elif args.cc_algo == "stars":
             # diameter-independent star contraction; needs no partition
             from split_merge_partitioner_spark.graph import connected_components_stars
 

@@ -1,6 +1,7 @@
 from .components import (  # noqa: F401
     component_size_histogram,
     connected_components,
+    connected_components_incremental,
     connected_components_stars,
 )
 from .labelprop import label_propagation  # noqa: F401

@@ -302,3 +302,103 @@ def component_size_histogram(edges: DataFrame, max_rounds: int = 50) -> DataFram
     return sizes.groupBy("size").agg(
         F.count(F.lit(1)).cast("long").alias("n_components")
     )
+
+
+def connected_components_incremental(
+    labels: DataFrame, delta_edges: DataFrame, max_rounds: int = 50
+) -> tuple[DataFrame, dict]:
+    """((vertex, component), info) for the graph G ∪ delta, given only the
+    precomputed min-label components of G — the daily-update path: at
+    100 TB you do not re-run CC over the full link graph because a day's
+    crawl added 0.1% of the edges.
+
+    The output is IDENTICAL to a full recompute (component = min reachable
+    vertex id), because min-labels compose: the merged component's id is
+    the min over the merged groups' ids, which is exactly what min-label
+    CC computes on the COMPONENT GRAPH — the graph whose vertices are the
+    base components touched by delta and whose edges are the delta edges
+    with endpoints mapped through the base labels.  That graph has at most
+    |delta| edges, so the work is:
+
+      1. one join of delta endpoints against the label table (broadcast
+         delta — the big side never shuffles); brand-new vertices label
+         themselves, preserving the min-label invariant,
+      2. star-contraction CC (O(log² n_touched) rounds, Catalyst-only) on
+         the ≤|delta|-edge component graph,
+      3. one broadcast join of the (touched_component → merged_component)
+         mapping — again ≤ 2·|delta| rows — back onto the label table.
+
+    Nothing proportional to |G| is shuffled; the label table is scanned
+    twice with broadcast-joined small sides.  ``labels`` must be a
+    min-label relation ((vertex, component), component = min vertex id of
+    the component, every vertex present exactly once) — the output of
+    connected_components / connected_components_stars / this function,
+    making the operator closed under chaining batches.
+    """
+    from ..sources.edges import vertices_of
+
+    delta = (
+        delta_edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=True)
+    )
+    scratch = [delta]
+    try:
+        # 1. endpoints → base components; unseen vertices are their own
+        # (singleton) components, keeping the min-label invariant
+        new_verts = (
+            vertices_of(delta)
+            .join(labels.select("vertex"), "vertex", "left_anti")
+            .select("vertex", F.col("vertex").alias("component"))
+        )
+        all_lab = labels.select("vertex", "component").unionAll(new_verts)
+        all_lab = all_lab.localCheckpoint(eager=True)
+        scratch.append(all_lab)
+        mapped = (
+            delta.join(
+                all_lab.select(F.col("vertex").alias("src"), F.col("component").alias("csrc")),
+                "src",
+            )
+            .join(
+                all_lab.select(F.col("vertex").alias("dst"), F.col("component").alias("cdst")),
+                "dst",
+            )
+            .select(
+                F.least("csrc", "cdst").alias("src"),
+                F.greatest("csrc", "cdst").alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .dropDuplicates(["src", "dst"])
+            .localCheckpoint(eager=True)
+        )
+        scratch.append(mapped)
+        n_links = mapped.count()
+        if n_links == 0:
+            out = all_lab.select("vertex", "component")
+            return out.localCheckpoint(eager=True), {
+                "rounds": 0,
+                "merged_links": 0,
+                "converged": True,
+            }
+        # 2. CC on the component graph (diameter-free star contraction)
+        merged, info = connected_components_stars(mapped, max_rounds=max_rounds)
+        # 3. relabel: only touched components appear in the mapping
+        remap = merged.select(
+            F.col("vertex").alias("component"), F.col("component").alias("merged")
+        ).where(F.col("component") != F.col("merged"))
+        out = (
+            all_lab.join(F.broadcast(remap), "component", "left")
+            .select("vertex", F.coalesce("merged", "component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        return out, {
+            "rounds": info["rounds"],
+            "merged_links": n_links,
+            "converged": info["converged"],
+        }
+    finally:
+        for df in scratch:
+            release(df)

@@ -175,6 +175,35 @@ def test_run_analytics_abcore_cli(spark, tmp_path, tmp_path_factory):
     assert len(got) == 0
 
 
+def test_run_analytics_incremental_cc_cli(spark, tmp_path, tmp_path_factory):
+    """--labels-input + --delta-input routes cc to the incremental merge and
+    the result equals recomputing over base ∪ delta."""
+    from jobs.run_analytics import main as analytics_main
+    from split_merge_partitioner_spark.graph import connected_components_stars
+
+    d = tmp_path_factory.mktemp("cli_inc")
+    base = [(0, 1), (1, 2), (10, 11), (20, 21)]
+    delta = [(2, 10), (30, 31)]
+    spark.createDataFrame(base, "src long, dst long").write.parquet(str(d / "base.parquet"))
+    spark.createDataFrame(delta, "src long, dst long").write.parquet(str(d / "delta.parquet"))
+    lab, _ = connected_components_stars(
+        spark.read.parquet(str(d / "base.parquet"))
+    )
+    lab.write.parquet(str(d / "labels.parquet"))
+    out = str(tmp_path / "cc_inc.parquet")
+    analytics_main(["--input", str(d / "delta.parquet"), "--algo", "cc",
+                    "--labels-input", str(d / "labels.parquet"),
+                    "--delta-input", str(d / "delta.parquet"),
+                    "--no-partition", "--output", out], stop=False)
+    import pandas as pd_
+
+    got = {(r.vertex, r.component) for r in pd_.read_parquet(out).itertuples()}
+    full, _ = connected_components_stars(
+        spark.createDataFrame(base + delta, "src long, dst long")
+    )
+    assert got == {(r.vertex, r.component) for r in full.collect()}
+
+
 def test_run_analytics_no_partition_cc(spark, edges_parquet, tmp_path):
     """--no-partition must route cc/lp to the join mode, not crash on the
     gas-mode assigned assertion."""
