@@ -2146,6 +2146,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         labels, _ = spinner_partition(e, k=4, rounds=6)
         return spinner_quality(e, labels)
 
+    def _twin_edges(spark, sf):
+        # tree (v -- v DIV 3) + sibling chords (v -- v+1 for v%4==0, v>=100)
+        # over doc ids: unchorded sibling leaves are open twins, chorded
+        # pairs under one parent are closed twins — both classes non-empty
+        # (55 open / 56 closed classes at sf0.01)
+        dv = _docs(spark, sf).select(F.col("doc_id").alias("v"))
+        tree = dv.where(F.col("v") >= 1).select(
+            F.least(F.col("v"), F.expr("v DIV 3")).alias("src"),
+            F.greatest(F.col("v"), F.expr("v DIV 3")).alias("dst"),
+        )
+        nxt = dv.select((F.col("v") - 1).alias("v"))  # v such that v+1 exists
+        chords = (
+            dv.where((F.col("v") % 4 == 0) & (F.col("v") >= 100))
+            .join(nxt, "v", "left_semi")
+            .select(F.col("v").alias("src"), (F.col("v") + 1).alias("dst"))
+        )
+        return tree.unionAll(chords).where(F.col("src") != F.col("dst")).distinct()
+
+    def q_twins_open(spark, sf):
+        # exact open-neighborhood twin classes (graph/twins.py): signature
+        # prefilter + sorted-array confirm; oracle is the single-stage
+        # list_sort grouping, independently proving the prefilter lossless
+        from split_merge_partitioner_spark.graph import structural_twins
+
+        return structural_twins(_twin_edges(spark, sf))
+
+    def q_twins_closed(spark, sf):
+        from split_merge_partitioner_spark.graph import structural_twins
+
+        return structural_twins(_twin_edges(spark, sf), closed=True)
+
     qd = {
         "edges_cooccur": q_edges,
         "degrees": q_degrees,
@@ -2354,6 +2385,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "abcore": q_abcore,
         "abcore_cp": q_abcore_cp,
         "cc_incremental": q_cc_incremental,
+        "twins_open": q_twins_open,
+        "twins_closed": q_twins_closed,
     }
 
     # ------------------------------------------------------------------
@@ -8332,6 +8365,39 @@ SELECT CAST(nv.label AS BIGINT) AS label, nv.n_vertices,
 FROM nv LEFT JOIN ct ON ct.label = nv.label
 """
 
+    # -- structural twins oracle (graph/twins.py) -----------------------------
+    # tree + sibling-chord fixture over doc ids (_twin_edges); single-stage
+    # exact grouping on the sorted neighbor list — DuckDB list_sort(list())
+    # is the literal set-equality semantics, no hashing anywhere
+    def _twins_sql(closed: bool) -> str:
+        und2 = (
+            """allv AS (SELECT DISTINCT v FROM und),
+und2 AS (SELECT * FROM und UNION ALL SELECT v, v FROM allv),"""
+            if closed
+            else "und2 AS (SELECT * FROM und),"
+        )
+        return f"""
+WITH dv AS (SELECT doc_id AS v FROM documents),
+tedges AS (
+    SELECT DISTINCT src, dst FROM (
+        SELECT LEAST(v, v // 3) AS src, GREATEST(v, v // 3) AS dst
+        FROM dv WHERE v >= 1
+        UNION ALL
+        SELECT v AS src, v + 1 AS dst FROM dv
+        WHERE v % 4 = 0 AND v >= 100
+          AND EXISTS (SELECT 1 FROM dv d2 WHERE d2.v = dv.v + 1))
+    WHERE src <> dst),
+und AS (SELECT DISTINCT v, u FROM (
+    SELECT src AS v, dst AS u FROM tedges
+    UNION ALL SELECT dst, src FROM tedges)),
+{und2}
+nb AS (SELECT v, list_sort(list(u)) AS nbrs FROM und2 GROUP BY v),
+cls AS (SELECT nbrs, MIN(v) AS twin_id, COUNT(*) AS twin_size
+        FROM nb GROUP BY nbrs HAVING COUNT(*) >= 2)
+SELECT n.v AS vertex, c.twin_id, CAST(c.twin_size AS BIGINT) AS twin_size
+FROM nb n JOIN cls c ON n.nbrs = c.nbrs
+"""
+
     return {
         "edges_cooccur": edges_sql,
         "degrees": degrees_sql,
@@ -8614,6 +8680,11 @@ FROM o GROUP BY CUBE (status, priority, order_year)
         # incremental CC ≡ full recompute by the min-label composition
         # argument (components.py docstring) — same oracle as the batch CC
         "cc_incremental": components_sql,
+        # structural twins: the oracle is DELIBERATELY the naive one-stage
+        # sorted-list grouping (no signature CTE), so a prefilter bug that
+        # drops a real class would hash-mismatch here
+        "twins_open": _twins_sql(closed=False),
+        "twins_closed": _twins_sql(closed=True),
         "burst_stats": """
 WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
 c AS (SELECT user_id,

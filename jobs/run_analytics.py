@@ -64,7 +64,8 @@ def main(argv=None, stop: bool = True) -> None:
                  "dpagerank", "coloring", "butterfly", "nsample", "louvain", "node2vec",
                  "richclub", "katz", "daglevels", "salsa", "kclique", "squares",
                  "gini", "compsizes", "onion", "trussness", "census", "spectral",
-                 "sweep", "wl", "msf", "bridges", "twoecc", "abcore", "orbits"],
+                 "sweep", "wl", "msf", "bridges", "twoecc", "abcore", "orbits",
+                 "twins"],
     )
     ap.add_argument("--output", default=None, help="result parquet")
     ap.add_argument("--json-out", default=None, help="write the info dict here")
@@ -82,6 +83,8 @@ def main(argv=None, stop: bool = True) -> None:
     ap.add_argument("--n-iter", type=int, default=5,
                     help="lp synchronous supersteps (lp runs EXACTLY this many)")
     ap.add_argument("--k", type=int, default=5, help="linkpred suggestions per vertex")
+    ap.add_argument("--closed", action="store_true",
+                    help="twins: closed-neighborhood (N[v]) classes")
     ap.add_argument("--alpha", type=int, default=2, help="abcore src-side degree floor")
     ap.add_argument("--beta", type=int, default=2, help="abcore dst-side degree floor")
     ap.add_argument("--labels-input", default=None,
@@ -372,6 +375,12 @@ def main(argv=None, stop: bool = True) -> None:
         from split_merge_partitioner_spark.graph import orbit_counts
 
         out = orbit_counts(edges)
+    elif args.algo == "twins":
+        # exact structural twin classes (twins.py); --closed for N[v] twins
+        from split_merge_partitioner_spark.graph import structural_twins
+
+        out = structural_twins(edges, closed=args.closed)
+        info = {"closed": args.closed}
     elif args.algo == "butterfly":
         # bipartite 4-cycle count + per-vertex participation (butterflies.py)
         from split_merge_partitioner_spark.graph import (

@@ -56,3 +56,4 @@ from .scan import scan_clusters  # noqa: F401
 from .abcore import ab_core  # noqa: F401
 from .graphlets import graphlet_census4  # noqa: F401
 from .orbits import orbit_counts  # noqa: F401
+from .twins import structural_twins  # noqa: F401

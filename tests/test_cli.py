@@ -175,6 +175,28 @@ def test_run_analytics_abcore_cli(spark, tmp_path, tmp_path_factory):
     assert len(got) == 0
 
 
+def test_run_analytics_twins_cli(spark, tmp_path, tmp_path_factory):
+    """--algo twins finds the star's leaf class; --closed finds none."""
+    from jobs.run_analytics import main as analytics_main
+
+    path = str(tmp_path_factory.mktemp("cli_twins") / "star.parquet")
+    spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "src long, dst long"
+    ).write.parquet(path)
+    out = str(tmp_path / "twins.parquet")
+    analytics_main(["--input", path, "--algo", "twins", "--output", out],
+                   stop=False)
+    import pandas as pd_
+
+    got = pd_.read_parquet(out)
+    assert sorted(got["vertex"]) == [1, 2, 3, 4]
+    assert set(got["twin_id"]) == {1} and set(got["twin_size"]) == {4}
+    out2 = str(tmp_path / "twins_closed.parquet")
+    analytics_main(["--input", path, "--algo", "twins", "--closed",
+                    "--output", out2], stop=False)
+    assert len(pd_.read_parquet(out2)) == 0
+
+
 def test_run_analytics_incremental_cc_cli(spark, tmp_path, tmp_path_factory):
     """--labels-input + --delta-input routes cc to the incremental merge and
     the result equals recomputing over base ∪ delta."""
