@@ -2164,6 +2164,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return tree.unionAll(chords).where(F.col("src") != F.col("dst")).distinct()
 
+    def q_rmat_graph(spark, sf):
+        # distributed R-MAT generation (sources/rmat.py): 8192 Graph500-
+        # parameter edges over 512 vertices as ONE narrow map over range(m),
+        # integer-ppm quadrant draws — the oracle replays every edge
+        # bit-for-bit from (scale, edge_factor, seed) alone
+        from split_merge_partitioner_spark.sources import rmat_edges
+
+        return rmat_edges(spark, scale=9, edge_factor=16, seed=42)
+
     def q_twins_open(spark, sf):
         # exact open-neighborhood twin classes (graph/twins.py): signature
         # prefilter + sorted-array confirm; oracle is the single-stage
@@ -2387,6 +2396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_incremental": q_cc_incremental,
         "twins_open": q_twins_open,
         "twins_closed": q_twins_closed,
+        "rmat_graph": q_rmat_graph,
     }
 
     # ------------------------------------------------------------------
@@ -8365,6 +8375,32 @@ SELECT CAST(nv.label AS BIGINT) AS label, nv.n_vertices,
 FROM nv LEFT JOIN ct ON ct.label = nv.label
 """
 
+    # -- R-MAT generator oracle (sources/rmat.py) ------------------------------
+    # every (edge, level) quadrant draw replayed from the seed via the
+    # HUGEINT splitmix64 machinery; fixture-free (no parquet table touched)
+    _RM_SCALE, _RM_EF, _RM_SEED = 9, 16, 42
+    _RM_A, _RM_B, _RM_C = 570_000, 190_000, 190_000
+    rmat_graph_sql = f"""
+WITH e AS (SELECT range AS id FROM range(0, {_RM_EF * (1 << _RM_SCALE)})),
+lv AS (SELECT range AS lvl FROM range(0, {_RM_SCALE})),
+he AS (SELECT id, {_sm64_sql(f'(id + {_RM_SEED})')} AS he FROM e),
+ho AS (SELECT id, lvl,
+       CAST((CAST(he AS HUGEINT)
+             + (CAST(lvl + 1 AS HUGEINT) * {0x9E3779B97F4A7C15}) % {_HM64})
+            % {_HM64} AS UBIGINT) AS hoff
+       FROM he CROSS JOIN lv),
+rr AS (SELECT id, lvl,
+       CAST({_sm64_sql('hoff')} % 9223372036854775808 AS BIGINT) % 1000000 AS r
+       FROM ho),
+bits AS (SELECT id,
+   CAST(SUM(CASE WHEN r >= {_RM_A + _RM_B} THEN 1 << lvl ELSE 0 END) AS BIGINT) AS src,
+   CAST(SUM(CASE WHEN (r >= {_RM_A} AND r < {_RM_A + _RM_B})
+                   OR r >= {_RM_A + _RM_B + _RM_C} THEN 1 << lvl ELSE 0 END)
+        AS BIGINT) AS dst
+   FROM rr GROUP BY id)
+SELECT id AS edge_id, src, dst FROM bits
+"""
+
     # -- structural twins oracle (graph/twins.py) -----------------------------
     # tree + sibling-chord fixture over doc ids (_twin_edges); single-stage
     # exact grouping on the sorted neighbor list — DuckDB list_sort(list())
@@ -8685,6 +8721,7 @@ FROM o GROUP BY CUBE (status, priority, order_year)
         # drops a real class would hash-mismatch here
         "twins_open": _twins_sql(closed=False),
         "twins_closed": _twins_sql(closed=True),
+        "rmat_graph": rmat_graph_sql,
         "burst_stats": """
 WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
 c AS (SELECT user_id,

@@ -9,6 +9,7 @@ from .edges import (  # noqa: F401
     vertices_of,
 )
 from .repos import make_repos_df, repos_pandas  # noqa: F401
+from .rmat import rmat_edges  # noqa: F401
 from .synthetic import (  # noqa: F401
     powerlaw_edges_pdf,
     tiny_graph_pdf,
