@@ -2164,6 +2164,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return tree.unionAll(chords).where(F.col("src") != F.col("dst")).distinct()
 
+    def q_landmark_sketch(spark, sf):
+        # Potamias'09 landmark distance sketch (graph/landmarks.py): exact
+        # batched BFS from the 4 top-degree landmarks, horizon 8; oracle =
+        # recursive-CTE BFS replay
+        from split_merge_partitioner_spark.graph import landmark_sketch
+
+        return landmark_sketch(_edges(spark, sf), k=4, max_dist=8)
+
+    def q_landmark_dists(spark, sf):
+        # point-to-point upper bounds from the sketch: min over landmarks of
+        # d(u,l)+d(l,v) with smallest-landmark tie-break, over a
+        # deterministic modulo-sampled customer pair set
+        from split_merge_partitioner_spark.graph import (
+            landmark_distances,
+            landmark_sketch,
+        )
+
+        e = _edges(spark, sf)
+        sk = landmark_sketch(e, k=4, max_dist=8)
+        vs = (
+            e.select(F.col("src").alias("x"))
+            .unionAll(e.select(F.col("dst").alias("x")))
+            .distinct()
+            .where((F.col("x") % 101 == 0) & (F.col("x") < 1000000))
+        )
+        pairs = (
+            vs.crossJoin(vs.select(F.col("x").alias("y")))
+            .where(F.col("x") < F.col("y"))
+            .select(F.col("x").alias("u"), F.col("y").alias("v"))
+        )
+        return landmark_distances(sk, pairs)
+
     def q_rmat_graph(spark, sf):
         # distributed R-MAT generation (sources/rmat.py): 8192 Graph500-
         # parameter edges over 512 vertices as ONE narrow map over range(m),
@@ -2397,6 +2429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twins_open": q_twins_open,
         "twins_closed": q_twins_closed,
         "rmat_graph": q_rmat_graph,
+        "landmark_sketch": q_landmark_sketch,
+        "landmark_dists": q_landmark_dists,
     }
 
     # ------------------------------------------------------------------
@@ -8375,6 +8409,41 @@ SELECT CAST(nv.label AS BIGINT) AS label, nv.n_vertices,
 FROM nv LEFT JOIN ct ON ct.label = nv.label
 """
 
+    # -- landmark sketch / distance oracles (graph/landmarks.py) ---------------
+    # exact BFS from the 4 top-degree landmarks via one recursive CTE (the
+    # bfs_distances pattern, multi-seed); distance estimates = min-merge of
+    # the two sketch joins with the same (total, landmark) lexicographic
+    # tie-break the Spark struct-min uses
+    _lm_common = f"""
+WITH RECURSIVE {_DEGREES_CTE},
+und AS (SELECT src AS a, dst AS b FROM edges UNION ALL SELECT dst, src FROM edges),
+lm AS (SELECT vertex FROM degrees ORDER BY degree DESC, vertex ASC LIMIT 4),
+bfs(s, v, d) AS (
+    SELECT vertex, vertex, 0 FROM lm
+    UNION
+    SELECT bfs.s, und.b, bfs.d + 1 FROM bfs JOIN und ON und.a = bfs.v
+    WHERE bfs.d < 8
+),
+sk AS (SELECT s, v, MIN(d) AS d FROM bfs GROUP BY s, v)
+"""
+    landmark_sketch_sql = _lm_common + """
+SELECT v AS vertex, s AS landmark, CAST(d AS BIGINT) AS dist FROM sk
+"""
+    landmark_dists_sql = _lm_common + """,
+vsel AS (SELECT DISTINCT vertex AS x FROM verts
+         WHERE vertex % 101 = 0 AND vertex < 1000000),
+qp AS (SELECT a.x AS u, b.x AS v FROM vsel a, vsel b WHERE a.x < b.x),
+cand AS (SELECT qp.u, qp.v, su.d + sv.d AS t, su.s AS l
+         FROM qp JOIN sk su ON su.v = qp.u
+                 JOIN sk sv ON sv.v = qp.v AND sv.s = su.s),
+best AS (SELECT u, v, MIN(t) AS dist_ub FROM cand GROUP BY u, v),
+via AS (SELECT c.u, c.v, b.dist_ub, MIN(c.l) AS via
+        FROM cand c JOIN best b ON b.u = c.u AND b.v = c.v AND c.t = b.dist_ub
+        GROUP BY c.u, c.v, b.dist_ub)
+SELECT qp.u, qp.v, CAST(via.dist_ub AS BIGINT) AS dist_ub, via.via
+FROM qp LEFT JOIN via ON via.u = qp.u AND via.v = qp.v
+"""
+
     # -- R-MAT generator oracle (sources/rmat.py) ------------------------------
     # every (edge, level) quadrant draw replayed from the seed via the
     # HUGEINT splitmix64 machinery; fixture-free (no parquet table touched)
@@ -8722,6 +8791,8 @@ FROM o GROUP BY CUBE (status, priority, order_year)
         "twins_open": _twins_sql(closed=False),
         "twins_closed": _twins_sql(closed=True),
         "rmat_graph": rmat_graph_sql,
+        "landmark_sketch": landmark_sketch_sql,
+        "landmark_dists": landmark_dists_sql,
         "burst_stats": """
 WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
 c AS (SELECT user_id,

@@ -65,7 +65,7 @@ def main(argv=None, stop: bool = True) -> None:
                  "richclub", "katz", "daglevels", "salsa", "kclique", "squares",
                  "gini", "compsizes", "onion", "trussness", "census", "spectral",
                  "sweep", "wl", "msf", "bridges", "twoecc", "abcore", "orbits",
-                 "twins"],
+                 "twins", "landmarks"],
     )
     ap.add_argument("--output", default=None, help="result parquet")
     ap.add_argument("--json-out", default=None, help="write the info dict here")
@@ -375,6 +375,13 @@ def main(argv=None, stop: bool = True) -> None:
         from split_merge_partitioner_spark.graph import orbit_counts
 
         out = orbit_counts(edges)
+    elif args.algo == "landmarks":
+        # Potamias'09 distance sketch from --k top-degree landmarks,
+        # horizon --max-dist (landmarks.py)
+        from split_merge_partitioner_spark.graph import landmark_sketch
+
+        out = landmark_sketch(edges, k=args.k, max_dist=args.max_dist)
+        info = {"k": args.k, "max_dist": args.max_dist}
     elif args.algo == "twins":
         # exact structural twin classes (twins.py); --closed for N[v] twins
         from split_merge_partitioner_spark.graph import structural_twins

@@ -197,6 +197,27 @@ def test_run_analytics_twins_cli(spark, tmp_path, tmp_path_factory):
     assert len(pd_.read_parquet(out2)) == 0
 
 
+def test_run_analytics_landmarks_cli(spark, tmp_path, tmp_path_factory):
+    """--algo landmarks sketches BFS distances from --k top-degree hubs."""
+    from jobs.run_analytics import main as analytics_main
+
+    path = str(tmp_path_factory.mktemp("cli_lm") / "chain.parquet")
+    spark.createDataFrame(
+        [(i, i + 1) for i in range(6)] + [(0, 9)], "src long, dst long"
+    ).write.parquet(path)
+    out = str(tmp_path / "sketch.parquet")
+    analytics_main(["--input", path, "--algo", "landmarks", "--k", "1",
+                    "--max-dist", "3", "--output", out], stop=False)
+    import pandas as pd_
+
+    got = pd_.read_parquet(out)
+    # degree-2 tie among {0..5} breaks to the smallest id: landmark = 0,
+    # which reaches {0,1,2,3,9} within 3 hops
+    assert set(got["landmark"]) == {0}
+    assert sorted(got["vertex"]) == [0, 1, 2, 3, 9]
+    assert (got["dist"] <= 3).all() and (got["dist"] >= 0).all()
+
+
 def test_run_analytics_incremental_cc_cli(spark, tmp_path, tmp_path_factory):
     """--labels-input + --delta-input routes cc to the incremental merge and
     the result equals recomputing over base ∪ delta."""
