@@ -2164,6 +2164,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return tree.unionAll(chords).where(F.col("src") != F.col("dst")).distinct()
 
+    def q_dyad_census(spark, sf):
+        # Holland-Leinhardt dyad census + exact ppm reciprocity
+        # (graph/census.py::dyad_census) on the q_scc functional digraph —
+        # mutual dyads exist there (48v ≡ -24 mod 500 has solutions)
+        from split_merge_partitioner_spark.graph import dyad_census
+
+        dv = _docs(spark, sf).select(F.col("doc_id").alias("v"))
+        dir_edges = dv.select(
+            F.col("v").alias("src"), ((F.lit(7) * F.col("v") + 3) % 500).alias("dst")
+        ).unionAll(
+            dv.where(F.col("v") % 5 == 0).select(
+                F.col("v").alias("src"),
+                ((F.lit(31) * F.col("v") + 17) % 500).alias("dst"),
+            )
+        )
+        return dyad_census(dir_edges)
+
+    def q_graph_fp(spark, sf):
+        # whole-graph 1-WL fingerprint (graph/wl.py::graph_fingerprint):
+        # order-invariant color digest for snapshot dedup / change detection
+        from split_merge_partitioner_spark.graph import graph_fingerprint
+
+        return graph_fingerprint(_edges(spark, sf), n_rounds=3)
+
     def q_landmark_sketch(spark, sf):
         # Potamias'09 landmark distance sketch (graph/landmarks.py): exact
         # batched BFS from the 4 top-degree landmarks, horizon 8; oracle =
@@ -2431,6 +2455,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rmat_graph": q_rmat_graph,
         "landmark_sketch": q_landmark_sketch,
         "landmark_dists": q_landmark_dists,
+        "dyad_census": q_dyad_census,
+        "graph_fp": q_graph_fp,
     }
 
     # ------------------------------------------------------------------
@@ -5270,6 +5296,43 @@ FROM ({_walk_union})
 WITH {_EDGES_CTE},
 {','.join(_wl_ctes)}
 SELECT v AS vertex, CAST(c % 9223372036854775808 AS BIGINT) AS color FROM wc3
+"""
+
+    # whole-graph fingerprint: the same wc3 colors digested order-invariantly
+    graph_fp_sql = f"""
+WITH {_EDGES_CTE},
+{','.join(_wl_ctes)},
+fc AS (SELECT CAST(c % 9223372036854775808 AS BIGINT) AS color FROM wc3),
+me AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       (SELECT n_edges FROM me) AS n_edges,
+       CAST(COUNT(DISTINCT color) AS BIGINT) AS n_colors,
+       CAST(bit_xor(color) AS BIGINT) AS color_xor,
+       CAST(CAST(SUM(CAST(color AS HUGEINT)) AS HUGEINT)
+            % 9223372036854775808 AS BIGINT) AS color_sum_mod
+FROM fc
+"""
+
+    # dyad census + exact ppm reciprocity on the q_scc functional digraph
+    dyad_census_sql = """
+WITH dv AS (SELECT doc_id AS v FROM documents),
+arcs AS (SELECT DISTINCT src, dst FROM (
+    SELECT v AS src, (7 * v + 3) % 500 AS dst FROM dv
+    UNION ALL
+    SELECT v, (31 * v + 17) % 500 FROM dv WHERE v % 5 = 0)
+  WHERE src <> dst),
+p AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, COUNT(*) AS c
+      FROM arcs GROUP BY 1, 2),
+vs AS (SELECT CAST(COUNT(DISTINCT x) AS BIGINT) AS n FROM (
+    SELECT src AS x FROM arcs UNION ALL SELECT dst FROM arcs)),
+ag AS (SELECT CAST(COUNT(*) FILTER (c = 2) AS BIGINT) AS mutual,
+              CAST(COUNT(*) FILTER (c = 1) AS BIGINT) AS asym,
+              CAST(SUM(c) AS BIGINT) AS m FROM p)
+SELECT vs.n AS n_vertices, ag.m AS n_arcs, ag.mutual, ag.asym,
+       vs.n * (vs.n - 1) // 2 - ag.mutual - ag.asym AS null_dyads,
+       CASE WHEN ag.m > 0 THEN 2000000 * ag.mutual // ag.m ELSE 0 END
+         AS reciprocity_ppm
+FROM vs, ag
 """
 
     # -- node2vec oracle ----------------------------------------------------
@@ -8793,6 +8856,8 @@ FROM o GROUP BY CUBE (status, priority, order_year)
         "rmat_graph": rmat_graph_sql,
         "landmark_sketch": landmark_sketch_sql,
         "landmark_dists": landmark_dists_sql,
+        "dyad_census": dyad_census_sql,
+        "graph_fp": graph_fp_sql,
         "burst_stats": """
 WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
 c AS (SELECT user_id,

@@ -43,14 +43,14 @@ from .neighbor_sample import layerwise_neighbor_sample  # noqa: F401
 from .louvain import contract_by_community, louvain, louvain_local_move  # noqa: F401
 from .katz import katz_centrality  # noqa: F401
 from .salsa import salsa_scores  # noqa: F401
-from .wl import wl_colors  # noqa: F401
+from .wl import graph_fingerprint, wl_colors  # noqa: F401
 from .dag import topological_levels  # noqa: F401
 from .bowtie import bowtie_classes  # noqa: F401
 from .scc import scc_condensation  # noqa: F401
 from .closeness import eccentricity_profile  # noqa: F401
 from .labelspread import label_spreading  # noqa: F401
 from .sweep import ppr_sweep_cut  # noqa: F401
-from .census import triadic_census  # noqa: F401
+from .census import dyad_census, triadic_census  # noqa: F401
 from .onion import onion_decomposition  # noqa: F401
 from .scan import scan_clusters  # noqa: F401
 from .abcore import ab_core  # noqa: F401

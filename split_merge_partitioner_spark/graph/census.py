@@ -256,3 +256,52 @@ def triadic_census(edges: DataFrame) -> DataFrame:
     return spark.createDataFrame(
         [(t, census[t]) for t in TRIAD_TYPES], "triad_type string, n_triads long"
     )
+
+
+def dyad_census(edges: DataFrame) -> DataFrame:
+    """One row — the Holland-Leinhardt DYAD census of the simple digraph
+    (self-loops dropped, parallel arcs deduped), the 2-vertex companion of
+    :func:`triadic_census`:
+
+    (n_vertices, n_arcs, mutual, asym, null_dyads, reciprocity_ppm)
+
+    mutual = unordered pairs linked in both directions, asym = exactly one,
+    null_dyads = C(n,2) − mutual − asym; reciprocity_ppm = ⌊1e6 · 2·mutual /
+    n_arcs⌋ — the classic arc-reciprocity r (fraction of arcs whose reverse
+    also exists), reported as an exact integer ppm so the cross-engine hash
+    has no float surface.  n_arcs = 0 reports reciprocity_ppm = 0.
+
+    Plan: one distinct + one canonical-pair groupBy (map-side combined) +
+    constant-size scalar aggregates — two exchanges total, no driver
+    collect, no iteration.  The pair relation is the same shape every
+    partitioner stats op shuffles, so this is free at any scale the engine
+    already handles.
+    """
+    d = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    pair_counts = d.groupBy(
+        F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    agg = pair_counts.agg(
+        F.sum((F.col("c") == 2).cast("long")).alias("mutual"),
+        F.sum((F.col("c") == 1).cast("long")).alias("asym"),
+        F.sum("c").alias("n_arcs"),
+    )
+    nv = (
+        d.select(F.col("src").alias("v"))
+        .unionAll(d.select(F.col("dst").alias("v")))
+        .agg(F.countDistinct("v").alias("n_vertices"))
+    )
+    return nv.crossJoin(agg).select(
+        "n_vertices",
+        F.coalesce("n_arcs", F.lit(0)).cast("long").alias("n_arcs"),
+        F.coalesce("mutual", F.lit(0)).cast("long").alias("mutual"),
+        F.coalesce("asym", F.lit(0)).cast("long").alias("asym"),
+        (
+            F.expr("CAST(n_vertices * (n_vertices - 1) AS BIGINT) div 2")
+            - F.coalesce("mutual", F.lit(0))
+            - F.coalesce("asym", F.lit(0))
+        ).cast("long").alias("null_dyads"),
+        F.when(F.coalesce("n_arcs", F.lit(0)) > 0,
+               F.expr("CAST(2000000 * mutual AS BIGINT) div n_arcs"))
+        .otherwise(F.lit(0)).cast("long").alias("reciprocity_ppm"),
+    )

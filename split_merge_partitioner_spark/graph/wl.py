@@ -89,3 +89,46 @@ def wl_colors(edges: DataFrame, n_rounds: int = 3) -> DataFrame:
         spark.conf.set("spark.sql.ansi.enabled", ansi_was)
         if adj is not None:
             release(adj)
+
+
+def graph_fingerprint(edges: DataFrame, n_rounds: int = 3) -> DataFrame:
+    """One row — an isomorphism-invariant whole-graph fingerprint:
+
+    (n_vertices, n_edges, n_colors, color_xor, color_sum_mod)
+
+    over the 63-bit :func:`wl_colors` output after ``n_rounds`` of 1-WL:
+    distinct-color count, bitwise XOR of all vertex colors, and their sum
+    mod 2^63 (DECIMAL(38) partial sums — exact with ANSI on, no wraparound
+    needed).  Two graphs with different fingerprints are definitely
+    non-isomorphic; equal fingerprints mean "1-WL-equivalent up to the
+    order-invariant color digest" — the standard cheap screen for snapshot
+    dedup, change detection, and dataset versioning of graph corpora.
+
+    Plan: wl_colors' one-exchange-per-round superstep, then a single
+    map-side-combined global aggregate; the colors checkpoint is released
+    before return (the 1-row result is checkpointed instead).
+    """
+    colors = wl_colors(edges, n_rounds)
+    try:
+        m = edges.select(F.count(F.lit(1)).alias("n_edges"))
+        out = (
+            colors.agg(
+                F.count(F.lit(1)).alias("n_vertices"),
+                F.countDistinct("color").alias("n_colors"),
+                F.expr("bit_xor(color)").alias("color_xor"),
+                (F.sum(F.col("color").cast("decimal(38,0)"))
+                 % F.expr("CAST(9223372036854775808 AS DECIMAL(38,0))"))
+                .cast("long")
+                .alias("color_sum_mod"),
+            )
+            .crossJoin(m)
+            .select(
+                "n_vertices", F.col("n_edges").cast("long").alias("n_edges"),
+                F.col("n_colors").cast("long").alias("n_colors"),
+                "color_xor", "color_sum_mod",
+            )
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        release(colors)
