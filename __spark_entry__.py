@@ -2164,6 +2164,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return tree.unionAll(chords).where(F.col("src") != F.col("dst")).distinct()
 
+    def q_config_rewire(spark, sf):
+        # configuration-model null graph (graph/rewire.py): deterministic
+        # stub matching on the projection graph — same degree sequence,
+        # hash-permuted wiring; the oracle replays every pair via
+        # ROW_NUMBER over the identical total order
+        from split_merge_partitioner_spark.graph import configuration_rewire
+
+        return configuration_rewire(_proj_edges(spark, sf), seed=42)
+
     def q_dyad_census(spark, sf):
         # Holland-Leinhardt dyad census + exact ppm reciprocity
         # (graph/census.py::dyad_census) on the q_scc functional digraph —
@@ -2457,6 +2466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmark_dists": q_landmark_dists,
         "dyad_census": q_dyad_census,
         "graph_fp": q_graph_fp,
+        "config_rewire": q_config_rewire,
     }
 
     # ------------------------------------------------------------------
@@ -8533,6 +8543,27 @@ bits AS (SELECT id,
 SELECT id AS edge_id, src, dst FROM bits
 """
 
+    # -- configuration-model rewire oracle (graph/rewire.py) -------------------
+    # the full stub permutation replayed: same 63-bit-masked splitmix64 sort
+    # key, ROW_NUMBER over the identical (h, src, dst, side) total order,
+    # consecutive ranks paired
+    config_rewire_sql = f"""
+WITH {_EDGES_CTE}, {_PROJ_CTE},
+stubs AS (
+    SELECT src AS v, src, dst, 0 AS side FROM proj
+    UNION ALL SELECT dst, src, dst, 1 FROM proj),
+keyed AS (SELECT v, src, dst, side,
+    CAST({_sm64_sql('(src * 1000003 + dst * 40503 + side + 42)')}
+         % 9223372036854775808 AS BIGINT) AS h
+    FROM stubs),
+ranked AS (SELECT v,
+    ROW_NUMBER() OVER (ORDER BY h, src, dst, side) - 1 AS idx FROM keyed),
+lft AS (SELECT idx // 2 AS pair_id, v AS src FROM ranked WHERE idx % 2 = 0),
+rgt AS (SELECT (idx - 1) // 2 AS pair_id, v AS dst FROM ranked WHERE idx % 2 = 1)
+SELECT CAST(lft.pair_id AS BIGINT) AS pair_id, lft.src, rgt.dst
+FROM lft JOIN rgt USING (pair_id)
+"""
+
     # -- structural twins oracle (graph/twins.py) -----------------------------
     # tree + sibling-chord fixture over doc ids (_twin_edges); single-stage
     # exact grouping on the sorted neighbor list — DuckDB list_sort(list())
@@ -8858,6 +8889,7 @@ FROM o GROUP BY CUBE (status, priority, order_year)
         "landmark_dists": landmark_dists_sql,
         "dyad_census": dyad_census_sql,
         "graph_fp": graph_fp_sql,
+        "config_rewire": config_rewire_sql,
         "burst_stats": """
 WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
 c AS (SELECT user_id,
