@@ -2173,6 +2173,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return configuration_rewire(_proj_edges(spark, sf), seed=42)
 
+    def q_triangle_signif(spark, sf):
+        # observed vs configuration-null triangle count (graph/rewire.py::
+        # triangle_significance): community signal net of the degree
+        # sequence; both counts exact and engine-replayed
+        from split_merge_partitioner_spark.graph import triangle_significance
+
+        return triangle_significance(_proj_edges(spark, sf), seed=42)
+
     def q_dyad_census(spark, sf):
         # Holland-Leinhardt dyad census + exact ppm reciprocity
         # (graph/census.py::dyad_census) on the q_scc functional digraph —
@@ -2467,6 +2475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dyad_census": q_dyad_census,
         "graph_fp": q_graph_fp,
         "config_rewire": q_config_rewire,
+        "triangle_signif": q_triangle_signif,
     }
 
     # ------------------------------------------------------------------
@@ -8547,8 +8556,7 @@ SELECT id AS edge_id, src, dst FROM bits
     # the full stub permutation replayed: same 63-bit-masked splitmix64 sort
     # key, ROW_NUMBER over the identical (h, src, dst, side) total order,
     # consecutive ranks paired
-    config_rewire_sql = f"""
-WITH {_EDGES_CTE}, {_PROJ_CTE},
+    _rewire_ctes = f"""
 stubs AS (
     SELECT src AS v, src, dst, 0 AS side FROM proj
     UNION ALL SELECT dst, src, dst, 1 FROM proj),
@@ -8559,9 +8567,30 @@ keyed AS (SELECT v, src, dst, side,
 ranked AS (SELECT v,
     ROW_NUMBER() OVER (ORDER BY h, src, dst, side) - 1 AS idx FROM keyed),
 lft AS (SELECT idx // 2 AS pair_id, v AS src FROM ranked WHERE idx % 2 = 0),
-rgt AS (SELECT (idx - 1) // 2 AS pair_id, v AS dst FROM ranked WHERE idx % 2 = 1)
+rgt AS (SELECT (idx - 1) // 2 AS pair_id, v AS dst FROM ranked WHERE idx % 2 = 1)"""
+    config_rewire_sql = f"""
+WITH {_EDGES_CTE}, {_PROJ_CTE},
+{_rewire_ctes}
 SELECT CAST(lft.pair_id AS BIGINT) AS pair_id, lft.src, rgt.dst
 FROM lft JOIN rgt USING (pair_id)
+"""
+
+    # observed vs null triangle counts: the triangle_count join on proj and
+    # on the canonicalized rewired graph, one row
+    triangle_signif_sql = f"""
+WITH {_EDGES_CTE}, {_PROJ_CTE},
+{_rewire_ctes},
+nullg AS (SELECT DISTINCT LEAST(l.src, r.dst) AS src, GREATEST(l.src, r.dst) AS dst
+          FROM lft l JOIN rgt r USING (pair_id) WHERE l.src <> r.dst),
+obs AS (SELECT CAST(COUNT(*) AS BIGINT) AS c
+        FROM proj ab JOIN proj bc ON ab.dst = bc.src
+        JOIN proj ac ON ac.src = ab.src AND ac.dst = bc.dst),
+nul AS (SELECT CAST(COUNT(*) AS BIGINT) AS c
+        FROM nullg ab JOIN nullg bc ON ab.dst = bc.src
+        JOIN nullg ac ON ac.src = ab.src AND ac.dst = bc.dst)
+SELECT obs.c AS n_triangles_observed, nul.c AS n_triangles_null,
+       obs.c - nul.c AS excess
+FROM obs, nul
 """
 
     # -- structural twins oracle (graph/twins.py) -----------------------------
@@ -8890,6 +8919,7 @@ FROM o GROUP BY CUBE (status, priority, order_year)
         "dyad_census": dyad_census_sql,
         "graph_fp": graph_fp_sql,
         "config_rewire": config_rewire_sql,
+        "triangle_signif": triangle_signif_sql,
         "burst_stats": """
 WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
 c AS (SELECT user_id,

@@ -86,3 +86,41 @@ def configuration_rewire(edges: DataFrame, seed: int = 42) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.ansi.enabled", ansi_was)
+
+
+def triangle_significance(edges: DataFrame, seed: int = 42) -> DataFrame:
+    """One row (n_triangles_observed, n_triangles_null, excess): the
+    observed triangle count vs the count on the degree-preserving
+    configuration-model null graph (rewired with ``seed``, then
+    canonicalized to a simple graph — the standard practice; the dedup
+    perturbs the null's degree sequence negligibly and is documented in
+    every empirical use of the model).  excess = observed − null is the
+    community-structure signal: power-law degree alone predicts the null
+    count, so a large positive excess means the clustering is NOT a degree
+    artifact (Newman '03 §4.2.1, Maslov-Sneppen rewiring literature).
+
+    Cost: two runs of the degree-oriented triangle kernel + one rewire
+    sort — all existing plans, no new shuffle shapes.
+    """
+    from ..storage import release
+    from .triangles import triangle_count
+
+    spark = edges.sparkSession
+    observed = triangle_count(edges)
+    rw = configuration_rewire(edges, seed=seed)
+    try:
+        null_simple = (
+            rw.where(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            )
+            .distinct()
+        )
+        null_count = triangle_count(null_simple)
+    finally:
+        release(rw)  # the rewire checkpoint is scratch here
+    return spark.createDataFrame(
+        [(int(observed), int(null_count), int(observed - null_count))],
+        "n_triangles_observed bigint, n_triangles_null bigint, excess bigint",
+    )

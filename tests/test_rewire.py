@@ -83,3 +83,27 @@ def test_restores_ansi(spark):
     before = spark.conf.get("spark.sql.ansi.enabled")
     configuration_rewire(_df(spark, [(0, 1)]), seed=1).collect()
     assert spark.conf.get("spark.sql.ansi.enabled") == before
+
+
+def test_triangle_significance_clique_plus_chain(spark):
+    from split_merge_partitioner_spark.graph import triangle_significance
+
+    # K5 (10 triangles) plus a long chain: observed = 10; the null graph is
+    # data-dependent but deterministic, and excess must equal the difference
+    pairs = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    pairs += [(100 + i, 101 + i) for i in range(30)]
+    row = triangle_significance(_df(spark, pairs), seed=4).collect()[0]
+    assert row.n_triangles_observed == 10
+    assert row.excess == row.n_triangles_observed - row.n_triangles_null
+    assert row.n_triangles_null >= 0
+
+
+def test_triangle_significance_releases_scratch(spark):
+    from split_merge_partitioner_spark.graph import triangle_significance
+
+    sc = spark.sparkContext
+    pairs = [(i, (i + 1) % 12) for i in range(12)] + [(0, 6)]
+    before = len(sc._jsc.sc().getRDDStorageInfo())
+    triangle_significance(_df(spark, pairs), seed=2).collect()
+    after = len(sc._jsc.sc().getRDDStorageInfo())
+    assert after - before <= 0  # result is a createDataFrame, nothing persists
