@@ -2173,6 +2173,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return configuration_rewire(_proj_edges(spark, sf), seed=42)
 
+    def q_ic_influence(spark, sf):
+        # independent-cascade influence (graph/cascade.py): 6 deterministic
+        # live-edge simulations on the functional digraph, batched in one
+        # BFS state relation; the oracle replays every sim's reachable set
+        from split_merge_partitioner_spark.graph import ic_influence
+
+        dv = _docs(spark, sf).select(F.col("doc_id").alias("v"))
+        dir_edges = dv.select(
+            F.col("v").alias("src"), ((F.lit(7) * F.col("v") + 3) % 500).alias("dst")
+        ).unionAll(
+            dv.where(F.col("v") % 5 == 0).select(
+                F.col("v").alias("src"),
+                ((F.lit(31) * F.col("v") + 17) % 500).alias("dst"),
+            )
+        )
+        return ic_influence(
+            dir_edges, seeds=[0, 10, 100], p_ppm=300_000, n_sims=6, seed=42
+        )
+
     def q_triangle_signif(spark, sf):
         # observed vs configuration-null triangle count (graph/rewire.py::
         # triangle_significance): community signal net of the degree
@@ -2476,6 +2495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_fp": q_graph_fp,
         "config_rewire": q_config_rewire,
         "triangle_signif": q_triangle_signif,
+        "ic_influence": q_ic_influence,
     }
 
     # ------------------------------------------------------------------
@@ -8552,6 +8572,33 @@ bits AS (SELECT id,
 SELECT id AS edge_id, src, dst FROM bits
 """
 
+    # -- independent-cascade influence oracle (graph/cascade.py) ---------------
+    # every simulation's live-edge coin replayed (splitmix64 ppm draw per
+    # (edge, sim)), reachable sets closed by one recursive CTE carrying the
+    # sim column — exact integer per-sim counts
+    ic_influence_sql = f"""
+WITH RECURSIVE dv AS (SELECT doc_id AS v FROM documents),
+arcs AS (
+    SELECT v AS src, (7 * v + 3) % 500 AS dst FROM dv
+    UNION ALL
+    SELECT v, (31 * v + 17) % 500 FROM dv WHERE v % 5 = 0),
+sims AS (SELECT range AS sim FROM range(0, 6)),
+coins AS (SELECT s.sim, a.src, a.dst,
+          CAST(a.src * 1000003 + a.dst * 40503
+               + s.sim * 2654435761 + 42 AS UBIGINT) AS arg
+          FROM arcs a CROSS JOIN sims s),
+live AS (SELECT sim, src AS v, dst AS nb FROM coins
+         WHERE CAST({_sm64_sql('arg')} % 9223372036854775808 AS BIGINT)
+               % 1000000 < 300000),
+seedt AS (SELECT UNNEST([0, 10, 100]) AS v),
+reach(sim, v) AS (
+    SELECT sim, v FROM sims CROSS JOIN seedt
+    UNION
+    SELECT l.sim, l.nb FROM reach r JOIN live l ON l.sim = r.sim AND l.v = r.v
+)
+SELECT sim, CAST(COUNT(*) AS BIGINT) AS n_influenced FROM reach GROUP BY sim
+"""
+
     # -- configuration-model rewire oracle (graph/rewire.py) -------------------
     # the full stub permutation replayed: same 63-bit-masked splitmix64 sort
     # key, ROW_NUMBER over the identical (h, src, dst, side) total order,
@@ -8920,6 +8967,7 @@ FROM o GROUP BY CUBE (status, priority, order_year)
         "graph_fp": graph_fp_sql,
         "config_rewire": config_rewire_sql,
         "triangle_signif": triangle_signif_sql,
+        "ic_influence": ic_influence_sql,
         "burst_stats": """
 WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
 c AS (SELECT user_id,
