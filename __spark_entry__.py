@@ -2173,6 +2173,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return configuration_rewire(_proj_edges(spark, sf), seed=42)
 
+    def q_spam_mass(spark, sf):
+        # TrustRank spam mass (graph/dpagerank.py::spam_mass) on the same
+        # dangling functional digraph as q_pagerank_directed; whitelist =
+        # every 50th doc (all 10 present in the universe) — the VLDB'06
+        # link-spam detector as (PR − TR)/PR
+        from split_merge_partitioner_spark.graph import spam_mass
+
+        dv = _docs(spark, sf).select(F.col("doc_id").alias("v"))
+        dir_edges = (
+            dv.select(
+                F.col("v").alias("src"),
+                ((F.lit(7) * F.col("v") + 3) % 500).alias("dst"),
+            )
+            .unionAll(
+                dv.where(F.col("v") % 5 == 0).select(
+                    F.col("v").alias("src"),
+                    ((F.lit(31) * F.col("v") + 17) % 500).alias("dst"),
+                )
+            )
+            .where(F.col("src") % 83 != 0)
+        )
+        return spam_mass(dir_edges, trusted=list(range(0, 500, 50)), n_iter=8)
+
     def q_ic_influence(spark, sf):
         # independent-cascade influence (graph/cascade.py): 6 deterministic
         # live-edge simulations on the functional digraph, batched in one
@@ -2496,6 +2519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "config_rewire": q_config_rewire,
         "triangle_signif": q_triangle_signif,
         "ic_influence": q_ic_influence,
+        "spam_mass": q_spam_mass,
     }
 
     # ------------------------------------------------------------------
@@ -3441,6 +3465,57 @@ dang8 AS MATERIALIZED (SELECT COALESCE(SUM(rank), 0) AS dsum FROM dr7 WHERE vert
 dr8 AS MATERIALIZED (SELECT u.vertex, 0.15 / (SELECT n FROM dnv) + 0.85 * ((SELECT dsum FROM dang8) / (SELECT n FROM dnv) + COALESCE(g.inf, 0)) AS rank FROM duniv u LEFT JOIN (SELECT e.b AS vertex, SUM(p.rank / o.od) AS inf FROM ddir e JOIN dr7 p ON p.vertex = e.a JOIN dout o ON o.v = e.a GROUP BY e.b) g ON g.vertex = u.vertex)
 SELECT vertex, ROUND(rank, 9) AS rank FROM dr8
 """
+
+    # -- spam mass oracle (graph/dpagerank.py::spam_mass) ----------------------
+    # PR chain = the pagerank_directed formula verbatim; TR chain mirrors
+    # trustrank's float op order exactly ((1.0-0.85)·t + (0.85·D)·t +
+    # 0.85·inf, left-assoc); spam_mass from the unrounded columns
+    _sm_parts = ["""dv AS (SELECT doc_id AS v FROM documents),
+ddir AS MATERIALIZED (
+    SELECT a, b FROM (
+        SELECT v AS a, (7 * v + 3) % 500 AS b FROM dv
+        UNION ALL
+        SELECT v, (31 * v + 17) % 500 FROM dv WHERE v % 5 = 0
+    ) WHERE a % 83 <> 0 GROUP BY a, b
+),
+duniv AS (SELECT DISTINCT a AS vertex FROM ddir UNION SELECT DISTINCT b FROM ddir),
+dnv AS (SELECT COUNT(*) AS n FROM duniv),
+dout AS (SELECT a AS v, COUNT(*) AS od FROM ddir GROUP BY a),
+dhasout AS (SELECT DISTINCT a AS v FROM ddir),
+tuniv AS (SELECT vertex,
+          CASE WHEN vertex % 50 = 0 THEN 1.0 / 10 ELSE 0.0 END AS t
+          FROM duniv),
+dr0 AS MATERIALIZED (SELECT vertex, 1.0 / (SELECT n FROM dnv) AS rank FROM duniv),
+tr0 AS MATERIALIZED (SELECT vertex, t, t AS trust FROM tuniv)"""]
+    for _k in range(1, 9):
+        _sm_parts.append(
+            f"""dang{_k} AS MATERIALIZED (SELECT COALESCE(SUM(rank), 0) AS dsum
+  FROM dr{_k - 1} WHERE vertex NOT IN (SELECT v FROM dhasout)),
+dr{_k} AS MATERIALIZED (SELECT u.vertex,
+  0.15 / (SELECT n FROM dnv)
+  + 0.85 * ((SELECT dsum FROM dang{_k}) / (SELECT n FROM dnv)
+            + COALESCE(g.inf, 0)) AS rank
+  FROM duniv u LEFT JOIN (
+    SELECT e.b AS vertex, SUM(p.rank / o.od) AS inf
+    FROM ddir e JOIN dr{_k - 1} p ON p.vertex = e.a
+    JOIN dout o ON o.v = e.a GROUP BY e.b) g ON g.vertex = u.vertex),
+tang{_k} AS MATERIALIZED (SELECT COALESCE(SUM(trust), 0) AS dsum
+  FROM tr{_k - 1} WHERE vertex NOT IN (SELECT v FROM dhasout)),
+tr{_k} AS MATERIALIZED (SELECT u.vertex, u.t,
+  (1.0 - 0.85) * u.t + (0.85 * (SELECT dsum FROM tang{_k})) * u.t
+  + 0.85 * COALESCE(g.inf, 0) AS trust
+  FROM tuniv u LEFT JOIN (
+    SELECT e.b AS vertex, SUM(p.trust / o.od) AS inf
+    FROM ddir e JOIN tr{_k - 1} p ON p.vertex = e.a
+    JOIN dout o ON o.v = e.a GROUP BY e.b) g ON g.vertex = u.vertex)"""
+        )
+    spam_mass_sql = (
+        "WITH " + ",\n".join(_sm_parts) + """
+SELECT p.vertex, ROUND(p.rank, 9) AS rank, ROUND(t.trust, 9) AS trust,
+       ROUND((p.rank - t.trust) / p.rank, 6) AS spam_mass
+FROM dr8 p JOIN tr8 t ON t.vertex = p.vertex
+"""
+    )
 
     # densest-subgraph peel (graph/densest.py): 5 materialized peel rounds,
     # integer keep-test c*n*10 > 2*m*11 (eps = 0.1), density = ROUND(m/n, 6),
@@ -8968,6 +9043,7 @@ FROM o GROUP BY CUBE (status, priority, order_year)
         "config_rewire": config_rewire_sql,
         "triangle_signif": triangle_signif_sql,
         "ic_influence": ic_influence_sql,
+        "spam_mass": spam_mass_sql,
         "burst_stats": """
 WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
 c AS (SELECT user_id,
