@@ -65,7 +65,8 @@ def main(argv=None, stop: bool = True) -> None:
                  "richclub", "katz", "daglevels", "salsa", "kclique", "squares",
                  "gini", "compsizes", "onion", "trussness", "census", "spectral",
                  "sweep", "wl", "msf", "bridges", "twoecc", "abcore", "orbits",
-                 "twins", "landmarks"],
+                 "twins", "landmarks", "rewire", "fingerprint", "cascade",
+                 "spammass"],
     )
     ap.add_argument("--output", default=None, help="result parquet")
     ap.add_argument("--json-out", default=None, help="write the info dict here")
@@ -85,6 +86,10 @@ def main(argv=None, stop: bool = True) -> None:
     ap.add_argument("--k", type=int, default=5, help="linkpred suggestions per vertex")
     ap.add_argument("--closed", action="store_true",
                     help="twins: closed-neighborhood (N[v]) classes")
+    ap.add_argument("--p-ppm", type=int, default=100_000,
+                    help="cascade: IC edge probability in ppm")
+    ap.add_argument("--n-sims", type=int, default=8,
+                    help="cascade: Monte-Carlo simulations")
     ap.add_argument("--alpha", type=int, default=2, help="abcore src-side degree floor")
     ap.add_argument("--beta", type=int, default=2, help="abcore dst-side degree floor")
     ap.add_argument("--labels-input", default=None,
@@ -382,6 +387,46 @@ def main(argv=None, stop: bool = True) -> None:
 
         out = landmark_sketch(edges, k=args.k, max_dist=args.max_dist)
         info = {"k": args.k, "max_dist": args.max_dist}
+    elif args.algo == "rewire":
+        # configuration-model null graph (rewire.py), --seed
+        from split_merge_partitioner_spark.graph import configuration_rewire
+
+        out = configuration_rewire(edges, seed=args.seed)
+    elif args.algo == "fingerprint":
+        # whole-graph 1-WL fingerprint (wl.py), --n-rounds via --max-iter
+        from split_merge_partitioner_spark.graph import graph_fingerprint
+
+        out = graph_fingerprint(edges, n_rounds=min(args.max_iter, 8))
+    elif args.algo in ("cascade", "spammass"):
+        # IC influence / TrustRank spam mass; --seeds = cascade seed set /
+        # trust whitelist (default: the 5 smallest vertex ids, the
+        # ppr/betweenness convention); cascade also takes --p-ppm, --n-sims
+        if args.seeds:
+            seeds = [int(x) for x in args.seeds.split(",")]
+        else:
+            seeds = [
+                r.v
+                for r in edges.select(F.col("src").alias("v"))
+                .unionAll(edges.select(F.col("dst").alias("v")))
+                .distinct()
+                .orderBy("v")
+                .limit(5)
+                .collect()
+            ]
+        if args.algo == "cascade":
+            from split_merge_partitioner_spark.graph import ic_influence
+
+            out = ic_influence(edges, seeds=seeds, p_ppm=args.p_ppm,
+                               n_sims=args.n_sims, seed=args.seed)
+            info = {"seeds": seeds, "p_ppm": args.p_ppm, "n_sims": args.n_sims}
+        else:
+            from split_merge_partitioner_spark.graph import spam_mass
+
+            # --max-iter default (200) means "unset" here: 8 supersteps is
+            # the documented spam-mass setting; explicit values cap at 64
+            n_it = 8 if args.max_iter == 200 else min(args.max_iter, 64)
+            out = spam_mass(edges, trusted=seeds, n_iter=n_it)
+            info = {"trusted": seeds}
     elif args.algo == "twins":
         # exact structural twin classes (twins.py); --closed for N[v] twins
         from split_merge_partitioner_spark.graph import structural_twins

@@ -138,6 +138,8 @@ def test_build_pyfiles_zip_importable(tmp_path):
     ("bridges", []),
     ("twoecc", []),
     ("orbits", []),
+    ("rewire", ["--seed", "3"]),
+    ("fingerprint", ["--max-iter", "2"]),
 ])
 def test_run_analytics_cli(spark, edges_parquet, tmp_path, capsys, algo, extra):
     from jobs.run_analytics import main as analytics_main
@@ -258,3 +260,44 @@ def test_run_analytics_no_partition_cc(spark, edges_parquet, tmp_path):
     import pandas as pd_
 
     assert len(pd_.read_parquet(out)) > 0
+
+
+def test_run_analytics_cascade_and_spammass_cli(spark, tmp_path, tmp_path_factory):
+    """--algo cascade / spammass route with explicit seeds."""
+    from jobs.run_analytics import main as analytics_main
+
+    path = str(tmp_path_factory.mktemp("cli_casc") / "g.parquet")
+    spark.createDataFrame(
+        [(v, (3 * v + 1) % 20) for v in range(20)], "src long, dst long"
+    ).write.parquet(path)
+    out = str(tmp_path / "casc.parquet")
+    analytics_main(["--input", path, "--algo", "cascade", "--seeds", "0,1",
+                    "--p-ppm", "1000000", "--n-sims", "2", "--output", out],
+                   stop=False)
+    import pandas as pd_
+
+    got = pd_.read_parquet(out)
+    # p = 1: both sims reach the full forward closure — identical counts
+    assert len(got) == 2 and got["n_influenced"].nunique() == 1
+    out2 = str(tmp_path / "sm.parquet")
+    analytics_main(["--input", path, "--algo", "spammass", "--seeds", "0",
+                    "--max-iter", "4", "--output", out2], stop=False)
+    sm = pd_.read_parquet(out2)
+    assert len(sm) == 20 and {"rank", "trust", "spam_mass"} <= set(sm.columns)
+
+
+def test_gen_graph_cli(spark, tmp_path):
+    """jobs/gen_graph.py writes the deterministic R-MAT parquet; lazy and
+    eager paths produce identical edges."""
+    from jobs.gen_graph import main as gen_main
+
+    o1, o2 = str(tmp_path / "g1"), str(tmp_path / "g2")
+    gen_main(["--scale", "6", "--edge-factor", "4", "--output", o1],
+             stop=False)
+    gen_main(["--scale", "6", "--edge-factor", "4", "--output", o2, "--lazy"],
+             stop=False)
+    import pandas as pd_
+
+    a = pd_.read_parquet(o1).sort_values("edge_id").reset_index(drop=True)
+    b = pd_.read_parquet(o2).sort_values("edge_id").reset_index(drop=True)
+    assert len(a) == 256 and a.equals(b)
