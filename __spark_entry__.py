@@ -2173,6 +2173,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return configuration_rewire(_proj_edges(spark, sf), seed=42)
 
+    def q_landmark_sketch_cp(spark, sf):
+        # second-fixture twin (the VERDICT-r4 _cp pattern for data-dependent
+        # BFS round counts): the customer–part graph has a different
+        # eccentricity profile and 2.2x the vertices
+        from split_merge_partitioner_spark.graph import landmark_sketch
+
+        return landmark_sketch(_edges_cp(spark, sf), k=4, max_dist=8)
+
+    def q_ic_influence_cp(spark, sf):
+        # second functional digraph (11v+5, branch every 7th): different
+        # cycle structure -> different live-path depths per simulation
+        from split_merge_partitioner_spark.graph import ic_influence
+
+        dv = _docs(spark, sf).select(F.col("doc_id").alias("v"))
+        dir_edges = dv.select(
+            F.col("v").alias("src"), ((F.lit(11) * F.col("v") + 5) % 500).alias("dst")
+        ).unionAll(
+            dv.where(F.col("v") % 7 == 0).select(
+                F.col("v").alias("src"),
+                ((F.lit(23) * F.col("v") + 9) % 500).alias("dst"),
+            )
+        )
+        return ic_influence(
+            dir_edges, seeds=[0, 10, 100], p_ppm=300_000, n_sims=6, seed=42
+        )
+
     def q_spam_mass(spark, sf):
         # TrustRank spam mass (graph/dpagerank.py::spam_mass) on the same
         # dangling functional digraph as q_pagerank_directed; whitelist =
@@ -2519,6 +2545,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "config_rewire": q_config_rewire,
         "triangle_signif": q_triangle_signif,
         "ic_influence": q_ic_influence,
+        "ic_influence_cp": q_ic_influence_cp,
+        "landmark_sketch_cp": q_landmark_sketch_cp,
         "spam_mass": q_spam_mass,
     }
 
@@ -8591,8 +8619,12 @@ FROM nv LEFT JOIN ct ON ct.label = nv.label
     # bfs_distances pattern, multi-seed); distance estimates = min-merge of
     # the two sketch joins with the same (total, landmark) lexicographic
     # tie-break the Spark struct-min uses
-    _lm_common = f"""
-WITH RECURSIVE {_DEGREES_CTE},
+    def _lm_common_for(edges_cte: str) -> str:
+        return f"""
+WITH RECURSIVE {edges_cte},
+verts AS (SELECT src AS vertex FROM edges UNION ALL SELECT dst FROM edges),
+degrees AS (SELECT vertex, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM verts GROUP BY vertex),
 und AS (SELECT src AS a, dst AS b FROM edges UNION ALL SELECT dst, src FROM edges),
 lm AS (SELECT vertex FROM degrees ORDER BY degree DESC, vertex ASC LIMIT 4),
 bfs(s, v, d) AS (
@@ -8603,9 +8635,13 @@ bfs(s, v, d) AS (
 ),
 sk AS (SELECT s, v, MIN(d) AS d FROM bfs GROUP BY s, v)
 """
-    landmark_sketch_sql = _lm_common + """
+
+    _lm_common = _lm_common_for(_EDGES_CTE)
+    _LM_SELECT = """
 SELECT v AS vertex, s AS landmark, CAST(d AS BIGINT) AS dist FROM sk
 """
+    landmark_sketch_sql = _lm_common + _LM_SELECT
+    landmark_sketch_cp_sql = _lm_common_for(_EDGES_CP_CTE) + _LM_SELECT
     landmark_dists_sql = _lm_common + """,
 vsel AS (SELECT DISTINCT vertex AS x FROM verts
          WHERE vertex % 101 = 0 AND vertex < 1000000),
@@ -8673,6 +8709,13 @@ reach(sim, v) AS (
 )
 SELECT sim, CAST(COUNT(*) AS BIGINT) AS n_influenced FROM reach GROUP BY sim
 """
+
+    # second-fixture twin: the 11v+5 / every-7th-branch digraph
+    ic_influence_cp_sql = (
+        ic_influence_sql.replace("(7 * v + 3) % 500", "(11 * v + 5) % 500")
+        .replace("(31 * v + 17) % 500", "(23 * v + 9) % 500")
+        .replace("WHERE v % 5 = 0", "WHERE v % 7 = 0")
+    )
 
     # -- configuration-model rewire oracle (graph/rewire.py) -------------------
     # the full stub permutation replayed: same 63-bit-masked splitmix64 sort
@@ -9043,6 +9086,8 @@ FROM o GROUP BY CUBE (status, priority, order_year)
         "config_rewire": config_rewire_sql,
         "triangle_signif": triangle_signif_sql,
         "ic_influence": ic_influence_sql,
+        "ic_influence_cp": ic_influence_cp_sql,
+        "landmark_sketch_cp": landmark_sketch_cp_sql,
         "spam_mass": spam_mass_sql,
         "burst_stats": """
 WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
