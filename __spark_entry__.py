@@ -2199,6 +2199,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dir_edges, seeds=[0, 10, 100], p_ppm=300_000, n_sims=6, seed=42
         )
 
+    def q_simrank_pairs(spark, sf):
+        # MC SimRank (graph/simrank.py): coupled-walk meeting stats + exact
+        # integer score numerators over the mod-101 customer pairs; rides
+        # the oracle-proven L=6/W=2/seed-42 walk corpus
+        from split_merge_partitioner_spark.graph import simrank_mc
+
+        e = _edges(spark, sf)
+        vs = (
+            e.select(F.col("src").alias("x"))
+            .unionAll(e.select(F.col("dst").alias("x")))
+            .distinct()
+            .where((F.col("x") % 101 == 0) & (F.col("x") < 1000000))
+        )
+        pairs = (
+            vs.crossJoin(vs.select(F.col("x").alias("y")))
+            .where(F.col("x") < F.col("y"))
+            .select(F.col("x").alias("u"), F.col("y").alias("v"))
+        )
+        return simrank_mc(
+            e, pairs, walk_length=6, walks_per_vertex=2, seed=42,
+            assume_canonical=True,
+        )
+
     def q_spam_mass(spark, sf):
         # TrustRank spam mass (graph/dpagerank.py::spam_mass) on the same
         # dangling functional digraph as q_pagerank_directed; whitelist =
@@ -2548,6 +2571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ic_influence_cp": q_ic_influence_cp,
         "landmark_sketch_cp": q_landmark_sketch_cp,
         "spam_mass": q_spam_mass,
+        "simrank_pairs": q_simrank_pairs,
     }
 
     # ------------------------------------------------------------------
@@ -5412,6 +5436,34 @@ WITH {_EDGES_CP_CTE},
 {','.join(_walk_ctes)}
 SELECT start, CAST(walk AS BIGINT) AS walk, CAST(step AS BIGINT) AS step, vertex
 FROM ({_walk_union})
+"""
+
+    # -- MC SimRank oracle (graph/simrank.py) ----------------------------------
+    # the SAME walk corpus (L=6, W=2, seed 42), coupled by walk index over
+    # the mod-101 customer pair set; weights are exact small-integer powers
+    simrank_pairs_sql = f"""
+WITH {_EDGES_CTE},
+{','.join(_walk_ctes)},
+corpus AS ({_walk_union}),
+vsel AS (SELECT DISTINCT src AS x FROM edges
+         WHERE src % 101 = 0 AND src < 1000000),
+qp AS (SELECT a.x AS u, b.x AS v FROM vsel a, vsel b WHERE a.x < b.x),
+met AS (SELECT qp.u, qp.v, cu.walk, MIN(cu.step) AS tau
+        FROM qp
+        JOIN corpus cu ON cu.start = qp.u
+        JOIN corpus cv ON cv.start = qp.v AND cv.walk = cu.walk
+                      AND cv.step = cu.step AND cv.vertex = cu.vertex
+        WHERE cu.step >= 1
+        GROUP BY qp.u, qp.v, cu.walk),
+ag AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS n_meets,
+              CAST(MIN(tau) AS BIGINT) AS min_tau,
+              CAST(SUM(CAST(power(6, tau) AS BIGINT)
+                       * CAST(power(10, 6 - tau) AS BIGINT)) AS BIGINT)
+                AS score_num
+       FROM met GROUP BY u, v)
+SELECT qp.u, qp.v, COALESCE(ag.n_meets, 0) AS n_meets, ag.min_tau,
+       COALESCE(ag.score_num, 0) AS score_num
+FROM qp LEFT JOIN ag ON ag.u = qp.u AND ag.v = qp.v
 """
 
     # -- wl_colors oracle -----------------------------------------------------
@@ -9089,6 +9141,7 @@ FROM o GROUP BY CUBE (status, priority, order_year)
         "ic_influence_cp": ic_influence_cp_sql,
         "landmark_sketch_cp": landmark_sketch_cp_sql,
         "spam_mass": spam_mass_sql,
+        "simrank_pairs": simrank_pairs_sql,
         "burst_stats": """
 WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
 c AS (SELECT user_id,

@@ -60,3 +60,4 @@ from .twins import structural_twins  # noqa: F401
 from .landmarks import landmark_distances, landmark_sketch, select_landmarks  # noqa: F401
 from .rewire import configuration_rewire, triangle_significance  # noqa: F401
 from .cascade import ic_influence  # noqa: F401
+from .simrank import simrank_mc  # noqa: F401
