@@ -2199,6 +2199,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dir_edges, seeds=[0, 10, 100], p_ppm=300_000, n_sims=6, seed=42
         )
 
+    def q_walk_recs(spark, sf):
+        # Pixie-style top-5 walk-visit recommendations (graph/walks.py::
+        # walk_topk_recs) on the oracle-proven corpus params
+        from split_merge_partitioner_spark.graph import walk_topk_recs
+
+        return walk_topk_recs(
+            _edges(spark, sf), k=5, walk_length=6, walks_per_vertex=2,
+            seed=42, assume_canonical=True,
+        )
+
     def q_simrank_pairs(spark, sf):
         # MC SimRank (graph/simrank.py): coupled-walk meeting stats + exact
         # integer score numerators over the mod-101 customer pairs; rides
@@ -2572,6 +2582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmark_sketch_cp": q_landmark_sketch_cp,
         "spam_mass": q_spam_mass,
         "simrank_pairs": q_simrank_pairs,
+        "walk_recs": q_walk_recs,
     }
 
     # ------------------------------------------------------------------
@@ -5436,6 +5447,19 @@ WITH {_EDGES_CP_CTE},
 {','.join(_walk_ctes)}
 SELECT start, CAST(walk AS BIGINT) AS walk, CAST(step AS BIGINT) AS step, vertex
 FROM ({_walk_union})
+"""
+
+    # -- Pixie-style walk top-k recs oracle (graph/walks.py) -------------------
+    walk_recs_sql = f"""
+WITH {_EDGES_CTE},
+{','.join(_walk_ctes)},
+corpus AS ({_walk_union}),
+cnt AS (SELECT start, vertex AS rec, CAST(COUNT(*) AS BIGINT) AS n_visits
+        FROM corpus WHERE step >= 1 AND vertex <> start GROUP BY start, vertex),
+rk AS (SELECT start, rec, n_visits,
+       CAST(ROW_NUMBER() OVER (PARTITION BY start
+            ORDER BY n_visits DESC, rec ASC) AS BIGINT) AS rnk FROM cnt)
+SELECT start, rec, n_visits, rnk FROM rk WHERE rnk <= 5
 """
 
     # -- MC SimRank oracle (graph/simrank.py) ----------------------------------
@@ -9142,6 +9166,7 @@ FROM o GROUP BY CUBE (status, priority, order_year)
         "landmark_sketch_cp": landmark_sketch_cp_sql,
         "spam_mass": spam_mass_sql,
         "simrank_pairs": simrank_pairs_sql,
+        "walk_recs": walk_recs_sql,
         "burst_stats": """
 WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
 c AS (SELECT user_id,

@@ -61,3 +61,4 @@ from .landmarks import landmark_distances, landmark_sketch, select_landmarks  # 
 from .rewire import configuration_rewire, triangle_significance  # noqa: F401
 from .cascade import ic_influence  # noqa: F401
 from .simrank import simrank_mc  # noqa: F401
+from .walks import walk_topk_recs  # noqa: F401

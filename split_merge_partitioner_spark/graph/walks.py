@@ -340,3 +340,59 @@ def node2vec_walks(
                 release(df)
         for st in steps:
             release(st)
+
+
+def walk_topk_recs(
+    edges: DataFrame,
+    k: int = 5,
+    walk_length: int = 16,
+    walks_per_vertex: int = 2,
+    seed: int = 42,
+    assume_canonical: bool = False,
+) -> DataFrame:
+    """(start, rec, n_visits, rnk) — Pixie-style random-walk
+    recommendations (Eksombatchai et al., "Pixie: a system for
+    recommending 3+ billion items...", WWW 2018): for each start vertex,
+    the top-``k`` OTHER vertices by visit count across its deterministic
+    walks, ties broken by ascending vertex id (engine-portable ranking).
+
+    Visit counts inherit the corpus determinism (pure function of
+    (edges, seed)), so the full recommendation table is exact-integer and
+    cross-engine replayable — the property production systems give up when
+    they sample online; here re-serving a request is free re-derivation.
+
+    Plan: the corpus (one exchange per step) + one map-side-combined
+    groupBy(start, vertex) + one window over start partitions (each
+    bounded by the vertices the walks actually visited — ≤ W·L rows per
+    start, so the window never sees a hub-sized partition).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    corpus = random_walks(
+        edges,
+        walk_length=walk_length,
+        walks_per_vertex=walks_per_vertex,
+        seed=seed,
+        assume_canonical=assume_canonical,
+    )
+    try:
+        from pyspark.sql import Window
+
+        counts = (
+            corpus.where((F.col("step") >= 1) & (F.col("vertex") != F.col("start")))
+            .groupBy("start", F.col("vertex").alias("rec"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_visits"))
+        )
+        w = Window.partitionBy("start").orderBy(
+            F.col("n_visits").desc(), F.col("rec").asc()
+        )
+        return (
+            counts.select(
+                "start", "rec", "n_visits", F.row_number().over(w).alias("rnk")
+            )
+            .where(F.col("rnk") <= k)
+            .select("start", "rec", "n_visits", F.col("rnk").cast("long").alias("rnk"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        release(corpus)
