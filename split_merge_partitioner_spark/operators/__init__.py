@@ -27,3 +27,4 @@ from .vertex_cut import (  # noqa: F401
     vertex_partition_by_hash,
     vertex_partition_stats,
 )
+from .multilevel import multilevel_partition  # noqa: F401

@@ -34,6 +34,19 @@ later round is also a no-op.  ``spinner_partition`` therefore early-stops
 on a two-round dry streak while the SQL oracle replays the full
 ``rounds`` budget; results are identical by the argument above.
 
+Capacity admission (the paper's c > 1 headroom, derandomized).  The
+score's load penalty alone does NOT bound imbalance — on hub-dense
+graphs synchronous pile-in floods one label and starves others to death
+(a dead label is in nobody's candidate set and can never repopulate).
+So migration is additionally ADMISSION-CONTROLLED: would-be migrants to
+label l rank by (score gain DESC, vertex ASC) and only the top
+cap_adm − load(l) are admitted, cap_adm = CAP + max(1, CAP//20) — the
+paper's remaining-capacity acceptance probability turned into a
+deterministic top-k.  Imbalance is hard-bounded at ~1.05·CAP while the
+5% slack leaves room for locality-improving swaps (a zero-slack bound
+would freeze a balanced init entirely).  One extra per-round window,
+partitioned by target label.
+
 Scale shape (per round, all Catalyst): one n-row exchange keyed by vertex
 (the neighbor-label count; the argmax window repartitions on the same
 key), a k-row load aggregate broadcast back, and two broadcast-free joins
@@ -97,6 +110,11 @@ def spinner_partition(
             "space or rescale CAP first"
         )
     cap = (n + k - 1) // k  # ceil(n/k), the balanced capacity
+    # admission capacity = cap + 5% slack (>= 1): the Spinner paper's c > 1
+    # headroom — without it a balanced init leaves zero remaining capacity
+    # anywhere and migration freezes; with it, imbalance is hard-bounded at
+    # cap_adm while locality-improving swaps still have room to flow
+    cap_adm = cap + max(1, cap // 20)
     lab_ck = deg.select(
         F.col("v").alias("vertex"),
         (sample_hash("v", seed) % F.lit(k)).cast("long").alias("label"),
@@ -133,6 +151,7 @@ def spinner_partition(
                 .select(
                     "v",
                     "label",
+                    "load",
                     (
                         F.col("nl") * F.lit(cap)
                         + F.col("degree") * (F.lit(cap) - F.col("load"))
@@ -143,22 +162,51 @@ def spinner_partition(
             best = (
                 scored.withColumn("rn", F.row_number().over(w))
                 .where(F.col("rn") == 1)
-                .select("v", F.col("label").alias("bl"), F.col("score").alias("bs"))
+                .select(
+                    "v",
+                    F.col("label").alias("bl"),
+                    F.col("score").alias("bs"),
+                    F.col("load").alias("bload"),
+                )
             )
             cur = scored.join(
                 labels.select(F.col("vertex").alias("v"), "label"), ["v", "label"]
             ).select("v", F.col("label").alias("cl"), F.col("score").alias("cs"))
-            gate = (F.col("v") + F.lit(r)) % 2 == 0
-            nxt = (
+            # migration gates, applied in order:
+            # 1. parity dry-round gate (oscillation damper, as before);
+            # 2. CAPACITY ADMISSION — the Spinner paper's remaining-capacity
+            #    acceptance made deterministic: would-be migrants to label L
+            #    rank by (gain DESC, v ASC) and only the top cap − load(L)
+            #    are admitted, so a label can never overshoot cap by
+            #    synchronous pile-in and the label-flood / label-death
+            #    degeneracy on hub-dense graphs cannot start
+            movers = (
                 best.join(cur, "v")
+                .where(
+                    (F.col("bs") > F.col("cs"))
+                    & ((F.col("v") + F.lit(r)) % 2 == 0)
+                    & (F.col("bload") < F.lit(cap_adm))
+                )
                 .select(
-                    F.col("v").alias("vertex"),
-                    F.when((F.col("bs") > F.col("cs")) & gate, F.col("bl"))
-                    .otherwise(F.col("cl"))
-                    .alias("label"),
-                    ((F.col("bs") > F.col("cs")) & gate & (F.col("bl") != F.col("cl")))
-                    .cast("long")
-                    .alias("moved"),
+                    "v", "bl", "bload", (F.col("bs") - F.col("cs")).alias("gain")
+                )
+            )
+            wadm = Window.partitionBy("bl").orderBy(F.desc("gain"), F.asc("v"))
+            admitted = (
+                movers.withColumn("rn", F.row_number().over(wadm))
+                .where(F.col("rn") <= F.lit(cap_adm) - F.col("bload"))
+                .select("v", "bl")
+            )
+            nxt = (
+                labels.join(
+                    admitted.select(F.col("v").alias("vertex"), "bl"),
+                    "vertex",
+                    "left",
+                )
+                .select(
+                    "vertex",
+                    F.coalesce("bl", F.col("label")).alias("label"),
+                    F.col("bl").isNotNull().cast("long").alias("moved"),
                 )
                 .localCheckpoint(eager=True)
             )

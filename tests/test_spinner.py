@@ -33,12 +33,12 @@ def _py_spinner(edge_list, k, rounds, seed=42):
     verts = sorted(adj)
     n = len(verts)
     cap = (n + k - 1) // k
+    cap_adm = cap + max(1, cap // 20)  # admission slack (spinner.py)
     lab = {v: _sh(v, seed) % k for v in verts}
     moves_hist = []
     for r in range(1, rounds + 1):
         load = Counter(lab.values())
-        new = {}
-        moves = 0
+        movers = []  # (gain, v, best) — capacity-admitted per label below
         for v in verts:
             deg = len(adj[v])
             nl = Counter(lab[nb] for nb in adj[v])
@@ -48,11 +48,24 @@ def _py_spinner(edge_list, k, rounds, seed=42):
                 return nl.get(lbl, 0) * cap + deg * (cap - load[lbl])
 
             best = min(cand, key=lambda lbl: (-score(lbl), lbl))
-            if score(best) > score(lab[v]) and (v + r) % 2 == 0:
-                new[v] = best
+            if (
+                score(best) > score(lab[v])
+                and (v + r) % 2 == 0
+                and load[best] < cap_adm  # capacity gate (spinner.py)
+            ):
+                movers.append((score(best) - score(lab[v]), v, best))
+        # deterministic remaining-capacity admission: per target label,
+        # (gain DESC, v ASC), top cap - load(L) admitted (spinner.py)
+        by_label: dict[int, list] = {}
+        for gain, v, b in movers:
+            by_label.setdefault(b, []).append((gain, v))
+        new = dict(lab)
+        moves = 0
+        for b, lst in by_label.items():
+            lst.sort(key=lambda gv: (-gv[0], gv[1]))
+            for _, v in lst[: cap_adm - load[b]]:
+                new[v] = b
                 moves += 1
-            else:
-                new[v] = lab[v]
         lab = new
         moves_hist.append(moves)
     return lab, moves_hist, edges
