@@ -4,7 +4,7 @@
 Knob names mirror the reference CLI (gflags surface, src/main.cpp:20-35):
   --p            number of final partitions        (-p)
   --k            split multiplier for FSM          (-k)
-  --method       fsm | dbh | hybrid | hdrf | ebv | ne | hep | fennel | hybridbl | bpart | spinner | v2e | v2e_metis  (-method)
+  --method       fsm | dbh | hybrid | hdrf | ebv | ne | hep | fennel | hybridbl | bpart | spinner | multilevel | v2e | v2e_metis  (-method)
   --fastmerge    use fast_merge instead of precise (-fastmerge)
   --hdf          high-degree factor                (-hdf)
   --lambda_      HDRF balance lambda               (-lambda)
@@ -37,7 +37,7 @@ def main(argv=None, stop: bool = True) -> None:
     ap.add_argument("--k", type=int, default=2)
     ap.add_argument("--method", default="fsm",
                     choices=["fsm", "dbh", "hybrid", "hdrf", "ebv", "ne", "hep",
-                             "fennel", "hybridbl", "bpart", "spinner", "v2e",
+                             "fennel", "hybridbl", "bpart", "spinner", "multilevel", "v2e",
                              "v2e_metis"])
     ap.add_argument("--fastmerge", action="store_true")
     ap.add_argument("--hdf", type=float, default=100.0)
@@ -126,6 +126,15 @@ def main(argv=None, stop: bool = True) -> None:
         )
 
         vlabels, _ = spinner_partition(edges, k=args.p)
+        assigned = vertex2edge_partition(
+            edges, vlabels.withColumnRenamed("label", "bucket")
+        )
+    elif args.method == "multilevel":
+        # METIS-style multilevel (coarsen -> Spinner -> project), the
+        # higher-quality in-engine v2e producer
+        from split_merge_partitioner_spark.operators import multilevel_partition
+
+        vlabels, _ = multilevel_partition(edges, k=args.p)
         assigned = vertex2edge_partition(
             edges, vlabels.withColumnRenamed("label", "bucket")
         )

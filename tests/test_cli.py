@@ -27,6 +27,7 @@ def edges_parquet(spark, tmp_path_factory):
         ["--method", "hybridbl"],
         ["--method", "bpart"],
         ["--method", "spinner"],
+        ["--method", "multilevel"],
     ],
 )
 def test_run_partition_cli(spark, edges_parquet, tmp_path, capsys, argv_extra):
