@@ -38,25 +38,24 @@ def main(argv=None, stop: bool = True) -> None:
 
     spark = get_spark(app_name="smp-gen-graph")
     try:
+        kwargs = dict(
+            scale=args.scale, edge_factor=args.edge_factor, a_ppm=args.a_ppm,
+            b_ppm=args.b_ppm, c_ppm=args.c_ppm, seed=args.seed,
+            num_partitions=args.partitions,
+        )
         if args.lazy:
             ansi_was = spark.conf.get("spark.sql.ansi.enabled")
             spark.conf.set("spark.sql.ansi.enabled", "false")
             try:
-                df = rmat_edges(
-                    spark, scale=args.scale, edge_factor=args.edge_factor,
-                    a_ppm=args.a_ppm, b_ppm=args.b_ppm, c_ppm=args.c_ppm,
-                    seed=args.seed, num_partitions=args.partitions, lazy=True,
-                )
-                df.write.mode("overwrite").parquet(args.output)
+                rmat_edges(spark, lazy=True, **kwargs).write.mode(
+                    "overwrite"
+                ).parquet(args.output)
             finally:
                 spark.conf.set("spark.sql.ansi.enabled", ansi_was)
         else:
-            df = rmat_edges(
-                spark, scale=args.scale, edge_factor=args.edge_factor,
-                a_ppm=args.a_ppm, b_ppm=args.b_ppm, c_ppm=args.c_ppm,
-                seed=args.seed, num_partitions=args.partitions,
+            rmat_edges(spark, **kwargs).write.mode("overwrite").parquet(
+                args.output
             )
-            df.write.mode("overwrite").parquet(args.output)
         info = {
             "n_vertices": 1 << args.scale,
             "n_edges": args.edge_factor * (1 << args.scale),

@@ -52,6 +52,22 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _default_seeds(edges, n: int = 5) -> list:
+    """The 5 smallest vertex ids — the shared --seeds fallback for
+    ppr/betweenness/closeness/cascade/spammass."""
+    from pyspark.sql import functions as F
+
+    return [
+        r.v
+        for r in edges.select(F.col("src").alias("v"))
+        .unionAll(edges.select(F.col("dst").alias("v")))
+        .distinct()
+        .orderBy("v")
+        .limit(n)
+        .collect()
+    ]
+
+
 def main(argv=None, stop: bool = True) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
@@ -400,19 +416,12 @@ def main(argv=None, stop: bool = True) -> None:
     elif args.algo in ("cascade", "spammass"):
         # IC influence / TrustRank spam mass; --seeds = cascade seed set /
         # trust whitelist (default: the 5 smallest vertex ids, the
-        # ppr/betweenness convention); cascade also takes --p-ppm, --n-sims
+        # ppr/betweenness convention); cascade also takes --p-ppm, --n-sims;
+        # spammass takes --n-iter (the dpagerank convention)
         if args.seeds:
             seeds = [int(x) for x in args.seeds.split(",")]
         else:
-            seeds = [
-                r.v
-                for r in edges.select(F.col("src").alias("v"))
-                .unionAll(edges.select(F.col("dst").alias("v")))
-                .distinct()
-                .orderBy("v")
-                .limit(5)
-                .collect()
-            ]
+            seeds = _default_seeds(edges)
         if args.algo == "cascade":
             from split_merge_partitioner_spark.graph import ic_influence
 
@@ -422,11 +431,8 @@ def main(argv=None, stop: bool = True) -> None:
         else:
             from split_merge_partitioner_spark.graph import spam_mass
 
-            # --max-iter default (200) means "unset" here: 8 supersteps is
-            # the documented spam-mass setting; explicit values cap at 64
-            n_it = 8 if args.max_iter == 200 else min(args.max_iter, 64)
-            out = spam_mass(edges, trusted=seeds, n_iter=n_it)
-            info = {"trusted": seeds}
+            out = spam_mass(edges, trusted=seeds, n_iter=args.n_iter)
+            info = {"trusted": seeds, "n_iter": args.n_iter}
     elif args.algo == "twins":
         # exact structural twin classes (twins.py); --closed for N[v] twins
         from split_merge_partitioner_spark.graph import structural_twins
@@ -539,15 +545,7 @@ def main(argv=None, stop: bool = True) -> None:
             if args.seeds:
                 seeds = [int(x) for x in args.seeds.split(",")]
             else:
-                seeds = [
-                    r.v
-                    for r in edges.select(F.col("src").alias("v"))
-                    .unionAll(edges.select(F.col("dst").alias("v")))
-                    .distinct()
-                    .orderBy("v")
-                    .limit(5)
-                    .collect()
-                ]
+                seeds = _default_seeds(edges)
             # ppr/betweenness document a canonical-edge input contract;
             # arbitrary external parquet gets canonicalized here (the
             # linkpred ADVICE-r3 rule)

@@ -45,19 +45,17 @@ from .closeness import _seed_bfs
 def select_landmarks(edges: DataFrame, k: int) -> list[int]:
     """Top-``k`` vertices by (undirected degree DESC, vertex ASC) — the
     deterministic high-degree landmark heuristic.  k-row driver collect."""
+    from ..sources import degrees
+
     if k < 1:
         raise ValueError("k must be >= 1")
-    und = edges.select(F.col("src").alias("v")).unionAll(
-        edges.select(F.col("dst").alias("v"))
-    )
     rows = (
-        und.groupBy("v")
-        .agg(F.count(F.lit(1)).alias("degree"))
-        .orderBy(F.col("degree").desc(), F.col("v").asc())
+        degrees(edges)
+        .orderBy(F.col("degree").desc(), F.col("vertex").asc())
         .limit(k)
         .collect()
     )
-    return [int(r.v) for r in rows]
+    return [int(r.vertex) for r in rows]
 
 
 def landmark_sketch(

@@ -282,7 +282,7 @@ def test_run_analytics_cascade_and_spammass_cli(spark, tmp_path, tmp_path_factor
     assert len(got) == 2 and got["n_influenced"].nunique() == 1
     out2 = str(tmp_path / "sm.parquet")
     analytics_main(["--input", path, "--algo", "spammass", "--seeds", "0",
-                    "--max-iter", "4", "--output", out2], stop=False)
+                    "--n-iter", "4", "--output", out2], stop=False)
     sm = pd_.read_parquet(out2)
     assert len(sm) == 20 and {"rank", "trust", "spam_mass"} <= set(sm.columns)
 
