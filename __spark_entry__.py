@@ -2202,10 +2202,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_multilevel_assign(spark, sf):
         # METIS-style multilevel vertex partition (operators/multilevel.py):
         # 2 heavy-edge coarsening levels + Spinner on the coarsest +
-        # projection.  Deterministic but its SQL replay would chain two
-        # matching fixpoints + contraction + 6 Spinner rounds — covered by
-        # rows-only here and the invariant suite in test_multilevel.py
-        # (conservation, balance, clustered-cut quality, determinism)
+        # projection.  The oracle replays the WHOLE pipeline: two 12-round
+        # matching chains + contraction (the coarsen_once machinery), the
+        # k=8 capacity-admitted Spinner chain, projection + hash backfill
         from split_merge_partitioner_spark.operators import multilevel_partition
 
         out, _ = multilevel_partition(_edges(spark, sf), k=8, levels=2, rounds=6)
@@ -2213,7 +2212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_multilevel_quality(spark, sf):
         # A2 vertex-partition stats over the multilevel labels (same
-        # formulas as spinner_quality; rows-only for the same reason)
+        # formulas as spinner_quality, same full-pipeline oracle)
         from split_merge_partitioner_spark.operators import multilevel_partition
         from split_merge_partitioner_spark.operators.spinner import spinner_quality
 
@@ -8729,6 +8728,157 @@ SELECT CAST(nv.label AS BIGINT) AS label, nv.n_vertices,
 FROM nv LEFT JOIN ct ON ct.label = nv.label
 """
 
+    # -- multilevel oracles (operators/multilevel.py) --------------------------
+    # full end-to-end replay: two heavy-edge matching chains (12 generated
+    # Luby rounds each, exact (WCAP−w, hash, src, dst) HUGEINT keys — the
+    # coarsen_once machinery) + contraction, the k=8 Spinner chain (6
+    # rounds, capacity admission — the spinner_assign machinery), then the
+    # projection joins with the sample_hash backfill
+    def _ml_match_ctes(pfx: str, rel: str, n_rounds: int) -> list[str]:
+        ctes = [f"{pfx}e0 AS MATERIALIZED (SELECT src, dst, w FROM {rel})"]
+        for r in range(1, n_rounds + 1):
+            ekey = _lehmer("src * 1000003 + dst", 42 + r)
+            ctes.append(
+                f"""{pfx}p{r} AS MATERIALIZED (SELECT src, dst, w,
+    (2097151 - w)::HUGEINT * 19342813113834066795298816::HUGEINT
+    + CAST({ekey} AS HUGEINT) * 4398046511104::HUGEINT
+    + src * 2097152 + dst AS k FROM {pfx}e{r - 1}),
+{pfx}i{r} AS MATERIALIZED (SELECT src AS v, k FROM {pfx}p{r}
+    UNION ALL SELECT dst, k FROM {pfx}p{r}),
+{pfx}v{r} AS MATERIALIZED (SELECT v, MIN(k) AS mk FROM {pfx}i{r} GROUP BY v),
+{pfx}w{r} AS MATERIALIZED (SELECT p.src, p.dst FROM {pfx}p{r} p
+    JOIN {pfx}v{r} a ON a.v = p.src JOIN {pfx}v{r} b ON b.v = p.dst
+    WHERE p.k = a.mk AND p.k = b.mk),
+{pfx}g{r} AS MATERIALIZED (SELECT src AS v FROM {pfx}w{r}
+    UNION SELECT dst FROM {pfx}w{r}),
+{pfx}e{r} AS MATERIALIZED (SELECT src, dst, w FROM {pfx}e{r - 1}
+    WHERE src NOT IN (SELECT v FROM {pfx}g{r})
+      AND dst NOT IN (SELECT v FROM {pfx}g{r}))"""
+            )
+        sel = " UNION ALL ".join(
+            f"SELECT src, dst FROM {pfx}w{r}" for r in range(1, n_rounds + 1)
+        )
+        ctes.append(f"{pfx}sel AS ({sel})")
+        ctes.append(
+            f"{pfx}map0 AS (SELECT src AS v, LEAST(src, dst) AS rep FROM {pfx}sel"
+            f" UNION ALL SELECT dst, LEAST(src, dst) FROM {pfx}sel)"
+        )
+        ctes.append(
+            f"{pfx}univ AS (SELECT DISTINCT src AS v FROM {rel}"
+            f" UNION SELECT DISTINCT dst FROM {rel})"
+        )
+        ctes.append(
+            f"{pfx}mapping AS (SELECT u.v, COALESCE(c.rep, u.v) AS rep"
+            f" FROM {pfx}univ u LEFT JOIN {pfx}map0 c ON c.v = u.v)"
+        )
+        return ctes
+
+    def _ml_spin_ctes(pfx: str, rel: str, k: int, rounds: int) -> list[str]:
+        cap_expr = f"(COUNT(*) + {k - 1}) // {k}"
+        ctes = [
+            f"{pfx}adj AS MATERIALIZED (SELECT src AS v, dst AS nb FROM {rel}"
+            f" UNION ALL SELECT dst, src FROM {rel})",
+            f"{pfx}degs AS MATERIALIZED (SELECT v AS vertex,"
+            f" CAST(COUNT(*) AS BIGINT) AS degree FROM {pfx}adj GROUP BY v)",
+            f"{pfx}cap AS (SELECT {cap_expr} AS cap,"
+            f" {cap_expr} + GREATEST(1, ({cap_expr}) // 20) AS capa"
+            f" FROM {pfx}degs)",
+            f"{pfx}l0 AS MATERIALIZED (SELECT vertex,"
+            f" CAST({_lehmer('vertex', 42)} % {k} AS BIGINT) AS label"
+            f" FROM {pfx}degs)",
+        ]
+        for r in range(1, rounds + 1):
+            ctes.append(f"""{pfx}ld{r} AS MATERIALIZED (
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS load FROM {pfx}l{r - 1} GROUP BY label),
+{pfx}cn{r} AS MATERIALIZED (
+    SELECT a.v, lb.label, CAST(COUNT(*) AS BIGINT) AS nl
+    FROM {pfx}adj a JOIN {pfx}l{r - 1} lb ON lb.vertex = a.nb GROUP BY a.v, lb.label),
+{pfx}cd{r} AS MATERIALIZED (
+    SELECT v, label, MAX(nl) AS nl FROM (
+        SELECT v, label, nl FROM {pfx}cn{r}
+        UNION ALL SELECT vertex, label, CAST(0 AS BIGINT) FROM {pfx}l{r - 1})
+    GROUP BY v, label),
+{pfx}sc{r} AS MATERIALIZED (
+    SELECT c.v, c.label, ld.load,
+           c.nl * (SELECT cap FROM {pfx}cap)
+           + d.degree * ((SELECT cap FROM {pfx}cap) - ld.load) AS score
+    FROM {pfx}cd{r} c JOIN {pfx}ld{r} ld ON ld.label = c.label
+    JOIN {pfx}degs d ON d.vertex = c.v),
+{pfx}bs{r} AS MATERIALIZED (
+    SELECT v, label AS bl, score AS bs, load AS bload FROM (
+        SELECT v, label, score, load,
+               ROW_NUMBER() OVER (PARTITION BY v
+                   ORDER BY score DESC, label ASC) AS rn
+        FROM {pfx}sc{r}) WHERE rn = 1),
+{pfx}mv{r} AS MATERIALIZED (
+    SELECT b.v, b.bl, b.bload, b.bs - s.score AS gain
+    FROM {pfx}bs{r} b
+    JOIN {pfx}l{r - 1} p ON p.vertex = b.v
+    JOIN {pfx}sc{r} s ON s.v = b.v AND s.label = p.label
+    WHERE b.bs > s.score AND (b.v + {r}) % 2 = 0
+      AND b.bload < (SELECT capa FROM {pfx}cap)),
+{pfx}ad{r} AS MATERIALIZED (
+    SELECT v, bl FROM (
+        SELECT v, bl, bload,
+               ROW_NUMBER() OVER (PARTITION BY bl
+                   ORDER BY gain DESC, v ASC) AS rn
+        FROM {pfx}mv{r})
+    WHERE rn <= (SELECT capa FROM {pfx}cap) - bload),
+{pfx}l{r} AS MATERIALIZED (
+    SELECT p.vertex, COALESCE(a.bl, p.label) AS label
+    FROM {pfx}l{r - 1} p LEFT JOIN {pfx}ad{r} a ON a.v = p.vertex)""")
+        return ctes
+
+    _ML_K, _ML_ROUNDS, _ML_MATCH_R = 8, 6, 12
+    _ml_backfill = f"CAST({_lehmer('m.v', 42)} % {_ML_K} AS BIGINT)"
+    _ml_parts = ["g0 AS MATERIALIZED (SELECT src, dst, CAST(1 AS BIGINT) AS w FROM edges)"]
+    _ml_parts += _ml_match_ctes("ma", "g0", _ML_MATCH_R)
+    _ml_parts.append(
+        """g1 AS MATERIALIZED (
+    SELECT LEAST(a.rep, b.rep) AS src, GREATEST(a.rep, b.rep) AS dst,
+           CAST(SUM(e.w) AS BIGINT) AS w
+    FROM g0 e JOIN mamapping a ON a.v = e.src JOIN mamapping b ON b.v = e.dst
+    WHERE a.rep <> b.rep GROUP BY 1, 2)"""
+    )
+    _ml_parts += _ml_match_ctes("mb", "g1", _ML_MATCH_R)
+    _ml_parts.append(
+        """g2 AS MATERIALIZED (
+    SELECT LEAST(a.rep, b.rep) AS src, GREATEST(a.rep, b.rep) AS dst,
+           CAST(SUM(e.w) AS BIGINT) AS w
+    FROM g1 e JOIN mbmapping a ON a.v = e.src JOIN mbmapping b ON b.v = e.dst
+    WHERE a.rep <> b.rep GROUP BY 1, 2)"""
+    )
+    _ml_parts += _ml_spin_ctes("mq", "g2", _ML_K, _ML_ROUNDS)
+    _ml_parts.append(
+        f"""mlo1 AS (
+    SELECT m.v AS vertex, COALESCE(l.label, {_ml_backfill}) AS label
+    FROM mbmapping m LEFT JOIN mql{_ML_ROUNDS} l ON l.vertex = m.rep),
+mlo0 AS (
+    SELECT m.v AS vertex, COALESCE(o.label, {_ml_backfill}) AS label
+    FROM mamapping m LEFT JOIN mlo1 o ON o.vertex = m.rep)"""
+    )
+    _ml_core = "WITH " + _EDGES_CTE + ",\n" + ",\n".join(_ml_parts)
+    multilevel_assign_sql = _ml_core + """
+SELECT vertex, CAST(label AS BIGINT) AS label FROM mlo0
+"""
+    multilevel_quality_sql = _ml_core + """,
+mel AS (SELECT ls.label AS l_src, lt.label AS l_dst
+        FROM edges e JOIN mlo0 ls ON ls.vertex = e.src
+        JOIN mlo0 lt ON lt.vertex = e.dst),
+mpe AS (SELECT l_src AS label,
+               CASE WHEN l_src = l_dst THEN 1 ELSE 0 END AS internal FROM mel
+        UNION ALL SELECT l_dst, 0 FROM mel WHERE l_src <> l_dst),
+mct AS (SELECT label, CAST(SUM(internal) AS BIGINT) AS internal_edges,
+               CAST(SUM(1 - internal) AS BIGINT) AS cut_edges
+        FROM mpe GROUP BY label),
+mnv AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vertices
+        FROM mlo0 GROUP BY label)
+SELECT CAST(mnv.label AS BIGINT) AS label, mnv.n_vertices,
+       COALESCE(mct.internal_edges, 0) AS internal_edges,
+       COALESCE(mct.cut_edges, 0) AS cut_edges
+FROM mnv LEFT JOIN mct ON mct.label = mnv.label
+"""
+
     # -- landmark sketch / distance oracles (graph/landmarks.py) ---------------
     # exact BFS from the 4 top-degree landmarks via one recursive CTE (the
     # bfs_distances pattern, multi-seed); distance estimates = min-merge of
@@ -9206,6 +9356,8 @@ FROM o GROUP BY CUBE (status, priority, order_year)
         "spam_mass": spam_mass_sql,
         "simrank_pairs": simrank_pairs_sql,
         "walk_recs": walk_recs_sql,
+        "multilevel_assign": multilevel_assign_sql,
+        "multilevel_quality": multilevel_quality_sql,
         "burst_stats": """
 WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
 c AS (SELECT user_id,
@@ -9226,8 +9378,4 @@ FROM c GROUP BY user_id
         # its registers ARE oracled via hyperanf_regs), lsh paths (random
         # hyperplanes), media_features (binary decode) — covered by
         # NumPy-oracle pytest (tests/) and rows-only driver checks.
-        # multilevel_assign/multilevel_quality: deterministic composition of
-        # two already-oracled kernels (matching + spinner), but the end-to-
-        # end SQL replay would chain two matching fixpoints + contraction +
-        # 6 LP rounds — invariant-tested in test_multilevel.py instead.
     }
