@@ -2359,6 +2359,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return landmark_distances(sk, pairs)
 
+    def q_fuzzy_twins(spark, sf):
+        # near-mirror detection (graph/fuzzytwins.py): MinHash-LSH over
+        # neighbor sets + EXACT integer Jaccard verify, on the twin fixture
+        # (exact twins at 1e6 ppm + chorded sibling pairs at 333333 ppm)
+        from split_merge_partitioner_spark.graph import fuzzy_twins
+
+        return fuzzy_twins(_twin_edges(spark, sf), min_jaccard_ppm=300_000)
+
     def q_rmat_graph(spark, sf):
         # distributed R-MAT generation (sources/rmat.py): 8192 Graph500-
         # parameter edges over 512 vertices as ONE narrow map over range(m),
@@ -2606,6 +2614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "walk_recs": q_walk_recs,
         "multilevel_assign": q_multilevel_assign,
         "multilevel_quality": q_multilevel_quality,
+        "fuzzy_twins": q_fuzzy_twins,
     }
 
     # ------------------------------------------------------------------
@@ -8922,6 +8931,57 @@ SELECT qp.u, qp.v, CAST(via.dist_ub AS BIGINT) AS dist_ub, via.via
 FROM qp LEFT JOIN via ON via.u = qp.u AND via.v = qp.v
 """
 
+    # -- fuzzy twins oracle (graph/fuzzytwins.py) -------------------------------
+    # signatures, banding, and the exact-Jaccard verify replayed on the
+    # twin fixture; MIN over 63-bit-masked splitmix64 coordinates so the
+    # UBIGINT order here equals Spark's signed order
+    _FT_H, _FT_B = 16, 8
+    _ft_gold = 0x9E3779B97F4A7C15
+    _ft_salts = [((i + 1) * _ft_gold) % (1 << 64) for i in range(_FT_H)]
+    _ft_mins = ",\n       ".join(
+        f"MIN(CAST({_sm64_sql(f'(CAST(u AS HUGEINT) + {_ft_salts[i]}) % {_HM64}')}"
+        f" % 9223372036854775808 AS UBIGINT)) AS m{i}"
+        for i in range(_FT_H)
+    )
+    _ft_r = _FT_H // _FT_B
+    _ft_band_rows = []
+    for _b in range(_FT_B):
+        _h = _sm64_sql(f"m{_b * _ft_r}")
+        for _j in range(1, _ft_r):
+            _h = _sm64_sql(
+                f"(CAST(m{_b * _ft_r + _j} AS HUGEINT) + CAST(({_h}) AS HUGEINT))"
+                f" % {_HM64}"
+            )
+        _ft_band_rows.append(f"SELECT v, {_b} AS band, {_h} AS bh FROM sg")
+    fuzzy_twins_sql = f"""
+WITH dv AS (SELECT doc_id AS v FROM documents),
+tedges AS (
+    SELECT DISTINCT src, dst FROM (
+        SELECT LEAST(v, v // 3) AS src, GREATEST(v, v // 3) AS dst
+        FROM dv WHERE v >= 1
+        UNION ALL
+        SELECT v AS src, v + 1 AS dst FROM dv
+        WHERE v % 4 = 0 AND v >= 100
+          AND EXISTS (SELECT 1 FROM dv d2 WHERE d2.v = dv.v + 1))
+    WHERE src <> dst),
+und AS (SELECT DISTINCT v, u FROM (
+    SELECT src AS v, dst AS u FROM tedges
+    UNION ALL SELECT dst, src FROM tedges)),
+sg AS MATERIALIZED (SELECT v, {_ft_mins} FROM und GROUP BY v),
+bands AS MATERIALIZED ({' UNION ALL '.join(_ft_band_rows)}),
+cand AS (SELECT DISTINCT l.v AS a, r.v AS b
+         FROM bands l JOIN bands r ON r.band = l.band AND r.bh = l.bh
+         WHERE l.v < r.v),
+dg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY v),
+cm AS (SELECT c.a, c.b, CAST(COUNT(*) AS BIGINT) AS n_common
+       FROM cand c JOIN und x ON x.v = c.a JOIN und y ON y.v = c.b AND y.u = x.u
+       GROUP BY c.a, c.b)
+SELECT cm.a, cm.b, cm.n_common, da.deg AS deg_a, db.deg AS deg_b,
+       1000000 * cm.n_common // (da.deg + db.deg - cm.n_common) AS jaccard_ppm
+FROM cm JOIN dg da ON da.v = cm.a JOIN dg db ON db.v = cm.b
+WHERE 1000000 * cm.n_common // (da.deg + db.deg - cm.n_common) >= 300000
+"""
+
     # -- R-MAT generator oracle (sources/rmat.py) ------------------------------
     # every (edge, level) quadrant draw replayed from the seed via the
     # HUGEINT splitmix64 machinery; fixture-free (no parquet table touched)
@@ -9358,6 +9418,7 @@ FROM o GROUP BY CUBE (status, priority, order_year)
         "walk_recs": walk_recs_sql,
         "multilevel_assign": multilevel_assign_sql,
         "multilevel_quality": multilevel_quality_sql,
+        "fuzzy_twins": fuzzy_twins_sql,
         "burst_stats": """
 WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
 c AS (SELECT user_id,

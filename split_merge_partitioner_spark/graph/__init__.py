@@ -62,3 +62,4 @@ from .rewire import configuration_rewire, triangle_significance  # noqa: F401
 from .cascade import ic_influence  # noqa: F401
 from .simrank import simrank_mc  # noqa: F401
 from .walks import walk_topk_recs  # noqa: F401
+from .fuzzytwins import fuzzy_twins  # noqa: F401
