@@ -623,6 +623,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         projcp = bipartite_project(_edges_cp(spark, sf), min_shared=5)
         return ktruss(projcp, k=4, max_rounds=4)
 
+    def q_tri_percolation(spark, sf):
+        # k=3 clique-percolation OVERLAPPING communities (graph/
+        # percolation.py): degree-oriented triangle listing -> star-
+        # contraction CC over the encoded triangle-edge graph; labels are
+        # exact component minima, fully replayed by the SQL oracle
+        from split_merge_partitioner_spark.graph import triangle_percolation
+
+        mem, _ = triangle_percolation(_proj_edges(spark, sf))
+        return mem
+
+    def q_tri_percolation_cp(spark, sf):
+        # second fixture: the sparser customer--part projection (927
+        # triangles vs 3.4k) — different component structure, exercises the
+        # star contraction at a different round count
+        from split_merge_partitioner_spark.graph import triangle_percolation
+        from split_merge_partitioner_spark.sources import bipartite_project
+
+        projcp = bipartite_project(_edges_cp(spark, sf), min_shared=5)
+        mem, _ = triangle_percolation(projcp)
+        return mem
+
     def q_degree_assortativity(spark, sf):
         # Newman assortativity of the raw bipartite co-occurrence graph
         # (expected negative: supplier hubs pair with low-degree customers).
@@ -2448,6 +2469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_closeness_cp": q_harmonic_closeness_cp,
         "modularity": q_modularity,
         "ktruss": q_ktruss,
+        "tri_percolation": q_tri_percolation,
+        "tri_percolation_cp": q_tri_percolation_cp,
         "ktruss_cp": q_ktruss_cp,
         "tfidf_top_terms": q_tfidf_top_terms,
         "repetition_stats": q_repetition_stats,
@@ -2673,7 +2696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperanf_regs", "hyperanf_regs_cp", "coreness_hindex_cp",
         "user_top_events",
         # -- 2. new this round --
-        "scc_cp", "ktruss_cp",
+        "scc_cp", "ktruss_cp", "tri_percolation", "tri_percolation_cp",
         "sessionize", "asof_latest", "segment_dedup",
         "kmeans_assign", "kmeans_update", "skipgram_pairs", "betweenness_cp",
         # -- 3. r3-green, dropped out of r4's window --
@@ -8010,6 +8033,48 @@ projcp AS MATERIALIZED (
         "projcp",
     )
 
+    # -- triangle-percolation oracle -----------------------------------------
+    # Full pipeline replay (graph/percolation.py): wedge-join triangle
+    # listing on the canonical src<dst relation, the two per-triangle links
+    # over u*2^32+v encoded edge-nodes, then component minima via recursive
+    # min-reachability (the minhash_dedup_clusters idiom) — star-contraction
+    # labels ARE component minima at the fixpoint, so the label contract is
+    # engine-independent.  Memberships = decode both endpoints, UNION-dedup.
+    def _percolation_sql(prefix_cte: str, rel: str) -> str:
+        return f"""
+WITH RECURSIVE {prefix_cte},
+pe AS (SELECT src, dst FROM {rel}),
+tri AS MATERIALIZED (
+    SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+    FROM pe ab JOIN pe bc ON ab.dst = bc.src
+    JOIN pe ac ON ac.src = ab.src AND ac.dst = bc.dst),
+lnk AS (
+    SELECT a * 4294967296 + b AS p, b * 4294967296 + c AS q FROM tri
+    UNION
+    SELECT a * 4294967296 + b, a * 4294967296 + c FROM tri),
+du AS (SELECT p AS a, q AS b FROM lnk UNION SELECT q, p FROM lnk),
+reach(v, r) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM du)
+    UNION
+    SELECT reach.v, du.b FROM reach JOIN du ON reach.r = du.a),
+comp AS (SELECT v, MIN(r) AS community FROM reach GROUP BY v)
+SELECT CAST(v // 4294967296 AS BIGINT) AS vertex, CAST(community AS BIGINT) AS community
+FROM comp
+UNION
+SELECT CAST(v % 4294967296 AS BIGINT), CAST(community AS BIGINT) FROM comp
+"""
+
+    tri_percolation_sql = _percolation_sql(f"{_EDGES_CTE}, {_PROJ_CTE}", "proj")
+    tri_percolation_cp_sql = _percolation_sql(
+        f"""{_EDGES_CP_CTE},
+projcp AS MATERIALIZED (
+    SELECT a.src AS src, b.src AS dst
+    FROM edges a JOIN edges b ON a.dst = b.dst AND a.src < b.src
+    GROUP BY a.src, b.src HAVING COUNT(*) >= 5
+)""",
+        "projcp",
+    )
+
     # -- HITS oracle ---------------------------------------------------------
     # exact integer half-steps (graph/hits.py): a_t = A^T h_{t-1}, h_t = A a_t
     # in HUGEINT for 4 rounds over the directed bipartite edge table; the only
@@ -9142,6 +9207,8 @@ FROM nb n JOIN cls c ON n.nbrs = c.nbrs
         "modularity": modularity_sql,
         "ktruss": ktruss_sql,
         "ktruss_cp": ktruss_cp_sql,
+        "tri_percolation": tri_percolation_sql,
+        "tri_percolation_cp": tri_percolation_cp_sql,
         "degree_assortativity": degree_assortativity_sql,
         "global_clustering": global_clustering_sql,
         "betweenness": betweenness_sql,

@@ -80,11 +80,14 @@ def wl_colors(edges: DataFrame, n_rounds: int = 3) -> DataFrame:
             )
             release(prev)
         # materialize the masked output while ANSI is still off (the mask
-        # itself is overflow-free, but the lazy _sm64 lineage would not be)
-        return colors.select(
+        # itself is overflow-free, but the lazy _sm64 lineage would not be),
+        # then drop the pre-mask round checkpoint it was derived from
+        out = colors.select(
             F.col("v").alias("vertex"),
             F.col("c").bitwiseAND(F.lit(_MASK63)).alias("color"),
         ).localCheckpoint(eager=True)
+        release(colors)
+        return out
     finally:
         spark.conf.set("spark.sql.ansi.enabled", ansi_was)
         if adj is not None:
