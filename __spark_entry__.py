@@ -644,6 +644,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mem, _ = triangle_percolation(projcp)
         return mem
 
+    def q_incremental_assign(spark, sf):
+        # daily-update path (operators/incremental.py): 80% of the edge
+        # table DBH-partitioned as the immutable base, the other 20% routed
+        # replica-affinity-first against it (score = endpoint replicas in
+        # bucket, ties to lighter base load then smaller id, DBH fallback
+        # for unseen-unseen) — batch-stationary, so one window replays it
+        from split_merge_partitioner_spark.operators import incremental_edge_assign
+        from split_merge_partitioner_spark.operators.expr_partitioners import (
+            dbh_partition,
+        )
+
+        e = _edges(spark, sf)
+        split = F.pmod(F.col("src") + F.col("dst"), F.lit(5))
+        base = dbh_partition(e.where(split != 0), P_DEFAULT)
+        return incremental_edge_assign(base, e.where(split == 0), P_DEFAULT)
+
     def q_degree_assortativity(spark, sf):
         # Newman assortativity of the raw bipartite co-occurrence graph
         # (expected negative: supplier hubs pair with low-degree customers).
@@ -2471,6 +2487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss": q_ktruss,
         "tri_percolation": q_tri_percolation,
         "tri_percolation_cp": q_tri_percolation_cp,
+        "incremental_assign": q_incremental_assign,
         "ktruss_cp": q_ktruss_cp,
         "tfidf_top_terms": q_tfidf_top_terms,
         "repetition_stats": q_repetition_stats,
@@ -2697,6 +2714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_top_events",
         # -- 2. new this round --
         "scc_cp", "ktruss_cp", "tri_percolation", "tri_percolation_cp",
+        "incremental_assign",
         "sessionize", "asof_latest", "segment_dedup",
         "kmeans_assign", "kmeans_update", "skipgram_pairs", "betweenness_cp",
         # -- 3. r3-green, dropped out of r4's window --
@@ -8064,6 +8082,55 @@ UNION
 SELECT CAST(v % 4294967296 AS BIGINT), CAST(community AS BIGINT) FROM comp
 """
 
+    # -- incremental routing oracle -------------------------------------------
+    # Full replay of operators/incremental.py on the 80/20 split: DBH base
+    # (degrees over the BASE slice only), replica/load state, the scoring
+    # window with the exact (score DESC, load ASC, bucket ASC) total order,
+    # and the unseen-unseen DBH fallback.
+    incremental_assign_sql = f"""
+WITH {_EDGES_CTE},
+base AS (SELECT src, dst FROM edges WHERE (src + dst) % 5 <> 0),
+delta AS (SELECT src, dst FROM edges WHERE (src + dst) % 5 = 0),
+bverts AS (SELECT src AS vertex FROM base UNION ALL SELECT dst FROM base),
+bdeg AS (SELECT vertex, COUNT(*) AS degree FROM bverts GROUP BY vertex),
+bassign AS (
+    SELECT b.src, b.dst,
+           CAST((CASE WHEN ds.degree <= dd.degree THEN b.src ELSE b.dst END) % {P_DEFAULT} AS BIGINT) AS bucket
+    FROM base b
+    JOIN bdeg ds ON ds.vertex = b.src
+    JOIN bdeg dd ON dd.vertex = b.dst),
+reps AS (SELECT DISTINCT vertex, bucket FROM (
+    SELECT src AS vertex, bucket FROM bassign
+    UNION ALL SELECT dst, bucket FROM bassign)),
+loads AS (SELECT bucket, COUNT(*) AS ld FROM bassign GROUP BY bucket),
+cand AS (
+    SELECT d.src, d.dst, r.bucket FROM delta d JOIN reps r ON r.vertex = d.src
+    UNION ALL
+    SELECT d.src, d.dst, r.bucket FROM delta d JOIN reps r ON r.vertex = d.dst),
+scored AS (SELECT src, dst, bucket, COUNT(*) AS score FROM cand GROUP BY src, dst, bucket),
+best AS (
+    SELECT s.src, s.dst, s.bucket,
+           ROW_NUMBER() OVER (PARTITION BY s.src, s.dst
+                              ORDER BY s.score DESC, l.ld ASC, s.bucket ASC) AS rn
+    FROM scored s JOIN loads l ON l.bucket = s.bucket),
+routed AS (SELECT src, dst, CAST(bucket AS BIGINT) AS bucket FROM best WHERE rn = 1),
+fresh AS (
+    SELECT d.src, d.dst FROM delta d
+    LEFT JOIN routed r ON r.src = d.src AND r.dst = d.dst
+    WHERE r.src IS NULL),
+fb AS (
+    SELECT f.src, f.dst,
+           COALESCE(ds.degree, 0) AS du, COALESCE(dd.degree, 0) AS dv
+    FROM fresh f
+    LEFT JOIN bdeg ds ON ds.vertex = f.src
+    LEFT JOIN bdeg dd ON dd.vertex = f.dst)
+SELECT src, dst, bucket FROM routed
+UNION ALL
+SELECT src, dst,
+       CAST((CASE WHEN du <= dv THEN src ELSE dst END) % {P_DEFAULT} AS BIGINT)
+FROM fb
+"""
+
     tri_percolation_sql = _percolation_sql(f"{_EDGES_CTE}, {_PROJ_CTE}", "proj")
     tri_percolation_cp_sql = _percolation_sql(
         f"""{_EDGES_CP_CTE},
@@ -9209,6 +9276,7 @@ FROM nb n JOIN cls c ON n.nbrs = c.nbrs
         "ktruss_cp": ktruss_cp_sql,
         "tri_percolation": tri_percolation_sql,
         "tri_percolation_cp": tri_percolation_cp_sql,
+        "incremental_assign": incremental_assign_sql,
         "degree_assortativity": degree_assortativity_sql,
         "global_clustering": global_clustering_sql,
         "betweenness": betweenness_sql,

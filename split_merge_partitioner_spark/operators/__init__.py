@@ -28,3 +28,4 @@ from .vertex_cut import (  # noqa: F401
     vertex_partition_stats,
 )
 from .multilevel import multilevel_partition  # noqa: F401
+from .incremental import incremental_edge_assign  # noqa: F401
