@@ -644,6 +644,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mem, _ = triangle_percolation(projcp)
         return mem
 
+    def q_bond_percolation(spark, sf):
+        # bond-percolation robustness curve (graph/robustness.py): one
+        # deterministic splitmix64 coin per canonical edge, nested survival
+        # sets, each retention level an incremental-CC delta merge — total
+        # CC work ~ ONE full run for the whole curve; exact-integer stats
+        from split_merge_partitioner_spark.graph import bond_percolation_profile
+
+        prof, _ = bond_percolation_profile(
+            _edges(spark, sf), p_ppms=[5000, 20000, 100000, 400000], seed=42
+        )
+        return prof
+
+    def q_bond_percolation_cp(spark, sf):
+        # second fixture (2.2x vertices, different degree profile): the
+        # incremental-CC chain runs at different per-level round counts —
+        # the data-dependent-rounds class the _cp oracles exist to catch
+        from split_merge_partitioner_spark.graph import bond_percolation_profile
+
+        prof, _ = bond_percolation_profile(
+            _edges_cp(spark, sf), p_ppms=[5000, 20000, 100000, 400000], seed=42
+        )
+        return prof
+
     def q_incremental_assign(spark, sf):
         # daily-update path (operators/incremental.py): 80% of the edge
         # table DBH-partitioned as the immutable base, the other 20% routed
@@ -2487,6 +2510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss": q_ktruss,
         "tri_percolation": q_tri_percolation,
         "tri_percolation_cp": q_tri_percolation_cp,
+        "bond_percolation": q_bond_percolation,
+        "bond_percolation_cp": q_bond_percolation_cp,
         "incremental_assign": q_incremental_assign,
         "ktruss_cp": q_ktruss_cp,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -2714,7 +2739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_top_events",
         # -- 2. new this round --
         "scc_cp", "ktruss_cp", "tri_percolation", "tri_percolation_cp",
-        "incremental_assign",
+        "bond_percolation", "bond_percolation_cp", "incremental_assign",
         "sessionize", "asof_latest", "segment_dedup",
         "kmeans_assign", "kmeans_update", "skipgram_pairs", "betweenness_cp",
         # -- 3. r3-green, dropped out of r4's window --
@@ -8082,6 +8107,50 @@ UNION
 SELECT CAST(v % 4294967296 AS BIGINT), CAST(community AS BIGINT) FROM comp
 """
 
+    # -- bond-percolation robustness oracle -----------------------------------
+    # graph/robustness.py replay: the per-edge splitmix64 coin in HUGEINT
+    # (bitwiseAND(2^63-1) == % 2^63 on the unsigned value), one edge slice
+    # per retention level, then recursive min-reachability components per
+    # level (labels = component minima, the incremental-CC contract) and
+    # the same exact-integer size aggregates.
+    def _bondperc_sql(edges_cte: str, seed: int, levels: list[int]) -> str:
+        lv_list = ", ".join(str(p) for p in levels)
+        return f"""
+WITH RECURSIVE {edges_cte},
+ce AS (SELECT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+       FROM edges WHERE src <> dst GROUP BY 1, 2),
+ck AS (SELECT src, dst,
+       CAST(src AS HUGEINT) * 1000003 + CAST(dst AS HUGEINT) * 40503 + {seed} AS kx
+       FROM ce),
+coins AS (SELECT src, dst,
+       CAST({_sm64_sql('kx')} AS HUGEINT) % 9223372036854775808 % 1000000 AS coin
+       FROM ck),
+bverts AS (SELECT src AS v FROM ce UNION SELECT dst FROM ce),
+blv AS (SELECT UNNEST([{lv_list}]) AS p_ppm),
+ble AS (SELECT l.p_ppm, c.src, c.dst FROM blv l JOIN coins c ON c.coin < l.p_ppm),
+bdu AS (SELECT p_ppm, src AS a, dst AS b FROM ble
+        UNION SELECT p_ppm, dst, src FROM ble),
+breach(p_ppm, v, r) AS (
+    SELECT l.p_ppm, vt.v, vt.v FROM bverts vt CROSS JOIN blv l
+    UNION
+    SELECT breach.p_ppm, breach.v, bdu.b FROM breach
+    JOIN bdu ON bdu.p_ppm = breach.p_ppm AND breach.r = bdu.a),
+bcomp AS (SELECT p_ppm, v, MIN(r) AS c FROM breach GROUP BY p_ppm, v),
+bsizes AS (SELECT p_ppm, c, COUNT(*) AS sz FROM bcomp GROUP BY p_ppm, c),
+becnt AS (SELECT l.p_ppm, CAST(COUNT(c.src) AS BIGINT) AS n_edges
+          FROM blv l LEFT JOIN coins c ON c.coin < l.p_ppm GROUP BY l.p_ppm)
+SELECT CAST(s.p_ppm AS BIGINT) AS p_ppm, e.n_edges,
+       CAST(COUNT(*) AS BIGINT) AS n_components,
+       CAST(MAX(s.sz) AS BIGINT) AS giant_size,
+       CAST(SUM(CASE WHEN s.sz = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_isolated
+FROM bsizes s JOIN becnt e ON e.p_ppm = s.p_ppm
+GROUP BY s.p_ppm, e.n_edges
+"""
+
+    _BP_LEVELS = [5000, 20000, 100000, 400000]
+    bond_percolation_sql = _bondperc_sql(_EDGES_CTE, 42, _BP_LEVELS)
+    bond_percolation_cp_sql = _bondperc_sql(_EDGES_CP_CTE, 42, _BP_LEVELS)
+
     # -- incremental routing oracle -------------------------------------------
     # Full replay of operators/incremental.py on the 80/20 split: DBH base
     # (degrees over the BASE slice only), replica/load state, the scoring
@@ -9277,6 +9346,8 @@ FROM nb n JOIN cls c ON n.nbrs = c.nbrs
         "tri_percolation": tri_percolation_sql,
         "tri_percolation_cp": tri_percolation_cp_sql,
         "incremental_assign": incremental_assign_sql,
+        "bond_percolation": bond_percolation_sql,
+        "bond_percolation_cp": bond_percolation_cp_sql,
         "degree_assortativity": degree_assortativity_sql,
         "global_clustering": global_clustering_sql,
         "betweenness": betweenness_sql,
