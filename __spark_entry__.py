@@ -667,6 +667,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return prof
 
+    def q_attack_profile(spark, sf):
+        # targeted-attack tolerance curve (graph/robustness.py): delete the
+        # top-k degree hubs per level; reverse-nested survival sets run the
+        # same one-pass incremental-CC chain as the bond curve, with the
+        # hub ranking a distributed top-k (no global window)
+        from split_merge_partitioner_spark.graph import targeted_attack_profile
+
+        prof, _ = targeted_attack_profile(
+            _edges(spark, sf), remove_counts=[0, 8, 32, 96]
+        )
+        return prof
+
+    def q_attack_profile_cp(spark, sf):
+        # second fixture: 2000 moderate-degree part hubs instead of 100
+        # supplier hubs — hub removal bites later, different merge cascade
+        from split_merge_partitioner_spark.graph import targeted_attack_profile
+
+        prof, _ = targeted_attack_profile(
+            _edges_cp(spark, sf), remove_counts=[0, 8, 32, 96]
+        )
+        return prof
+
     def q_incremental_assign(spark, sf):
         # daily-update path (operators/incremental.py): 80% of the edge
         # table DBH-partitioned as the immutable base, the other 20% routed
@@ -2512,6 +2534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tri_percolation_cp": q_tri_percolation_cp,
         "bond_percolation": q_bond_percolation,
         "bond_percolation_cp": q_bond_percolation_cp,
+        "attack_profile": q_attack_profile,
+        "attack_profile_cp": q_attack_profile_cp,
         "incremental_assign": q_incremental_assign,
         "ktruss_cp": q_ktruss_cp,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -2739,7 +2763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_top_events",
         # -- 2. new this round --
         "scc_cp", "ktruss_cp", "tri_percolation", "tri_percolation_cp",
-        "bond_percolation", "bond_percolation_cp", "incremental_assign",
+        "bond_percolation", "bond_percolation_cp",
+        "attack_profile", "attack_profile_cp", "incremental_assign",
         "sessionize", "asof_latest", "segment_dedup",
         "kmeans_assign", "kmeans_update", "skipgram_pairs", "betweenness_cp",
         # -- 3. r3-green, dropped out of r4's window --
@@ -8151,6 +8176,55 @@ GROUP BY s.p_ppm, e.n_edges
     bond_percolation_sql = _bondperc_sql(_EDGES_CTE, 42, _BP_LEVELS)
     bond_percolation_cp_sql = _bondperc_sql(_EDGES_CP_CTE, 42, _BP_LEVELS)
 
+    # -- targeted-attack robustness oracle -------------------------------------
+    # graph/robustness.py::targeted_attack_profile replay: removal rank =
+    # ROW_NUMBER over (degree DESC, vertex ASC) on canonical-edge degrees
+    # (identical total order to Spark's distributed top-k — vertex ids break
+    # all ties), edge survives level k iff LEAST(rank_src, rank_dst) > k,
+    # then per-level recursive min-reachability over the surviving vertices.
+    def _attack_sql(edges_cte: str, ks: list[int]) -> str:
+        k_list = ", ".join(str(k) for k in ks)
+        return f"""
+WITH RECURSIVE {edges_cte},
+ce AS (SELECT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+       FROM edges WHERE src <> dst GROUP BY 1, 2),
+adeg AS (SELECT v, COUNT(*) AS degree
+         FROM (SELECT src AS v FROM ce UNION ALL SELECT dst FROM ce)
+         GROUP BY v),
+ark AS (SELECT v, ROW_NUMBER() OVER (ORDER BY degree DESC, v ASC) AS rk FROM adeg),
+aer AS (SELECT c.src, c.dst, LEAST(rs.rk, rd.rk) AS er
+        FROM ce c JOIN ark rs ON rs.v = c.src JOIN ark rd ON rd.v = c.dst),
+alv AS (SELECT UNNEST([{k_list}]) AS n_removed),
+averts AS (SELECT l.n_removed, r.v FROM ark r CROSS JOIN alv l
+           WHERE r.rk > l.n_removed),
+ale AS (SELECT l.n_removed, e.src, e.dst FROM alv l JOIN aer e ON e.er > l.n_removed),
+adu AS (SELECT n_removed, src AS a, dst AS b FROM ale
+        UNION SELECT n_removed, dst, src FROM ale),
+areach(n_removed, v, r) AS (
+    SELECT n_removed, v, v FROM averts
+    UNION
+    SELECT areach.n_removed, areach.v, adu.b FROM areach
+    JOIN adu ON adu.n_removed = areach.n_removed AND areach.r = adu.a),
+acomp AS (SELECT n_removed, v, MIN(r) AS c FROM areach GROUP BY n_removed, v),
+asizes AS (SELECT n_removed, c, COUNT(*) AS sz FROM acomp GROUP BY n_removed, c),
+aecnt AS (SELECT l.n_removed, CAST(COUNT(e.src) AS BIGINT) AS n_edges
+          FROM alv l LEFT JOIN aer e ON e.er > l.n_removed GROUP BY l.n_removed),
+avcnt AS (SELECT n_removed, CAST(COUNT(*) AS BIGINT) AS n_vertices
+          FROM averts GROUP BY n_removed)
+SELECT CAST(s.n_removed AS BIGINT) AS n_removed, vc.n_vertices, e.n_edges,
+       CAST(COUNT(*) AS BIGINT) AS n_components,
+       CAST(MAX(s.sz) AS BIGINT) AS giant_size,
+       CAST(SUM(CASE WHEN s.sz = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_isolated
+FROM asizes s
+JOIN aecnt e ON e.n_removed = s.n_removed
+JOIN avcnt vc ON vc.n_removed = s.n_removed
+GROUP BY s.n_removed, vc.n_vertices, e.n_edges
+"""
+
+    _ATTACK_KS = [0, 8, 32, 96]
+    attack_profile_sql = _attack_sql(_EDGES_CTE, _ATTACK_KS)
+    attack_profile_cp_sql = _attack_sql(_EDGES_CP_CTE, _ATTACK_KS)
+
     # -- incremental routing oracle -------------------------------------------
     # Full replay of operators/incremental.py on the 80/20 split: DBH base
     # (degrees over the BASE slice only), replica/load state, the scoring
@@ -9348,6 +9422,8 @@ FROM nb n JOIN cls c ON n.nbrs = c.nbrs
         "incremental_assign": incremental_assign_sql,
         "bond_percolation": bond_percolation_sql,
         "bond_percolation_cp": bond_percolation_cp_sql,
+        "attack_profile": attack_profile_sql,
+        "attack_profile_cp": attack_profile_cp_sql,
         "degree_assortativity": degree_assortativity_sql,
         "global_clustering": global_clustering_sql,
         "betweenness": betweenness_sql,

@@ -64,4 +64,4 @@ from .simrank import simrank_mc  # noqa: F401
 from .walks import walk_topk_recs  # noqa: F401
 from .fuzzytwins import fuzzy_twins  # noqa: F401
 from .percolation import percolation_summary, triangle_percolation  # noqa: F401
-from .robustness import bond_percolation_profile  # noqa: F401
+from .robustness import bond_percolation_profile, targeted_attack_profile  # noqa: F401

@@ -43,7 +43,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..storage import release
@@ -159,5 +159,163 @@ def bond_percolation_profile(
         return out, info
     finally:
         spark.conf.set("spark.sql.ansi.enabled", ansi_was)
+        for df in scratch:
+            release(df)
+
+
+def targeted_attack_profile(
+    edges: DataFrame,
+    remove_counts: Sequence[int],
+    max_rounds: int = 50,
+) -> tuple[DataFrame, dict]:
+    """((n_removed, n_vertices, n_edges, n_components, giant_size,
+    n_isolated), info): component structure after deleting the top-k
+    highest-degree vertices (and every incident edge) for each k in
+    ``remove_counts`` — the targeted-attack tolerance curve (Albert, Jeong
+    & Barabási, *Nature* 2000), the hub-failure twin of
+    bond_percolation_profile's random-failure curve.
+
+    Removal order is the engine-independent total order (degree DESC,
+    vertex ASC) over canonical-edge degrees, so every level is a pure
+    function of the graph.  Stats cover the SURVIVING vertices only:
+    n_vertices = n − k, n_components counts their components, n_isolated
+    the size-1 ones.
+
+    Execution — reverse nesting, same trick as the bond curve: edge e
+    survives level k iff min over endpoints of the removal rank > k, so
+    the survival sets GROW as k descends.  Levels are evaluated k-descending
+    and each is an incremental-CC merge of the delta slice rank ∈ (k, k_prev]:
+    one pass over the edges total, plus per level a ≤|delta|-edge component
+    graph and one broadcast anti-join of the (tiny, ≤k_max-row) removed set
+    for the stats.  The hub ranking itself is a distributed top-k
+    (orderBy+limit = TakeOrdered, no global single-partition window); the
+    row_number window runs on the ≤k_max-row result only.
+    """
+    from ..sources.edges import vertices_of
+
+    ks = sorted(set(int(k) for k in remove_counts))
+    if not ks:
+        raise ValueError("targeted_attack_profile needs >= 1 removal level")
+    if ks[0] < 0:
+        raise ValueError("removal counts must be >= 0")
+    kmax = ks[-1]
+    spark = edges.sparkSession
+    scratch: list = []
+    try:
+        canon = (
+            edges.select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .dropDuplicates(["src", "dst"])
+            .localCheckpoint(eager=True)
+        )
+        scratch.append(canon)
+        universe = vertices_of(canon).localCheckpoint(eager=True)
+        scratch.append(universe)
+        n = universe.count()
+        if kmax >= n:
+            raise ValueError(
+                f"largest removal count {kmax} must be < n_vertices {n}"
+            )
+        degrees = (
+            canon.select(F.col("src").alias("vertex"))
+            .unionAll(canon.select(F.col("dst").alias("vertex")))
+            .groupBy("vertex")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        hubs = degrees.orderBy(F.desc("degree"), F.asc("vertex")).limit(kmax)
+        rk_w = Window.orderBy(F.desc("degree"), F.asc("vertex"))
+        ranked = hubs.select(
+            "vertex", F.row_number().over(rk_w).alias("rk")
+        ).localCheckpoint(eager=True)
+        scratch.append(ranked)
+        sentinel = kmax + 1
+        er = (
+            canon.join(
+                F.broadcast(
+                    ranked.select(F.col("vertex").alias("src"), F.col("rk").alias("rs"))
+                ),
+                "src",
+                "left",
+            )
+            .join(
+                F.broadcast(
+                    ranked.select(F.col("vertex").alias("dst"), F.col("rk").alias("rd"))
+                ),
+                "dst",
+                "left",
+            )
+            .select(
+                "src",
+                "dst",
+                F.least(
+                    F.coalesce("rs", F.lit(sentinel)),
+                    F.coalesce("rd", F.lit(sentinel)),
+                ).alias("er"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        scratch.append(er)
+        labels = universe.select(
+            "vertex", F.col("vertex").alias("component")
+        ).localCheckpoint(eager=True)
+        scratch.append(labels)
+
+        rows: list[DataFrame] = []
+        info: dict = {"n": n, "levels": {}}
+        prev = None  # first level admits every edge with er > kmax
+        for k in reversed(ks):
+            cond = F.col("er") > F.lit(k)
+            if prev is not None:
+                cond = cond & (F.col("er") <= F.lit(prev))
+            delta = er.where(cond).select("src", "dst")
+            labels, step = connected_components_incremental(
+                labels, delta, max_rounds=max_rounds
+            )
+            scratch.append(labels)
+            removed = ranked.where(F.col("rk") <= F.lit(k)).select("vertex")
+            alive = labels.join(F.broadcast(removed), "vertex", "left_anti")
+            stats = (
+                alive.groupBy("component")
+                .agg(F.count(F.lit(1)).alias("sz"))
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_components"),
+                    F.max("sz").cast("long").alias("giant_size"),
+                    F.sum((F.col("sz") == 1).cast("long"))
+                    .cast("long")
+                    .alias("n_isolated"),
+                )
+            )
+            ecnt = er.where(F.col("er") > F.lit(k)).agg(
+                F.count(F.lit(1)).cast("long").alias("n_edges")
+            )
+            row = (
+                ecnt.crossJoin(stats)
+                .select(
+                    F.lit(k).cast("long").alias("n_removed"),
+                    F.lit(n - k).cast("long").alias("n_vertices"),
+                    "n_edges",
+                    "n_components",
+                    "giant_size",
+                    "n_isolated",
+                )
+                .localCheckpoint(eager=True)
+            )
+            scratch.append(row)
+            rows.append(row)
+            info["levels"][k] = {
+                "rounds": step["rounds"],
+                "merged_links": step["merged_links"],
+            }
+            prev = k
+
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionAll(r)
+        out = out.localCheckpoint(eager=True)
+        return out, info
+    finally:
         for df in scratch:
             release(df)

@@ -108,3 +108,81 @@ def test_profile_rejects_bad_levels(spark):
         bond_percolation_profile(df, [-1])
     with pytest.raises(ValueError):
         bond_percolation_profile(df, [2_000_000])
+
+
+# ---------------------------------------------------------------------------
+# targeted-attack profile
+# ---------------------------------------------------------------------------
+
+from split_merge_partitioner_spark.graph import targeted_attack_profile
+
+
+def _attack_expected(pairs, k):
+    """Union-find recompute after removing the top-k (degree DESC, vertex
+    ASC) vertices of the canonical graph."""
+    deg = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    order = sorted(deg, key=lambda v: (-deg[v], v))
+    removed = set(order[:k])
+    alive = [v for v in deg if v not in removed]
+    retained = [e for e in pairs if e[0] not in removed and e[1] not in removed]
+    stats = _union_find_stats(alive, retained) if alive else {
+        "n_components": 0, "giant_size": None, "n_isolated": 0,
+    }
+    stats["n_edges"] = len(retained)
+    stats["n_vertices"] = len(alive)
+    return stats
+
+
+@pytest.mark.parametrize("seed", [2, 11])
+def test_attack_matches_per_level_recompute(spark, seed):
+    pairs = _random_edges(seed)
+    ks = [0, 5, 20, 60]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    prof, info = targeted_attack_profile(df, ks)
+    got = {r.n_removed: r.asDict() for r in prof.collect()}
+    assert set(got) == set(ks)
+    for k in ks:
+        exp = _attack_expected(pairs, k)
+        row = got[k]
+        for key, v in exp.items():
+            assert row[key] == v, (k, key, row, exp)
+    # k=0 row is the intact graph
+    assert got[0]["n_edges"] == len(pairs)
+    # attack curve: more removals, fewer edges, smaller giant
+    seq = [got[k] for k in ks]
+    for a, b in zip(seq, seq[1:]):
+        assert a["n_edges"] >= b["n_edges"]
+        assert a["giant_size"] >= b["giant_size"]
+
+
+def test_attack_hand_star(spark):
+    # star 1-(2..6) plus a detached triangle (10,11,12): removing the single
+    # top hub (vertex 1, degree 5) shatters the star into 5 isolated leaves
+    pairs = [(1, v) for v in range(2, 7)] + [(10, 11), (11, 12), (10, 12)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    prof, _ = targeted_attack_profile(df, [0, 1])
+    rows = {r.n_removed: r for r in prof.collect()}
+    assert rows[0].n_components == 2
+    assert rows[0].giant_size == 6
+    assert rows[1].n_vertices == 8
+    assert rows[1].n_edges == 3
+    assert rows[1].n_components == 6
+    assert rows[1].giant_size == 3
+    assert rows[1].n_isolated == 5
+
+
+def test_attack_deterministic_and_validates(spark):
+    pairs = _random_edges(5)
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    a, _ = targeted_attack_profile(df, [3, 30])
+    b, _ = targeted_attack_profile(df.repartition(7), [30, 3])
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    with pytest.raises(ValueError):
+        targeted_attack_profile(df, [])
+    with pytest.raises(ValueError):
+        targeted_attack_profile(df, [-2])
+    with pytest.raises(ValueError):
+        targeted_attack_profile(df, [10_000])
