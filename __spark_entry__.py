@@ -689,6 +689,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return prof
 
+    def q_temporal_reach(spark, sf):
+        # time-respecting earliest-arrival reachability (graph/temporal.py):
+        # arrivals propagate through (event_type, hour) bucket occurrences —
+        # never a user-user pair join, hub buckets cost their membership;
+        # exact integer window indices, recursive-CTE oracle replay
+        from split_merge_partitioner_spark.graph import temporal_reachability
+
+        out, _ = temporal_reachability(
+            spark.read.parquet(f"{sf}/events.parquet"), seeds=[1, 7],
+            window_seconds=3600,
+        )
+        return out
+
+    def q_temporal_reach_4h(spark, sf):
+        # coarser 4-hour windows: denser bucket occupancy, different
+        # arrival profile and superstep count — the second-fixture analog
+        # for a data-dependent-rounds operator on the events table
+        from split_merge_partitioner_spark.graph import temporal_reachability
+
+        out, _ = temporal_reachability(
+            spark.read.parquet(f"{sf}/events.parquet"), seeds=[1, 7],
+            window_seconds=14400,
+        )
+        return out
+
     def q_incremental_assign(spark, sf):
         # daily-update path (operators/incremental.py): 80% of the edge
         # table DBH-partitioned as the immutable base, the other 20% routed
@@ -2536,6 +2561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bond_percolation_cp": q_bond_percolation_cp,
         "attack_profile": q_attack_profile,
         "attack_profile_cp": q_attack_profile_cp,
+        "temporal_reach": q_temporal_reach,
+        "temporal_reach_4h": q_temporal_reach_4h,
         "incremental_assign": q_incremental_assign,
         "ktruss_cp": q_ktruss_cp,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -2764,7 +2791,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 2. new this round --
         "scc_cp", "ktruss_cp", "tri_percolation", "tri_percolation_cp",
         "bond_percolation", "bond_percolation_cp",
-        "attack_profile", "attack_profile_cp", "incremental_assign",
+        "attack_profile", "attack_profile_cp",
+        "temporal_reach", "temporal_reach_4h", "incremental_assign",
         "sessionize", "asof_latest", "segment_dedup",
         "kmeans_assign", "kmeans_update", "skipgram_pairs", "betweenness_cp",
         # -- 3. r3-green, dropped out of r4's window --
@@ -8225,6 +8253,33 @@ GROUP BY s.n_removed, vc.n_vertices, e.n_edges
     attack_profile_sql = _attack_sql(_EDGES_CTE, _ATTACK_KS)
     attack_profile_cp_sql = _attack_sql(_EDGES_CP_CTE, _ATTACK_KS)
 
+    # -- temporal reachability oracle ------------------------------------------
+    # graph/temporal.py replay: incidence = distinct (user, event_type,
+    # epoch-µs div window) — DuckDB epoch_us on naive TIMESTAMP is
+    # bit-identical to the engine's EPOCH_US_SQL NTZ template — then one
+    # recursive CTE propagating (user, arrival) through bucket occurrences
+    # with the inclusive w >= arrival rule; earliest arrival = MIN.
+    def _temporal_sql(window_seconds: int, seeds: list[int]) -> str:
+        window_us = window_seconds * 1_000_000
+        seed_list = ", ".join(str(s) for s in seeds)
+        return f"""
+WITH RECURSIVE tinc AS (
+    SELECT DISTINCT CAST(user_id AS BIGINT) AS u, event_type AS et,
+           epoch_us(ts) // {window_us} AS w
+    FROM events),
+treach(u, a) AS (
+    SELECT CAST(UNNEST([{seed_list}]) AS BIGINT), CAST(0 AS BIGINT)
+    UNION
+    SELECT i2.u, i1.w FROM treach
+    JOIN tinc i1 ON i1.u = treach.u AND i1.w >= treach.a
+    JOIN tinc i2 ON i2.et = i1.et AND i2.w = i1.w)
+SELECT u AS user_id, CAST(MIN(a) AS BIGINT) AS arrival_win
+FROM treach GROUP BY u
+"""
+
+    temporal_reach_sql = _temporal_sql(3600, [1, 7])
+    temporal_reach_4h_sql = _temporal_sql(14400, [1, 7])
+
     # -- incremental routing oracle -------------------------------------------
     # Full replay of operators/incremental.py on the 80/20 split: DBH base
     # (degrees over the BASE slice only), replica/load state, the scoring
@@ -9424,6 +9479,8 @@ FROM nb n JOIN cls c ON n.nbrs = c.nbrs
         "bond_percolation_cp": bond_percolation_cp_sql,
         "attack_profile": attack_profile_sql,
         "attack_profile_cp": attack_profile_cp_sql,
+        "temporal_reach": temporal_reach_sql,
+        "temporal_reach_4h": temporal_reach_4h_sql,
         "degree_assortativity": degree_assortativity_sql,
         "global_clustering": global_clustering_sql,
         "betweenness": betweenness_sql,

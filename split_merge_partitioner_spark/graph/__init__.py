@@ -65,3 +65,4 @@ from .walks import walk_topk_recs  # noqa: F401
 from .fuzzytwins import fuzzy_twins  # noqa: F401
 from .percolation import percolation_summary, triangle_percolation  # noqa: F401
 from .robustness import bond_percolation_profile, targeted_attack_profile  # noqa: F401
+from .temporal import temporal_reachability  # noqa: F401
