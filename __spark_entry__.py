@@ -714,6 +714,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out
 
+    def q_wl_quotient(spark, sf):
+        # 1-WL quotient supergraph (graph/wl.py::wl_quotient): vertices
+        # contracted into round-3 refinement classes; super-edges count the
+        # original edges between class pairs with both class sizes — the
+        # role-based summarization readout of the wl_colors machinery
+        from split_merge_partitioner_spark.graph import wl_quotient
+
+        return wl_quotient(_edges(spark, sf))
+
+    def q_wl_quotient_cp(spark, sf):
+        # second fixture: the moderate-degree part side refines into a
+        # different class structure than the 100 supplier hubs
+        from split_merge_partitioner_spark.graph import wl_quotient
+
+        return wl_quotient(_edges_cp(spark, sf))
+
     def q_incremental_assign(spark, sf):
         # daily-update path (operators/incremental.py): 80% of the edge
         # table DBH-partitioned as the immutable base, the other 20% routed
@@ -2563,6 +2579,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attack_profile_cp": q_attack_profile_cp,
         "temporal_reach": q_temporal_reach,
         "temporal_reach_4h": q_temporal_reach_4h,
+        "wl_quotient": q_wl_quotient,
+        "wl_quotient_cp": q_wl_quotient_cp,
         "incremental_assign": q_incremental_assign,
         "ktruss_cp": q_ktruss_cp,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -2792,7 +2810,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_cp", "ktruss_cp", "tri_percolation", "tri_percolation_cp",
         "bond_percolation", "bond_percolation_cp",
         "attack_profile", "attack_profile_cp",
-        "temporal_reach", "temporal_reach_4h", "incremental_assign",
+        "temporal_reach", "temporal_reach_4h",
+        "wl_quotient", "wl_quotient_cp", "incremental_assign",
         "sessionize", "asof_latest", "segment_dedup",
         "kmeans_assign", "kmeans_update", "skipgram_pairs", "betweenness_cp",
         # -- 3. r3-green, dropped out of r4's window --
@@ -8280,6 +8299,28 @@ FROM treach GROUP BY u
     temporal_reach_sql = _temporal_sql(3600, [1, 7])
     temporal_reach_4h_sql = _temporal_sql(14400, [1, 7])
 
+    # -- WL-quotient supergraph oracle ------------------------------------------
+    # graph/wl.py::wl_quotient replay: the wc3 color chain (shared with
+    # wl_colors/graph_fp), classes joined onto both edge endpoints, canonical
+    # super-edge counts + class sizes.
+    def _wl_quotient_sql(edges_cte: str) -> str:
+        return f"""
+WITH {edges_cte},
+{','.join(_wl_ctes)},
+qc AS (SELECT v, CAST(c % 9223372036854775808 AS BIGINT) AS color FROM wc3),
+qs AS (SELECT color, CAST(COUNT(*) AS BIGINT) AS nv FROM qc GROUP BY color),
+qe AS (SELECT LEAST(cu.color, cv.color) AS c_src,
+              GREATEST(cu.color, cv.color) AS c_dst,
+              CAST(COUNT(*) AS BIGINT) AS n_edges
+       FROM edges e JOIN qc cu ON cu.v = e.src JOIN qc cv ON cv.v = e.dst
+       GROUP BY 1, 2)
+SELECT qe.c_src, qe.c_dst, qe.n_edges, s1.nv AS n_src, s2.nv AS n_dst
+FROM qe JOIN qs s1 ON s1.color = qe.c_src JOIN qs s2 ON s2.color = qe.c_dst
+"""
+
+    wl_quotient_sql = _wl_quotient_sql(_EDGES_CTE)
+    wl_quotient_cp_sql = _wl_quotient_sql(_EDGES_CP_CTE)
+
     # -- incremental routing oracle -------------------------------------------
     # Full replay of operators/incremental.py on the 80/20 split: DBH base
     # (degrees over the BASE slice only), replica/load state, the scoring
@@ -9481,6 +9522,8 @@ FROM nb n JOIN cls c ON n.nbrs = c.nbrs
         "attack_profile_cp": attack_profile_cp_sql,
         "temporal_reach": temporal_reach_sql,
         "temporal_reach_4h": temporal_reach_4h_sql,
+        "wl_quotient": wl_quotient_sql,
+        "wl_quotient_cp": wl_quotient_cp_sql,
         "degree_assortativity": degree_assortativity_sql,
         "global_clustering": global_clustering_sql,
         "betweenness": betweenness_sql,

@@ -43,7 +43,7 @@ from .neighbor_sample import layerwise_neighbor_sample  # noqa: F401
 from .louvain import contract_by_community, louvain, louvain_local_move  # noqa: F401
 from .katz import katz_centrality  # noqa: F401
 from .salsa import salsa_scores  # noqa: F401
-from .wl import graph_fingerprint, wl_colors  # noqa: F401
+from .wl import graph_fingerprint, wl_colors, wl_quotient  # noqa: F401
 from .dag import topological_levels  # noqa: F401
 from .bowtie import bowtie_classes  # noqa: F401
 from .scc import scc_condensation  # noqa: F401

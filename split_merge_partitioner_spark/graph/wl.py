@@ -135,3 +135,69 @@ def graph_fingerprint(edges: DataFrame, n_rounds: int = 3) -> DataFrame:
         return out
     finally:
         release(colors)
+
+
+def wl_quotient(edges: DataFrame, n_rounds: int = 3) -> DataFrame:
+    """(c_src, c_dst, n_edges, n_src, n_dst): the 1-WL quotient supergraph —
+    vertices contracted into their round-``n_rounds`` refinement classes,
+    super-edges counting the original edges between each (canonical) class
+    pair, annotated with both class sizes.
+
+    This is role-based graph summarization: structurally equivalent
+    vertices (up to 1-WL) collapse to one supernode, so the quotient is the
+    smallest relation that still answers "how do the structural roles wire
+    to each other" — the compression step before motif dashboards or
+    role-level diffing of two crawl snapshots.  The quotient of a graph
+    with k WL classes has at most k supernodes regardless of n, so the
+    output is dashboard-sized even at 100 TB while its derivation stays
+    fully distributed (two hash joins of the n-row color relation onto the
+    edge relation + one map-side-combined groupBy; class sizes broadcast
+    back onto the ≤k²-row super-edge relation).
+
+    Input is canonicalized (src<dst, self-loops dropped, deduped) so colors
+    and super-edge counts are derived from the same edge multiset.
+    """
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=True)
+    )
+    cols = wl_colors(canon, n_rounds=n_rounds)
+    try:
+        sizes = cols.groupBy("color").agg(F.count(F.lit(1)).cast("long").alias("nv"))
+        ce = (
+            canon.join(
+                cols.select(F.col("vertex").alias("src"), F.col("color").alias("cu")),
+                "src",
+            )
+            .join(
+                cols.select(F.col("vertex").alias("dst"), F.col("color").alias("cv")),
+                "dst",
+            )
+            .groupBy(
+                F.least("cu", "cv").alias("c_src"),
+                F.greatest("cu", "cv").alias("c_dst"),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        )
+        out = (
+            ce.join(
+                F.broadcast(sizes.select(F.col("color").alias("c_src"),
+                                         F.col("nv").alias("n_src"))),
+                "c_src",
+            )
+            .join(
+                F.broadcast(sizes.select(F.col("color").alias("c_dst"),
+                                         F.col("nv").alias("n_dst"))),
+                "c_dst",
+            )
+            .select("c_src", "c_dst", "n_edges", "n_src", "n_dst")
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        release(cols)
+        release(canon)

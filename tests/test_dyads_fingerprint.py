@@ -85,3 +85,77 @@ def test_fingerprint_releases_colors(spark):
     graph_fingerprint(_df(spark, [(0, 1), (1, 2), (2, 3)])).collect()
     after = len(sc._jsc.sc().getRDDStorageInfo())
     assert after - before <= 1
+
+
+# ---------------------------------------------------------------------------
+# WL quotient supergraph
+# ---------------------------------------------------------------------------
+
+from split_merge_partitioner_spark.graph import wl_quotient
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_wl_quotient_cycle_collapses_to_one_supernode(spark):
+    c6 = [(i, (i + 1) % 6) for i in range(6)]
+    out = wl_quotient(spark.createDataFrame(c6, "src long, dst long"))
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.c_src == r.c_dst
+    assert r.n_edges == 6 and r.n_src == 6 and r.n_dst == 6
+
+
+def test_wl_quotient_star_two_roles(spark):
+    star = [(0, v) for v in range(1, 6)]
+    out = wl_quotient(spark.createDataFrame(star, "src long, dst long"))
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.c_src != r.c_dst
+    assert r.n_edges == 5
+    assert sorted([r.n_src, r.n_dst]) == [1, 5]
+
+
+def test_wl_quotient_path_roles_and_conservation(spark):
+    # P4: end vertices {1,4} vs middle {2,3} -> end-mid (2 edges) + mid-mid (1)
+    p4 = [(1, 2), (2, 3), (3, 4)]
+    out = wl_quotient(spark.createDataFrame(p4, "src long, dst long"))
+    rows = out.collect()
+    assert sum(r.n_edges for r in rows) == 3
+    by_edges = {r.n_edges: r for r in rows}
+    assert set(by_edges) == {1, 2}
+    assert sorted([by_edges[2].n_src, by_edges[2].n_dst]) == [2, 2]
+    assert by_edges[1].c_src == by_edges[1].c_dst
+    assert by_edges[1].n_src == 2
+
+
+def test_wl_quotient_matches_wl_colors_grouping_and_relabel_invariant(spark):
+    import numpy as np
+    from split_merge_partitioner_spark.graph import wl_colors
+
+    rng = np.random.default_rng(6)
+    pairs = sorted({
+        (int(min(a, b)), int(max(a, b)))
+        for a, b in rng.integers(0, 40, size=(70, 2)) if a != b
+    })
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    out = wl_quotient(df)
+    cols = {r.vertex: r.color for r in wl_colors(df).collect()}
+    exp = {}
+    for a, b in pairs:
+        key = tuple(sorted((cols[a], cols[b])))
+        exp[key] = exp.get(key, 0) + 1
+    got = {(r.c_src, r.c_dst): r.n_edges for r in out.collect()}
+    assert got == exp
+    # relabel invariance of the anonymous multiset
+    ren = {v: 1000 + 7 * v for v in {x for e in pairs for x in e}}
+    df2 = spark.createDataFrame(
+        [(ren[a], ren[b]) for a, b in pairs], "src long, dst long"
+    )
+    sig = lambda d: sorted(
+        (r.n_edges, tuple(sorted((r.n_src, r.n_dst)))) for r in d.collect()
+    )
+    assert sig(wl_quotient(df2)) == sig(out)
