@@ -2322,6 +2322,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dir_edges, seeds=[0, 10, 100], p_ppm=300_000, n_sims=6, seed=42
         )
 
+    def q_influence_max(spark, sf):
+        # greedy influence maximization (graph/cascade.py::influence_max):
+        # KKT'03 greedy max-coverage over the SAME deterministic live-edge
+        # simulations as ic_influence — all candidate cascades in one
+        # batched BFS, selection fully replayed by the generated SQL oracle
+        from split_merge_partitioner_spark.graph import influence_max
+
+        dv = _docs(spark, sf).select(F.col("doc_id").alias("v"))
+        dir_edges = dv.select(
+            F.col("v").alias("src"), ((F.lit(7) * F.col("v") + 3) % 500).alias("dst")
+        ).unionAll(
+            dv.where(F.col("v") % 5 == 0).select(
+                F.col("v").alias("src"),
+                ((F.lit(31) * F.col("v") + 17) % 500).alias("dst"),
+            )
+        )
+        return influence_max(
+            dir_edges, k=3, n_candidates=12, p_ppm=300_000, n_sims=6, seed=42
+        )
+
+    def q_influence_max_cp(spark, sf):
+        # second functional digraph (the ic_influence_cp fixture): different
+        # cycle structure -> different cover sets and greedy choices
+        from split_merge_partitioner_spark.graph import influence_max
+
+        dv = _docs(spark, sf).select(F.col("doc_id").alias("v"))
+        dir_edges = dv.select(
+            F.col("v").alias("src"), ((F.lit(11) * F.col("v") + 5) % 500).alias("dst")
+        ).unionAll(
+            dv.where(F.col("v") % 7 == 0).select(
+                F.col("v").alias("src"),
+                ((F.lit(23) * F.col("v") + 9) % 500).alias("dst"),
+            )
+        )
+        return influence_max(
+            dir_edges, k=3, n_candidates=12, p_ppm=300_000, n_sims=6, seed=42
+        )
+
     def q_multilevel_assign(spark, sf):
         # METIS-style multilevel vertex partition (operators/multilevel.py):
         # 2 heavy-edge coarsening levels + Spinner on the coarsest +
@@ -2581,6 +2619,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_reach_4h": q_temporal_reach_4h,
         "wl_quotient": q_wl_quotient,
         "wl_quotient_cp": q_wl_quotient_cp,
+        "influence_max": q_influence_max,
+        "influence_max_cp": q_influence_max_cp,
         "incremental_assign": q_incremental_assign,
         "ktruss_cp": q_ktruss_cp,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -2811,7 +2851,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bond_percolation", "bond_percolation_cp",
         "attack_profile", "attack_profile_cp",
         "temporal_reach", "temporal_reach_4h",
-        "wl_quotient", "wl_quotient_cp", "incremental_assign",
+        "wl_quotient", "wl_quotient_cp",
+        "influence_max", "influence_max_cp", "incremental_assign",
         "sessionize", "asof_latest", "segment_dedup",
         "kmeans_assign", "kmeans_update", "skipgram_pairs", "betweenness_cp",
         # -- 3. r3-green, dropped out of r4's window --
@@ -9406,6 +9447,72 @@ reach(sim, v) AS (
 SELECT sim, CAST(COUNT(*) AS BIGINT) AS n_influenced FROM reach GROUP BY sim
 """
 
+    # -- greedy influence maximization oracle (graph/cascade.py) --------------
+    # Full selection replay: dedup arcs, top-12 out-degree candidate pool,
+    # per-(candidate, sim) live-edge reachability in ONE recursive CTE, then
+    # k=3 generated greedy rounds — marginal counts vs the running covered
+    # set, argmax with the (gain DESC, cand ASC) total order.
+    _IM_K, _IM_NCAND, _IM_SIMS, _IM_P = 3, 12, 6, 300_000
+    _im_rounds = [
+        "c0 AS (SELECT CAST(NULL AS BIGINT) AS sim, CAST(NULL AS BIGINT) AS v "
+        "WHERE FALSE)"
+    ]
+    for _i in range(1, _IM_K + 1):
+        _excl = " AND ".join(
+            f"c.cand <> (SELECT cand FROM p{_j})" for _j in range(1, _i)
+        ) or "TRUE"
+        _im_rounds.append(f"""m{_i} AS (
+  SELECT c.cand, COALESCE(x.g, 0) AS g
+  FROM cnd c
+  LEFT JOIN (SELECT cov.cand, COUNT(*) AS g FROM cov
+             LEFT JOIN c{_i - 1} cc ON cc.sim = cov.sim AND cc.v = cov.v
+             WHERE cc.sim IS NULL GROUP BY cov.cand) x ON x.cand = c.cand
+  WHERE {_excl})""")
+        _im_rounds.append(
+            f"p{_i} AS (SELECT cand, g FROM m{_i} ORDER BY g DESC, cand ASC LIMIT 1)"
+        )
+        _im_rounds.append(f"""c{_i} AS (
+  SELECT sim, v FROM c{_i - 1}
+  UNION SELECT sim, v FROM cov WHERE cand = (SELECT cand FROM p{_i}))""")
+    _im_union = "\nUNION ALL\n".join(
+        f"SELECT CAST({_i} AS BIGINT) AS rank, CAST(cand AS BIGINT) AS seed_vertex,"
+        f" CAST(g AS BIGINT) AS marginal_gain,"
+        f" (SELECT CAST(COUNT(*) AS BIGINT) FROM c{_i}) AS covered_pairs FROM p{_i}"
+        for _i in range(1, _IM_K + 1)
+    )
+    influence_max_sql = f"""
+WITH RECURSIVE dv AS (SELECT doc_id AS v FROM documents),
+arcs0 AS (
+    SELECT v AS src, (7 * v + 3) % 500 AS dst FROM dv
+    UNION ALL
+    SELECT v, (31 * v + 17) % 500 FROM dv WHERE v % 5 = 0),
+arcs AS (SELECT DISTINCT src, dst FROM arcs0 WHERE src <> dst),
+cnd AS (SELECT src AS cand FROM (
+    SELECT src, COUNT(*) AS od FROM arcs GROUP BY src
+    ORDER BY od DESC, src ASC LIMIT {_IM_NCAND})),
+sims AS (SELECT range AS sim FROM range(0, {_IM_SIMS})),
+coins AS (SELECT s.sim, a.src, a.dst,
+          CAST(a.src * 1000003 + a.dst * 40503
+               + s.sim * 2654435761 + 42 AS UBIGINT) AS arg
+          FROM arcs a CROSS JOIN sims s),
+live AS (SELECT sim, src AS v, dst AS nb FROM coins
+         WHERE CAST({_sm64_sql('arg')} % 9223372036854775808 AS BIGINT)
+               % 1000000 < {_IM_P}),
+reach(cand, sim, v) AS (
+    SELECT c.cand, s.sim, c.cand FROM cnd c CROSS JOIN sims s
+    UNION
+    SELECT r.cand, l.sim, l.nb FROM reach r
+    JOIN live l ON l.sim = r.sim AND l.v = r.v),
+cov AS MATERIALIZED (SELECT cand, sim, v FROM reach),
+{','.join(_im_rounds)}
+{_im_union}
+"""
+    influence_max_cp_sql = (
+        influence_max_sql.replace("(7 * v + 3) % 500", "(11 * v + 5) % 500")
+        .replace("(31 * v + 17) % 500", "(23 * v + 9) % 500")
+        .replace("WHERE v % 5 = 0", "WHERE v % 7 = 0")
+    )
+
     # second-fixture twin: the 11v+5 / every-7th-branch digraph
     ic_influence_cp_sql = (
         ic_influence_sql.replace("(7 * v + 3) % 500", "(11 * v + 5) % 500")
@@ -9794,6 +9901,8 @@ FROM o GROUP BY CUBE (status, priority, order_year)
         "triangle_signif": triangle_signif_sql,
         "ic_influence": ic_influence_sql,
         "ic_influence_cp": ic_influence_cp_sql,
+        "influence_max": influence_max_sql,
+        "influence_max_cp": influence_max_cp_sql,
         "landmark_sketch_cp": landmark_sketch_cp_sql,
         "spam_mass": spam_mass_sql,
         "simrank_pairs": simrank_pairs_sql,

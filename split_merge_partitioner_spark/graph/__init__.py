@@ -59,7 +59,7 @@ from .orbits import orbit_counts  # noqa: F401
 from .twins import structural_twins  # noqa: F401
 from .landmarks import landmark_distances, landmark_sketch, select_landmarks  # noqa: F401
 from .rewire import configuration_rewire, triangle_significance  # noqa: F401
-from .cascade import ic_influence  # noqa: F401
+from .cascade import ic_influence, influence_max  # noqa: F401
 from .simrank import simrank_mc  # noqa: F401
 from .walks import walk_topk_recs  # noqa: F401
 from .fuzzytwins import fuzzy_twins  # noqa: F401
