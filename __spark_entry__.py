@@ -381,6 +381,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "vertex", F.round("rank", 9).alias("rank")
         )
 
+    def q_pagerank_incremental(spark, sf):
+        # warm-start incremental PageRank (graph/dpagerank.py::warm_pagerank):
+        # checkpoint-quality prior = 8 cold supersteps on the base graph,
+        # then a delta batch (new arcs incl. brand-new vertices v+1000) and
+        # 4 warm supersteps on the merged graph — the full chain
+        # base-PR -> renormalized init -> warm rounds replayed in SQL
+        from split_merge_partitioner_spark.graph import (
+            directed_pagerank,
+            warm_pagerank,
+        )
+        from split_merge_partitioner_spark.storage import release
+
+        dv = _docs(spark, sf).select(F.col("doc_id").alias("v"))
+        base = (
+            dv.select(
+                F.col("v").alias("src"), ((F.lit(7) * F.col("v") + 3) % 500).alias("dst")
+            )
+            .unionAll(
+                dv.where(F.col("v") % 5 == 0).select(
+                    F.col("v").alias("src"),
+                    ((F.lit(31) * F.col("v") + 17) % 500).alias("dst"),
+                )
+            )
+            .where(F.col("src") % 83 != 0)
+        )
+        delta = dv.where(F.col("v") % 11 == 0).select(
+            F.col("v").alias("src"), ((F.lit(13) * F.col("v") + 7) % 500).alias("dst")
+        ).unionAll(
+            dv.where(F.col("v") % 97 == 0).select(
+                F.col("v").alias("src"), (F.col("v") + 1000).alias("dst")
+            )
+        )
+        prior = directed_pagerank(base, n_iter=8)
+        try:
+            out = warm_pagerank(base, delta, prior, n_iter=4)
+        finally:
+            release(prior)
+        return out.select("vertex", F.round("rank", 9).alias("rank"))
+
     def q_densest_subgraph(spark, sf):
         # Bahmani et al. (2+2eps)-approx densest subgraph on the projection:
         # 5 peel rounds, eps=0.1 (11/10) — integer peel thresholds + one
@@ -2577,6 +2616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coarsen_once": q_coarsen_once,
         "mis": q_mis,
         "pagerank_directed": q_pagerank_directed,
+        "pagerank_incremental": q_pagerank_incremental,
         "densest_subgraph": q_densest_subgraph,
         "pagerank": q_pagerank,
         "pagerank_10iter": q_pagerank_10iter,
@@ -2852,7 +2892,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attack_profile", "attack_profile_cp",
         "temporal_reach", "temporal_reach_4h",
         "wl_quotient", "wl_quotient_cp",
-        "influence_max", "influence_max_cp", "incremental_assign",
+        "influence_max", "influence_max_cp", "pagerank_incremental",
+        "incremental_assign",
         "sessionize", "asof_latest", "segment_dedup",
         "kmeans_assign", "kmeans_update", "skipgram_pairs", "betweenness_cp",
         # -- 3. r3-green, dropped out of r4's window --
@@ -3792,6 +3833,79 @@ SELECT p.vertex, ROUND(p.rank, 9) AS rank, ROUND(t.trust, 9) AS trust,
        ROUND((p.rank - t.trust) / p.rank, 6) AS spam_mass
 FROM dr8 p JOIN tr8 t ON t.vertex = p.vertex
 """
+    )
+
+    # -- warm-start incremental PageRank oracle (dpagerank.py::warm_pagerank) --
+    # Full chain replay: the pagerank_directed base chain dr0..dr8 verbatim,
+    # then the delta arcs, merged statics, the renormalized warm init
+    # (COALESCE(prior, 1/n_merged) / Σ), and 4 warm rounds of the identical
+    # update shape over the merged graph.
+    _wp_parts = [
+        """dv AS (SELECT doc_id AS v FROM documents),
+ddir AS MATERIALIZED (
+    SELECT a, b FROM (
+        SELECT v AS a, (7 * v + 3) % 500 AS b FROM dv
+        UNION ALL
+        SELECT v, (31 * v + 17) % 500 FROM dv WHERE v % 5 = 0
+    ) WHERE a % 83 <> 0 GROUP BY a, b
+),
+duniv AS (SELECT DISTINCT a AS vertex FROM ddir UNION SELECT DISTINCT b FROM ddir),
+dnv AS (SELECT COUNT(*) AS n FROM duniv),
+dout AS (SELECT a AS v, COUNT(*) AS od FROM ddir GROUP BY a),
+dhasout AS (SELECT DISTINCT a AS v FROM ddir),
+dr0 AS MATERIALIZED (SELECT vertex, 1.0 / (SELECT n FROM dnv) AS rank FROM duniv)"""
+    ]
+    for _k in range(1, 9):
+        _wp_parts.append(
+            f"""dang{_k} AS MATERIALIZED (SELECT COALESCE(SUM(rank), 0) AS dsum
+  FROM dr{_k - 1} WHERE vertex NOT IN (SELECT v FROM dhasout)),
+dr{_k} AS MATERIALIZED (SELECT u.vertex,
+  0.15 / (SELECT n FROM dnv)
+  + 0.85 * ((SELECT dsum FROM dang{_k}) / (SELECT n FROM dnv)
+            + COALESCE(g.inf, 0)) AS rank
+  FROM duniv u LEFT JOIN (
+    SELECT e.b AS vertex, SUM(p.rank / o.od) AS inf
+    FROM ddir e JOIN dr{_k - 1} p ON p.vertex = e.a
+    JOIN dout o ON o.v = e.a GROUP BY e.b) g ON g.vertex = u.vertex)"""
+        )
+    _wp_parts.append(
+        """darc AS (
+    SELECT v AS a, (13 * v + 7) % 500 AS b FROM dv WHERE v % 11 = 0
+    UNION ALL
+    SELECT v, v + 1000 FROM dv WHERE v % 97 = 0
+),
+mdir AS MATERIALIZED (
+    SELECT a, b FROM (
+        SELECT a, b FROM ddir UNION ALL SELECT a, b FROM darc
+    ) GROUP BY a, b
+),
+muniv AS (SELECT DISTINCT a AS vertex FROM mdir UNION SELECT DISTINCT b FROM mdir),
+mnv AS (SELECT COUNT(*) AS n FROM muniv),
+mout AS (SELECT a AS v, COUNT(*) AS od FROM mdir GROUP BY a),
+mhasout AS (SELECT DISTINCT a AS v FROM mdir),
+wraw AS MATERIALIZED (
+    SELECT u.vertex, COALESCE(p.rank, 1.0 / (SELECT n FROM mnv)) AS raw
+    FROM muniv u LEFT JOIN dr8 p ON p.vertex = u.vertex
+),
+wtot AS (SELECT SUM(raw) AS s FROM wraw),
+wr0 AS MATERIALIZED (SELECT vertex, raw / (SELECT s FROM wtot) AS rank FROM wraw)"""
+    )
+    for _k in range(1, 5):
+        _wp_parts.append(
+            f"""wang{_k} AS MATERIALIZED (SELECT COALESCE(SUM(rank), 0) AS dsum
+  FROM wr{_k - 1} WHERE vertex NOT IN (SELECT v FROM mhasout)),
+wr{_k} AS MATERIALIZED (SELECT u.vertex,
+  0.15 / (SELECT n FROM mnv)
+  + 0.85 * ((SELECT dsum FROM wang{_k}) / (SELECT n FROM mnv)
+            + COALESCE(g.inf, 0)) AS rank
+  FROM muniv u LEFT JOIN (
+    SELECT e.b AS vertex, SUM(p.rank / o.od) AS inf
+    FROM mdir e JOIN wr{_k - 1} p ON p.vertex = e.a
+    JOIN mout o ON o.v = e.a GROUP BY e.b) g ON g.vertex = u.vertex)"""
+        )
+    pagerank_incremental_sql = (
+        "WITH " + ",\n".join(_wp_parts)
+        + "\nSELECT vertex, ROUND(rank, 9) AS rank FROM wr4\n"
     )
 
     # densest-subgraph peel (graph/densest.py): 5 materialized peel rounds,
@@ -9644,6 +9758,7 @@ FROM nb n JOIN cls c ON n.nbrs = c.nbrs
         "coarsen_once": coarsen_once_sql,
         "mis": mis_sql,
         "pagerank_directed": pagerank_directed_sql,
+        "pagerank_incremental": pagerank_incremental_sql,
         "densest_subgraph": densest_subgraph_sql,
         "exact_dedup": exact_dedup_sql,
         "token_stats": token_stats_sql,

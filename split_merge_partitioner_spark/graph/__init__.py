@@ -36,7 +36,7 @@ from .wpagerank import weighted_pagerank  # noqa: F401
 from .mis import maximal_independent_set  # noqa: F401
 from .matching import coarsen_graph, maximal_matching  # noqa: F401
 from .diff import degree_deltas, graph_diff  # noqa: F401
-from .dpagerank import directed_pagerank, spam_mass, trustrank  # noqa: F401
+from .dpagerank import directed_pagerank, spam_mass, trustrank, warm_pagerank  # noqa: F401
 from .coloring import greedy_coloring  # noqa: F401
 from .butterflies import butterflies_per_vertex, butterfly_count  # noqa: F401
 from .neighbor_sample import layerwise_neighbor_sample  # noqa: F401

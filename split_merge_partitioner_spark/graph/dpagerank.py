@@ -65,42 +65,62 @@ def directed_pagerank(
         n = universe.count()
         if n == 0:
             return spark.createDataFrame([], "vertex long, rank double")
-        base = (1.0 - damping) / n
-        has_out = rel.select(F.col("src").alias("vertex")).distinct()
         state = universe.select("vertex", F.lit(1.0 / n).alias("rank")).localCheckpoint(
             eager=True
         )
-        for _ in range(n_iter):
-            dangling = (
-                state.join(has_out, "vertex", "left_anti")
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d"))
-                .collect()[0]["d"]
-            )
-            contribs = state.select(F.col("vertex").alias("src"), F.col("rank").alias("r"))
-            gathered = (
-                rel.join(contribs.hint("shuffle_hash"), "src")
-                .groupBy(F.col("dst").alias("vertex"))
-                .agg(F.sum(F.col("r") / F.col("od")).alias("inflow"))
-            )
-            prev = state
-            state = (
-                universe.join(gathered, "vertex", "left")
-                .select(
-                    "vertex",
-                    (
-                        F.lit(base + damping * dangling / n)
-                        + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
-                    ).alias("rank"),
-                )
-                .localCheckpoint(eager=True)
-            )
-            release(prev)
-        return state
+        return _uniform_teleport_supersteps(
+            rel, universe, state, n, n_iter, damping
+        )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
         for df in (rel, universe):
             if df is not None:
                 release(df)
+
+
+def _uniform_teleport_supersteps(
+    rel: DataFrame,
+    universe: DataFrame,
+    state: DataFrame,
+    n: int,
+    n_iter: int,
+    damping: float,
+) -> DataFrame:
+    """Run ``n_iter`` uniform-teleport power-iteration supersteps from
+    ``state`` (vertex, rank) over the static ``rel`` (src, dst, od) and
+    ``universe`` (vertex, …) relations — the directed_pagerank update with
+    its exact float op order (the pagerank_directed / spam_mass / warm
+    oracles all replay this expression shape).  Consumes ``state`` (each
+    round's predecessor checkpoint is released); the caller owns rel and
+    universe."""
+    base = (1.0 - damping) / n
+    has_out = rel.select(F.col("src").alias("vertex")).distinct()
+    for _ in range(n_iter):
+        dangling = (
+            state.join(has_out, "vertex", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d"))
+            .collect()[0]["d"]
+        )
+        contribs = state.select(F.col("vertex").alias("src"), F.col("rank").alias("r"))
+        gathered = (
+            rel.join(contribs.hint("shuffle_hash"), "src")
+            .groupBy(F.col("dst").alias("vertex"))
+            .agg(F.sum(F.col("r") / F.col("od")).alias("inflow"))
+        )
+        prev = state
+        state = (
+            universe.join(gathered, "vertex", "left")
+            .select(
+                "vertex",
+                (
+                    F.lit(base + damping * dangling / n)
+                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        release(prev)
+    return state
 
 
 def trustrank(
@@ -238,3 +258,91 @@ def spam_mass(
     finally:
         release(pr)
         release(tr)
+
+
+def warm_pagerank(
+    edges: DataFrame,
+    delta_edges: DataFrame,
+    prior_ranks: DataFrame,
+    n_iter: int = 4,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(vertex, rank): incremental PageRank — re-converge after a delta
+    edge batch by warm-starting the directed power iteration from
+    checkpointed ranks instead of the cold uniform vector.
+
+    The merged graph is dedup(edges ∪ delta_edges); the init carries each
+    vertex's ``prior_ranks`` value (vertices new to the graph start at the
+    cold 1/n), renormalized to Σ=1, then runs ``n_iter`` of the SAME
+    superstep as :func:`directed_pagerank` (shared
+    ``_uniform_teleport_supersteps`` — identical float op order, so the
+    chain base-PR → init → warm rounds is exactly replayable in SQL).
+    Power iteration contracts the error by ×damping per step regardless of
+    init, so a warm start from a nearby fixpoint needs far fewer supersteps
+    than a cold restart for the same residual — the point of checkpointing
+    per-superstep lineage (checkpoint.py) in the first place: a delta batch
+    costs a handful of supersteps, not a full re-run.  At 100 TB the delta
+    path reuses the one-exchange-per-superstep plan; only the static
+    (src, dst, od) relation is rebuilt (one scan + one shuffle), and the
+    prior state joins in by vertex — co-partitioned with the universe.
+
+    ``prior_ranks`` rows for vertices no longer in the merged graph are
+    ignored (dropped mass is restored by the renormalization); priors must
+    be non-negative with a positive total.
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    if not 0.0 < damping < 1.0:
+        raise ValueError("damping must be in (0, 1)")
+    spark = edges.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    rel = None
+    universe = None
+    try:
+        e = (
+            edges.select("src", "dst")
+            .unionAll(delta_edges.select("src", "dst"))
+            .dropDuplicates(["src", "dst"])
+        )
+        outdeg = e.groupBy(F.col("src").alias("u")).agg(
+            F.count(F.lit(1)).alias("od")
+        )
+        rel = (
+            e.join(outdeg, e.src == outdeg.u)
+            .select("src", "dst", "od")
+            .repartition(shuffle_n, "src")
+            .localCheckpoint(eager=True)
+        )
+        universe = (
+            e.select(F.col("src").alias("vertex"))
+            .unionAll(e.select(F.col("dst").alias("vertex")))
+            .distinct()
+            .repartition(shuffle_n, "vertex")
+            .localCheckpoint(eager=True)
+        )
+        n = universe.count()
+        if n == 0:
+            return spark.createDataFrame([], "vertex long, rank double")
+        raw = universe.join(
+            prior_ranks.select("vertex", F.col("rank").alias("__prior__")),
+            "vertex",
+            "left",
+        ).select(
+            "vertex", F.coalesce("__prior__", F.lit(1.0 / n)).alias("raw")
+        )
+        total = raw.agg(F.sum("raw").alias("s")).collect()[0]["s"]
+        if total is None or total <= 0.0:
+            raise ValueError("prior_ranks must have a positive total mass")
+        state = raw.select(
+            "vertex", (F.col("raw") / F.lit(total)).alias("rank")
+        ).localCheckpoint(eager=True)
+        return _uniform_teleport_supersteps(
+            rel, universe, state, n, n_iter, damping
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        for df in (rel, universe):
+            if df is not None:
+                release(df)
