@@ -233,6 +233,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_triangles_per_vertex(spark, sf):
         return triangles_per_vertex(_proj_edges(spark, sf))
 
+    def q_triangle_delta(spark, sf):
+        # incremental triangle maintenance (graph/triangles.py::triangle_delta):
+        # deterministic delta batch over the customer key space on top of the
+        # projection; inclusion-exclusion delta vs the oracle's INDEPENDENT
+        # replay (enumerate merged triangles, classify by new-edge count)
+        from split_merge_partitioner_spark.graph import triangle_delta
+
+        cust = spark.read.parquet(f"{sf}/customer.parquet").select(
+            F.col("c_custkey").cast("long").alias("ck")
+        )
+        delta = (
+            cust.where(F.col("ck") % 5 == 0)
+            .select(
+                F.col("ck").alias("src"),
+                ((F.col("ck") * 7 + 3) % 1500 + 1).alias("dst"),
+            )
+            .unionAll(
+                cust.where(F.col("ck") % 7 == 0).select(
+                    F.col("ck").alias("src"),
+                    ((F.col("ck") * 3 + 11) % 1500 + 1).alias("dst"),
+                )
+            )
+            .unionAll(
+                # planted delta-only triangle (ids outside every custkey
+                # space) so the t3 class is exercised at driver scale too
+                spark.createDataFrame(
+                    [(90001, 90002), (90001, 90003), (90002, 90003)],
+                    "src long, dst long",
+                )
+            )
+        )
+        return triangle_delta(_proj_edges(spark, sf), delta)
+
     def q_triangle_count_sampled(spark, sf):
         # Doulion p=3 on the projection (graph/triangles.py): the edge coin
         # flip is the Lehmer hash of src*1000003+dst, so both engines count
@@ -2604,6 +2637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fsm_stats_portable": q_fsm_stats_portable,
         "hdrf_bucket_sizes": q_hdrf_bucket_sizes,
         "triangle_count": q_triangles,
+        "triangle_delta": q_triangle_delta,
         "triangle_count_sampled": q_triangle_count_sampled,
         "triangles_per_vertex": q_triangles_per_vertex,
         "connected_components": q_components,
@@ -2893,7 +2927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_reach", "temporal_reach_4h",
         "wl_quotient", "wl_quotient_cp",
         "influence_max", "influence_max_cp", "pagerank_incremental",
-        "incremental_assign",
+        "triangle_delta", "incremental_assign",
         "sessionize", "asof_latest", "segment_dedup",
         "kmeans_assign", "kmeans_update", "skipgram_pairs", "betweenness_cp",
         # -- 3. r3-green, dropped out of r4's window --
@@ -3158,6 +3192,47 @@ WITH {_EDGES_CTE}, {_PROJ_CTE}
 SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
 FROM proj ab JOIN proj bc ON ab.dst = bc.src JOIN proj ac
      ON ac.src = ab.src AND ac.dst = bc.dst
+"""
+
+    # incremental triangle oracle: independent replay — enumerate merged
+    # triangles as ordered canonical wedges + closing edge, classify each by
+    # its per-triangle new-edge count, group by k (the engine instead uses
+    # delta-proportional inclusion-exclusion; agreement checks both)
+    triangle_delta_sql = f"""
+WITH {_EDGES_CTE}, {_PROJ_CTE},
+dr AS (
+    SELECT LEAST(ck, (ck * 7 + 3) % 1500 + 1) AS src,
+           GREATEST(ck, (ck * 7 + 3) % 1500 + 1) AS dst
+    FROM (SELECT CAST(c_custkey AS BIGINT) AS ck FROM customer
+          WHERE c_custkey % 5 = 0)
+    UNION ALL
+    SELECT LEAST(ck, (ck * 3 + 11) % 1500 + 1),
+           GREATEST(ck, (ck * 3 + 11) % 1500 + 1)
+    FROM (SELECT CAST(c_custkey AS BIGINT) AS ck FROM customer
+          WHERE c_custkey % 7 = 0)
+    UNION ALL
+    SELECT * FROM (VALUES (CAST(90001 AS BIGINT), CAST(90002 AS BIGINT)),
+                          (90001, 90003), (90002, 90003)) t(src, dst)
+),
+d AS (
+    SELECT DISTINCT src, dst FROM dr
+    WHERE src <> dst
+      AND NOT EXISTS (SELECT 1 FROM proj p
+                      WHERE p.src = dr.src AND p.dst = dr.dst)
+),
+m AS (SELECT src, dst, 0 AS nw FROM proj UNION ALL SELECT src, dst, 1 FROM d),
+tri AS (
+    SELECT ab.nw + bc.nw + ac.nw AS k
+    FROM m ab JOIN m bc ON bc.src = ab.dst
+    JOIN m ac ON ac.src = ab.src AND ac.dst = bc.dst
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS new_edges,
+       CAST(COALESCE(SUM(CASE WHEN k = 1 THEN 1 END), 0) AS BIGINT) AS t1,
+       CAST(COALESCE(SUM(CASE WHEN k = 2 THEN 1 END), 0) AS BIGINT) AS t2,
+       CAST(COALESCE(SUM(CASE WHEN k = 3 THEN 1 END), 0) AS BIGINT) AS t3,
+       CAST(COALESCE(SUM(CASE WHEN k >= 1 THEN 1 END), 0) AS BIGINT)
+           AS delta_triangles
+FROM tri
 """
 
     # 4-clique oracle: every a<b<c<d clique appears once as the six ordered
@@ -9720,6 +9795,7 @@ FROM nb n JOIN cls c ON n.nbrs = c.nbrs
         "fsm_assign_portable": fsm_assign_portable_sql,
         "fsm_stats_portable": fsm_stats_portable_sql,
         "triangle_count": triangle_count_sql,
+        "triangle_delta": triangle_delta_sql,
         "triangle_count_sampled": triangle_count_sampled_sql,
         "triangles_per_vertex": triangles_per_vertex_sql,
         "local_clustering": local_clustering_sql,

@@ -12,6 +12,7 @@ from .triangles import (  # noqa: F401
     square_count,
     triangle_count,
     triangle_count_sampled,
+    triangle_delta,
     triangles_per_vertex,
 )
 from .diameter import approximate_diameter, bfs_distances  # noqa: F401

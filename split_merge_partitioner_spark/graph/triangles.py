@@ -273,3 +273,92 @@ def edge_support(edges: DataFrame, orient: str = "degree") -> DataFrame:
     )
     release(o)
     return out
+
+
+def triangle_delta(edges: DataFrame, delta_edges: DataFrame) -> DataFrame:
+    """One row (new_edges, t1, t2, t3, delta_triangles): incremental
+    triangle maintenance — how many triangles a delta edge batch ADDS,
+    classified by how many of each new triangle's edges are new (t1/t2/t3),
+    without recounting the base graph.
+
+    Both inputs are canonicalized (least<greatest, dedup, self-loops
+    dropped); delta edges already present in the base are ignored
+    (new_edges counts the survivors).  Inclusion–exclusion over the three
+    delta-proportional counts
+
+        S1 = Σ_{(u,v)∈D} |N_M(u) ∩ N_M(v)|   (counts t1 + 2·t2 + 3·t3)
+        S2 = #{delta wedge closed by a merged edge}  (counts t2 + 3·t3)
+        S3 = #{triangles with all 3 edges in D}
+
+    gives delta_triangles = S1 − S2 + S3 (and t3 = S3, t2 = S2 − 3·S3,
+    t1 = S1 − 2·S2 + 3·S3).  The caller adds delta_triangles to its
+    checkpointed total — count maintenance as a delta-proportional job:
+    S1 probes the merged adjacency with |D| edges (two co-partitioned
+    joins, never a full wedge enumeration), S2/S3 are |D|-sized wedge
+    joins.  The oracle replays it INDEPENDENTLY: enumerate merged
+    triangles, classify by per-triangle new-edge count, group by k.
+    """
+    spark = edges.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def _canon(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    base = _canon(edges).localCheckpoint(eager=True)
+    scratch = [base]
+    try:
+        d = (
+            _canon(delta_edges)
+            .join(base, ["src", "dst"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        scratch.append(d)
+        n_new = d.count()
+        merged = base.unionAll(d)
+        adj = (
+            merged.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+            .unionAll(merged.select(F.col("dst").alias("u"), F.col("src").alias("w")))
+            .repartition(shuffle_n, "u")
+            .localCheckpoint(eager=True)
+        )
+        scratch.append(adj)
+        # S1: common neighbors of each delta edge's endpoints in merged
+        s1 = (
+            d.join(adj.select(F.col("u").alias("src"), "w"), "src")
+            .join(adj.select(F.col("u").alias("dst"), "w"), ["dst", "w"])
+            .count()
+        )
+        # S2: delta wedges (two new edges sharing a center, endpoints
+        # ordered) whose closing edge exists in the merged graph
+        dd = d.select(F.col("src").alias("u"), F.col("dst").alias("w")).unionAll(
+            d.select(F.col("dst").alias("u"), F.col("src").alias("w"))
+        )
+        wedges = (
+            dd.select("u", F.col("w").alias("w1"))
+            .join(dd.select("u", F.col("w").alias("w2")), "u")
+            .where(F.col("w1") < F.col("w2"))
+        )
+        s2 = wedges.join(
+            merged.select(F.col("src").alias("w1"), F.col("dst").alias("w2")),
+            ["w1", "w2"],
+        ).count()
+        # S3: triangles entirely inside the delta batch (id orientation —
+        # the delta is canonical already)
+        s3 = triangle_count(d, orient="id")
+        t3 = s3
+        t2 = s2 - 3 * s3
+        t1 = s1 - 2 * s2 + 3 * s3
+        return spark.createDataFrame(
+            [(n_new, t1, t2, t3, t1 + t2 + t3)],
+            "new_edges bigint, t1 bigint, t2 bigint, t3 bigint, delta_triangles bigint",
+        )
+    finally:
+        for df in scratch:
+            release(df)
