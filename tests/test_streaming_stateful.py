@@ -433,3 +433,60 @@ def test_streaming_gap_regularity_matches_batch_twin(spark, tmp_path):
     }
     assert latest == exp
     assert 3 not in latest  # under min_gaps never emits
+
+
+def test_streaming_triangle_maintenance(spark, tmp_path):
+    """Per-batch lineage totals must match full recounts of the prefix
+    union, and a replayed batch_id must be a no-op (idempotent sink)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from split_merge_partitioner_spark.graph import triangle_count
+    from split_merge_partitioner_spark.streaming import (
+        streaming_triangle_maintenance,
+        triangle_maintenance_sink,
+    )
+
+    schema = StructType(
+        [StructField("src", LongType()), StructField("dst", LongType())]
+    )
+    src_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    batches = [
+        pd.DataFrame({"src": [0, 1, 0], "dst": [1, 2, 2]}),   # one triangle
+        pd.DataFrame({"src": [2, 3, 0], "dst": [3, 0, 2]}),   # +1 tri (0,2,3); dup (0,2)
+        pd.DataFrame({"src": [1, 1], "dst": [3, 0]}),         # +2 tris via (1,3)
+    ]
+    for pdf in batches:
+        spark.createDataFrame(pdf).write.mode("append").parquet(src_dir)
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        q = (
+            streaming_triangle_maintenance(stream, state)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    totals = (
+        spark.read.parquet(str(tmp_path / "state" / "totals"))
+        .orderBy("batch_id")
+        .collect()
+    )
+    assert len(totals) == 3
+    # running totals must equal full recounts of each prefix
+    prefix = []
+    for i, row in enumerate(totals):
+        prefix += list(batches[i].itertuples(index=False, name=None))
+        canon = sorted({(min(a, b), max(a, b)) for a, b in prefix if a != b})
+        full = triangle_count(
+            spark.createDataFrame(canon, "src long, dst long"), orient="id"
+        )
+        assert row.total_triangles == full, (i, row, full)
+    assert [r.delta_triangles for r in totals] == [1, 1, 2]
+
+    # idempotence: replaying an already-applied batch_id changes nothing
+    sink = triangle_maintenance_sink(spark, state)
+    sink(spark.createDataFrame(batches[0]), totals[0].batch_id)
+    replay = spark.read.parquet(str(tmp_path / "state" / "totals")).collect()
+    assert len(replay) == 3
