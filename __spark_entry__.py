@@ -988,6 +988,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         e = _edges(spark, sf).persist()
         return label_propagation(e, assigned=dbh_partition(e, P_DEFAULT), n_iter=5)
 
+    def q_label_propagation_warm(spark, sf):
+        # warm-start LP (graph/labelprop.py::label_propagation_warm):
+        # checkpointed labels = the 5-superstep base run, then a delta batch
+        # (new customer-supplier arcs incl. brand-new vertices 2000000+ck)
+        # and 2 warm supersteps — base chain + init + warm rounds replayed
+        from split_merge_partitioner_spark.graph import (
+            label_propagation,
+            label_propagation_warm,
+        )
+
+        e = _edges(spark, sf).persist()
+        ck = spark.read.parquet(f"{sf}/customer.parquet").select(
+            F.col("c_custkey").cast("long").alias("ck")
+        )
+        delta = ck.where(F.col("ck") % 9 == 0).select(
+            F.col("ck").alias("src"),
+            (F.lit(1000000) + (F.col("ck") * 13 + 5) % 100 + 1).alias("dst"),
+        ).unionAll(
+            ck.where(F.col("ck") % 101 == 0).select(
+                F.col("ck").alias("src"), (F.lit(2000000) + F.col("ck")).alias("dst")
+            )
+        )
+        prior = label_propagation(e, assigned=dbh_partition(e, P_DEFAULT), n_iter=5)
+        return label_propagation_warm(e, delta, prior, n_iter=2)
+
     def q_modularity(spark, sf):
         # Newman modularity of the 5-superstep labelprop communities
         # (graph/modularity.py): exact DECIMAL(38,0)/HUGEINT moments —
@@ -2715,6 +2740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybridbl_bucket_sizes": q_hybridbl_bucket_sizes,
         "bpart_vertex_stats": q_bpart_vertex_stats,
         "label_propagation": q_label_propagation,
+        "label_propagation_warm": q_label_propagation_warm,
         "core_boundary_stats": q_core_boundary_stats,
         "bfs_distances": q_bfs_distances,
         "approx_diameter": q_approx_diameter,
@@ -2927,7 +2953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_reach", "temporal_reach_4h",
         "wl_quotient", "wl_quotient_cp",
         "influence_max", "influence_max_cp", "pagerank_incremental",
-        "triangle_delta", "incremental_assign",
+        "triangle_delta", "label_propagation_warm", "incremental_assign",
         "sessionize", "asof_latest", "segment_dedup",
         "kmeans_assign", "kmeans_update", "skipgram_pairs", "betweenness_cp",
         # -- 3. r3-green, dropped out of r4's window --
@@ -4532,6 +4558,46 @@ und AS (SELECT src AS v, dst AS w FROM edges UNION ALL SELECT dst, src FROM edge
 l0 AS (SELECT DISTINCT v AS vertex, v AS label FROM und),
 {','.join(lp_iters)}
 SELECT vertex, CAST(label AS BIGINT) AS label FROM l5
+"""
+
+    # -- warm-start LP oracle (labelprop.py::label_propagation_warm) ----------
+    # base 5-round chain verbatim, then the delta arcs, the merged undirected
+    # relation, the COALESCE(prior, own-id) init, and 2 warm rounds of the
+    # identical mode/min-tie update
+    lpw_iters = []
+    for i in range(1, 3):
+        lpw_iters.append(f"""
+w{i} AS (
+    SELECT vertex, label FROM (
+        SELECT u.v AS vertex, l.label AS label,
+               ROW_NUMBER() OVER (PARTITION BY u.v
+                                  ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+        FROM mund u JOIN w{i - 1} l ON l.vertex = u.w
+        GROUP BY u.v, l.label
+    ) WHERE rn = 1
+)""")
+    label_propagation_warm_sql = f"""
+WITH {_EDGES_CTE},
+und AS (SELECT src AS v, dst AS w FROM edges UNION ALL SELECT dst, src FROM edges),
+l0 AS (SELECT DISTINCT v AS vertex, v AS label FROM und),
+{','.join(lp_iters)},
+darc AS (
+    SELECT CAST(c_custkey AS BIGINT) AS src,
+           1000000 + (CAST(c_custkey AS BIGINT) * 13 + 5) % 100 + 1 AS dst
+    FROM customer WHERE c_custkey % 9 = 0
+    UNION ALL
+    SELECT CAST(c_custkey AS BIGINT), 2000000 + CAST(c_custkey AS BIGINT)
+    FROM customer WHERE c_custkey % 101 = 0
+),
+mrg AS (SELECT src, dst FROM (
+    SELECT src, dst FROM edges UNION ALL SELECT src, dst FROM darc
+) GROUP BY src, dst),
+mund AS (SELECT src AS v, dst AS w FROM mrg UNION ALL SELECT dst, src FROM mrg),
+w0 AS (SELECT u.vertex, COALESCE(l.label, u.vertex) AS label
+       FROM (SELECT DISTINCT v AS vertex FROM mund) u
+       LEFT JOIN l5 l ON l.vertex = u.vertex),
+{','.join(lpw_iters)}
+SELECT vertex, CAST(label AS BIGINT) AS label FROM w2
 """
 
     # -- modularity oracle ----------------------------------------------------
@@ -9859,6 +9925,7 @@ FROM documents
         "embedding_dups_exact": embedding_dups_sql,
         "replication_by_degree_decade": replication_by_decade_sql,
         "label_propagation": label_propagation_sql,
+        "label_propagation_warm": label_propagation_warm_sql,
         "pagerank_10iter": pagerank_10iter_sql,
         "pagerank_weighted": pagerank_weighted_sql,
         "v2e_assign_portable": f"""

@@ -4,7 +4,7 @@ from .components import (  # noqa: F401
     connected_components_incremental,
     connected_components_stars,
 )
-from .labelprop import label_propagation  # noqa: F401
+from .labelprop import label_propagation, label_propagation_warm  # noqa: F401
 from .pagerank import pagerank  # noqa: F401
 from .triangles import (  # noqa: F401
     kclique_count,
