@@ -657,6 +657,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return betweenness(e, seeds, max_levels=8)
 
+    def q_edge_betweenness(spark, sf):
+        # Brandes EDGE betweenness (graph/betweenness.py::edge_betweenness),
+        # same 3-seed subset estimator and level budget as q_betweenness;
+        # per-DAG-edge terms with delta = SUM(term), float order mirrored
+        from split_merge_partitioner_spark.graph import edge_betweenness
+
+        e = _edges(spark, sf)
+        seeds = [
+            r.vertex
+            for r in e.select(F.col("src").alias("vertex"))
+            .unionAll(e.select(F.col("dst").alias("vertex")))
+            .distinct()
+            .orderBy("vertex")
+            .limit(3)
+            .collect()
+        ]
+        return edge_betweenness(e, seeds, max_levels=8)
+
     def q_eigencentrality(spark, sf):
         # exact integer power iteration (graph/eigencentrality.py): 6 steps
         # of x = A·x in DECIMAL(38,0) / HUGEINT, one rounded float division
@@ -2701,6 +2719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity": q_degree_assortativity,
         "global_clustering": q_global_clustering,
         "betweenness": q_betweenness,
+        "edge_betweenness": q_edge_betweenness,
         "eigencentrality": q_eigencentrality,
         "hits": q_hits,
         "sssp_weighted": q_sssp_weighted,
@@ -2953,7 +2972,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_reach", "temporal_reach_4h",
         "wl_quotient", "wl_quotient_cp",
         "influence_max", "influence_max_cp", "pagerank_incremental",
-        "triangle_delta", "label_propagation_warm", "incremental_assign",
+        "triangle_delta", "label_propagation_warm", "edge_betweenness",
+        "incremental_assign",
         "sessionize", "asof_latest", "segment_dedup",
         "kmeans_assign", "kmeans_update", "skipgram_pairs", "betweenness_cp",
         # -- 3. r3-green, dropped out of r4's window --
@@ -5026,6 +5046,55 @@ FROM bverts bv LEFT JOIN bsum bs ON bs.vertex = bv.vertex
 """
 
     betweenness_sql = _betweenness_sql_for(_EDGES_CTE)
+
+    # edge-betweenness twin: same forward chain; the backward chain emits the
+    # per-DAG-edge terms be{t} and aggregates delta = SUM(term) (the engine's
+    # own float-op order), then canonicalize + halve + left join all edges
+    def _edge_betweenness_sql_for(edges_cte: str) -> str:
+        _BT = 8
+        _eb_fwd = []
+        for _t in range(1, _BT + 1):
+            _eb_fwd.append(f"""
+bf{_t} AS MATERIALIZED (
+  SELECT f.seed, u.nb AS v, SUM(f.sigma) AS sigma
+  FROM bf{_t - 1} f JOIN bund u ON u.v = f.v
+  WHERE NOT EXISTS (SELECT 1 FROM bs{_t - 1} s WHERE s.seed = f.seed AND s.v = u.nb)
+  GROUP BY f.seed, u.nb),
+bs{_t} AS MATERIALIZED (SELECT seed, v FROM bs{_t - 1} UNION ALL SELECT seed, v FROM bf{_t})""")
+        _eb_bwd = [f"bd{_BT} AS MATERIALIZED (SELECT seed, v, sigma, 0.0 AS delta FROM bf{_BT})"]
+        for _t in range(_BT, 0, -1):
+            _eb_bwd.append(f"""
+be{_t} AS MATERIALIZED (
+  SELECT d.seed, f.v AS u, d.v AS w,
+         ((1.0 + d.delta) / d.sigma) * f.sigma AS term
+  FROM bd{_t} d JOIN bund un ON un.v = d.v
+  JOIN bf{_t - 1} f ON f.seed = d.seed AND f.v = un.nb),
+bc{_t} AS MATERIALIZED (
+  SELECT seed, u AS v, SUM(term) AS delta FROM be{_t} GROUP BY seed, u),
+bd{_t - 1} AS MATERIALIZED (
+  SELECT f.seed, f.v, f.sigma, COALESCE(c.delta, 0.0) AS delta
+  FROM bf{_t - 1} f LEFT JOIN bc{_t} c ON c.seed = f.seed AND c.v = f.v)""")
+        _eb_levels = "\n UNION ALL ".join(
+            f"SELECT u, w, term FROM be{t}" for t in range(1, _BT + 1)
+        )
+        return f"""
+WITH {edges_cte},
+bund AS MATERIALIZED (SELECT src AS v, dst AS nb FROM edges UNION ALL SELECT dst, src FROM edges),
+bverts AS (SELECT DISTINCT v AS vertex FROM bund),
+bseeds AS (SELECT vertex FROM bverts ORDER BY vertex LIMIT 3),
+bf0 AS (SELECT vertex AS seed, vertex AS v, CAST(1 AS BIGINT) AS sigma FROM bseeds),
+bs0 AS (SELECT seed, v FROM bf0),
+{','.join(_eb_fwd)},
+{','.join(_eb_bwd)},
+eall AS ({_eb_levels}),
+esum AS (SELECT LEAST(u, w) AS src, GREATEST(u, w) AS dst,
+                SUM(term) / 2.0 AS ebc_raw
+         FROM eall GROUP BY LEAST(u, w), GREATEST(u, w))
+SELECT e.src, e.dst, ROUND(COALESCE(s.ebc_raw, 0.0), 6) AS ebc
+FROM edges e LEFT JOIN esum s ON s.src = e.src AND s.dst = e.dst
+"""
+
+    edge_betweenness_sql = _edge_betweenness_sql_for(_EDGES_CTE)
 
     # -- graph summary oracles ----------------------------------------------
     # exact BIGINT/HUGEINT moments, ONE rounded float division at the end
@@ -9890,6 +9959,7 @@ FROM nb n JOIN cls c ON n.nbrs = c.nbrs
         "degree_assortativity": degree_assortativity_sql,
         "global_clustering": global_clustering_sql,
         "betweenness": betweenness_sql,
+        "edge_betweenness": edge_betweenness_sql,
         "connected_components": components_sql,
         "connected_components_stars": components_sql,
         "scc": scc_sql,

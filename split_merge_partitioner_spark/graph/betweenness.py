@@ -38,6 +38,42 @@ from pyspark.sql import functions as F
 from ..storage import release
 
 
+def _forward_layers(spark, und: DataFrame, seeds: list[int], max_levels: int, scratch: list):
+    """Batched level-synchronous BFS from all seeds over the doubled static
+    relation: returns the list of settled layers [(seed, v, sigma), …], one
+    per BFS level (module docstring forward phase).  Checkpoints append to
+    ``scratch`` — the caller releases them."""
+    seed_rows = [(int(s),) for s in sorted(set(seeds))]
+    frontier = (
+        spark.createDataFrame(seed_rows, "seed long")
+        .select("seed", F.col("seed").alias("v"), F.lit(1).cast("long").alias("sigma"))
+        .localCheckpoint(eager=True)
+    )
+    scratch.append(frontier)
+    # settled layers, one DataFrame per BFS level (sigma final per level)
+    layers = [frontier]
+    settled = frontier
+    for _ in range(max_levels):
+        nxt = (
+            frontier.hint("shuffle_hash")
+            .join(und, "v")
+            .groupBy("seed", F.col("nb").alias("v"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(settled.select("seed", "v"), ["seed", "v"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        scratch.append(nxt)
+        if nxt.isEmpty():
+            break
+        layers.append(nxt)
+        settled = settled.unionAll(nxt.select("seed", "v", "sigma")).localCheckpoint(
+            eager=True
+        )
+        scratch.append(settled)
+        frontier = nxt
+    return layers
+
+
 def betweenness(
     edges: DataFrame,
     seeds: list[int],
@@ -61,34 +97,7 @@ def betweenness(
             .repartition(shuffle_n, "v")
             .localCheckpoint(eager=True)
         )
-        seed_rows = [(int(s),) for s in sorted(set(seeds))]
-        frontier = (
-            spark.createDataFrame(seed_rows, "seed long")
-            .select("seed", F.col("seed").alias("v"), F.lit(1).cast("long").alias("sigma"))
-            .localCheckpoint(eager=True)
-        )
-        scratch.append(frontier)
-        # settled layers, one DataFrame per BFS level (sigma final per level)
-        layers = [frontier]
-        settled = frontier
-        for _ in range(max_levels):
-            nxt = (
-                frontier.hint("shuffle_hash")
-                .join(und, "v")
-                .groupBy("seed", F.col("nb").alias("v"))
-                .agg(F.sum("sigma").alias("sigma"))
-                .join(settled.select("seed", "v"), ["seed", "v"], "left_anti")
-                .localCheckpoint(eager=True)
-            )
-            scratch.append(nxt)
-            if nxt.isEmpty():
-                break
-            layers.append(nxt)
-            settled = settled.unionAll(nxt.select("seed", "v", "sigma")).localCheckpoint(
-                eager=True
-            )
-            scratch.append(settled)
-            frontier = nxt
+        layers = _forward_layers(spark, und, seeds, max_levels, scratch)
         # backward accumulation, deepest level first
         delta = None  # (seed, v, delta) for levels > current
         out = None
@@ -136,5 +145,120 @@ def betweenness(
         spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
         if und is not None:
             release(und)
+        for df in scratch:
+            release(df)
+
+
+def edge_betweenness(
+    edges: DataFrame,
+    seeds: list[int],
+    max_levels: int = 64,
+) -> DataFrame:
+    """(src, dst, ebc) — Brandes EDGE betweenness over ``seeds`` (exact when
+    seeds cover every vertex, else the Brandes-Pich subset estimator): for
+    each shortest-path-DAG edge u→w the dependency σ(u)·(1+δ(w))/σ(w),
+    summed over seeds, canonicalized least<greatest, halved (each
+    undirected pair contributes from both endpoints when seeds are
+    complete).  Every input edge reports a row (0.0 when on no counted
+    shortest path) — the Girvan-Newman "remove the max-ebc edge" loop wants
+    the complete relation.
+
+    Same two-phase plan as :func:`betweenness` (shared forward BFS — one
+    exchange per level, all seeds batched); the backward phase emits the
+    per-DAG-edge terms BEFORE the groupBy(seed, u) that the vertex variant
+    aggregates with, so edge scores cost the same superstep chain plus one
+    (u, w)-keyed aggregate at the end.  δ here is Σ term (float-op order
+    mirrored in the SQL oracle)."""
+    if not seeds:
+        raise ValueError("edge_betweenness needs a non-empty seed set")
+    spark = edges.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    und = None
+    canon = None
+    scratch: list = []
+    try:
+        canon = (
+            edges.select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        und = (
+            canon.select(F.col("src").alias("v"), F.col("dst").alias("nb"))
+            .unionAll(canon.select(F.col("dst").alias("v"), F.col("src").alias("nb")))
+            .repartition(shuffle_n, "v")
+            .localCheckpoint(eager=True)
+        )
+        layers = _forward_layers(spark, und, seeds, max_levels, scratch)
+        if len(layers) > max_levels:
+            pass  # forward loop broke on empty frontier; bound respected
+        delta = None  # (seed, v, delta) for the level below
+        edge_out = None
+        for t in range(len(layers) - 1, 0, -1):
+            wlayer = layers[t]
+            if delta is not None:
+                wlayer = wlayer.join(delta, ["seed", "v"], "left").select(
+                    "seed", "v", "sigma", F.coalesce("delta", F.lit(0.0)).alias("delta")
+                )
+            else:
+                wlayer = wlayer.select("seed", "v", "sigma", F.lit(0.0).alias("delta"))
+            terms = (
+                wlayer.select(
+                    "seed",
+                    F.col("v").alias("w"),
+                    ((1.0 + F.col("delta")) / F.col("sigma")).alias("ratio"),
+                )
+                .hint("shuffle_hash")
+                .join(
+                    und.select(F.col("v").alias("u"), F.col("nb").alias("w")), "w"
+                )
+                .join(
+                    layers[t - 1]
+                    .hint("shuffle_hash")
+                    .select("seed", F.col("v").alias("u"), "sigma"),
+                    ["seed", "u"],
+                )
+                .select(
+                    "seed", "u", "w", (F.col("ratio") * F.col("sigma")).alias("term")
+                )
+                .localCheckpoint(eager=True)
+            )
+            scratch.append(terms)
+            delta = (
+                terms.groupBy("seed", F.col("u").alias("v"))
+                .agg(F.sum("term").alias("delta"))
+                .localCheckpoint(eager=True)
+            )
+            scratch.append(delta)
+            proj = terms.select("seed", "u", "w", "term")
+            edge_out = proj if edge_out is None else edge_out.unionAll(proj)
+        if edge_out is None:
+            return canon.select(
+                "src", "dst", F.lit(0.0).alias("ebc")
+            ).localCheckpoint(eager=True)
+        summed = (
+            edge_out.select(
+                F.least("u", "w").alias("src"),
+                F.greatest("u", "w").alias("dst"),
+                "term",
+            )
+            .groupBy("src", "dst")
+            .agg((F.sum("term") / 2.0).alias("ebc_raw"))
+        )
+        return canon.join(summed, ["src", "dst"], "left").select(
+            "src",
+            "dst",
+            F.round(F.coalesce("ebc_raw", F.lit(0.0)), 6).alias("ebc"),
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        for df in (und, canon):
+            if df is not None:
+                release(df)
         for df in scratch:
             release(df)

@@ -113,3 +113,90 @@ def test_betweenness_disconnected_reports_zero(spark):
     )
     assert got[11] == 0.0 and got[1] > 0
     assert set(got) == {0, 1, 2, 10, 11, 12}
+
+
+# ---------------------------------------------------------------------------
+# edge betweenness
+# ---------------------------------------------------------------------------
+
+from split_merge_partitioner_spark.graph import edge_betweenness
+
+
+def _brandes_edges(pairs, seeds):
+    """Exact Python Brandes edge accumulation (same δ = Σ term recursion)."""
+    from collections import deque
+
+    canon = sorted({(min(a, b), max(a, b)) for a, b in pairs if a != b})
+    adj: dict[int, list[int]] = {}
+    for a, b in canon:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    ebc: dict[tuple, float] = {e: 0.0 for e in canon}
+    for s in sorted(set(seeds)):
+        dist = {s: 0}
+        sigma = {s: 1}
+        order = [s]
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            for w in adj.get(v, ()):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                    order.append(w)
+                    sigma[w] = 0
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+        delta = {v: 0.0 for v in order}
+        for w in reversed(order):
+            if w == s:
+                continue
+            for u in adj.get(w, ()):
+                if dist.get(u, -2) == dist[w] - 1:
+                    term = ((1.0 + delta[w]) / sigma[w]) * sigma[u]
+                    ebc[(min(u, w), max(u, w))] += term
+                    delta[u] += term
+    return {e: round(v / 2.0, 6) for e, v in ebc.items()}
+
+
+def test_edge_betweenness_bridge_is_product_of_sides(spark):
+    # two K3s joined by a bridge (2,3): with ALL seeds the bridge carries
+    # every cross pair once per direction -> ebc = 3*3 = 9
+    pairs = [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5), (2, 3)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    out = {(r.src, r.dst): r.ebc for r in edge_betweenness(df, seeds=list(range(6))).collect()}
+    assert out[(2, 3)] == 9.0
+    assert len(out) == len(pairs)  # every edge reports a row
+
+
+def test_edge_betweenness_path_graph_exact(spark):
+    # P5: edge (i, i+1) betweenness = (i+1) * (4-i)
+    pairs = [(i, i + 1) for i in range(4)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    out = {(r.src, r.dst): r.ebc for r in edge_betweenness(df, seeds=list(range(5))).collect()}
+    assert out == {(i, i + 1): float((i + 1) * (4 - i)) for i in range(4)}
+
+
+def test_edge_betweenness_matches_python_replay(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    pairs = sorted({(int(a), int(b)) for a, b in rng.integers(0, 25, size=(60, 2)) if a != b})
+    seeds = [0, 3, 7, 11]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    got = {(r.src, r.dst): r.ebc for r in edge_betweenness(df, seeds=seeds).collect()}
+    exp = _brandes_edges(pairs, seeds)
+    assert got.keys() == exp.keys()
+    for e in exp:
+        assert got[e] == pytest.approx(exp[e], abs=1e-6)
+
+
+def test_edge_betweenness_validation_and_release(spark):
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        edge_betweenness(df, seeds=[])
+    sc = spark.sparkContext
+    before = len(sc._jsc.sc().getRDDStorageInfo())
+    edge_betweenness(df, seeds=[0, 1]).collect()
+    after = len(sc._jsc.sc().getRDDStorageInfo())
+    assert after - before <= 1  # only the returned relation survives
