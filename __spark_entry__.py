@@ -675,6 +675,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return edge_betweenness(e, seeds, max_levels=8)
 
+    def _q_effective_diameter_on(edges_df):
+        # 90% effective diameter from the 4 smallest vertex ids, exact BFS
+        # distance distribution + one interpolation (graph/closeness.py)
+        from split_merge_partitioner_spark.graph import effective_diameter
+
+        seeds = [
+            r.vertex
+            for r in edges_df.select(F.col("src").alias("vertex"))
+            .unionAll(edges_df.select(F.col("dst").alias("vertex")))
+            .distinct()
+            .orderBy("vertex")
+            .limit(4)
+            .collect()
+        ]
+        return effective_diameter(edges_df, seeds, q_ppm=900_000, max_dist=8)
+
+    def q_effective_diameter(spark, sf):
+        return _q_effective_diameter_on(_edges(spark, sf))
+
+    def q_effective_diameter_cp(spark, sf):
+        # second fixture (customer-part): different shape/scale distance
+        # distribution — the data-dependent-truncation class wants 2 fixtures
+        return _q_effective_diameter_on(_edges_cp(spark, sf))
+
     def q_eigencentrality(spark, sf):
         # exact integer power iteration (graph/eigencentrality.py): 6 steps
         # of x = A·x in DECIMAL(38,0) / HUGEINT, one rounded float division
@@ -2720,6 +2744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_clustering": q_global_clustering,
         "betweenness": q_betweenness,
         "edge_betweenness": q_edge_betweenness,
+        "effective_diameter": q_effective_diameter,
+        "effective_diameter_cp": q_effective_diameter_cp,
         "eigencentrality": q_eigencentrality,
         "hits": q_hits,
         "sssp_weighted": q_sssp_weighted,
@@ -2973,6 +2999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wl_quotient", "wl_quotient_cp",
         "influence_max", "influence_max_cp", "pagerank_incremental",
         "triangle_delta", "label_propagation_warm", "edge_betweenness",
+        "effective_diameter", "effective_diameter_cp",
         "incremental_assign",
         "sessionize", "asof_latest", "segment_dedup",
         "kmeans_assign", "kmeans_update", "skipgram_pairs", "betweenness_cp",
@@ -5095,6 +5122,43 @@ FROM edges e LEFT JOIN esum s ON s.src = e.src AND s.dst = e.dst
 """
 
     edge_betweenness_sql = _edge_betweenness_sql_for(_EDGES_CTE)
+
+    # -- effective diameter oracle (closeness.py::effective_diameter) --------
+    # recursive multi-seed BFS + MIN(d) (the landmark-sketch pattern), exact
+    # integer histogram/cumsum, then the engine's target + interpolation
+    # float ops verbatim: q·N, then t−1+(target−prev)/(cum−prev), clamp, ROUND 6
+    def _effective_diameter_sql_for(edges_cte: str) -> str:
+        return f"""
+WITH RECURSIVE {edges_cte},
+everts AS (SELECT DISTINCT src AS vertex FROM edges
+           UNION SELECT DISTINCT dst FROM edges),
+eseeds AS (SELECT vertex FROM everts ORDER BY vertex LIMIT 4),
+eund AS (SELECT src AS a, dst AS b FROM edges UNION ALL SELECT dst, src FROM edges),
+ebfs(s, v, d) AS (
+    SELECT vertex, vertex, 0 FROM eseeds
+    UNION
+    SELECT ebfs.s, eund.b, ebfs.d + 1 FROM ebfs JOIN eund ON eund.a = ebfs.v
+    WHERE ebfs.d < 8
+),
+emind AS (SELECT s, v, MIN(d) AS dist FROM ebfs GROUP BY s, v),
+ehist AS (SELECT dist, CAST(COUNT(*) AS BIGINT) AS cnt FROM emind GROUP BY dist),
+ecum AS (SELECT dist, cnt, SUM(cnt) OVER (ORDER BY dist) AS c FROM ehist),
+etot AS (SELECT SUM(cnt) AS n FROM ehist),
+etgt AS (SELECT (CAST(900000 AS DOUBLE) / 1000000.0) * n AS target, n FROM etot),
+epick AS (SELECT dist, c, c - cnt AS prev FROM ecum, etgt
+          WHERE c >= etgt.target ORDER BY dist LIMIT 1)
+SELECT ROUND(GREATEST(0.0,
+             CAST(p.dist AS DOUBLE) - 1.0
+             + (t.target - CAST(p.prev AS DOUBLE))
+               / (CAST(p.c AS DOUBLE) - CAST(p.prev AS DOUBLE))), 6)
+           AS eff_diameter,
+       CAST(p.dist AS BIGINT) AS t_ceil,
+       CAST(t.n AS BIGINT) AS n_pairs
+FROM epick p, etgt t
+"""
+
+    effective_diameter_sql = _effective_diameter_sql_for(_EDGES_CTE)
+    effective_diameter_cp_sql = _effective_diameter_sql_for(_EDGES_CP_CTE)
 
     # -- graph summary oracles ----------------------------------------------
     # exact BIGINT/HUGEINT moments, ONE rounded float division at the end
@@ -9960,6 +10024,8 @@ FROM nb n JOIN cls c ON n.nbrs = c.nbrs
         "global_clustering": global_clustering_sql,
         "betweenness": betweenness_sql,
         "edge_betweenness": edge_betweenness_sql,
+        "effective_diameter": effective_diameter_sql,
+        "effective_diameter_cp": effective_diameter_cp_sql,
         "connected_components": components_sql,
         "connected_components_stars": components_sql,
         "scc": scc_sql,

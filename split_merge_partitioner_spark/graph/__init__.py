@@ -30,7 +30,7 @@ from .summary import (  # noqa: F401
 from .betweenness import betweenness, edge_betweenness  # noqa: F401
 from .eigencentrality import eigenvector_centrality  # noqa: F401
 from .hits import hits  # noqa: F401
-from .closeness import harmonic_closeness  # noqa: F401
+from .closeness import effective_diameter, harmonic_closeness  # noqa: F401
 from .densest import densest_subgraph_peel  # noqa: F401
 from .scc import strongly_connected_components  # noqa: F401
 from .wpagerank import weighted_pagerank  # noqa: F401

@@ -191,3 +191,63 @@ def eccentricity_profile(
         spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
         for df in scratch:
             release(df)
+
+
+def effective_diameter(
+    edges: DataFrame,
+    seeds: list[int],
+    q_ppm: int = 900_000,
+    max_dist: int = 16,
+) -> DataFrame:
+    """One row (eff_diameter, t_ceil, n_pairs): the q-quantile effective
+    diameter (Boldi-Vigna style, q_ppm parts-per-million — 900000 = the
+    classic 90%) of the EXACT distance distribution from ``seeds``,
+    linearly interpolated between the two straddling radii:
+
+        eff = t − 1 + (q·N − cum(t−1)) / (cum(t) − cum(t−1)),
+
+    where cum(t) counts (seed, vertex) pairs at distance ≤ t.  Exact
+    integer BFS counts (the _seed_bfs batched chain — one exchange per
+    level for ALL seeds); the only floats are the final target/interpolate
+    ops, mirrored verbatim in the SQL oracle.  The denominator is pairs
+    within the ``max_dist`` horizon (the documented harmonic_closeness
+    truncation convention), so the quantile always resolves; seeds are the
+    scale dial exactly as in betweenness/closeness (Brandes-Pich style
+    sampling of the distance distribution).
+    """
+    if not seeds:
+        raise ValueError("effective_diameter needs a non-empty seed set")
+    if not 0 < q_ppm <= 1_000_000:
+        raise ValueError("q_ppm must be in (0, 1e6]")
+    if max_dist < 1:
+        raise ValueError("max_dist must be >= 1")
+    spark = edges.sparkSession
+    scratch: list = []
+    try:
+        _, visited = _seed_bfs(edges, seeds, max_dist, scratch)
+        rows = (
+            visited.groupBy("dist")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy("dist")
+            .collect()
+        )  # <= max_dist + 1 rows: a constant-size driver aggregate
+        total = sum(int(r.cnt) for r in rows)
+        target = q_ppm / 1_000_000.0 * total
+        cum = 0
+        t = prev = 0
+        for r in rows:
+            prev = cum
+            cum += int(r.cnt)
+            t = int(r.dist)
+            if cum >= target:
+                break
+        eff = max(0.0, t - 1 + (target - prev) / (cum - prev))
+        return spark.createDataFrame(
+            [(eff, t, total)],
+            "eff_diameter double, t_ceil long, n_pairs long",
+        ).select(
+            F.round("eff_diameter", 6).alias("eff_diameter"), "t_ceil", "n_pairs"
+        )
+    finally:
+        for df in scratch:
+            release(df)

@@ -106,3 +106,84 @@ def test_harmonic_missing_seed_and_validation(spark):
         harmonic_closeness(df, [], max_dist=4)
     with pytest.raises(ValueError):
         harmonic_closeness(df, [0], max_dist=0)
+
+
+# ---------------------------------------------------------------------------
+# effective diameter
+# ---------------------------------------------------------------------------
+
+from split_merge_partitioner_spark.graph import effective_diameter
+
+
+def _eff_replay(pairs, seeds, q_ppm, max_dist):
+    from collections import deque
+
+    adj: dict[int, set] = {}
+    for a, b in {(a, b) for a, b in pairs if a != b}:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    hist: dict[int, int] = {}
+    for s in sorted(set(seeds)):
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            if dist[v] >= max_dist:
+                continue
+            for w in adj.get(v, ()):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+        for d in dist.values():
+            hist[d] = hist.get(d, 0) + 1
+    total = sum(hist.values())
+    target = q_ppm / 1_000_000.0 * total
+    cum = prev = t = 0
+    for d in sorted(hist):
+        prev = cum
+        cum += hist[d]
+        t = d
+        if cum >= target:
+            break
+    return max(0.0, t - 1 + (target - prev) / (cum - prev)), t, total
+
+
+def test_effective_diameter_path_graph(spark):
+    # P11 from one end seed: distances 0..10 uniform, 90% point = 9.0 exactly
+    pairs = [(i, i + 1) for i in range(10)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    row = effective_diameter(df, seeds=[0], q_ppm=900_000, max_dist=16).collect()[0]
+    # cum at t: t+1 of 11 pairs; target 9.9 -> t=9 (cum 10), prev 9 -> 8 + 0.9
+    assert row.eff_diameter == pytest.approx(8.9, abs=1e-9)
+    assert row.t_ceil == 9 and row.n_pairs == 11
+
+
+def test_effective_diameter_matches_python_replay(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    pairs = sorted({(int(a), int(b)) for a, b in rng.integers(0, 40, size=(90, 2)) if a != b})
+    seeds = [0, 5, 9, 13]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    row = effective_diameter(df, seeds=seeds, q_ppm=900_000, max_dist=8).collect()[0]
+    eff, t, total = _eff_replay(pairs, seeds, 900_000, 8)
+    assert row.eff_diameter == pytest.approx(round(eff, 6), abs=1e-9)
+    assert (row.t_ceil, row.n_pairs) == (t, total)
+
+
+def test_effective_diameter_full_quantile_hits_eccentricity(spark):
+    # q = 100%: the interpolation lands exactly on the deepest radius
+    pairs = [(i, i + 1) for i in range(5)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    row = effective_diameter(df, seeds=[0], q_ppm=1_000_000, max_dist=16).collect()[0]
+    assert row.eff_diameter == 5.0 and row.t_ceil == 5
+
+
+def test_effective_diameter_validations(spark):
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        effective_diameter(df, seeds=[])
+    with pytest.raises(ValueError):
+        effective_diameter(df, seeds=[0], q_ppm=0)
+    with pytest.raises(ValueError):
+        effective_diameter(df, seeds=[0], max_dist=0)
