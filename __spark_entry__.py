@@ -675,6 +675,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return edge_betweenness(e, seeds, max_levels=8)
 
+    def q_gn_split(spark, sf):
+        # one Girvan-Newman block step (betweenness.py::girvan_newman_split):
+        # remove the 5 highest-ebc edges (same 3-seed estimator / level
+        # budget) and label the surviving components -- ebc chain + top-k +
+        # star-contraction CC, replayed as ebc CTEs + ROW_NUMBER + reach
+        from split_merge_partitioner_spark.graph import girvan_newman_split
+
+        e = _edges(spark, sf)
+        seeds = [
+            r.vertex
+            for r in e.select(F.col("src").alias("vertex"))
+            .unionAll(e.select(F.col("dst").alias("vertex")))
+            .distinct()
+            .orderBy("vertex")
+            .limit(3)
+            .collect()
+        ]
+        return girvan_newman_split(e, seeds, n_remove=5, max_levels=8)
+
     def _q_effective_diameter_on(edges_df):
         # 90% effective diameter from the 4 smallest vertex ids, exact BFS
         # distance distribution + one interpolation (graph/closeness.py)
@@ -2744,6 +2763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_clustering": q_global_clustering,
         "betweenness": q_betweenness,
         "edge_betweenness": q_edge_betweenness,
+        "gn_split": q_gn_split,
         "effective_diameter": q_effective_diameter,
         "effective_diameter_cp": q_effective_diameter_cp,
         "eigencentrality": q_eigencentrality,
@@ -2999,7 +3019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wl_quotient", "wl_quotient_cp",
         "influence_max", "influence_max_cp", "pagerank_incremental",
         "triangle_delta", "label_propagation_warm", "edge_betweenness",
-        "effective_diameter", "effective_diameter_cp",
+        "gn_split", "effective_diameter", "effective_diameter_cp",
         "incremental_assign",
         "sessionize", "asof_latest", "segment_dedup",
         "kmeans_assign", "kmeans_update", "skipgram_pairs", "betweenness_cp",
@@ -5105,7 +5125,7 @@ bd{_t - 1} AS MATERIALIZED (
             f"SELECT u, w, term FROM be{t}" for t in range(1, _BT + 1)
         )
         return f"""
-WITH {edges_cte},
+WITH RECURSIVE {edges_cte},
 bund AS MATERIALIZED (SELECT src AS v, dst AS nb FROM edges UNION ALL SELECT dst, src FROM edges),
 bverts AS (SELECT DISTINCT v AS vertex FROM bund),
 bseeds AS (SELECT vertex FROM bverts ORDER BY vertex LIMIT 3),
@@ -5116,12 +5136,37 @@ bs0 AS (SELECT seed, v FROM bf0),
 eall AS ({_eb_levels}),
 esum AS (SELECT LEAST(u, w) AS src, GREATEST(u, w) AS dst,
                 SUM(term) / 2.0 AS ebc_raw
-         FROM eall GROUP BY LEAST(u, w), GREATEST(u, w))
-SELECT e.src, e.dst, ROUND(COALESCE(s.ebc_raw, 0.0), 6) AS ebc
-FROM edges e LEFT JOIN esum s ON s.src = e.src AND s.dst = e.dst
+         FROM eall GROUP BY LEAST(u, w), GREATEST(u, w)),
+ebc AS (SELECT e.src, e.dst, ROUND(COALESCE(s.ebc_raw, 0.0), 6) AS ebc
+        FROM edges e LEFT JOIN esum s ON s.src = e.src AND s.dst = e.dst)
 """
 
-    edge_betweenness_sql = _edge_betweenness_sql_for(_EDGES_CTE)
+    edge_betweenness_sql = (
+        _edge_betweenness_sql_for(_EDGES_CTE)
+        + "SELECT src, dst, ebc FROM ebc\n"
+    )
+
+    # -- Girvan-Newman block step (betweenness.py::girvan_newman_split) ------
+    # the ebc chain above + deterministic top-5 removal (ROW_NUMBER over the
+    # ROUND(6) scores with the engine's (ebc DESC, src, dst) total order) +
+    # min-reachability CC over the residual edges; isolated vertices label
+    # themselves via the LEFT JOIN in the engine == their own reach row here
+    gn_split_sql = _edge_betweenness_sql_for(_EDGES_CTE) + """,
+grk AS (SELECT src, dst,
+               ROW_NUMBER() OVER (ORDER BY ebc DESC, src ASC, dst ASC) AS rn
+        FROM ebc),
+gresid AS (SELECT src, dst FROM grk WHERE rn > 5),
+grund AS (SELECT src AS a, dst AS b FROM gresid
+          UNION ALL SELECT dst, src FROM gresid),
+gverts AS (SELECT DISTINCT src AS vertex FROM edges
+           UNION SELECT DISTINCT dst FROM edges),
+greach(v, r) AS (
+    SELECT vertex, vertex FROM gverts
+    UNION
+    SELECT greach.v, grund.b FROM greach JOIN grund ON greach.r = grund.a
+)
+SELECT v AS vertex, CAST(MIN(r) AS BIGINT) AS component FROM greach GROUP BY v
+"""
 
     # -- effective diameter oracle (closeness.py::effective_diameter) --------
     # recursive multi-seed BFS + MIN(d) (the landmark-sketch pattern), exact
@@ -10024,6 +10069,7 @@ FROM nb n JOIN cls c ON n.nbrs = c.nbrs
         "global_clustering": global_clustering_sql,
         "betweenness": betweenness_sql,
         "edge_betweenness": edge_betweenness_sql,
+        "gn_split": gn_split_sql,
         "effective_diameter": effective_diameter_sql,
         "effective_diameter_cp": effective_diameter_cp_sql,
         "connected_components": components_sql,

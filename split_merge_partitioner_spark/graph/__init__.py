@@ -27,7 +27,7 @@ from .summary import (  # noqa: F401
     global_clustering,
     rich_club,
 )
-from .betweenness import betweenness, edge_betweenness  # noqa: F401
+from .betweenness import betweenness, edge_betweenness, girvan_newman_split  # noqa: F401
 from .eigencentrality import eigenvector_centrality  # noqa: F401
 from .hits import hits  # noqa: F401
 from .closeness import effective_diameter, harmonic_closeness  # noqa: F401

@@ -262,3 +262,63 @@ def edge_betweenness(
                 release(df)
         for df in scratch:
             release(df)
+
+
+def girvan_newman_split(
+    edges: DataFrame,
+    seeds: list[int],
+    n_remove: int,
+    max_levels: int = 64,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """(vertex, component): one Girvan-Newman step at scale — score every
+    edge with :func:`edge_betweenness` (seed-sampled), remove the
+    ``n_remove`` highest-scoring edges under the deterministic total order
+    (ebc DESC, src ASC, dst ASC — ebc is the ROUND(6) column, so both
+    engines order identically), and label the surviving components with
+    the star-contraction CC fixpoint (O(log² n) rounds, diameter-free).
+    Vertices isolated by the removal keep their own id as the component
+    (the min-label convention).
+
+    Classic GN iterates edge-at-a-time with full rescoring — O(m) Brandes
+    runs, hopeless at scale; the batch variant (remove the top block, then
+    rescore) is the standard large-graph compromise and one call here is
+    exactly that block step.  Cost: one edge_betweenness chain + one
+    distributed top-k (TakeOrdered, no global window) + one star-contraction
+    CC — all existing oracle-checked kernels, composed.
+    """
+    if n_remove < 1:
+        raise ValueError("n_remove must be >= 1")
+    from .components import connected_components_stars
+
+    ebc = edge_betweenness(edges, seeds, max_levels)
+    removed = None
+    labels = None
+    try:
+        removed = (
+            ebc.orderBy(F.desc("ebc"), F.asc("src"), F.asc("dst"))
+            .limit(n_remove)
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        resid = ebc.select("src", "dst").join(removed, ["src", "dst"], "left_anti")
+        labels, _info = connected_components_stars(resid, max_rounds=max_rounds)
+        universe = (
+            ebc.select(F.col("src").alias("vertex"))
+            .unionAll(ebc.select(F.col("dst").alias("vertex")))
+            .distinct()
+        )
+        return (
+            universe.join(labels, "vertex", "left")
+            .select(
+                "vertex",
+                F.coalesce("component", F.col("vertex")).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        release(ebc)
+        if removed is not None:
+            release(removed)
+        if labels is not None:
+            release(labels)

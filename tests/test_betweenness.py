@@ -200,3 +200,45 @@ def test_edge_betweenness_validation_and_release(spark):
     edge_betweenness(df, seeds=[0, 1]).collect()
     after = len(sc._jsc.sc().getRDDStorageInfo())
     assert after - before <= 1  # only the returned relation survives
+
+
+# ---------------------------------------------------------------------------
+# Girvan-Newman block step
+# ---------------------------------------------------------------------------
+
+from split_merge_partitioner_spark.graph import girvan_newman_split
+
+
+def test_gn_split_cuts_the_bridge(spark):
+    # two K3s + bridge: the bridge has max ebc, removing 1 edge splits the
+    # graph into components rooted at the min ids 0 and 3
+    pairs = [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5), (2, 3)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    out = {r.vertex: r.component
+           for r in girvan_newman_split(df, seeds=list(range(6)), n_remove=1).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3}
+
+
+def test_gn_split_isolates_on_full_removal(spark):
+    # removing every edge leaves each vertex its own component
+    pairs = [(0, 1), (1, 2)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    out = {r.vertex: r.component
+           for r in girvan_newman_split(df, seeds=[0, 1, 2], n_remove=2).collect()}
+    assert out == {0: 0, 1: 1, 2: 2}
+
+
+def test_gn_split_tie_break_is_lexicographic(spark):
+    # P3 path: both edges tie (ebc 2.0 each with all seeds); n_remove=1 must
+    # take (0,1) by the (src, dst) tie-break, leaving {0} and {1,2}
+    pairs = [(0, 1), (1, 2)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    out = {r.vertex: r.component
+           for r in girvan_newman_split(df, seeds=[0, 1, 2], n_remove=1).collect()}
+    assert out == {0: 0, 1: 1, 2: 1}
+
+
+def test_gn_split_validation(spark):
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        girvan_newman_split(df, seeds=[0], n_remove=0)
