@@ -675,6 +675,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return edge_betweenness(e, seeds, max_levels=8)
 
+    def q_edge_betweenness_cp(spark, sf):
+        # second fixture (customer-part): different BFS depth profile for
+        # the data-dependent backward chain
+        from split_merge_partitioner_spark.graph import edge_betweenness
+
+        e = _edges_cp(spark, sf)
+        seeds = [
+            r.vertex
+            for r in e.select(F.col("src").alias("vertex"))
+            .unionAll(e.select(F.col("dst").alias("vertex")))
+            .distinct()
+            .orderBy("vertex")
+            .limit(3)
+            .collect()
+        ]
+        return edge_betweenness(e, seeds, max_levels=8)
+
     def q_gn_split(spark, sf):
         # one Girvan-Newman block step (betweenness.py::girvan_newman_split):
         # remove the 5 highest-ebc edges (same 3-seed estimator / level
@@ -2763,6 +2780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_clustering": q_global_clustering,
         "betweenness": q_betweenness,
         "edge_betweenness": q_edge_betweenness,
+        "edge_betweenness_cp": q_edge_betweenness_cp,
         "gn_split": q_gn_split,
         "effective_diameter": q_effective_diameter,
         "effective_diameter_cp": q_effective_diameter_cp,
@@ -3019,6 +3037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wl_quotient", "wl_quotient_cp",
         "influence_max", "influence_max_cp", "pagerank_incremental",
         "triangle_delta", "label_propagation_warm", "edge_betweenness",
+        "edge_betweenness_cp",
         "gn_split", "effective_diameter", "effective_diameter_cp",
         "incremental_assign",
         "sessionize", "asof_latest", "segment_dedup",
@@ -5143,6 +5162,10 @@ ebc AS (SELECT e.src, e.dst, ROUND(COALESCE(s.ebc_raw, 0.0), 6) AS ebc
 
     edge_betweenness_sql = (
         _edge_betweenness_sql_for(_EDGES_CTE)
+        + "SELECT src, dst, ebc FROM ebc\n"
+    )
+    edge_betweenness_cp_sql = (
+        _edge_betweenness_sql_for(_EDGES_CP_CTE)
         + "SELECT src, dst, ebc FROM ebc\n"
     )
 
@@ -10069,6 +10092,7 @@ FROM nb n JOIN cls c ON n.nbrs = c.nbrs
         "global_clustering": global_clustering_sql,
         "betweenness": betweenness_sql,
         "edge_betweenness": edge_betweenness_sql,
+        "edge_betweenness_cp": edge_betweenness_cp_sql,
         "gn_split": gn_split_sql,
         "effective_diameter": effective_diameter_sql,
         "effective_diameter_cp": effective_diameter_cp_sql,
