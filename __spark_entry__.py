@@ -2004,6 +2004,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out, _ = two_edge_components(_bridge_fixture(spark, sf))
         return out
 
+    def _bicon_fixture_cp(spark, sf):
+        # second biconnectivity fixture: BINARY tree over customer ids
+        # (v div 2 — depth ~11 at 1500 customers, vs the doc fixture's
+        # ternary depth ~6) + denser (v-7, v) chords at v%5==0 — a
+        # different tree shape and chord stride for the data-dependent
+        # level-sweep counts
+        cv = spark.read.parquet(f"{sf}/customer.parquet").select(
+            F.col("c_custkey").cast("long").alias("v")
+        )
+        t = cv.where(F.col("v") >= 2).select(
+            F.expr("v div 2").alias("src"), F.col("v").alias("dst")
+        )
+        ch = cv.where((F.col("v") % 5 == 0) & (F.col("v") >= 8)).select(
+            (F.col("v") - 7).alias("src"), F.col("v").alias("dst")
+        )
+        return (
+            t.unionAll(ch)
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def q_articulation_points(spark, sf):
+        # articulation points = vertices whose incident edges span >= 2
+        # biconnected components (graph/biconnectivity.py, Tarjan-Vishkin
+        # on the deterministic spanning forest); the DuckDB oracle is an
+        # INDEPENDENT construction — per-vertex neighbor components of
+        # G \ v by recursive reachability — not a replay
+        from split_merge_partitioner_spark.graph.biconnectivity import (
+            articulation_points,
+        )
+
+        out, _ = articulation_points(_bridge_fixture(spark, sf))
+        return out
+
+    def q_articulation_points_cp(spark, sf):
+        from split_merge_partitioner_spark.graph.biconnectivity import (
+            articulation_points,
+        )
+
+        out, _ = articulation_points(_bicon_fixture_cp(spark, sf))
+        return out
+
+    def q_biconn_bcc(spark, sf):
+        # canonical biconnected-component labels (min edge key per BCC —
+        # tree/root/partitioning independent); oracle: independent SQL BCC
+        # construction (neighbor-component grouping at each endpoint +
+        # recursive closure over the shared-group edge classes)
+        from split_merge_partitioner_spark.graph.biconnectivity import (
+            biconnected_components,
+        )
+
+        out, _ = biconnected_components(_bridge_fixture(spark, sf))
+        return out
+
     def q_bpe_merges(spark, sf):
         # BPE tokenizer training (functions/bpe.py::bpe_merges): 12 merge
         # rounds over the character-split word vocabulary; greedy merge
@@ -2934,6 +2988,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bridges": q_bridges,
         "two_edge_components": q_two_edge_components,
+        "articulation_points": q_articulation_points,
+        "articulation_points_cp": q_articulation_points_cp,
+        "biconn_bcc": q_biconn_bcc,
         "bpe_segmented": q_bpe_segmented,
         "dsir_select": q_dsir_select,
         "burst_stats": q_burst_stats,
@@ -3029,7 +3086,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample_docs", "hash_split_docs", "stratified_sample_docs",
         "hyperanf_regs", "hyperanf_regs_cp", "coreness_hindex_cp",
         "user_top_events",
-        # -- 2. new this round --
+        # -- 2. new this round (newest first: the biconnectivity trio has
+        #       never run anywhere before this session) --
+        "articulation_points", "articulation_points_cp", "biconn_bcc",
         "scc_cp", "ktruss_cp", "tri_percolation", "tri_percolation_cp",
         "bond_percolation", "bond_percolation_cp",
         "attack_profile", "attack_profile_cp",
@@ -6363,6 +6422,71 @@ reach(vertex, r) AS (
 SELECT vertex, CAST(MIN(r) AS BIGINT) AS component FROM reach GROUP BY vertex
 """
     )
+
+    # biconnectivity (graph/biconnectivity.py) — INDEPENDENT oracle, not a
+    # Tarjan-Vishkin replay: two edges incident to v lie in one BCC iff
+    # their other endpoints connect in G \ v, so (1) recursive per-neighbor
+    # reachability nreach(v, u, ·) in G \ v labels each edge's group at
+    # each endpoint (g = min reachable vertex), (2) articulation = >= 2
+    # distinct groups at a vertex, (3) BCC classes = recursive closure of
+    # "shares a (vertex, group) membership" over edge keys, labeled by the
+    # class-min edge key — the same canonical label the Spark side emits.
+    def _bicon_sqls(fixture_cte: str) -> tuple[str, str]:
+        core = f"""{fixture_cte},
+bund AS MATERIALIZED (
+    SELECT src AS a, dst AS b FROM fedges UNION ALL SELECT dst, src FROM fedges),
+nreach(v, u, x) AS (
+    SELECT a, b, b FROM bund
+    UNION
+    SELECT r.v, r.u, e.b FROM nreach r JOIN bund e ON e.a = r.x WHERE e.b <> r.v),
+glab AS MATERIALIZED (SELECT v, u, MIN(x) AS g FROM nreach GROUP BY v, u)"""
+        art = (
+            "WITH RECURSIVE " + core + """
+SELECT v AS vertex, CAST(COUNT(DISTINCT g) AS BIGINT) AS n_bcc,
+       COUNT(DISTINCT g) >= 2 AS is_articulation
+FROM glab GROUP BY v
+"""
+        )
+        bcc = (
+            "WITH RECURSIVE " + core + """,
+mem AS MATERIALIZED (
+    SELECT e.src * 2147483648 + e.dst AS ek, g1.v AS gv, g1.g AS g
+    FROM fedges e JOIN glab g1 ON g1.v = e.src AND g1.u = e.dst
+    UNION ALL
+    SELECT e.src * 2147483648 + e.dst, g2.v, g2.g
+    FROM fedges e JOIN glab g2 ON g2.v = e.dst AND g2.u = e.src),
+epair AS MATERIALIZED (
+    SELECT DISTINCT m1.ek AS e1, m2.ek AS e2
+    FROM mem m1 JOIN mem m2 ON m1.gv = m2.gv AND m1.g = m2.g),
+ecl(e1, e2) AS (
+    SELECT ek, ek FROM mem
+    UNION
+    SELECT c.e1, p.e2 FROM ecl c JOIN epair p ON p.e1 = c.e2)
+SELECT CAST(e1 // 2147483648 AS BIGINT) AS src,
+       CAST(e1 % 2147483648 AS BIGINT) AS dst,
+       CAST(MIN(e2) AS BIGINT) AS bcc
+FROM ecl GROUP BY e1
+"""
+        )
+        return art, bcc
+
+    _bicon_fix_doc = """dvb AS (SELECT doc_id AS v FROM documents),
+fedges AS MATERIALIZED (
+    SELECT DISTINCT src, dst FROM (
+        SELECT LEAST(v, v // 3) AS src, GREATEST(v, v // 3) AS dst
+        FROM dvb WHERE v >= 1
+        UNION ALL
+        SELECT v - 10, v FROM dvb WHERE v % 9 = 0 AND v >= 10)
+    WHERE src <> dst)"""
+    _bicon_fix_cp = """cvb AS (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer),
+fedges AS MATERIALIZED (
+    SELECT DISTINCT src, dst FROM (
+        SELECT v // 2 AS src, v AS dst FROM cvb WHERE v >= 2
+        UNION ALL
+        SELECT v - 7, v FROM cvb WHERE v % 5 = 0 AND v >= 8)
+    WHERE src <> dst)"""
+    articulation_sql, biconn_bcc_sql = _bicon_sqls(_bicon_fix_doc)
+    articulation_cp_sql, _ = _bicon_sqls(_bicon_fix_cp)
 
     # second-order biased walks (graph/walks.py::node2vec_walks): first hop
     # = the uniform index pick; later hops classify each neighbor of cur
@@ -10330,6 +10454,9 @@ FROM o GROUP BY CUBE (status, priority, order_year)
         "bpe_merges": bpe_merges_sql,
         "bridges": bridges_sql,
         "two_edge_components": two_ecc_sql,
+        "articulation_points": articulation_sql,
+        "articulation_points_cp": articulation_cp_sql,
+        "biconn_bcc": biconn_bcc_sql,
         "bpe_segmented": bpe_segmented_sql,
         "dsir_select": dsir_select_sql,
         "graphlet_census4": graphlet_census4_sql,
