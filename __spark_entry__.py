@@ -2058,6 +2058,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out, _ = biconnected_components(_bridge_fixture(spark, sf))
         return out
 
+    def q_block_cut_tree(spark, sf):
+        # block-cut tree incidences (cut vertex, block label) — the
+        # robustness skeleton; derived from the same BCC labels
+        from split_merge_partitioner_spark.graph.biconnectivity import (
+            block_cut_tree,
+        )
+
+        out, _ = block_cut_tree(_bridge_fixture(spark, sf))
+        return out
+
     def q_bpe_merges(spark, sf):
         # BPE tokenizer training (functions/bpe.py::bpe_merges): 12 merge
         # rounds over the character-split word vocabulary; greedy merge
@@ -2991,6 +3001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "articulation_points": q_articulation_points,
         "articulation_points_cp": q_articulation_points_cp,
         "biconn_bcc": q_biconn_bcc,
+        "block_cut_tree": q_block_cut_tree,
         "bpe_segmented": q_bpe_segmented,
         "dsir_select": q_dsir_select,
         "burst_stats": q_burst_stats,
@@ -3089,6 +3100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 2. new this round (newest first: the biconnectivity trio has
         #       never run anywhere before this session) --
         "articulation_points", "articulation_points_cp", "biconn_bcc",
+        "block_cut_tree",
         "scc_cp", "ktruss_cp", "tri_percolation", "tri_percolation_cp",
         "bond_percolation", "bond_percolation_cp",
         "attack_profile", "attack_profile_cp",
@@ -6468,7 +6480,35 @@ SELECT CAST(e1 // 2147483648 AS BIGINT) AS src,
 FROM ecl GROUP BY e1
 """
         )
-        return art, bcc
+        # block-cut tree: distinct (cut vertex, block) incidences
+        bct = (
+            "WITH RECURSIVE " + core + """,
+mem AS MATERIALIZED (
+    SELECT e.src * 2147483648 + e.dst AS ek, g1.v AS gv, g1.g AS g
+    FROM fedges e JOIN glab g1 ON g1.v = e.src AND g1.u = e.dst
+    UNION ALL
+    SELECT e.src * 2147483648 + e.dst, g2.v, g2.g
+    FROM fedges e JOIN glab g2 ON g2.v = e.dst AND g2.u = e.src),
+epair AS MATERIALIZED (
+    SELECT DISTINCT m1.ek AS e1, m2.ek AS e2
+    FROM mem m1 JOIN mem m2 ON m1.gv = m2.gv AND m1.g = m2.g),
+ecl(e1, e2) AS (
+    SELECT ek, ek FROM mem
+    UNION
+    SELECT c.e1, p.e2 FROM ecl c JOIN epair p ON p.e1 = c.e2),
+elab AS MATERIALIZED (SELECT e1 AS ek, MIN(e2) AS bcc FROM ecl GROUP BY e1),
+arts AS (SELECT v FROM glab GROUP BY v HAVING COUNT(DISTINCT g) >= 2),
+incid AS (
+    SELECT DISTINCT x.vertex, l.bcc FROM (
+        SELECT src AS vertex, src * 2147483648 + dst AS ek FROM fedges
+        UNION ALL
+        SELECT dst, src * 2147483648 + dst FROM fedges) x
+    JOIN elab l ON l.ek = x.ek)
+SELECT CAST(i.vertex AS BIGINT) AS vertex, CAST(i.bcc AS BIGINT) AS bcc
+FROM incid i JOIN arts a ON a.v = i.vertex
+"""
+        )
+        return art, bcc, bct
 
     _bicon_fix_doc = """dvb AS (SELECT doc_id AS v FROM documents),
 fedges AS MATERIALIZED (
@@ -6485,8 +6525,8 @@ fedges AS MATERIALIZED (
         UNION ALL
         SELECT v - 7, v FROM cvb WHERE v % 5 = 0 AND v >= 8)
     WHERE src <> dst)"""
-    articulation_sql, biconn_bcc_sql = _bicon_sqls(_bicon_fix_doc)
-    articulation_cp_sql, _ = _bicon_sqls(_bicon_fix_cp)
+    articulation_sql, biconn_bcc_sql, block_cut_tree_sql = _bicon_sqls(_bicon_fix_doc)
+    articulation_cp_sql, _, _ = _bicon_sqls(_bicon_fix_cp)
 
     # second-order biased walks (graph/walks.py::node2vec_walks): first hop
     # = the uniform index pick; later hops classify each neighbor of cur
@@ -10457,6 +10497,7 @@ FROM o GROUP BY CUBE (status, priority, order_year)
         "articulation_points": articulation_sql,
         "articulation_points_cp": articulation_cp_sql,
         "biconn_bcc": biconn_bcc_sql,
+        "block_cut_tree": block_cut_tree_sql,
         "bpe_segmented": bpe_segmented_sql,
         "dsir_select": dsir_select_sql,
         "graphlet_census4": graphlet_census4_sql,

@@ -80,7 +80,8 @@ def main(argv=None, stop: bool = True) -> None:
                  "dpagerank", "coloring", "butterfly", "nsample", "louvain", "node2vec",
                  "richclub", "katz", "daglevels", "salsa", "kclique", "squares",
                  "gini", "compsizes", "onion", "trussness", "census", "spectral",
-                 "sweep", "wl", "msf", "bridges", "twoecc", "abcore", "orbits",
+                 "sweep", "wl", "msf", "bridges", "twoecc", "bicc", "articulation",
+                 "abcore", "orbits",
                  "twins", "landmarks", "rewire", "fingerprint", "cascade",
                  "spammass"],
     )
@@ -385,6 +386,22 @@ def main(argv=None, stop: bool = True) -> None:
         from split_merge_partitioner_spark.graph.bridges import two_edge_components
 
         out, info = two_edge_components(edges, seed=args.seed)
+    elif args.algo == "bicc":
+        # biconnected components: canonical min-edge-key label per edge
+        # (Tarjan-Vishkin over the deterministic spanning forest)
+        from split_merge_partitioner_spark.graph.biconnectivity import (
+            biconnected_components,
+        )
+
+        out, info = biconnected_components(edges)
+    elif args.algo == "articulation":
+        # articulation points (>= 2 distinct biconnected components at a
+        # vertex); shares the bicc pipeline
+        from split_merge_partitioner_spark.graph.biconnectivity import (
+            articulation_points,
+        )
+
+        out, info = articulation_points(edges)
     elif args.algo == "abcore":
         # bipartite (α,β)-core peel (abcore.py) — src side needs --alpha,
         # dst side --beta; fails fast if the id spaces overlap

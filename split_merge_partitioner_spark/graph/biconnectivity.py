@@ -118,6 +118,34 @@ def articulation_points(
     return out, info
 
 
+def block_cut_tree(
+    edges: DataFrame,
+    max_rounds: int = 512,
+    dense_threshold: int = 5_000_000,
+) -> tuple[DataFrame, dict]:
+    """((vertex, bcc) DataFrame — the block-cut tree's incidence edges, info).
+
+    The block-cut tree is the bipartite tree whose nodes are the blocks
+    (biconnected components) and the cut (articulation) vertices, with an
+    edge wherever a cut vertex belongs to a block; for a connected graph
+    it is a tree: #incidences = #blocks + #cut_vertices − 1.  This is the
+    graph's robustness skeleton — which blocks a cut vertex failure
+    separates — in the summarization family of ``scc_condensation`` /
+    ``wl_quotient``.
+    """
+    labels, info = biconnected_components(edges, max_rounds, dense_threshold)
+    art, _ = articulation_points(edges, labels=labels)
+    incid = (
+        labels.select(F.col("src").alias("vertex"), "bcc")
+        .unionAll(labels.select(F.col("dst").alias("vertex"), "bcc"))
+        .distinct()
+    )
+    out = incid.join(
+        art.where(F.col("is_articulation")).select("vertex"), "vertex"
+    ).select("vertex", "bcc")
+    return out, info
+
+
 # ---------------------------------------------------------------------------
 # dense path: textbook iterative Tarjan (edge-stack BCC) on driver arrays
 # ---------------------------------------------------------------------------

@@ -167,3 +167,30 @@ def test_shuffle_path_releases_storage(spark):
 
     release(out)
     assert len(sc._jsc.sc().getRDDStorageInfo()) <= before + 1
+
+
+def test_block_cut_tree(spark):
+    from split_merge_partitioner_spark.graph.biconnectivity import block_cut_tree
+
+    # path 0-1-2-3: blocks {01},{12},{23}; cuts {1,2}; 4 incidences
+    path = [(0, 1), (1, 2), (2, 3)]
+    bct, _ = block_cut_tree(_df(spark, path))
+    rows = {(r.vertex, r.bcc) for r in bct.collect()}
+    k = 1 << 31
+    assert rows == {(1, 0 * k + 1), (1, 1 * k + 2), (2, 1 * k + 2), (2, 2 * k + 3)}
+    # two triangles sharing vertex 1: one cut vertex in two blocks
+    two = [(1, 2), (1, 3), (2, 3), (1, 4), (1, 5), (4, 5)]
+    bct, _ = block_cut_tree(_df(spark, two))
+    rows = sorted((r.vertex, r.bcc) for r in bct.collect())
+    assert [v for v, _ in rows] == [1, 1] and len({b for _, b in rows}) == 2
+    # connected random graph: the block-cut structure is a TREE:
+    # incidences = blocks + cut vertices - 1
+    rows_g = _rand_graph(4, n=25, m=28)
+    rows_g.extend((0, v) for v in range(1, 25)
+                  if (0, v) not in rows_g)  # force connectivity via hub 0
+    rows_g = sorted(set(rows_g))
+    lab, info = biconnected_components(_df(spark, rows_g))
+    ap, _ = articulation_points(_df(spark, rows_g), labels=lab)
+    n_art = sum(1 for r in ap.collect() if r.is_articulation)
+    bct, _ = block_cut_tree(_df(spark, rows_g))
+    assert bct.count() == info["n_bcc"] + n_art - 1

@@ -138,6 +138,8 @@ def test_build_pyfiles_zip_importable(tmp_path):
     ("msf", []),
     ("bridges", []),
     ("twoecc", []),
+    ("bicc", []),
+    ("articulation", []),
     ("orbits", []),
     ("rewire", ["--seed", "3"]),
     ("fingerprint", ["--max-iter", "2"]),
