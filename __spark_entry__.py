@@ -2068,6 +2068,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out, _ = block_cut_tree(_bridge_fixture(spark, sf))
         return out
 
+    def q_rcm_order(spark, sf):
+        # Reverse Cuthill-McKee bandwidth-reduction order
+        # (graph/ordering.py): BFS from the (degree,id)-min start, levels
+        # ranked by (min parent position, degree, id); oracle replays the
+        # level loop as chained CTEs
+        from split_merge_partitioner_spark.graph.ordering import (
+            cuthill_mckee_order,
+        )
+
+        out, _ = cuthill_mckee_order(_bridge_fixture(spark, sf))
+        return out
+
+    def q_gap_bits_orders(spark, sf):
+        # WebGraph-style delta-encoding cost of the adjacency under
+        # natural / degree-desc / RCM orders — exact integer bits
+        # (LENGTH(BIN(gap)), no libm); the 'vertex order is a compression
+        # dial' table
+        from split_merge_partitioner_spark.graph.ordering import (
+            order_compression_report,
+        )
+
+        return order_compression_report(_bridge_fixture(spark, sf))
+
     def q_bpe_merges(spark, sf):
         # BPE tokenizer training (functions/bpe.py::bpe_merges): 12 merge
         # rounds over the character-split word vocabulary; greedy merge
@@ -3002,6 +3025,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "articulation_points_cp": q_articulation_points_cp,
         "biconn_bcc": q_biconn_bcc,
         "block_cut_tree": q_block_cut_tree,
+        "rcm_order": q_rcm_order,
+        "gap_bits_orders": q_gap_bits_orders,
         "bpe_segmented": q_bpe_segmented,
         "dsir_select": q_dsir_select,
         "burst_stats": q_burst_stats,
@@ -3100,7 +3125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 2. new this round (newest first: the biconnectivity trio has
         #       never run anywhere before this session) --
         "articulation_points", "articulation_points_cp", "biconn_bcc",
-        "block_cut_tree",
+        "block_cut_tree", "rcm_order", "gap_bits_orders",
         "scc_cp", "ktruss_cp", "tri_percolation", "tri_percolation_cp",
         "bond_percolation", "bond_percolation_cp",
         "attack_profile", "attack_profile_cp",
@@ -6527,6 +6552,74 @@ fedges AS MATERIALIZED (
     WHERE src <> dst)"""
     articulation_sql, biconn_bcc_sql, block_cut_tree_sql = _bicon_sqls(_bicon_fix_doc)
     articulation_cp_sql, _, _ = _bicon_sqls(_bicon_fix_cp)
+
+    # Reverse Cuthill-McKee (graph/ordering.py) — level-loop replay as
+    # chained CTEs on the CONNECTED tree+chords fixture (depth 11 at 500
+    # docs; 16 generated levels with headroom).  Level i ranks the
+    # unassigned neighbors of level i-1 by (min parent cpos, degree, id)
+    # and appends them after the previously assigned block; the final
+    # position reverses the CM sequence (pos = n - 1 - cpos).
+    _RCM_LEVELS = 16
+    _rcm_parts = [
+        _bicon_fix_doc,
+        "rund AS MATERIALIZED (SELECT src AS a, dst AS b FROM fedges"
+        " UNION ALL SELECT dst, src FROM fedges)",
+        "rdeg AS MATERIALIZED (SELECT a AS vertex,"
+        " CAST(COUNT(*) AS BIGINT) AS degree FROM rund GROUP BY a)",
+        "rl0 AS (SELECT vertex, CAST(0 AS BIGINT) AS cpos FROM"
+        " (SELECT vertex FROM rdeg ORDER BY degree, vertex LIMIT 1))",
+        "rasg0 AS (SELECT * FROM rl0)",
+    ]
+    for _i in range(1, _RCM_LEVELS + 1):
+        _rcm_parts.append(f"""rl{_i} AS MATERIALIZED (
+    SELECT c.vertex,
+           (SELECT COUNT(*) FROM rasg{_i-1})
+           + ROW_NUMBER() OVER (ORDER BY c.ppos, d.degree, c.vertex) - 1 AS cpos
+    FROM (
+        SELECT u.b AS vertex, MIN(f.cpos) AS ppos
+        FROM rl{_i-1} f JOIN rund u ON u.a = f.vertex
+        WHERE u.b NOT IN (SELECT vertex FROM rasg{_i-1})
+        GROUP BY u.b) c
+    JOIN rdeg d ON d.vertex = c.vertex)""")
+        _rcm_parts.append(
+            f"rasg{_i} AS MATERIALIZED (SELECT * FROM rasg{_i-1}"
+            f" UNION ALL SELECT * FROM rl{_i})"
+        )
+    _rcm_parts.append(f"""rpos AS MATERIALIZED (
+    SELECT vertex,
+           CAST((SELECT COUNT(*) FROM rasg{_RCM_LEVELS}) - 1 - cpos AS BIGINT) AS pos
+    FROM rasg{_RCM_LEVELS})""")
+    rcm_order_sql = (
+        "WITH " + ",\n".join(_rcm_parts) + "\nSELECT vertex, pos FROM rpos\n"
+    )
+
+    # gap-bit accounting under the three orders; bits(g) = LENGTH(BIN(g))
+    # in both engines (integer-exact, no libm)
+    def _gap_leg(pos_cte: str, name: str) -> str:
+        return f"""
+SELECT '{name}' AS order_name,
+       CAST(SUM(LENGTH(bin(gap))) AS BIGINT) AS total_bits,
+       CAST(COUNT(*) AS BIGINT) AS n_dirs
+FROM (
+    SELECT CASE WHEN prev IS NULL THEN ABS(pn - pv) ELSE pn - prev END AS gap
+    FROM (
+        SELECT u.a AS v, p1.pos AS pv, p2.pos AS pn,
+               LAG(p2.pos) OVER (PARTITION BY u.a ORDER BY p2.pos) AS prev
+        FROM rund u JOIN {pos_cte} p1 ON p1.vertex = u.a
+                    JOIN {pos_cte} p2 ON p2.vertex = u.b))
+"""
+    gap_bits_orders_sql = (
+        "WITH " + ",\n".join(_rcm_parts) + f""",
+natpos AS MATERIALIZED (
+    SELECT vertex, ROW_NUMBER() OVER (ORDER BY vertex) - 1 AS pos FROM rdeg),
+degpos AS MATERIALIZED (
+    SELECT vertex, ROW_NUMBER() OVER (ORDER BY degree DESC, vertex) - 1 AS pos
+    FROM rdeg)
+{_gap_leg('natpos', 'natural')}
+UNION ALL {_gap_leg('degpos', 'degree_desc')}
+UNION ALL {_gap_leg('rpos', 'rcm')}
+"""
+    )
 
     # second-order biased walks (graph/walks.py::node2vec_walks): first hop
     # = the uniform index pick; later hops classify each neighbor of cur
@@ -10498,6 +10591,8 @@ FROM o GROUP BY CUBE (status, priority, order_year)
         "articulation_points_cp": articulation_cp_sql,
         "biconn_bcc": biconn_bcc_sql,
         "block_cut_tree": block_cut_tree_sql,
+        "rcm_order": rcm_order_sql,
+        "gap_bits_orders": gap_bits_orders_sql,
         "bpe_segmented": bpe_segmented_sql,
         "dsir_select": dsir_select_sql,
         "graphlet_census4": graphlet_census4_sql,

@@ -81,7 +81,7 @@ def main(argv=None, stop: bool = True) -> None:
                  "richclub", "katz", "daglevels", "salsa", "kclique", "squares",
                  "gini", "compsizes", "onion", "trussness", "census", "spectral",
                  "sweep", "wl", "msf", "bridges", "twoecc", "bicc", "articulation",
-                 "abcore", "orbits",
+                 "rcm", "gapbits", "abcore", "orbits",
                  "twins", "landmarks", "rewire", "fingerprint", "cascade",
                  "spammass"],
     )
@@ -386,6 +386,21 @@ def main(argv=None, stop: bool = True) -> None:
         from split_merge_partitioner_spark.graph.bridges import two_edge_components
 
         out, info = two_edge_components(edges, seed=args.seed)
+    elif args.algo == "rcm":
+        # Reverse Cuthill-McKee bandwidth-reduction vertex order
+        from split_merge_partitioner_spark.graph.ordering import (
+            cuthill_mckee_order,
+        )
+
+        out, info = cuthill_mckee_order(edges)
+    elif args.algo == "gapbits":
+        # delta-encoding cost of the adjacency under natural / degree-desc
+        # / RCM vertex orders (exact integer bits)
+        from split_merge_partitioner_spark.graph.ordering import (
+            order_compression_report,
+        )
+
+        out = order_compression_report(edges)
     elif args.algo == "bicc":
         # biconnected components: canonical min-edge-key label per edge
         # (Tarjan-Vishkin over the deterministic spanning forest)

@@ -140,6 +140,8 @@ def test_build_pyfiles_zip_importable(tmp_path):
     ("twoecc", []),
     ("bicc", []),
     ("articulation", []),
+    ("rcm", []),
+    ("gapbits", []),
     ("orbits", []),
     ("rewire", ["--seed", "3"]),
     ("fingerprint", ["--max-iter", "2"]),
