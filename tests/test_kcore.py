@@ -100,3 +100,103 @@ def test_empty(spark):
     e = spark.createDataFrame([], schema="src long, dst long")
     out, info = coreness(e)
     assert out.count() == 0 and info["converged"]
+
+
+def test_coreness_incremental_matches_cold(spark):
+    from split_merge_partitioner_spark.graph.kcore import coreness_incremental
+
+    pairs = _random_pairs(7)
+    # deterministic split: ~1/5 of edges arrive as the delta batch
+    base = [(a, b) for a, b in pairs if (a * 1000003 + b) % 5 != 0]
+    delta = [(a, b) for a, b in pairs if (a * 1000003 + b) % 5 == 0]
+    bdf = spark.createDataFrame(base, "src long, dst long")
+    ddf = spark.createDataFrame(delta, "src long, dst long")
+    mdf = spark.createDataFrame(pairs, "src long, dst long")
+    base_core, _ = coreness(bdf)
+    cold, cold_info = coreness(mdf)
+    warm, warm_info = coreness_incremental(bdf, ddf, base_core)
+    assert warm_info["converged"] and warm_info["k_new"] == len(delta)
+    got = {r.vertex: r.coreness for r in warm.collect()}
+    exp = {r.vertex: r.coreness for r in cold.collect()}
+    assert got == exp
+    # shuffle path agrees too
+    warm_s, info_s = coreness_incremental(bdf, ddf, base_core, dense_threshold=0)
+    assert info_s["mode"] == "shuffle" and info_s["converged"]
+    assert {r.vertex: r.coreness for r in warm_s.collect()} == exp
+
+
+def test_coreness_incremental_localized_delta_converges_fast(spark):
+    from split_merge_partitioner_spark.graph.kcore import coreness_incremental
+
+    # long path (core 1; cold h-index convergence is O(n/2) sweeps: the
+    # degree->1 repair walks inward from the ends) + a 6-clique (core 5);
+    # the delta adds one edge at the clique (K_e = 5), so the level-window
+    # init inflates only levels 4..6 and the path stays at its fixpoint
+    path = [(i, i + 1) for i in range(60)]
+    clique = [(100 + i, 100 + j) for i in range(6) for j in range(i + 1, 6)]
+    base = path + clique + [(60, 100)]
+    delta = [(100, 200), (101, 200), (102, 200), (103, 200), (104, 200)]
+    bdf = spark.createDataFrame(base, "src long, dst long")
+    ddf = spark.createDataFrame(delta, "src long, dst long")
+    base_core, base_info = coreness(bdf)
+    warm, warm_info = coreness_incremental(bdf, ddf, base_core)
+    cold, cold_info = coreness(
+        spark.createDataFrame(base + delta, "src long, dst long")
+    )
+    assert {r.vertex: r.coreness for r in warm.collect()} == {
+        r.vertex: r.coreness for r in cold.collect()
+    }
+    # cold pays the path repair; warm starts at the base fixpoint outside
+    # the clique levels and settles in a few sweeps
+    assert cold_info["iterations"] > 20
+    assert warm_info["iterations"] <= 5, warm_info
+    # duplicate-only delta: k_new = 0, init == old == fixpoint, 1 sweep
+    dup, dup_info = coreness_incremental(
+        bdf, spark.createDataFrame(base[:3], "src long, dst long"), base_core
+    )
+    assert dup_info["k_new"] == 0 and dup_info["iterations"] == 1
+    assert {r.vertex: r.coreness for r in dup.collect()} == {
+        r.vertex: r.coreness for r in base_core.collect()
+    }
+
+
+def test_coreness_incremental_new_vertices_and_dup_edges(spark):
+    from split_merge_partitioner_spark.graph.kcore import coreness_incremental
+
+    base = [(0, 1), (1, 2), (0, 2)]
+    # delta: duplicate of a base edge + a brand-new pendant chain 10-11-12
+    delta = [(0, 1), (10, 11), (11, 12)]
+    bdf = spark.createDataFrame(base, "src long, dst long")
+    ddf = spark.createDataFrame(delta, "src long, dst long")
+    base_core, _ = coreness(bdf)
+    warm, info = coreness_incremental(bdf, ddf, base_core)
+    assert info["k_new"] == 2  # the duplicate does not count
+    got = {r.vertex: r.coreness for r in warm.collect()}
+    assert got == {0: 2, 1: 2, 2: 2, 10: 1, 11: 1, 12: 1}
+
+
+def test_coreness_incremental_shuffle_sequential_and_noop(spark):
+    from split_merge_partitioner_spark.graph.kcore import coreness_incremental
+
+    path = [(i, i + 1) for i in range(20)]
+    clique = [(100 + i, 100 + j) for i in range(5) for j in range(i + 1, 5)]
+    base = path + clique + [(20, 100)]
+    delta = [(100, 200), (101, 200), (102, 200)]  # k=3 -> sequential regime
+    bdf = spark.createDataFrame(base, "src long, dst long")
+    ddf = spark.createDataFrame(delta, "src long, dst long")
+    base_core, _ = coreness(bdf)
+    warm, info = coreness_incremental(bdf, ddf, base_core, dense_threshold=0)
+    assert info["mode"] == "shuffle" and info["converged"]
+    cold, _ = coreness(spark.createDataFrame(base + delta, "src long, dst long"))
+    assert {r.vertex: r.coreness for r in warm.collect()} == {
+        r.vertex: r.coreness for r in cold.collect()
+    }
+    # duplicate-only delta on the shuffle path: one verification sweep
+    dup, dinfo = coreness_incremental(
+        bdf, spark.createDataFrame(base[:2], "src long, dst long"),
+        base_core, dense_threshold=0,
+    )
+    assert dinfo["k_new"] == 0 and dinfo["iterations"] == 1
+    assert {r.vertex: r.coreness for r in dup.collect()} == {
+        r.vertex: r.coreness for r in base_core.collect()
+    }
