@@ -114,7 +114,10 @@ def main(argv=None, stop: bool = True) -> None:
                          "--delta-input, merge the delta incrementally instead "
                          "of recomputing from --input")
     ap.add_argument("--delta-input", default=None,
-                    help="cc: delta edge parquet for the incremental merge")
+                    help="cc/kcore: delta edge parquet for the incremental merge")
+    ap.add_argument("--coreness-input", default=None,
+                    help="kcore: checkpointed (vertex, coreness) parquet — with "
+                         "--delta-input, warm-start the exact merged recompute")
     ap.add_argument("--min-common", type=int, default=2,
                     help="linkpred common-neighbor floor")
     ap.add_argument("--max-center-degree", default="auto",
@@ -218,7 +221,18 @@ def main(argv=None, stop: bool = True) -> None:
     elif args.algo == "hyperanf":
         out, info = hyperanf(edges, assigned=assigned, n_steps=args.n_steps)
     elif args.algo == "kcore":
-        out, info = coreness(edges, max_iter=args.max_iter)
+        if args.coreness_input and args.delta_input:
+            # incremental maintenance: checkpointed coreness + delta batch
+            from split_merge_partitioner_spark.graph.kcore import (
+                coreness_incremental,
+            )
+
+            prior = spark.read.parquet(args.coreness_input)
+            delta = spark.read.parquet(args.delta_input)
+            out, info = coreness_incremental(edges, delta, prior,
+                                             max_iter=args.max_iter)
+        else:
+            out, info = coreness(edges, max_iter=args.max_iter)
     elif args.algo == "dpagerank":
         # DIRECTED semantics like hits/scc: src->dst as given
         from split_merge_partitioner_spark.graph import directed_pagerank

@@ -200,3 +200,24 @@ def test_coreness_incremental_shuffle_sequential_and_noop(spark):
     assert {r.vertex: r.coreness for r in dup.collect()} == {
         r.vertex: r.coreness for r in base_core.collect()
     }
+
+
+def test_coreness_incremental_cli(spark, tmp_path):
+    from jobs.run_analytics import main as analytics_main
+
+    base = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    bdf = spark.createDataFrame(base, "src long, dst long")
+    bpath = str(tmp_path / "base.parquet")
+    bdf.write.parquet(bpath)
+    core0, _ = coreness(bdf)
+    cpath = str(tmp_path / "core.parquet")
+    core0.write.parquet(cpath)
+    dpath = str(tmp_path / "delta.parquet")
+    spark.createDataFrame([(0, 3), (1, 3)], "src long, dst long").write.parquet(dpath)
+    out = str(tmp_path / "warm.parquet")
+    analytics_main(["--input", bpath, "--algo", "kcore", "--delta-input", dpath,
+                    "--coreness-input", cpath, "--output", out], stop=False)
+    import pandas as pd_
+
+    got = pd_.read_parquet(out).set_index("vertex")["coreness"].to_dict()
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}  # K4 after the delta
