@@ -1229,6 +1229,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out
 
+    def q_core_degree_agreement(spark, sf):
+        # pair-counting Rand index (graph/agreement.py) between the
+        # degree-decade classes and the coreness levels of the co-occur
+        # graph — exact BIGINT contingency components + floor-ppm index
+        from split_merge_partitioner_spark.graph import coreness
+        from split_merge_partitioner_spark.graph.agreement import (
+            partition_agreement,
+        )
+        from split_merge_partitioner_spark.sources.edges import degrees
+
+        e = _edges(spark, sf)
+        a = degrees(e).select(
+            "vertex",
+            F.floor(F.log10(F.col("degree").cast("double")))
+            .cast("long")
+            .alias("label"),
+        )
+        core, _ = coreness(e, n_iter=8)
+        b = core.select("vertex", F.col("coreness").alias("label"))
+        return partition_agreement(a, b)
+
     def q_coreness_cp(spark, sf):
         # second fixture (VERDICT r3 item 8): the 2.2x-vertices customer-part
         # graph with a different degree profile — same 8-sweep contract
@@ -2941,6 +2962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreness_hindex": q_coreness,
         "coreness_hindex_cp": q_coreness_cp,
         "coreness_incremental": q_coreness_incremental,
+        "core_degree_agreement": q_core_degree_agreement,
         "media_features": q_media_features,
         "events_by_type": q_events_by_type,
         "events_rollup": q_events_rollup,
@@ -3148,7 +3170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #       never run anywhere before this session) --
         "articulation_points", "articulation_points_cp", "biconn_bcc",
         "block_cut_tree", "rcm_order", "gap_bits_orders",
-        "coreness_incremental",
+        "coreness_incremental", "core_degree_agreement",
         "scc_cp", "ktruss_cp", "tri_percolation", "tri_percolation_cp",
         "bond_percolation", "bond_percolation_cp",
         "attack_profile", "attack_profile_cp",
@@ -8419,6 +8441,38 @@ ciund AS MATERIALIZED (
 SELECT vertex, CAST(c AS BIGINT) AS coreness FROM ci18
 """
 
+    # pair-counting Rand index between degree decades and coreness levels
+    # (graph/agreement.py): exact BIGINT contingency, floor-ppm index —
+    # `//` in DuckDB, shiftright/exact-div on the Spark side
+    core_degree_agreement_sql = f"""
+WITH {_EDGES_CTE},
+und AS (SELECT src AS a, dst AS b FROM edges UNION ALL SELECT dst, src FROM edges),
+{','.join(_kcore_ctes)},
+agdeg AS (SELECT a AS vertex, COUNT(*) AS degree FROM und GROUP BY a),
+agpa AS (SELECT vertex,
+                CAST(FLOOR(LOG10(CAST(degree AS DOUBLE))) AS BIGINT) AS la
+         FROM agdeg),
+agpb AS (SELECT vertex, CAST(c AS BIGINT) AS lb FROM ck8),
+agj AS MATERIALIZED (SELECT agpa.vertex, la, lb FROM agpa
+                     JOIN agpb ON agpa.vertex = agpb.vertex),
+agcont AS (SELECT la, lb, COUNT(*) AS nij FROM agj GROUP BY la, lb),
+agcomp AS (SELECT
+    (SELECT COUNT(*) FROM agj) AS nv,
+    (SELECT SUM(nij * (nij - 1) // 2) FROM agcont) AS sij,
+    (SELECT SUM(ai * (ai - 1) // 2)
+     FROM (SELECT COUNT(*) AS ai FROM agj GROUP BY la)) AS sa,
+    (SELECT SUM(bj * (bj - 1) // 2)
+     FROM (SELECT COUNT(*) AS bj FROM agj GROUP BY lb)) AS sb)
+SELECT CAST(nv AS BIGINT) AS n_vertices,
+       CAST(nv * (nv - 1) // 2 AS BIGINT) AS n_pairs,
+       CAST(sij AS BIGINT) AS sum_ij_c2,
+       CAST(sa AS BIGINT) AS sum_a_c2,
+       CAST(sb AS BIGINT) AS sum_b_c2,
+       CAST((1000000 * (sij + nv * (nv - 1) // 2 - sa - sb + sij))
+            // (nv * (nv - 1) // 2) AS BIGINT) AS rand_index_ppm
+FROM agcomp
+"""
+
     # -- eigenvector centrality oracle --------------------------------------
     # exact integer power iteration (graph/eigencentrality.py): x stays a
     # HUGEINT walk count for all 6 steps; the single float op is the final
@@ -10453,6 +10507,7 @@ FROM edges e JOIN vp vs ON vs.vertex = e.src JOIN vp vd ON vd.vertex = e.dst
         "hyperanf_regs_cp": _hyperanf_regs_sql_for(_EDGES_CP_CTE),
         "coreness_hindex": coreness_sql,
         "coreness_incremental": coreness_incremental_sql,
+        "core_degree_agreement": core_degree_agreement_sql,
         "coreness_hindex_cp": _coreness_sql_for(_EDGES_CP_CTE),
         "vertex_partition_stats": f"""
 WITH {_EDGES_CTE},
