@@ -1136,6 +1136,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return shortest_paths(ew, [int(seed)], max_supersteps=8, weight_col="w")
 
+    def q_widest_paths(spark, sf):
+        # max-min bottleneck path width (graph/sssp.py::widest_paths — the
+        # (max, min) dual of the Bellman-Ford superstep): same
+        # deterministic capacities w = (src+dst) % 7 + 1 and max-degree
+        # seed as sssp_weighted, 8 supersteps, exact BIGINT widths
+        from split_merge_partitioner_spark.graph.sssp import widest_paths
+        from split_merge_partitioner_spark.sources import degrees as degrees_of
+
+        e = _edges(spark, sf).persist()
+        seed = (
+            degrees_of(e).orderBy(F.desc("degree"), F.asc("vertex")).first()["vertex"]
+        )
+        ew = e.withColumn(
+            "w", (F.col("src") + F.col("dst")) % F.lit(7) + F.lit(1)
+        )
+        return widest_paths(ew, [int(seed)], max_supersteps=8, capacity_col="w")
+
     def q_harmonic_closeness(spark, sf):
         # seed-sampled harmonic centrality (graph/closeness.py): top-4
         # degree seeds (min id on ties), 8-hop horizon; the lcm(1..8)=840
@@ -2916,6 +2933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigencentrality": q_eigencentrality,
         "hits": q_hits,
         "sssp_weighted": q_sssp_weighted,
+        "widest_paths": q_widest_paths,
         "harmonic_closeness": q_harmonic_closeness,
         "harmonic_closeness_cp": q_harmonic_closeness_cp,
         "modularity": q_modularity,
@@ -3170,7 +3188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #       never run anywhere before this session) --
         "articulation_points", "articulation_points_cp", "biconn_bcc",
         "block_cut_tree", "rcm_order", "gap_bits_orders",
-        "coreness_incremental", "core_degree_agreement",
+        "coreness_incremental", "core_degree_agreement", "widest_paths",
         "scc_cp", "ktruss_cp", "tri_percolation", "tri_percolation_cp",
         "bond_percolation", "bond_percolation_cp",
         "attack_profile", "attack_profile_cp",
@@ -4924,6 +4942,28 @@ undw AS (SELECT src AS frm, dst AS t, w FROM w UNION ALL SELECT dst, src, w FROM
 seed AS (SELECT vertex FROM degrees ORDER BY degree DESC, vertex ASC LIMIT 1),
 {','.join(_sssp_ctes)}
 SELECT vertex, CAST(dist AS BIGINT) AS dist FROM s8
+"""
+
+    # widest (bottleneck) paths: the same 8 supersteps with (min,+)
+    # swapped for (max, min); seed sentinel 2^31 = graph/sssp.py WIDTH_INF
+    _wp_ctes = [
+        "wp0 AS (SELECT vertex, CAST(2147483648 AS BIGINT) AS width FROM seed)"
+    ]
+    for _t in range(1, 9):
+        _wp_ctes.append(
+            f"wp{_t} AS (SELECT vertex, MAX(width) AS width FROM ("
+            f"SELECT vertex, width FROM wp{_t - 1}"
+            f" UNION ALL SELECT u.t AS vertex, LEAST(p.width, u.w) AS width"
+            f" FROM undw u JOIN wp{_t - 1} p ON p.vertex = u.frm"
+            f") GROUP BY vertex)"
+        )
+    widest_paths_sql = f"""
+WITH {_DEGREES_CTE},
+w AS (SELECT src, dst, (src + dst) % 7 + 1 AS w FROM edges),
+undw AS (SELECT src AS frm, dst AS t, w FROM w UNION ALL SELECT dst, src, w FROM w),
+seed AS (SELECT vertex FROM degrees ORDER BY degree DESC, vertex ASC LIMIT 1),
+{','.join(_wp_ctes)}
+SELECT vertex, CAST(width AS BIGINT) AS width FROM wp8
 """
 
     # -- harmonic/closeness centrality oracle ---------------------------------
@@ -10428,6 +10468,7 @@ FROM nb n JOIN cls c ON n.nbrs = c.nbrs
         "eigencentrality": eigencentrality_sql,
         "hits": hits_sql,
         "sssp_weighted": sssp_weighted_sql,
+        "widest_paths": widest_paths_sql,
         "harmonic_closeness": harmonic_closeness_sql,
         "harmonic_closeness_cp": _harmonic_sql_for(_EDGES_CP_CTE),
         "modularity": modularity_sql,

@@ -81,7 +81,7 @@ def main(argv=None, stop: bool = True) -> None:
                  "richclub", "katz", "daglevels", "salsa", "kclique", "squares",
                  "gini", "compsizes", "onion", "trussness", "census", "spectral",
                  "sweep", "wl", "msf", "bridges", "twoecc", "bicc", "articulation",
-                 "rcm", "gapbits", "abcore", "orbits",
+                 "rcm", "gapbits", "widest", "abcore", "orbits",
                  "twins", "landmarks", "rewire", "fingerprint", "cascade",
                  "spammass"],
     )
@@ -536,6 +536,16 @@ def main(argv=None, stop: bool = True) -> None:
         out = shortest_paths(edges, [args.source],
                              max_supersteps=args.max_supersteps,
                              weight_col=args.weight_col)
+    elif args.algo == "widest":
+        # max-min bottleneck path widths from --source (the (max, min)
+        # dual of sssp); --weight-col names a positive int capacity < 2^31
+        if args.source is None:
+            ap.error("--algo widest requires --source")
+        from split_merge_partitioner_spark.graph.sssp import widest_paths
+
+        out = widest_paths(edges, [args.source],
+                           max_supersteps=args.max_supersteps,
+                           capacity_col=args.weight_col)
     elif args.algo == "ktruss":
         from pyspark.sql import functions as F
 

@@ -106,3 +106,99 @@ def shortest_paths(
         spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
         if und is not None:
             release(und)
+
+
+WIDTH_INF = 1 << 31  # seed sentinel: wider than any valid capacity (and
+# small enough that the fixpoint signature SUM over 2^31 vertices stays a
+# BIGINT — capacities are validated < WIDTH_INF below, fail-fast)
+
+
+def widest_paths(
+    edges: DataFrame,
+    sources: list[int],
+    max_supersteps: int = 8,
+    capacity_col: str | None = None,
+) -> DataFrame:
+    """(vertex, width) — the max-min BOTTLENECK path width from the widest
+    of ``sources``: width(v) = max over paths P(seed→v) of min edge
+    capacity on P (maximum-capacity routing / network-reliability dual of
+    ``shortest_paths``; the same Bellman-Ford shape with (min,+) swapped
+    for (max, min)).  Seeds carry the ``WIDTH_INF`` sentinel (a path of
+    zero edges has no bottleneck); unreached vertices are absent.
+    ``capacity_col`` names a positive integer capacity < 2^31 (validated,
+    fail-fast — the bound keeps the monotone (count, sum) fixpoint
+    signature overflow-free); None = unit.
+
+    Same plan per superstep as shortest_paths: static doubled relation
+    partitioned once by the relax key, co-located state join, ONE
+    max-merge exchange; widths are monotone non-decreasing and so is
+    their (count, sum) signature, so the fixpoint is detected from the
+    two scalars already at hand, and a fixed-horizon run replays as
+    chained SQL CTEs (exact BIGINTs end to end).
+    """
+    if not sources:
+        raise ValueError("sources must be a non-empty list of vertex ids")
+    if max_supersteps < 1:
+        raise ValueError("max_supersteps must be >= 1")
+    spark = edges.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    und = None
+    try:
+        w = (
+            F.col(capacity_col).cast("long")
+            if capacity_col is not None
+            else F.lit(1).cast("long")
+        )
+        ew = edges.select(F.col("src"), F.col("dst"), w.alias("w"))
+        bad = ew.where((F.col("w") <= 0) | (F.col("w") >= WIDTH_INF)).limit(1)
+        if bad.count():
+            raise ValueError(
+                "widest_paths capacities must be positive integers < 2^31"
+            )
+        und = (
+            ew.select(F.col("src").alias("frm"), F.col("dst").alias("to"), "w")
+            .unionAll(ew.select(F.col("dst").alias("frm"), F.col("src").alias("to"), "w"))
+            .repartition(shuffle_n, "frm")
+            .localCheckpoint(eager=True)
+        )
+        state = (
+            spark.createDataFrame(
+                [(int(s),) for s in sorted(set(sources))], "vertex long"
+            )
+            .select("vertex", F.lit(WIDTH_INF).cast("long").alias("width"))
+            .repartition(shuffle_n, "vertex")
+            .localCheckpoint(eager=True)
+        )
+        prev_sig = None
+        for _ in range(max_supersteps):
+            cand = und.join(
+                state.select(F.col("vertex").alias("frm"), "width").hint(
+                    "shuffle_hash"
+                ),
+                "frm",
+            ).select(
+                F.col("to").alias("vertex"),
+                F.least(F.col("width"), F.col("w")).alias("width"),
+            )
+            prev = state
+            state = (
+                prev.unionAll(cand)
+                .groupBy("vertex")
+                .agg(F.max("width").alias("width"))
+                .localCheckpoint(eager=True)
+            )
+            release(prev)
+            row = state.agg(
+                F.count(F.lit(1)).alias("c"), F.sum("width").alias("t")
+            ).collect()[0]
+            sig = (int(row["c"]), int(row["t"] or 0))
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+        return state
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        if und is not None:
+            release(und)

@@ -114,6 +114,7 @@ def test_build_pyfiles_zip_importable(tmp_path):
     ("matching", []),
     ("dpagerank", ["--n-iter", "3"]),
     ("sssp", ["--source", "0", "--max-supersteps", "6"]),
+    ("widest", ["--source", "0", "--max-supersteps", "6"]),
     ("modularity", ["--n-iter", "3"]),
     ("ktruss", ["--k-truss", "3"]),
     ("coloring", []),

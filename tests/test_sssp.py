@@ -96,3 +96,66 @@ def test_sssp_input_validation(spark):
         shortest_paths(df, [])
     with pytest.raises(ValueError, match="max_supersteps"):
         shortest_paths(df, [0], max_supersteps=0)
+
+
+def test_widest_paths_hand_bottleneck(spark):
+    from split_merge_partitioner_spark.graph.sssp import WIDTH_INF, widest_paths
+
+    # 0 -5- 1 -2- 3   and   0 -3- 2 -3- 3: bottleneck to 3 is max(2,3)=3
+    rows = [(0, 1, 5), (1, 3, 2), (0, 2, 3), (2, 3, 3)]
+    e = spark.createDataFrame(rows, "src long, dst long, w long")
+    got = {r.vertex: r.width for r in
+           widest_paths(e, [0], capacity_col="w").collect()}
+    assert got == {0: WIDTH_INF, 1: 5, 2: 3, 3: 3}
+
+
+def test_widest_paths_matches_maximin_dijkstra(spark):
+    import heapq
+    import random
+
+    from split_merge_partitioner_spark.graph.sssp import WIDTH_INF, widest_paths
+
+    rng = random.Random(11)
+    rows = sorted({
+        (min(a, b), max(a, b))
+        for a, b in ((rng.randrange(40), rng.randrange(40)) for _ in range(80))
+        if a != b
+    })
+    wrows = [(a, b, (a + b) % 7 + 1) for a, b in rows]
+
+    def maximin(srcs):
+        adj = {}
+        for a, b, w in wrows:
+            adj.setdefault(a, []).append((b, w))
+            adj.setdefault(b, []).append((a, w))
+        best = {s: WIDTH_INF for s in srcs}
+        heap = [(-WIDTH_INF, s) for s in srcs]
+        while heap:
+            nw, v = heapq.heappop(heap)
+            nw = -nw
+            if nw < best.get(v, -1):
+                continue
+            for u, w in adj.get(v, []):
+                cand = min(nw, w)
+                if cand > best.get(u, -1):
+                    best[u] = cand
+                    heapq.heappush(heap, (-cand, u))
+        return best
+
+    e = spark.createDataFrame(wrows, "src long, dst long, w long")
+    # enough supersteps to reach the fixpoint on a 40-vertex graph
+    got = {r.vertex: r.width for r in
+           widest_paths(e, [0, 7], max_supersteps=40, capacity_col="w").collect()}
+    assert got == maximin([0, 7])
+
+
+def test_widest_paths_early_stop_is_fixpoint(spark):
+    from split_merge_partitioner_spark.graph.sssp import widest_paths
+
+    rows = [(i, i + 1, (i % 3) + 1) for i in range(12)]
+    e = spark.createDataFrame(rows, "src long, dst long, w long")
+    a = {r.vertex: r.width for r in
+         widest_paths(e, [0], max_supersteps=50, capacity_col="w").collect()}
+    b = {r.vertex: r.width for r in
+         widest_paths(e, [0], max_supersteps=13, capacity_col="w").collect()}
+    assert a == b
