@@ -34,10 +34,15 @@ from pyspark.sql import functions as F
 
 
 def _exact_div(num, den):
-    # floor division of non-negative BIGINTs without double rounding:
-    # (num - num % den) is divisible by den, so the double division is
-    # exact as long as the quotient fits the 2^53 mantissa (ppm values do)
-    return ((num - F.pmod(num, den)) / den).cast("long")
+    # floor division of non-negative integers, exact at ANY magnitude: the
+    # multiply/mod/subtract run in DECIMAL(38,0) (agree can reach C(n,2)
+    # ~ 5e17, so 10^6 * agree would wrap BIGINT at ~4.3M joined vertices,
+    # and a double division would round above 2^53), and the final divide
+    # is of an exactly-divisible numerator, so the cast back to long is
+    # lossless for any ppm-scale quotient
+    num_d = num.cast("decimal(38,0)")
+    den_d = den.cast("decimal(38,0)")
+    return ((num_d - F.pmod(num_d, den_d)) / den_d).cast("long")
 
 
 def _c2(col):
@@ -91,11 +96,11 @@ def partition_agreement(
                 "*",
                 F.when(F.col("n_pairs") > 0,
                        _exact_div(
-                           F.lit(1_000_000) * (
+                           F.lit(1_000_000).cast("decimal(38,0)") * (
                                F.col("sum_ij_c2") + F.col("n_pairs")
                                - F.col("sum_a_c2") - F.col("sum_b_c2")
                                + F.col("sum_ij_c2")
-                           ),
+                           ).cast("decimal(38,0)"),
                            F.col("n_pairs"),
                        ))
                 .otherwise(F.lit(1_000_000).cast("long"))

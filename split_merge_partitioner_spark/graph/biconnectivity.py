@@ -60,6 +60,7 @@ independent SQL computation in the driver contract).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -220,9 +221,17 @@ def _bcc_dense(spark, e: DataFrame):
     keys = es * _KEY + ed
     lab = np.full(max(n_bcc, 1), np.iinfo(np.int64).max, np.int64)
     np.minimum.at(lab, comp, keys)
+    # Arrow path via a pandas frame of the numpy arrays (the kcore dense-path
+    # pattern) — a Python list of up-to-dense_threshold tuples would pay the
+    # row-pickling driver cost the Arrow transfer exists to avoid
     out = spark.createDataFrame(
-        [(int(x), int(y), int(lab[c])) for x, y, c in zip(es, ed, comp)],
-        "src long, dst long, bcc long",
+        pd.DataFrame(
+            {
+                "src": es.astype(np.int64),
+                "dst": ed.astype(np.int64),
+                "bcc": lab[comp].astype(np.int64),
+            }
+        )
     )
     return out, {"mode": "dense", "depth": 0, "n_bcc": int(n_bcc)}
 

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..storage import release
 
-from .gas import truncate
+
 
 
 def _min_label_kernel(key: tuple, state: pd.DataFrame, edges: pd.DataFrame) -> pd.DataFrame:
@@ -41,7 +41,13 @@ def _cc_broadcast(spark, verts: np.ndarray, assigned: DataFrame, max_iter: int):
     IMPROVED (vid, min_label) rows (shrinks toward 0 as labels converge), the
     driver min-combines and checks convergence for free — no Catalyst/Arrow
     in the loop."""
-    from .pagerank import _pack_edge_blocks
+    from .pagerank import (
+        EDGES_PER_TASK,
+        _blocks_edge_count,
+        _blocks_rdd,
+        _encoded_blocks_df,
+        _iter_block_rows,
+    )
 
     sc = spark.sparkContext
     bc_verts = sc.broadcast(verts)
@@ -51,47 +57,92 @@ def _cc_broadcast(spark, verts: np.ndarray, assigned: DataFrame, max_iter: int):
     info = {"iterations": 0, "converged": False}
     bc = None
     packed = None
+    blocks = None
     try:
-        packed = _pack_edge_blocks(spark, assigned, bc_verts, dt)
-        for it in range(max_iter):
+        blocks = _encoded_blocks_df(spark, assigned, bc_verts, dt)
+        m = _blocks_edge_count(blocks, dt)
+        if m <= EDGES_PER_TASK and max_iter > 1:
+            # SINGLE-TASK FUSION (same contract as the pagerank rdd
+            # executor): one task holds the complete edge set, so iterating
+            # the per-superstep kernel locally reproduces the global
+            # iterate-combine sequence exactly (the kernel only ever lowers
+            # labels, so the in-task sequence equals the driver-combined
+            # one element for element) — the whole fixpoint runs as ONE
+            # Arrow job over the checkpointed block rows instead of one
+            # job+broadcast+collect per round.
             bc = sc.broadcast(label)
 
-            def scatter(part_iter, _bc=bc, _dt=dt):
-                c = _bc.value
-                partial = None
-                for s_b, d_b in part_iter:
-                    if partial is None:
-                        partial = c.copy()
-                    s = np.frombuffer(s_b, dtype=_dt)
-                    d = np.frombuffer(d_b, dtype=_dt)
-                    np.minimum.at(partial, d, partial[s])
-                    np.minimum.at(partial, s, partial[d])
-                if partial is not None:
-                    imp = np.flatnonzero(partial < c)
-                    if len(imp):
-                        yield (imp.astype(_dt).tobytes(), partial[imp].tobytes())
+            def fused(batches, _bc=bc, _dt=dt, _max=max_iter):
+                blocks_l = _iter_block_rows(batches, _dt)
+                cur = _bc.value.copy()
+                iters = 0
+                converged = False
+                for _ in range(_max):
+                    prev = cur.copy()
+                    for s, d in blocks_l:
+                        np.minimum.at(cur, d, cur[s])
+                        np.minimum.at(cur, s, cur[d])
+                    iters += 1
+                    if (cur == prev).all():
+                        converged = True
+                        break
+                yield pd.DataFrame(
+                    {"lab": [cur.tobytes()], "iters": [iters], "conv": [converged]}
+                )
 
-            got = packed.mapPartitions(scatter).collect()
+            row = (
+                blocks.coalesce(1)
+                .mapInPandas(fused, schema="lab binary, iters long, conv boolean")
+                .collect()[0]
+            )
+            label = np.frombuffer(bytes(row["lab"]), dtype=np.int64).copy()
+            info["iterations"] = int(row["iters"])
+            info["converged"] = bool(row["conv"])
             bc.destroy()
             bc = None
-            info["iterations"] = it + 1
-            if not got:
-                info["converged"] = True
-                break
-            new = label.copy()
-            for vid_b, lab_b in got:
-                np.minimum.at(
-                    new, np.frombuffer(vid_b, dtype=dt), np.frombuffer(lab_b, dtype=np.int64)
-                )
-            if (new == label).all():
-                info["converged"] = True
-                break
-            label = new
+        else:
+            packed = _blocks_rdd(blocks, m)
+            for it in range(max_iter):
+                bc = sc.broadcast(label)
+
+                def scatter(part_iter, _bc=bc, _dt=dt):
+                    c = _bc.value
+                    partial = None
+                    for s_b, d_b in part_iter:
+                        if partial is None:
+                            partial = c.copy()
+                        s = np.frombuffer(s_b, dtype=_dt)
+                        d = np.frombuffer(d_b, dtype=_dt)
+                        np.minimum.at(partial, d, partial[s])
+                        np.minimum.at(partial, s, partial[d])
+                    if partial is not None:
+                        imp = np.flatnonzero(partial < c)
+                        if len(imp):
+                            yield (imp.astype(_dt).tobytes(), partial[imp].tobytes())
+
+                got = packed.mapPartitions(scatter).collect()
+                bc.destroy()
+                bc = None
+                info["iterations"] = it + 1
+                if not got:
+                    info["converged"] = True
+                    break
+                new = label.copy()
+                for vid_b, lab_b in got:
+                    np.minimum.at(
+                        new, np.frombuffer(vid_b, dtype=dt), np.frombuffer(lab_b, dtype=np.int64)
+                    )
+                if (new == label).all():
+                    info["converged"] = True
+                    break
+                label = new
     finally:
         if bc is not None:
             bc.destroy()
         if packed is not None:
             release(packed)
+        if blocks is not None:
+            release(blocks)
         bc_verts.destroy()
     out = spark.createDataFrame(
         pd.DataFrame({"vertex": verts, "component": verts[label]})
@@ -169,7 +220,9 @@ def connected_components(
             "vertex", F.least(F.col("label"), F.coalesce("new_label", "label")).alias("label")
         )
         prev = state
-        state = truncate(new_state, None)
+        # lazy checkpoint materialized by the changed-count job: one job
+        # per superstep instead of two (lineage still truncates)
+        state = new_state.localCheckpoint(eager=False)
         changed = (
             state.join(prev.select("vertex", F.col("label").alias("old")), "vertex")
             .where(F.col("label") != F.col("old"))
@@ -257,7 +310,10 @@ def connected_components_stars(
     info = {"rounds": 0, "converged": False}
     sig = _sig(cur)
     for r in range(max_rounds):
-        nxt = _star(_star(cur, large=True), large=False).localCheckpoint(eager=True)
+        # lazy checkpoint: the signature aggregate right below is the
+        # materializing job, so each round costs ONE job instead of an
+        # eager-checkpoint job plus the aggregate (lineage still truncates)
+        nxt = _star(_star(cur, large=True), large=False).localCheckpoint(eager=False)
         nsig = _sig(nxt)
         release(cur)
         cur = nxt
@@ -372,7 +428,8 @@ def connected_components_incremental(
             )
             .where(F.col("src") != F.col("dst"))
             .dropDuplicates(["src", "dst"])
-            .localCheckpoint(eager=True)
+            # lazy: the count below is the materializing job
+            .localCheckpoint(eager=False)
         )
         scratch.append(mapped)
         n_links = mapped.count()

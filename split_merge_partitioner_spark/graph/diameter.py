@@ -77,6 +77,39 @@ def _bfs_dense(spark, packed, dt, n: int, seed_idx: int, max_levels: int) -> np.
     return dist
 
 
+def _bfs_dense_fused(spark, blocks, dt, n: int, seed_idx: int, max_levels: int) -> np.ndarray:
+    """SINGLE-TASK FUSION of the dense BFS sweep (the pagerank/CC contract):
+    one task holds every edge block, so iterating the relaxation kernel
+    locally to its fixpoint reproduces the level-by-level global sweep
+    exactly (min-relaxation is monotone; the fixpoint is the unique BFS
+    distance vector) — the whole sweep is ONE Arrow job over the
+    checkpointed block rows instead of one job+broadcast+collect per level."""
+    from .pagerank import _iter_block_rows
+
+    dist = np.full(n, _UNREACHED, dtype=np.int64)
+    dist[seed_idx] = 0
+    bc = spark.sparkContext.broadcast(dist)
+    try:
+        def fused(batches, _bc=bc, _dt=dt, _max=max_levels):
+            blocks_l = _iter_block_rows(batches, _dt)
+            cur = _bc.value.copy()
+            for _ in range(_max):
+                prev = cur.copy()
+                for s, d in blocks_l:
+                    cand = np.where(cur[s] < _UNREACHED, cur[s] + 1, _UNREACHED)
+                    np.minimum.at(cur, d, cand)
+                    cand = np.where(cur[d] < _UNREACHED, cur[d] + 1, _UNREACHED)
+                    np.minimum.at(cur, s, cand)
+                if (cur == prev).all():
+                    break
+            yield pd.DataFrame({"d": [cur.tobytes()]})
+
+        row = blocks.coalesce(1).mapInPandas(fused, schema="d binary").collect()[0]
+        return np.frombuffer(bytes(row["d"]), dtype=np.int64).copy()
+    finally:
+        bc.destroy()
+
+
 def bfs_distances(
     edges: DataFrame, source: int, assigned: DataFrame | None = None,
     max_levels: int = 200, broadcast_threshold: int = 5_000_000,
@@ -144,7 +177,7 @@ def _bfs_shuffle(edges: DataFrame, assigned: DataFrame, seed_vertex: int,
     unreached = _INF.  Pass static_inputs to reuse the checkpointed relations
     across sweeps (the caller then owns their unpersist)."""
     from ..sources.edges import vertices_of
-    from .gas import truncate
+
 
     owns_static = static_inputs is None
     if owns_static:
@@ -172,7 +205,9 @@ def _bfs_shuffle(edges: DataFrame, assigned: DataFrame, seed_vertex: int,
             "vertex", F.least(F.col("dist"), F.coalesce("nd", "dist")).alias("dist")
         )
         prev = state
-        state = truncate(new_state, None)
+        # lazy checkpoint materialized by the changed-count job (one job
+        # per level instead of two; lineage still truncates)
+        state = new_state.localCheckpoint(eager=False)
         changed = (
             state.join(prev.select("vertex", F.col("dist").alias("old")), "vertex")
             .where(F.col("dist") != F.col("old"))
@@ -253,7 +288,11 @@ def _double_sweep_impl(edges, assigned, max_levels, source=None,
         assert assigned is not None, "distributed sweep needs the partition assignment"
         return _double_sweep_shuffle(edges, assigned, max_levels, source, distances_only)
 
-    from .pagerank import _pack_edge_blocks
+    from .pagerank import (
+        EDGES_PER_TASK,
+        _encoded_blocks_df,
+        _pack_edge_blocks,
+    )
 
     deg_pdf = deg_df.toPandas().sort_values("vertex")
     verts = deg_pdf["vertex"].to_numpy(np.int64)
@@ -261,16 +300,28 @@ def _double_sweep_impl(edges, assigned, max_levels, source=None,
     bc_verts = spark.sparkContext.broadcast(verts)
     dt = np.int32 if n < 2**31 else np.int64
     base = assigned if assigned is not None else edges.withColumn("bucket", F.spark_partition_id())
+    m_edges = int(degv.sum()) // 2
+    fused_single_task = m_edges <= EDGES_PER_TASK and max_levels > 1
     packed = None
+    blocks = None
     try:
-        packed = _pack_edge_blocks(spark, base, bc_verts, dt)
+        if fused_single_task:
+            blocks = _encoded_blocks_df(spark, base, bc_verts, dt)
+        else:
+            packed = _pack_edge_blocks(spark, base, bc_verts, dt)
+
+        def sweep(seed_i: int) -> np.ndarray:
+            if fused_single_task:
+                return _bfs_dense_fused(spark, blocks, dt, n, seed_i, max_levels)
+            return _bfs_dense(spark, packed, dt, n, seed_i, max_levels)
+
         if source is not None:
             seed_idx = int(np.searchsorted(verts, source))
             assert seed_idx < n and verts[seed_idx] == source, "unknown source vertex"
         else:
             # deterministic seed: max degree, min id on ties (verts sorted by id)
             seed_idx = int(np.argmax(degv))
-        d1 = _bfs_dense(spark, packed, dt, n, seed_idx, max_levels)
+        d1 = sweep(seed_idx)
         if distances_only:
             reach = d1 < _UNREACHED
             return (
@@ -282,13 +333,15 @@ def _double_sweep_impl(edges, assigned, max_levels, source=None,
         reach = d1 < _UNREACHED
         ecc1 = int(d1[reach].max())
         far_idx = int(np.flatnonzero(reach & (d1 == ecc1))[0])  # min id on ties
-        d2 = _bfs_dense(spark, packed, dt, n, far_idx, max_levels)
+        d2 = sweep(far_idx)
         reach2 = d2 < _UNREACHED
         diameter = int(d2[reach2].max())
     finally:
         bc_verts.destroy()
         if packed is not None:
             release(packed)
+        if blocks is not None:
+            release(blocks)
     out = spark.createDataFrame(
         pd.DataFrame(
             {

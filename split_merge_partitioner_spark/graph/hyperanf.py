@@ -109,7 +109,13 @@ def _hyperanf_broadcast(spark, verts: np.ndarray, assigned: DataFrame, n_steps: 
     """Packed-block raw-RDD executor (see components._cc_broadcast).  Scatter
     reads ONLY the immutable broadcast matrix (no intra-superstep propagation)
     so registers at step t are exactly the distance-<=t max-merge."""
-    from .pagerank import _pack_edge_blocks
+    from .pagerank import (
+        EDGES_PER_TASK,
+        _blocks_edge_count,
+        _blocks_rdd,
+        _encoded_blocks_df,
+        _iter_block_rows,
+    )
 
     sc = spark.sparkContext
     bc_verts = sc.broadcast(verts)
@@ -120,8 +126,59 @@ def _hyperanf_broadcast(spark, verts: np.ndarray, assigned: DataFrame, n_steps: 
     info = {"iterations": 0, "converged": False, "mode": "broadcast"}
     bc = None
     packed = None
+    blocks = None
     try:
-        packed = _pack_edge_blocks(spark, assigned, bc_verts, dt)
+        blocks = _encoded_blocks_df(spark, assigned, bc_verts, dt)
+        m = _blocks_edge_count(blocks, dt)
+        if m <= EDGES_PER_TASK and n_steps > 1:
+            # SINGLE-TASK FUSION (the pagerank/CC rdd-executor contract),
+            # SYNCHRONOUS variant: each step reads only the previous step's
+            # registers (the distance-<=t contract above), exactly like the
+            # broadcast-per-step path, so the whole n_steps loop runs as
+            # ONE Arrow job over the checkpointed block rows.  The per-step
+            # neighborhood-function history is computed in-task from the
+            # same registers the driver would have combined.
+            bc = sc.broadcast(regs)
+
+            def fused(batches, _bc=bc, _dt=dt, _steps=n_steps):
+                blocks_l = _iter_block_rows(batches, _dt)
+                cur = _bc.value.copy()
+                hist: list[float] = []
+                iters = 0
+                converged = False
+                for _ in range(_steps):
+                    out = cur.copy()
+                    for s, d in blocks_l:
+                        np.maximum.at(out, d, cur[s])
+                        np.maximum.at(out, s, cur[d])
+                    if (out == cur).all():
+                        converged = True
+                        break
+                    cur = out
+                    iters += 1
+                    hist.append(_neighborhood(cur))
+                yield pd.DataFrame(
+                    {
+                        "regs": [cur.tobytes()],
+                        "hist": [np.asarray(hist, dtype=np.float64).tobytes()],
+                        "iters": [iters],
+                        "conv": [converged],
+                    }
+                )
+
+            row = (
+                blocks.coalesce(1)
+                .mapInPandas(fused, schema="regs binary, hist binary, iters long, conv boolean")
+                .collect()[0]
+            )
+            regs = np.frombuffer(bytes(row["regs"]), dtype=np.uint8).reshape(-1, _M).copy()
+            history.extend(np.frombuffer(bytes(row["hist"]), dtype=np.float64).tolist())
+            info["iterations"] = int(row["iters"])
+            info["converged"] = bool(row["conv"])
+            bc.destroy()
+            bc = None
+            return history, info
+        packed = _blocks_rdd(blocks, m)
         for _t in range(n_steps):
             bc = sc.broadcast(regs)
 
@@ -159,6 +216,8 @@ def _hyperanf_broadcast(spark, verts: np.ndarray, assigned: DataFrame, n_steps: 
             bc.destroy()
         if packed is not None:
             release(packed)
+        if blocks is not None:
+            release(blocks)
         bc_verts.destroy()
     return history, info
 

@@ -252,8 +252,16 @@ def coreness_incremental(
         )
         n = len(verts)
         c = np.zeros(n, np.int64)
-        ov = np.searchsorted(verts, op["vertex"].to_numpy(np.int64))
-        c[ov] = op["old"].to_numpy(np.int64)
+        op_v = op["vertex"].to_numpy(np.int64)
+        ov = np.searchsorted(verts, op_v)
+        # membership-validated init: a base_coreness vertex absent from the
+        # merged edge set would otherwise write into a DIFFERENT vertex's
+        # slot (or index past the end) and silently seed the monotone
+        # fixpoint below its true value; dropping non-members matches the
+        # shuffle path (whose join discards them), so both paths agree on
+        # out-of-contract (stale/superset) checkpoints
+        valid = (ov < n) & (verts[np.minimum(ov, n - 1)] == op_v)
+        c[ov[valid]] = op["old"].to_numpy(np.int64)[valid]
         bs = np.searchsorted(verts, bp["src"].to_numpy(np.int64))
         bd = np.searchsorted(verts, bp["dst"].to_numpy(np.int64))
         ds = np.searchsorted(verts, deltas["src"].to_numpy(np.int64))

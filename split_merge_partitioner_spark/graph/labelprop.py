@@ -51,7 +51,13 @@ def _lp_broadcast(spark, verts: np.ndarray, assigned: DataFrame, n_iter: int):
     vid * n + lab fits int64 under the broadcast threshold), and the driver
     sums and takes argmax-with-min-tie.  verts is sorted, so min-tie on dense
     indices equals min-tie on original ids; decoded once at the end."""
-    from .pagerank import _pack_edge_blocks
+    from .pagerank import (
+        EDGES_PER_TASK,
+        _blocks_edge_count,
+        _blocks_rdd,
+        _encoded_blocks_df,
+        _iter_block_rows,
+    )
 
     sc = spark.sparkContext
     bc_verts = sc.broadcast(verts)
@@ -60,8 +66,54 @@ def _lp_broadcast(spark, verts: np.ndarray, assigned: DataFrame, n_iter: int):
     label = np.arange(n, dtype=np.int64)
     bc = None
     packed = None
+    blocks = None
     try:
-        packed = _pack_edge_blocks(spark, assigned, bc_verts, dt)
+        blocks = _encoded_blocks_df(spark, assigned, bc_verts, dt)
+        m = _blocks_edge_count(blocks, dt)
+        if m <= EDGES_PER_TASK and n_iter > 1:
+            # SINGLE-TASK FUSION (the pagerank/CC rdd-executor contract):
+            # one task holds every edge block, so the per-step
+            # (vertex, label) mode counts it aggregates ARE the global
+            # counts, and applying the identical argmax-with-min-tie pandas
+            # reduction in-task reproduces the driver combine bit for bit —
+            # all n_iter supersteps run as ONE Arrow job over the
+            # checkpointed block rows.
+            bc = sc.broadcast(label)
+
+            def fused(batches, _bc=bc, _dt=dt, _n=n, _steps=n_iter):
+                blocks_l = _iter_block_rows(batches, _dt)
+                lab = _bc.value.copy()
+                for _ in range(_steps):
+                    vids, labs = [], []
+                    for s, d in blocks_l:
+                        vids.append(np.concatenate([d, s]).astype(np.int64))
+                        labs.append(np.concatenate([lab[s], lab[d]]))
+                    if not vids:
+                        break
+                    code = np.concatenate(vids) * _n + np.concatenate(labs)
+                    uniq, cnt = np.unique(code, return_counts=True)
+                    agg = pd.DataFrame({"code": uniq, "cnt": cnt.astype(np.int64)})
+                    agg["vid"] = agg["code"] // _n
+                    agg["lab"] = agg["code"] % _n
+                    agg = agg.sort_values(
+                        ["vid", "cnt", "lab"], ascending=[True, False, True]
+                    )
+                    best = agg.drop_duplicates("vid")
+                    new_label = lab.copy()
+                    new_label[best["vid"].to_numpy(np.int64)] = best["lab"].to_numpy(np.int64)
+                    lab = new_label
+                yield pd.DataFrame({"lab": [lab.tobytes()]})
+
+            row = (
+                blocks.coalesce(1)
+                .mapInPandas(fused, schema="lab binary")
+                .collect()[0]
+            )
+            label = np.frombuffer(bytes(row["lab"]), dtype=np.int64).copy()
+            return spark.createDataFrame(
+                pd.DataFrame({"vertex": verts, "label": verts[label]})
+            )
+        packed = _blocks_rdd(blocks, m)
         for _ in range(n_iter):
             bc = sc.broadcast(label)
 
@@ -103,6 +155,8 @@ def _lp_broadcast(spark, verts: np.ndarray, assigned: DataFrame, n_iter: int):
             bc.destroy()
         if packed is not None:
             release(packed)
+        if blocks is not None:
+            release(blocks)
         bc_verts.destroy()
     return spark.createDataFrame(
         pd.DataFrame({"vertex": verts, "label": verts[label]})

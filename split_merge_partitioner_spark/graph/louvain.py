@@ -43,10 +43,91 @@ the modularity arithmetic matches modularity.py's integer formulation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from split_merge_partitioner_spark.storage import release
+
+# Sub-threshold dense accelerator gate: when the weighted edge count (m2/2,
+# an upper bound on edge ROWS since every weight >= 1) fits one scatter task,
+# the whole parity-gated local-move loop runs as ONE Arrow job over the edge
+# list — the pagerank/CC single-task-fusion contract.  All arithmetic is the
+# identical exact-BIGINT formulation (scores, tie-breaks, parity gate), so
+# the dense path is bit-equal to the distributed rounds; above the gate the
+# distributed path runs unchanged.
+DENSE_EDGE_THRESHOLD = 750_000
+
+
+def _louvain_dense_kernel(bc_deg, n_rounds: int, m2: int):
+    """Kernel factory: the n_rounds synchronous local-move loop over the
+    complete edge list, vectorized.  Exact-integer replica of the SQL
+    rounds: candidate set = neighbor communities + stay row, score =
+    2m*w(u,C) - k_u*(tot(C) - [C = cu]*k_u), argmax with (score desc,
+    community asc) tie-break, (u + r) % 2 parity gate."""
+
+    def kernel(batches):
+        verts, k = bc_deg.value
+        n = len(verts)
+        ss, dd, ww = [], [], []
+        for pdf in batches:
+            ss.append(pdf["src"].to_numpy(np.int64))
+            dd.append(pdf["dst"].to_numpy(np.int64))
+            ww.append(pdf["w"].to_numpy(np.int64))
+        if ss:
+            s = np.concatenate(ss)
+            d = np.concatenate(dd)
+            w = np.concatenate(ww)
+        else:
+            s = d = w = np.empty(0, np.int64)
+        proper = s != d  # self-loops count in k (already in bc_deg), never in w(u, C)
+        si = np.searchsorted(verts, s[proper])
+        di = np.searchsorted(verts, d[proper])
+        pw = w[proper]
+        comm = np.arange(n, dtype=np.int64)  # dense index == ascending id order
+        arange_n = np.arange(n, dtype=np.int64)
+        # static per-round inputs hoisted: the doubled (receiver, other) pairs
+        recv = np.concatenate([si, di])
+        oth = np.concatenate([di, si])
+        wts_all = np.concatenate([pw, pw, np.zeros(n, dtype=np.int64)]).astype(np.float64)
+        moves: list[int] = []
+        for r in range(1, n_rounds + 1):
+            # candidate multiset: (u, neighbor community, w) + stay rows w=0
+            codes = np.concatenate([recv * n + comm[oth], arange_n * n + comm])
+            uniq, inv = np.unique(codes, return_inverse=True)
+            # bincount sums are exact here: every count is bounded by the
+            # total weight m2/2 <= DENSE_EDGE_THRESHOLD << 2^53
+            wsum = np.bincount(inv, weights=wts_all, minlength=len(uniq)).astype(np.int64)
+            cand_u = uniq // n
+            cand_c = uniq % n
+            tot = np.bincount(comm, weights=k.astype(np.float64), minlength=n).astype(np.int64)
+            stay = comm[cand_u] == cand_c
+            score = m2 * wsum - k[cand_u] * (tot[cand_c] - np.where(stay, k[cand_u], 0))
+            # segmented argmax with (score desc, community asc) tie-break:
+            # candidates are sorted by (u, c) already (uniq is sorted and
+            # code = u*n + c), so the FIRST index per u-group attaining the
+            # group max is exactly the window/max_by winner
+            starts = np.unique(cand_u, return_index=True)[1]
+            gmax = np.maximum.reduceat(score, starts)
+            counts = np.diff(np.append(starts, len(cand_u)))
+            is_max = score == np.repeat(gmax, counts)
+            idxs = np.where(is_max, np.arange(len(cand_u)), len(cand_u))
+            win = np.minimum.reduceat(idxs, starts)
+            best = comm.copy()
+            best[cand_u[win]] = cand_c[win]
+            # Spark's % is C-style remainder (sign of dividend) -> np.fmod
+            gate = np.fmod(verts + r, 2) == 0
+            moves.append(int((gate & (best != comm)).sum()))
+            comm = np.where(gate, best, comm)
+        yield pd.DataFrame(
+            {
+                "comm": [comm.tobytes()],
+                "moves": [np.asarray(moves, dtype=np.int64).tobytes()],
+            }
+        )
+
+    return kernel
 
 
 def louvain_local_move(
@@ -95,6 +176,38 @@ def louvain_local_move(
                 "BIGINT score; re-express the score in DECIMAL(38,0) (see "
                 "module docstring) for graphs this large"
             )
+        if m2 // 2 <= DENSE_EDGE_THRESHOLD:
+            # dense single-task path: one Arrow job for all rounds (bit-equal
+            # to the distributed rounds below; see _louvain_dense_kernel)
+            deg_pdf = deg.toPandas().sort_values("u")
+            verts = deg_pdf["u"].to_numpy(np.int64)
+            kvec = deg_pdf["k"].to_numpy(np.int64)
+            sc = edges.sparkSession.sparkContext
+            bc_deg = sc.broadcast((verts, kvec))
+            try:
+                row = (
+                    e.coalesce(1)
+                    .mapInPandas(
+                        _louvain_dense_kernel(bc_deg, n_rounds, m2),
+                        schema="comm binary, moves binary",
+                    )
+                    .collect()[0]
+                )
+            finally:
+                bc_deg.destroy()
+            comm = np.frombuffer(bytes(row["comm"]), dtype=np.int64)
+            dense_info: dict = {
+                "n_rounds": n_rounds,
+                "moves": [
+                    int(x)
+                    for x in np.frombuffer(bytes(row["moves"]), dtype=np.int64)
+                ],
+            }
+            out = edges.sparkSession.createDataFrame(
+                pd.DataFrame({"vertex": verts, "comm": verts[comm]})
+            ).localCheckpoint(eager=True)
+            dense_info["n_communities"] = int(len(np.unique(comm)))
+            return out, dense_info
         state = deg.select("u", F.col("u").alias("comm")).localCheckpoint(
             eager=True
         )
@@ -141,12 +254,19 @@ def louvain_local_move(
                     ).alias("score"),
                 )
             )
-            w_best = Window.partitionBy("u").orderBy(
-                F.col("score").desc(), F.col("c").asc()
-            )
+            # argmax with the (score desc, c asc) tie-break as ONE partial-
+            # aggregated max_by instead of a row_number window: the struct
+            # ordering (score, -c) is maximal exactly at the window's first
+            # row, ties impossible (c is unique per (u, comm) group), so the
+            # winner is identical — but the sort + second exchange of the
+            # window collapse into a hash aggregate (guide §2.4)
             best = (
-                scored.withColumn("rn", F.row_number().over(w_best))
-                .where(F.col("rn") == 1)
+                scored.groupBy("u", "comm")
+                .agg(
+                    F.max_by(
+                        "c", F.struct(F.col("score"), (-F.col("c")).alias("nc"))
+                    ).alias("c")
+                )
                 .select(
                     "u",
                     F.when((F.col("u") + F.lit(r)) % 2 == 0, F.col("c"))
@@ -159,7 +279,9 @@ def louvain_local_move(
                 )
             )
             prev = state
-            new_state = best.localCheckpoint(eager=True)
+            # lazy checkpoint materialized by the moves aggregate below:
+            # one job per round instead of two (lineage still truncates)
+            new_state = best.localCheckpoint(eager=False)
             scratch.append(new_state)
             info["moves"].append(
                 int(new_state.agg(F.sum("__moved__")).collect()[0][0] or 0)

@@ -33,6 +33,7 @@ NumPy/CPython (parity-tested).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -217,9 +218,10 @@ def _cm_dense(spark, e: DataFrame, reverse: bool):
             idx = np.nonzero(comp_of == root)[0]
             p = pos[idx]
             pos[idx] = p.min() + p.max() - p
+    # Arrow path via a pandas frame of the numpy arrays (the kcore dense-path
+    # pattern) — never a Python list of up-to-dense_threshold tuples
     out = spark.createDataFrame(
-        [(int(verts[i]), int(pos[i])) for i in range(n)],
-        "vertex long, pos long",
+        pd.DataFrame({"vertex": verts.astype(np.int64), "pos": pos.astype(np.int64)})
     )
     return out, {"mode": "dense", "depth": int(depth), "n": n}
 

@@ -59,21 +59,15 @@ def _scatter_kernel(key: tuple, state: pd.DataFrame, edges: pd.DataFrame) -> pd.
     return pd.DataFrame({"vertex": verts, "partial": partial})
 
 
-def _pack_edge_blocks(spark, assigned: DataFrame, bc_verts, idx_dtype,
-                      edges_per_task: int = 750_000):
-    """Dense-encode the partition-aligned edge blocks ONCE into a pickled-numpy
-    RDD: one (s_bytes, d_bytes) pair per partition, persisted in the JVM block
-    store.  This is the static input of the raw-RDD superstep loop — after
-    this single SQL job the loop never touches Catalyst/Arrow again.
+EDGES_PER_TASK = 750_000  # packed-executor scatter-task sizing (see below)
 
-    Task sizing: on this class of iterative job the dominant cost is the fixed
-    per-job/per-task scheduling floor (profiled ~0.25 s/job + ~7 ms/python
-    task in-sandbox), not the vectorized scatter itself — so the packed blocks
-    are coalesced (no shuffle: whole blocks move, never edges) to
-    ``ceil(m / edges_per_task)`` scatter tasks, keeping every task fat enough
-    that scheduling overhead amortizes while still scaling out with m."""
-    import math
 
+def _encode_pack_fn(bc_verts, idx_dtype):
+    """The per-shuffle-partition dense encoder shared by every packed-block
+    build: all batches of a partition concatenate into ONE (s, d) block row —
+    block boundaries therefore equal shuffle-partition boundaries, which
+    every consumer below preserves (accumulation order is part of the
+    float-exactness contract of the superstep loops)."""
     import numpy as _np
     import pandas as _pd
 
@@ -88,11 +82,95 @@ def _pack_edge_blocks(spark, assigned: DataFrame, bc_verts, idx_dtype,
             d = _np.concatenate(dd) if len(dd) > 1 else dd[0]
             yield _pd.DataFrame({"s": [s.tobytes()], "d": [d.tobytes()]})
 
+    return encode_pack
+
+
+def _encoded_blocks_df(spark, assigned: DataFrame, bc_verts, idx_dtype) -> DataFrame:
+    """The packed (s, d) binary edge blocks as a lineage-free DataFrame —
+    one row per shuffle partition, localCheckpoint'ed in ONE parallel job.
+    This is the cheap static input for the FUSED single-task loop consumers
+    (coalesce(1).mapInPandas): the blocks never cross the JVM->Python row
+    pickler (the ~0.2 s/partition Pyrolite chain the raw-RDD build pays),
+    only Arrow."""
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        assigned.select("bucket", "src", "dst")
+        .repartition(shuffle_n, "bucket")
+        .mapInPandas(_encode_pack_fn(bc_verts, idx_dtype), schema="s binary, d binary")
+        .localCheckpoint(eager=True)
+    )
+
+
+def _blocks_edge_count(blocks: DataFrame, idx_dtype) -> int:
+    """Total packed edges — one tiny aggregate over the <= shuffle_n block
+    rows (bytes / index width)."""
+    import numpy as _np
+
+    row = blocks.agg(F.sum(F.length("s")).alias("b")).collect()[0]
+    return int(row["b"] or 0) // _np.dtype(idx_dtype).itemsize
+
+
+def _iter_block_rows(batches, idx_dtype):
+    """Decode an Arrow batch stream of (s, d) binary block rows into numpy
+    index pairs, preserving row (= original shuffle partition) order."""
+    import numpy as _np
+
+    out = []
+    for pdf in batches:
+        for s_b, d_b in zip(pdf["s"], pdf["d"]):
+            out.append(
+                (_np.frombuffer(s_b, dtype=idx_dtype), _np.frombuffer(d_b, dtype=idx_dtype))
+            )
+    return out
+
+
+def _blocks_rdd(blocks: DataFrame, m: int, edges_per_task: int = EDGES_PER_TASK):
+    """Raw-RDD loop input built from an already-checkpointed block DataFrame
+    (the multi-task regime of executors that could not know m up front):
+    persist the un-coalesced python RDD first — parallel JVM->Python chains —
+    then coalesce to the fat scatter tasks (see _pack_edge_blocks on why this
+    order matters)."""
+    import math
+
+    rdd = blocks.rdd.map(lambda r: (bytes(r[0]), bytes(r[1]))).persist()
+    rdd.count()
+    n_parts = rdd.getNumPartitions()
+    n_tasks = min(n_parts, max(1, math.ceil(m / edges_per_task)))
+    if n_tasks < n_parts:
+        fat = rdd.coalesce(n_tasks).persist()
+        fat.count()
+        release(rdd)
+        rdd = fat
+    return rdd
+
+
+def _pack_edge_blocks(spark, assigned: DataFrame, bc_verts, idx_dtype,
+                      edges_per_task: int = EDGES_PER_TASK):
+    """Dense-encode the partition-aligned edge blocks ONCE into a pickled-numpy
+    RDD: one (s_bytes, d_bytes) pair per partition, persisted in the JVM block
+    store.  This is the static input of the raw-RDD superstep loop — after
+    this single SQL job the loop never touches Catalyst/Arrow again.
+
+    Task sizing: on this class of iterative job the dominant cost is the fixed
+    per-job/per-task scheduling floor (profiled ~0.25 s/job + ~7 ms/python
+    task in-sandbox), not the vectorized scatter itself — so the packed blocks
+    are coalesced (no shuffle: whole blocks move, never edges) to
+    ``ceil(m / edges_per_task)`` scatter tasks, keeping every task fat enough
+    that scheduling overhead amortizes while still scaling out with m.
+
+    (Order matters: the un-coalesced RDD is persisted and materialized FIRST —
+    32 parallel JVM->Python chains — and only then coalesced; coalescing
+    before the persist serializes those ~0.2 s/partition chains into one
+    task, the r6-profiled 4-5 s trap.)"""
+    import math
+
+    import numpy as _np
+
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     packed = (
         assigned.select("bucket", "src", "dst")
         .repartition(shuffle_n, "bucket")
-        .mapInPandas(encode_pack, schema="s binary, d binary")
+        .mapInPandas(_encode_pack_fn(bc_verts, idx_dtype), schema="s binary, d binary")
     )
     rdd = packed.rdd.map(lambda r: (bytes(r[0]), bytes(r[1]))).persist()
     itemsize = _np.dtype(idx_dtype).itemsize
@@ -118,6 +196,7 @@ def _pagerank_gas_rdd(
     ckpt,
     start_it: int,
     init_rank: np.ndarray | None,
+    m_edges_hint: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """Raw-RDD superstep executor for the sub-threshold regime (n bounded by
     ``broadcast_threshold``) — the round-3 answer to the profiled >=1.1 s
@@ -164,7 +243,79 @@ def _pagerank_gas_rdd(
     step_times: list[float] = []
     bc = None
     packed_rdd = None
+    blocks = None
+    # SINGLE-TASK FUSION (guide §1.2/§2.4: remove per-pass overhead): when
+    # the pack would coalesce to one scatter task anyway, every local
+    # superstep over the complete edge set IS the global superstep, bit for
+    # bit — identical per-block bincount/accumulation order, identical apply
+    # arithmetic — so the whole loop runs as ONE job consuming the
+    # checkpointed block DataFrame through Arrow (coalesce(1).mapInPandas),
+    # skipping both the per-superstep job+broadcast+collect floor AND the
+    # raw-RDD build's JVM->Python row pickling.  Multi-task packs keep the
+    # per-step raw-RDD jobs (a global gather is fundamentally required
+    # there), and ckpt runs keep them too (boundary states must
+    # materialize).
+    fused_single_task = (
+        ckpt is None
+        and max_iter > start_it
+        and m_edges_hint is not None
+        and m_edges_hint <= EDGES_PER_TASK
+    )
     try:
+        if fused_single_task:
+            blocks = _encoded_blocks_df(spark, assigned, bc_verts, idx_dtype)
+            loop_t0 = _time.monotonic()
+            steps = max_iter - start_it
+            bc = sc.broadcast((rank, degv))
+
+            def fused(batches, _bc=bc, _n=nn, _dt=dt, _steps=steps,
+                      _base=base, _damping=damping, _tol=tol):
+                import time as _tt
+
+                blocks_l = _iter_block_rows(batches, _dt)
+                r, dv = _bc.value
+                r = r.copy()
+                times: list[float] = []
+                last_delta = float("nan")
+                converged = False
+                for _ in range(_steps):
+                    t0 = _tt.monotonic()
+                    c = r / dv
+                    g = np.zeros(_n)
+                    for s, d in blocks_l:
+                        p = np.bincount(d, weights=c[s], minlength=_n)
+                        p += np.bincount(s, weights=c[d], minlength=_n)
+                        g += p
+                    new_r = _base + _damping * g
+                    last_delta = float(np.max(np.abs(new_r - r))) if _n else 0.0
+                    r = new_r
+                    times.append(_tt.monotonic() - t0)
+                    if _tol > 0 and last_delta <= _tol:
+                        converged = True
+                        break
+                yield pd.DataFrame(
+                    {
+                        "r": [r.tobytes()],
+                        "t": [np.asarray(times, dtype=np.float64).tobytes()],
+                        "delta": [last_delta],
+                        "conv": [converged],
+                    }
+                )
+
+            row = (
+                blocks.coalesce(1)
+                .mapInPandas(fused, schema="r binary, t binary, delta double, conv boolean")
+                .collect()[0]
+            )
+            info["superstep_seconds"] = _time.monotonic() - loop_t0
+            rank = np.frombuffer(bytes(row["r"]), dtype=np.float64).copy()
+            times = np.frombuffer(bytes(row["t"]), dtype=np.float64).tolist()
+            step_times.extend(times)
+            info["iterations"] = start_it + len(times)
+            if bool(row["conv"]):
+                info["converged"] = True
+                info["delta"] = float(row["delta"])
+            return state_df(), info
         packed_rdd = _pack_edge_blocks(spark, assigned, bc_verts, idx_dtype)
         block_t0 = _time.monotonic()
         loop_t0 = _time.monotonic()
@@ -217,6 +368,8 @@ def _pagerank_gas_rdd(
         if packed_rdd is not None:
             info["superstep_seconds"] = _time.monotonic() - loop_t0
             release(packed_rdd)
+        if blocks is not None:
+            release(blocks)
         if step_times:
             info["superstep_seconds_min"] = min(step_times)
         if bc is not None:
@@ -402,7 +555,13 @@ def pagerank(
 
     spark = edges.sparkSession
     deg = degrees_of(edges).localCheckpoint(eager=True)
-    n = deg.count()
+    # one job for both n and m (sum of degrees = 2m) — m feeds the packed
+    # executor's coalesce decision so the pack materializes in one job
+    deg_row = deg.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("degree").alias("s")
+    ).collect()[0]
+    n = int(deg_row["n"])
+    m_edges_hint = int(deg_row["s"] or 0) // 2
     start_it = 0
     if ckpt is not None and resume and ckpt.latest_superstep() is not None:
         start_it = ckpt.latest_superstep() + 1
@@ -437,7 +596,7 @@ def pagerank(
                 # job per superstep, no Catalyst/Arrow in the loop (docstring)
                 return _pagerank_gas_rdd(
                     spark, deg, n, assigned, tol, max_iter, damping, check_every,
-                    ckpt, start_it, init_rank,
+                    ckpt, start_it, init_rank, m_edges_hint=m_edges_hint,
                 )
             return _pagerank_gas_broadcast(
                 spark, deg, n, assigned, tol, max_iter, damping, check_every,

@@ -142,7 +142,9 @@ def bond_percolation_profile(
                     "giant_size",
                     "n_isolated",
                 )
-                .localCheckpoint(eager=True)
+                # lazy: all level rows materialize together in the single
+                # final-union checkpoint job (labels stay alive until then)
+                .localCheckpoint(eager=False)
             )
             scratch.append(row)
             rows.append(row)
@@ -301,7 +303,9 @@ def targeted_attack_profile(
                     "giant_size",
                     "n_isolated",
                 )
-                .localCheckpoint(eager=True)
+                # lazy: all level rows materialize together in the single
+                # final-union checkpoint job (labels stay alive until then)
+                .localCheckpoint(eager=False)
             )
             scratch.append(row)
             rows.append(row)

@@ -748,6 +748,11 @@ def fsm_partition(
             degb.withColumnRenamed("vertex", "dst").withColumnRenamed("degree", "deg_dst"), "dst"
         )
     )
+    # cache the degree-joined relation: the range-grouping quantile job and
+    # the split/h2h materialization both consume it — persist() keeps the
+    # partition layout (and therefore the approxQuantile sketch and every
+    # downstream assignment) bit-identical while halving the join work
+    e = e.persist()
     is_h2h = (F.col("deg_src") > high_threshold) & (F.col("deg_dst") > high_threshold)
     low = e.where(~is_h2h)
     h2h = e.where(is_h2h)
@@ -778,28 +783,62 @@ def fsm_partition(
     # lineage-free materialization: the split phase's plan (degree joins +
     # applyInPandas) would otherwise be re-planned by every downstream job
     sub_assigned = sub_assigned.localCheckpoint(eager=True)
+    e.unpersist()
 
     # --- merge planning stats: only (k·p)-sized aggregates reach the driver
     # unless the bitmap path is explicitly chosen / small enough ---
-    reps = replica_sets(sub_assigned).persist()
-    # ONE fused agg job for both per-bucket edge counts and replica counts
-    # (count doubles every edge; countDistinct over endpoints = |V_b|)
-    both_rows = (
-        sub_assigned.select("bucket", F.explode(F.array("src", "dst")).alias("vertex"))
-        .groupBy("bucket")
-        .agg(
-            (F.count(F.lit(1)) / 2).cast("long").alias("m"),
-            F.countDistinct("vertex").alias("r"),
+    reps = None
+    if merge_stats in ("auto", "driver") and 2 * m_edges <= DRIVER_BITMAP_THRESHOLD:
+        # FUSED small-scale path: replica rows are bounded by 2m, so the
+        # bitmap oracle is guaranteed; ONE collected aggregation (bucket,
+        # vertex, incident-edge count) yields occupied (= sum(cnt)/2),
+        # replica counts (= rows per bucket) AND the membership bitmaps —
+        # replacing the former three jobs (per-bucket agg, replica-relation
+        # persist, replica toPandas).  Values identical by construction.
+        pair_pdf = (
+            sub_assigned.select(
+                "bucket", F.explode(F.array("src", "dst")).alias("vertex")
+            )
+            .groupBy("bucket", "vertex")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .toPandas()
         )
-        .collect()
-    )
-    occupied = {old_id: 0 for old_id in range(n_sub)}
-    occupied.update({int(r["bucket"]): int(r["m"]) for r in both_rows})
-    replica_counts = {old_id: 0 for old_id in range(n_sub)}
-    replica_counts.update({int(r["bucket"]): int(r["r"]) for r in both_rows})
-    stats, replicas = build_merge_stats(
-        reps, n_sub, occupied, merge_stats, replicas=replica_counts
-    )
+        by_bucket = pair_pdf.groupby("bucket")
+        occupied = {old_id: 0 for old_id in range(n_sub)}
+        occupied.update({int(b): int(c) // 2 for b, c in by_bucket["c"].sum().items()})
+        replicas = {old_id: 0 for old_id in range(n_sub)}
+        replicas.update({int(b): int(s) for b, s in by_bucket.size().items()})
+        verts = np.unique(pair_pdf["vertex"].to_numpy(np.int64))
+        vidx = {int(v): i for i, v in enumerate(verts)}
+        members = {int(b): v.to_numpy(np.int64) for b, v in by_bucket["vertex"]}
+        bitmaps: dict[int, np.ndarray] = {}
+        for old_id in range(n_sub):
+            bm = np.zeros(len(verts), dtype=bool)
+            mem = members.get(old_id)
+            if mem is not None:
+                bm[[vidx[int(v)] for v in mem]] = True
+            bitmaps[old_id] = bm
+        stats = _BitmapMergeStats(replicas, occupied, bitmaps)
+    else:
+        reps = replica_sets(sub_assigned).persist()
+        # ONE fused agg job for both per-bucket edge counts and replica counts
+        # (count doubles every edge; countDistinct over endpoints = |V_b|)
+        both_rows = (
+            sub_assigned.select("bucket", F.explode(F.array("src", "dst")).alias("vertex"))
+            .groupBy("bucket")
+            .agg(
+                (F.count(F.lit(1)) / 2).cast("long").alias("m"),
+                F.countDistinct("vertex").alias("r"),
+            )
+            .collect()
+        )
+        occupied = {old_id: 0 for old_id in range(n_sub)}
+        occupied.update({int(r["bucket"]): int(r["m"]) for r in both_rows})
+        replica_counts = {old_id: 0 for old_id in range(n_sub)}
+        replica_counts.update({int(r["bucket"]): int(r["r"]) for r in both_rows})
+        stats, replicas = build_merge_stats(
+            reps, n_sub, occupied, merge_stats, replicas=replica_counts
+        )
 
     # sort desc by replicas, stable (ties by old_id) — fsm_partitioner.cpp:82-85
     order = sorted(range(n_sub), key=lambda b: (-replicas[b], b))
@@ -810,7 +849,8 @@ def fsm_partition(
         valid = precise_merge(order, stats, p, k)
     else:
         raise ValueError(f"unknown merge {merge!r}")
-    release(reps)
+    if reps is not None:
+        release(reps)
 
     # --- rearrange: broadcast old->final map (fsm_partitioner.hpp:114-129) ---
     map_df = F.broadcast(

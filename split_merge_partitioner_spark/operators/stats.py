@@ -31,18 +31,37 @@ def replica_sets(assigned: DataFrame) -> DataFrame:
 
 
 def bucket_sizes(assigned: DataFrame) -> DataFrame:
-    """Per-bucket |V_b| (exact distinct replicas) and |E_b|."""
-    verts = replica_sets(assigned).groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n_replicas")
+    """Per-bucket |V_b| (exact distinct replicas) and |E_b|.
+
+    One exploded pass: each edge contributes two (bucket, endpoint) rows, so
+    |E_b| = half the row count and |V_b| = countDistinct(endpoint) — one
+    exchange instead of the former distinct + groupBy + join shape (values
+    identical; guide §2.4)."""
+    return (
+        assigned.select("bucket", F.explode(F.array("src", "dst")).alias("v"))
+        .groupBy("bucket")
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+            F.countDistinct("v").alias("n_replicas"),
+        )
     )
-    edges = assigned.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_edges"))
-    return edges.join(verts, "bucket", "left").na.fill(0)
 
 
 def partition_stats(assigned: DataFrame, p: int, n: int | None = None, m: int | None = None) -> DataFrame:
     """One-row metrics table (FIXTURES.md F6):
     rf, s_v, s_e, sigma_v, sigma_e, jains_v — formulas per
     src/partitioner.hpp:35-92 and src/util.hpp:88-103."""
+    if n is None and m is None:
+        # one job for both totals (2m exploded rows; n = distinct endpoints)
+        row = (
+            assigned.select(F.explode(F.array("src", "dst")).alias("v"))
+            .agg(
+                (F.count(F.lit(1)) / 2).cast("long").alias("m"),
+                F.countDistinct("v").alias("n"),
+            )
+            .collect()[0]
+        )
+        n, m = int(row["n"]), int(row["m"])
     if n is None:
         n = (
             assigned.select(F.col("src").alias("v"))
