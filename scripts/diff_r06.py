@@ -41,7 +41,9 @@ AFFECTED = [
     "biconn_bcc", "block_cut_tree", "articulation_points",
     "rcm_order", "gap_bits_orders", "coreness_incremental",
     "core_degree_agreement", "minhash_dedup_clusters", "edge_betweenness",
-    "scan_roles", "salsa_auth", "msf", "effective_diameter",
+    "scan_roles", "salsa_auth", "salsa_auth_cp", "msf", "effective_diameter",
+    # minhash signature-stage repartition
+    "minhash_pairs", "minhash_dedup_clusters", "minhash_decontam",
 ]
 
 

@@ -197,9 +197,17 @@ def minhash_near_duplicates(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = docs.select(
-        F.col(id_col).alias("doc_id"),
-        _minhash_udf(num_hashes, shingle_n, seed)(F.col(text_col)).alias("sig"),
+    # spread the signature UDF across tasks: a single-file docs scan would
+    # otherwise run the whole Python stage in ONE task (guide §2.5 input
+    # skew / §4 — the exchange carries only the two needed columns and the
+    # signature is a pure per-doc function, so values are unchanged)
+    shuffle_n = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text__")
+    ).repartition(shuffle_n)
+    sig = base.select(
+        "doc_id",
+        _minhash_udf(num_hashes, shingle_n, seed)(F.col("__text__")).alias("sig"),
     ).persist()
     buckets = _band_buckets(sig, bands, rows_per_band, seed)
     a, b = buckets.alias("a"), buckets.alias("b")

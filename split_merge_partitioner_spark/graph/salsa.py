@@ -78,19 +78,24 @@ def salsa_scores(edges: DataFrame, side: str = "auth") -> DataFrame:
             F.count(F.lit(1)).alias("n_side_c"),
             F.sum("deg").alias("m_c"),
         )
-        totals = per_comp.agg(F.sum("n_side_c").alias("n_side")).collect()[0]
+        # one fused scalar pass for the total, the overflow caps included
+        # (dmax = max deg is a column of labeled = the aggregate's input,
+        # so all three scalars come from per_comp's parent in one job each
+        # side: per_comp carries the component rollup, labeled the degrees)
+        totals = per_comp.agg(
+            F.sum("n_side_c").alias("n_side"), F.max("n_side_c").alias("cmax")
+        ).collect()[0]
         n_side = int(totals["n_side"] or 0)
         if n_side == 0:
             return edges.sparkSession.createDataFrame(
                 [], "vertex long, deg long, component long, salsa_ppb long"
             )
         caps = labeled.agg(F.max("deg").alias("dmax")).collect()[0]
-        comp_cap = per_comp.agg(F.max("n_side_c").alias("cmax")).collect()[0]
-        if int(caps["dmax"]) * int(comp_cap["cmax"]) > 9_000_000_000:
+        if int(caps["dmax"]) * int(totals["cmax"]) > 9_000_000_000:
             raise ValueError(
                 "salsa_scores ppb numerator would overflow BIGINT "
                 f"(max deg {caps['dmax']} x max component side size "
-                f"{comp_cap['cmax']} x 1e9 > ~9.2e18); upgrade the score "
+                f"{totals['cmax']} x 1e9 > ~9.2e18); upgrade the score "
                 "expression to DECIMAL(38,0) for graphs this dense"
             )
         # eager-materialize the result BEFORE releasing the checkpointed
