@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 import sys
 
+sys.path.insert(0, os.getcwd())
 os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 OUT = sys.argv[2] if len(sys.argv) > 2 else "plans/r06"

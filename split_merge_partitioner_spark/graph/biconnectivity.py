@@ -257,6 +257,7 @@ def _bcc_shuffle(spark, e: DataFrame, max_rounds: int):
             raise ValueError("biconnectivity: vertex ids must be < 2^31")
         we = e.withColumn("w", F.lit(1).cast("long"))
         forest, _ = boruvka_msf(we, dense_threshold=0)
+        scratch.append(forest)  # producer-materialized; dead once tree exists
         tree = _ck(forest.select("src", "dst"))
         nontree = _ck(e.join(tree, ["src", "dst"], "left_anti"))
         tb = _ck(
@@ -441,6 +442,7 @@ def _bcc_shuffle(spark, e: DataFrame, max_rounds: int):
             .distinct()
         )
         comps, _ = connected_components_stars(g2, max_rounds=max_rounds)
+        scratch.append(comps)  # producer-materialized; dead once cc exists
         # every non-root vertex is a G'' vertex; isolated ones (their parent
         # tree edge is its own BCC) label themselves
         cc = _ck(

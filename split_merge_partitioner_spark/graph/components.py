@@ -339,9 +339,18 @@ def connected_components_stars(
             "connected_components_stars: fixpoint signature collision — "
             "label relation is not single-valued per vertex"
         )
-    out = universe.join(labels, "vertex", "left").select(
-        "vertex", F.coalesce("label", "vertex").alias("component")
+    # materialize the result and release the internal checkpoints (the
+    # converged star relation and the vertex universe): a lazily-returned
+    # plan would pin them forever — callers cannot see, let alone release,
+    # a sub-call's scratch.  Costs one small job (n rows); makes the result
+    # itself releasable (LogicalRDD) under the storage-budget discipline.
+    out = (
+        universe.join(labels, "vertex", "left")
+        .select("vertex", F.coalesce("label", "vertex").alias("component"))
+        .localCheckpoint(eager=True)
     )
+    release(cur)
+    release(universe)
     return out, info
 
 

@@ -208,7 +208,12 @@ def _msf_shuffle(spark, edges: DataFrame, max_rounds: int):
         out = forests[0]
         for df in forests[1:]:
             out = out.unionAll(df)
-        out = out.select("src", "dst", "w")
+        # materialize and release the per-round pick checkpoints — a lazy
+        # union would pin one block per Boruvka round on the caller
+        # (components.connected_components_stars discipline)
+        out = out.select("src", "dst", "w").localCheckpoint(eager=True)
+        for df in forests:
+            release(df)
     return out, {"rounds": rounds, "mode": "shuffle"}
 
 
