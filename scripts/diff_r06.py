@@ -44,6 +44,13 @@ AFFECTED = [
     "scan_roles", "salsa_auth", "salsa_auth_cp", "msf", "effective_diameter",
     # minhash signature-stage repartition
     "minhash_pairs", "minhash_dedup_clusters", "minhash_decontam",
+    # session 2: driver-fused dense loops, persist-instead-of-checkpoint
+    # setups (degrees/vertices), louvain driver degrees, minhash eager
+    # signature materialization, oriented-relation persist
+    "triangle_count", "triangles_per_vertex", "local_clustering",
+    "global_clustering", "edge_support", "ktruss", "kclique4",
+    "square_count", "triangle_delta", "triangle_count_sampled",
+    "triangle_signif", "trussness",
 ]
 
 

@@ -209,6 +209,13 @@ def minhash_near_duplicates(
         "doc_id",
         _minhash_udf(num_hashes, shingle_n, seed)(F.col("__text__")).alias("sig"),
     ).persist()
+    # materialize the signatures BEFORE building the multi-consumer plan:
+    # the downstream query scans sig four times (both band-bucket sides +
+    # both est-join sides), and AQE submits those leaf stages concurrently —
+    # against a still-lazy persist each one re-runs the signature UDF
+    # (profiled: 4 overlapping ~1.1 s jobs at sf0.1).  One count pins the
+    # cache so every scan is a read.
+    sig.count()
     buckets = _band_buckets(sig, bands, rows_per_band, seed)
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (

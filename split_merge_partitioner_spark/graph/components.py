@@ -45,8 +45,8 @@ def _cc_broadcast(spark, verts: np.ndarray, assigned: DataFrame, max_iter: int):
         EDGES_PER_TASK,
         _blocks_edge_count,
         _blocks_rdd,
+        _collect_block_rows,
         _encoded_blocks_df,
-        _iter_block_rows,
     )
 
     sc = spark.sparkContext
@@ -62,44 +62,26 @@ def _cc_broadcast(spark, verts: np.ndarray, assigned: DataFrame, max_iter: int):
         blocks = _encoded_blocks_df(spark, assigned, bc_verts, dt)
         m = _blocks_edge_count(blocks, dt)
         if m <= EDGES_PER_TASK and max_iter > 1:
-            # SINGLE-TASK FUSION (same contract as the pagerank rdd
-            # executor): one task holds the complete edge set, so iterating
-            # the per-superstep kernel locally reproduces the global
-            # iterate-combine sequence exactly (the kernel only ever lowers
-            # labels, so the in-task sequence equals the driver-combined
-            # one element for element) — the whole fixpoint runs as ONE
-            # Arrow job over the checkpointed block rows instead of one
-            # job+broadcast+collect per round.
-            bc = sc.broadcast(label)
-
-            def fused(batches, _bc=bc, _dt=dt, _max=max_iter):
-                blocks_l = _iter_block_rows(batches, _dt)
-                cur = _bc.value.copy()
-                iters = 0
-                converged = False
-                for _ in range(_max):
-                    prev = cur.copy()
-                    for s, d in blocks_l:
-                        np.minimum.at(cur, d, cur[s])
-                        np.minimum.at(cur, s, cur[d])
-                    iters += 1
-                    if (cur == prev).all():
-                        converged = True
-                        break
-                yield pd.DataFrame(
-                    {"lab": [cur.tobytes()], "iters": [iters], "conv": [converged]}
-                )
-
-            row = (
-                blocks.coalesce(1)
-                .mapInPandas(fused, schema="lab binary, iters long, conv boolean")
-                .collect()[0]
-            )
-            label = np.frombuffer(bytes(row["lab"]), dtype=np.int64).copy()
-            info["iterations"] = int(row["iters"])
-            info["converged"] = bool(row["conv"])
-            bc.destroy()
-            bc = None
+            # DRIVER-FUSED fixpoint (same contract as the single-task
+            # fusion it replaces): one task's worth of blocks is a few MB,
+            # so collect them (partition order preserved) and iterate the
+            # identical kernel locally — the min-relaxation sequence equals
+            # the driver-combined one element for element, without the
+            # coalesce(1) Python task or the label broadcast.
+            blocks_l = _collect_block_rows(blocks, dt)
+            cur = label.copy()
+            converged = False
+            for _ in range(max_iter):
+                prev = cur.copy()
+                for s, d in blocks_l:
+                    np.minimum.at(cur, d, cur[s])
+                    np.minimum.at(cur, s, cur[d])
+                info["iterations"] += 1
+                if (cur == prev).all():
+                    converged = True
+                    break
+            label = cur
+            info["converged"] = converged
         else:
             packed = _blocks_rdd(blocks, m)
             for it in range(max_iter):
@@ -161,10 +143,14 @@ def connected_components(
     """Returns ((vertex, component), info).  Exact fixpoint."""
     from ..sources.edges import vertices_of
 
+    # persist (not localCheckpoint): the count below is the materializing
+    # job, so the vertex-state setup costs one job instead of two; the
+    # sub-threshold toPandas and the distributed loop's first round both
+    # read the cache
     state = (
         vertices_of(edges)
         .select("vertex", F.col("vertex").alias("label"))
-        .localCheckpoint(eager=True)
+        .persist()
     )
     spark = edges.sparkSession
     n = state.count()

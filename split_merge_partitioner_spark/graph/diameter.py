@@ -77,37 +77,25 @@ def _bfs_dense(spark, packed, dt, n: int, seed_idx: int, max_levels: int) -> np.
     return dist
 
 
-def _bfs_dense_fused(spark, blocks, dt, n: int, seed_idx: int, max_levels: int) -> np.ndarray:
-    """SINGLE-TASK FUSION of the dense BFS sweep (the pagerank/CC contract):
-    one task holds every edge block, so iterating the relaxation kernel
-    locally to its fixpoint reproduces the level-by-level global sweep
-    exactly (min-relaxation is monotone; the fixpoint is the unique BFS
-    distance vector) — the whole sweep is ONE Arrow job over the
-    checkpointed block rows instead of one job+broadcast+collect per level."""
-    from .pagerank import _iter_block_rows
-
-    dist = np.full(n, _UNREACHED, dtype=np.int64)
-    dist[seed_idx] = 0
-    bc = spark.sparkContext.broadcast(dist)
-    try:
-        def fused(batches, _bc=bc, _dt=dt, _max=max_levels):
-            blocks_l = _iter_block_rows(batches, _dt)
-            cur = _bc.value.copy()
-            for _ in range(_max):
-                prev = cur.copy()
-                for s, d in blocks_l:
-                    cand = np.where(cur[s] < _UNREACHED, cur[s] + 1, _UNREACHED)
-                    np.minimum.at(cur, d, cand)
-                    cand = np.where(cur[d] < _UNREACHED, cur[d] + 1, _UNREACHED)
-                    np.minimum.at(cur, s, cand)
-                if (cur == prev).all():
-                    break
-            yield pd.DataFrame({"d": [cur.tobytes()]})
-
-        row = blocks.coalesce(1).mapInPandas(fused, schema="d binary").collect()[0]
-        return np.frombuffer(bytes(row["d"]), dtype=np.int64).copy()
-    finally:
-        bc.destroy()
+def _bfs_dense_driver(blocks_l, n: int, seed_idx: int, max_levels: int) -> np.ndarray:
+    """Driver-fused dense BFS sweep (the pagerank/CC driver-loop contract):
+    under the EDGES_PER_TASK gate the collected blocks are a few MB, so the
+    relaxation kernel iterates locally to its fixpoint — identical block
+    order and min-relaxation sequence to the level-by-level global sweep
+    (the fixpoint is the unique BFS distance vector), with zero Spark jobs
+    per sweep."""
+    cur = np.full(n, _UNREACHED, dtype=np.int64)
+    cur[seed_idx] = 0
+    for _ in range(max_levels):
+        prev = cur.copy()
+        for s, d in blocks_l:
+            cand = np.where(cur[s] < _UNREACHED, cur[s] + 1, _UNREACHED)
+            np.minimum.at(cur, d, cand)
+            cand = np.where(cur[d] < _UNREACHED, cur[d] + 1, _UNREACHED)
+            np.minimum.at(cur, s, cand)
+        if (cur == prev).all():
+            break
+    return cur
 
 
 def bfs_distances(
@@ -279,22 +267,27 @@ def _double_sweep_impl(edges, assigned, max_levels, source=None,
     from ..sources.edges import degrees as degrees_of
 
     spark = edges.sparkSession
-    deg_df = degrees_of(edges)
+    # persist: the count is the materializing job; the dense path's toPandas
+    # then reads the cache instead of recomputing the degree groupBy
+    deg_df = degrees_of(edges).persist()
     n = deg_df.count()
     if n == 0:
+        release(deg_df)
         return _empty_result(spark, distances_only)
     if n > broadcast_threshold:
         # no O(n) driver state above the threshold — same policy as PR/CC/LP
         assert assigned is not None, "distributed sweep needs the partition assignment"
+        release(deg_df)
         return _double_sweep_shuffle(edges, assigned, max_levels, source, distances_only)
 
     from .pagerank import (
         EDGES_PER_TASK,
-        _encoded_blocks_df,
+        _collect_encoded_blocks,
         _pack_edge_blocks,
     )
 
     deg_pdf = deg_df.toPandas().sort_values("vertex")
+    release(deg_df)
     verts = deg_pdf["vertex"].to_numpy(np.int64)
     degv = deg_pdf["degree"].to_numpy(np.int64)
     bc_verts = spark.sparkContext.broadcast(verts)
@@ -303,16 +296,17 @@ def _double_sweep_impl(edges, assigned, max_levels, source=None,
     m_edges = int(degv.sum()) // 2
     fused_single_task = m_edges <= EDGES_PER_TASK and max_levels > 1
     packed = None
-    blocks = None
+    blocks_l = None
     try:
         if fused_single_task:
-            blocks = _encoded_blocks_df(spark, base, bc_verts, dt)
+            # one encode+collect job; both sweeps then run on the driver
+            blocks_l = _collect_encoded_blocks(spark, base, bc_verts, dt)
         else:
             packed = _pack_edge_blocks(spark, base, bc_verts, dt)
 
         def sweep(seed_i: int) -> np.ndarray:
             if fused_single_task:
-                return _bfs_dense_fused(spark, blocks, dt, n, seed_i, max_levels)
+                return _bfs_dense_driver(blocks_l, n, seed_i, max_levels)
             return _bfs_dense(spark, packed, dt, n, seed_i, max_levels)
 
         if source is not None:
@@ -340,8 +334,6 @@ def _double_sweep_impl(edges, assigned, max_levels, source=None,
         bc_verts.destroy()
         if packed is not None:
             release(packed)
-        if blocks is not None:
-            release(blocks)
     out = spark.createDataFrame(
         pd.DataFrame(
             {

@@ -113,8 +113,8 @@ def _hyperanf_broadcast(spark, verts: np.ndarray, assigned: DataFrame, n_steps: 
         EDGES_PER_TASK,
         _blocks_edge_count,
         _blocks_rdd,
+        _collect_block_rows,
         _encoded_blocks_df,
-        _iter_block_rows,
     )
 
     sc = spark.sparkContext
@@ -131,52 +131,28 @@ def _hyperanf_broadcast(spark, verts: np.ndarray, assigned: DataFrame, n_steps: 
         blocks = _encoded_blocks_df(spark, assigned, bc_verts, dt)
         m = _blocks_edge_count(blocks, dt)
         if m <= EDGES_PER_TASK and n_steps > 1:
-            # SINGLE-TASK FUSION (the pagerank/CC rdd-executor contract),
+            # DRIVER-FUSED loop (the pagerank/CC driver-loop contract),
             # SYNCHRONOUS variant: each step reads only the previous step's
             # registers (the distance-<=t contract above), exactly like the
-            # broadcast-per-step path, so the whole n_steps loop runs as
-            # ONE Arrow job over the checkpointed block rows.  The per-step
-            # neighborhood-function history is computed in-task from the
-            # same registers the driver would have combined.
-            bc = sc.broadcast(regs)
-
-            def fused(batches, _bc=bc, _dt=dt, _steps=n_steps):
-                blocks_l = _iter_block_rows(batches, _dt)
-                cur = _bc.value.copy()
-                hist: list[float] = []
-                iters = 0
-                converged = False
-                for _ in range(_steps):
-                    out = cur.copy()
-                    for s, d in blocks_l:
-                        np.maximum.at(out, d, cur[s])
-                        np.maximum.at(out, s, cur[d])
-                    if (out == cur).all():
-                        converged = True
-                        break
-                    cur = out
-                    iters += 1
-                    hist.append(_neighborhood(cur))
-                yield pd.DataFrame(
-                    {
-                        "regs": [cur.tobytes()],
-                        "hist": [np.asarray(hist, dtype=np.float64).tobytes()],
-                        "iters": [iters],
-                        "conv": [converged],
-                    }
-                )
-
-            row = (
-                blocks.coalesce(1)
-                .mapInPandas(fused, schema="regs binary, hist binary, iters long, conv boolean")
-                .collect()[0]
-            )
-            regs = np.frombuffer(bytes(row["regs"]), dtype=np.uint8).reshape(-1, _M).copy()
-            history.extend(np.frombuffer(bytes(row["hist"]), dtype=np.float64).tolist())
-            info["iterations"] = int(row["iters"])
-            info["converged"] = bool(row["conv"])
-            bc.destroy()
-            bc = None
+            # broadcast-per-step path, so the whole n_steps loop runs on
+            # the driver over the collected block rows — zero Spark jobs
+            # in the loop, identical register sequence.
+            blocks_l = _collect_block_rows(blocks, dt)
+            cur = regs.copy()
+            converged = False
+            for _ in range(n_steps):
+                out = cur.copy()
+                for s, d in blocks_l:
+                    np.maximum.at(out, d, cur[s])
+                    np.maximum.at(out, s, cur[d])
+                if (out == cur).all():
+                    converged = True
+                    break
+                cur = out
+                info["iterations"] += 1
+                history.append(_neighborhood(cur))
+            regs = cur
+            info["converged"] = converged
             return history, info
         packed = _blocks_rdd(blocks, m)
         for _t in range(n_steps):
@@ -522,8 +498,9 @@ def hyperanf(
 
     spark = edges.sparkSession
     # one distinct-vertex job serves both the threshold decision and the
-    # broadcast path's id collect (it was two full union+distinct shuffles)
-    verts_df = vertices_of(edges).localCheckpoint(eager=True)
+    # broadcast path's id collect (it was two full union+distinct shuffles);
+    # persist: the count below materializes the cache (one job, not two)
+    verts_df = vertices_of(edges).persist()
     try:
         n = verts_df.count()
         if n == 0:

@@ -55,8 +55,8 @@ def _lp_broadcast(spark, verts: np.ndarray, assigned: DataFrame, n_iter: int):
         EDGES_PER_TASK,
         _blocks_edge_count,
         _blocks_rdd,
+        _collect_block_rows,
         _encoded_blocks_df,
-        _iter_block_rows,
     )
 
     sc = spark.sparkContext
@@ -71,45 +71,34 @@ def _lp_broadcast(spark, verts: np.ndarray, assigned: DataFrame, n_iter: int):
         blocks = _encoded_blocks_df(spark, assigned, bc_verts, dt)
         m = _blocks_edge_count(blocks, dt)
         if m <= EDGES_PER_TASK and n_iter > 1:
-            # SINGLE-TASK FUSION (the pagerank/CC rdd-executor contract):
-            # one task holds every edge block, so the per-step
-            # (vertex, label) mode counts it aggregates ARE the global
-            # counts, and applying the identical argmax-with-min-tie pandas
-            # reduction in-task reproduces the driver combine bit for bit —
-            # all n_iter supersteps run as ONE Arrow job over the
-            # checkpointed block rows.
-            bc = sc.broadcast(label)
-
-            def fused(batches, _bc=bc, _dt=dt, _n=n, _steps=n_iter):
-                blocks_l = _iter_block_rows(batches, _dt)
-                lab = _bc.value.copy()
-                for _ in range(_steps):
-                    vids, labs = [], []
-                    for s, d in blocks_l:
-                        vids.append(np.concatenate([d, s]).astype(np.int64))
-                        labs.append(np.concatenate([lab[s], lab[d]]))
-                    if not vids:
-                        break
-                    code = np.concatenate(vids) * _n + np.concatenate(labs)
-                    uniq, cnt = np.unique(code, return_counts=True)
-                    agg = pd.DataFrame({"code": uniq, "cnt": cnt.astype(np.int64)})
-                    agg["vid"] = agg["code"] // _n
-                    agg["lab"] = agg["code"] % _n
-                    agg = agg.sort_values(
-                        ["vid", "cnt", "lab"], ascending=[True, False, True]
-                    )
-                    best = agg.drop_duplicates("vid")
-                    new_label = lab.copy()
-                    new_label[best["vid"].to_numpy(np.int64)] = best["lab"].to_numpy(np.int64)
-                    lab = new_label
-                yield pd.DataFrame({"lab": [lab.tobytes()]})
-
-            row = (
-                blocks.coalesce(1)
-                .mapInPandas(fused, schema="lab binary")
-                .collect()[0]
-            )
-            label = np.frombuffer(bytes(row["lab"]), dtype=np.int64).copy()
+            # DRIVER-FUSED loop (the pagerank/CC driver-loop contract): one
+            # task's worth of blocks collects to a few MB, and the per-step
+            # (vertex, label) mode counts over the complete edge set ARE the
+            # global counts, so iterating the identical argmax-with-min-tie
+            # reduction locally reproduces the driver combine bit for bit —
+            # zero Spark jobs in the loop.
+            blocks_l = _collect_block_rows(blocks, dt)
+            lab = label.copy()
+            for _ in range(n_iter):
+                vids, labs = [], []
+                for s, d in blocks_l:
+                    vids.append(np.concatenate([d, s]).astype(np.int64))
+                    labs.append(np.concatenate([lab[s], lab[d]]))
+                if not vids:
+                    break
+                code = np.concatenate(vids) * n + np.concatenate(labs)
+                uniq, cnt = np.unique(code, return_counts=True)
+                agg = pd.DataFrame({"code": uniq, "cnt": cnt.astype(np.int64)})
+                agg["vid"] = agg["code"] // n
+                agg["lab"] = agg["code"] % n
+                agg = agg.sort_values(
+                    ["vid", "cnt", "lab"], ascending=[True, False, True]
+                )
+                best = agg.drop_duplicates("vid")
+                new_label = lab.copy()
+                new_label[best["vid"].to_numpy(np.int64)] = best["lab"].to_numpy(np.int64)
+                lab = new_label
+            label = lab
             return spark.createDataFrame(
                 pd.DataFrame({"vertex": verts, "label": verts[label]})
             )
@@ -174,10 +163,12 @@ def label_propagation(
     """Returns (vertex, label) after exactly n_iter synchronous supersteps."""
     from ..sources.edges import vertices_of
 
+    # persist (not localCheckpoint): the count below materializes the cache,
+    # one setup job instead of two (the components.py discipline)
     state = (
         vertices_of(edges)
         .select("vertex", F.col("vertex").alias("label"))
-        .localCheckpoint(eager=True)
+        .persist()
     )
     spark = edges.sparkSession
     n = state.count()

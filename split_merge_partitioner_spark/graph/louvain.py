@@ -60,74 +60,55 @@ from split_merge_partitioner_spark.storage import release
 DENSE_EDGE_THRESHOLD = 750_000
 
 
-def _louvain_dense_kernel(bc_deg, n_rounds: int, m2: int):
-    """Kernel factory: the n_rounds synchronous local-move loop over the
-    complete edge list, vectorized.  Exact-integer replica of the SQL
-    rounds: candidate set = neighbor communities + stay row, score =
-    2m*w(u,C) - k_u*(tot(C) - [C = cu]*k_u), argmax with (score desc,
-    community asc) tie-break, (u + r) % 2 parity gate."""
-
-    def kernel(batches):
-        verts, k = bc_deg.value
-        n = len(verts)
-        ss, dd, ww = [], [], []
-        for pdf in batches:
-            ss.append(pdf["src"].to_numpy(np.int64))
-            dd.append(pdf["dst"].to_numpy(np.int64))
-            ww.append(pdf["w"].to_numpy(np.int64))
-        if ss:
-            s = np.concatenate(ss)
-            d = np.concatenate(dd)
-            w = np.concatenate(ww)
-        else:
-            s = d = w = np.empty(0, np.int64)
-        proper = s != d  # self-loops count in k (already in bc_deg), never in w(u, C)
-        si = np.searchsorted(verts, s[proper])
-        di = np.searchsorted(verts, d[proper])
-        pw = w[proper]
-        comm = np.arange(n, dtype=np.int64)  # dense index == ascending id order
-        arange_n = np.arange(n, dtype=np.int64)
-        # static per-round inputs hoisted: the doubled (receiver, other) pairs
-        recv = np.concatenate([si, di])
-        oth = np.concatenate([di, si])
-        wts_all = np.concatenate([pw, pw, np.zeros(n, dtype=np.int64)]).astype(np.float64)
-        moves: list[int] = []
-        for r in range(1, n_rounds + 1):
-            # candidate multiset: (u, neighbor community, w) + stay rows w=0
-            codes = np.concatenate([recv * n + comm[oth], arange_n * n + comm])
-            uniq, inv = np.unique(codes, return_inverse=True)
-            # bincount sums are exact here: every count is bounded by the
-            # total weight m2/2 <= DENSE_EDGE_THRESHOLD << 2^53
-            wsum = np.bincount(inv, weights=wts_all, minlength=len(uniq)).astype(np.int64)
-            cand_u = uniq // n
-            cand_c = uniq % n
-            tot = np.bincount(comm, weights=k.astype(np.float64), minlength=n).astype(np.int64)
-            stay = comm[cand_u] == cand_c
-            score = m2 * wsum - k[cand_u] * (tot[cand_c] - np.where(stay, k[cand_u], 0))
-            # segmented argmax with (score desc, community asc) tie-break:
-            # candidates are sorted by (u, c) already (uniq is sorted and
-            # code = u*n + c), so the FIRST index per u-group attaining the
-            # group max is exactly the window/max_by winner
-            starts = np.unique(cand_u, return_index=True)[1]
-            gmax = np.maximum.reduceat(score, starts)
-            counts = np.diff(np.append(starts, len(cand_u)))
-            is_max = score == np.repeat(gmax, counts)
-            idxs = np.where(is_max, np.arange(len(cand_u)), len(cand_u))
-            win = np.minimum.reduceat(idxs, starts)
-            best = comm.copy()
-            best[cand_u[win]] = cand_c[win]
-            # Spark's % is C-style remainder (sign of dividend) -> np.fmod
-            gate = np.fmod(verts + r, 2) == 0
-            moves.append(int((gate & (best != comm)).sum()))
-            comm = np.where(gate, best, comm)
-        yield pd.DataFrame(
-            {
-                "comm": [comm.tobytes()],
-                "moves": [np.asarray(moves, dtype=np.int64).tobytes()],
-            }
-        )
-
-    return kernel
+def _louvain_dense_compute(verts, k, n_rounds: int, m2: int, s, d, w):
+    """The n_rounds synchronous local-move loop over the complete edge
+    list, vectorized on the driver (the pagerank/CC driver-loop contract —
+    the dense gate bounds the arrays at a few MB).  Exact-integer replica
+    of the SQL rounds: candidate set = neighbor communities + stay row,
+    score = 2m*w(u,C) - k_u*(tot(C) - [C = cu]*k_u), argmax with (score
+    desc, community asc) tie-break, (u + r) % 2 parity gate.  Returns
+    (comm dense indices, per-round move counts)."""
+    n = len(verts)
+    proper = s != d  # self-loops count in k (already in deg), never in w(u, C)
+    si = np.searchsorted(verts, s[proper])
+    di = np.searchsorted(verts, d[proper])
+    pw = w[proper]
+    comm = np.arange(n, dtype=np.int64)  # dense index == ascending id order
+    arange_n = np.arange(n, dtype=np.int64)
+    # static per-round inputs hoisted: the doubled (receiver, other) pairs
+    recv = np.concatenate([si, di])
+    oth = np.concatenate([di, si])
+    wts_all = np.concatenate([pw, pw, np.zeros(n, dtype=np.int64)]).astype(np.float64)
+    moves: list[int] = []
+    for r in range(1, n_rounds + 1):
+        # candidate multiset: (u, neighbor community, w) + stay rows w=0
+        codes = np.concatenate([recv * n + comm[oth], arange_n * n + comm])
+        uniq, inv = np.unique(codes, return_inverse=True)
+        # bincount sums are exact here: every count is bounded by the
+        # total weight m2/2 <= DENSE_EDGE_THRESHOLD << 2^53
+        wsum = np.bincount(inv, weights=wts_all, minlength=len(uniq)).astype(np.int64)
+        cand_u = uniq // n
+        cand_c = uniq % n
+        tot = np.bincount(comm, weights=k.astype(np.float64), minlength=n).astype(np.int64)
+        stay = comm[cand_u] == cand_c
+        score = m2 * wsum - k[cand_u] * (tot[cand_c] - np.where(stay, k[cand_u], 0))
+        # segmented argmax with (score desc, community asc) tie-break:
+        # candidates are sorted by (u, c) already (uniq is sorted and
+        # code = u*n + c), so the FIRST index per u-group attaining the
+        # group max is exactly the window/max_by winner
+        starts = np.unique(cand_u, return_index=True)[1]
+        gmax = np.maximum.reduceat(score, starts)
+        counts = np.diff(np.append(starts, len(cand_u)))
+        is_max = score == np.repeat(gmax, counts)
+        idxs = np.where(is_max, np.arange(len(cand_u)), len(cand_u))
+        win = np.minimum.reduceat(idxs, starts)
+        best = comm.copy()
+        best[cand_u[win]] = cand_c[win]
+        # Spark's % is C-style remainder (sign of dividend) -> np.fmod
+        gate = np.fmod(verts + r, 2) == 0
+        moves.append(int((gate & (best != comm)).sum()))
+        comm = np.where(gate, best, comm)
+    return comm, moves
 
 
 def louvain_local_move(
@@ -154,60 +135,75 @@ def louvain_local_move(
     ).unionAll(proper.select(F.col("dst").alias("u"), F.col("src").alias("v"), "w"))
     scratch: list[DataFrame] = []
     try:
-        if weight_col is not None and e.where(F.col("w") <= 0).limit(1).count():
-            raise ValueError(
-                f"louvain_local_move: non-positive weights in {weight_col!r} "
-                "(integer multiplicities required)"
-            )
-        deg = (
-            und.select("u", "w")
-            .unionAll(loops.select(F.col("src").alias("u"), (F.col("w") * 2).alias("w")))
-            .groupBy("u")
-            .agg(F.sum("w").alias("k"))
-        ).localCheckpoint(eager=True)
-        scratch.append(deg)
-        row = deg.agg(
-            F.sum("k").alias("m2"), F.max("k").alias("kmax")
-        ).collect()[0]
-        m2, kmax = int(row["m2"]), int(row["kmax"])
-        if m2 * kmax >= (1 << 62):
-            raise ValueError(
-                "louvain_local_move: 2m * k_max >= 2^62 would overflow the "
-                "BIGINT score; re-express the score in DECIMAL(38,0) (see "
-                "module docstring) for graphs this large"
-            )
+        # gate on m2 from ONE narrow aggregate (m2 = 2 * sum of all edge
+        # weights, loops included: every proper edge contributes w to both
+        # endpoints, every loop 2w — identical to summing the degree table):
+        # the dense path then never pays the weighted-degree exchange at all
+        m2 = 2 * int(e.agg(F.sum("w").alias("s")).collect()[0]["s"])
         if m2 // 2 <= DENSE_EDGE_THRESHOLD:
-            # dense single-task path: one Arrow job for all rounds (bit-equal
-            # to the distributed rounds below; see _louvain_dense_kernel)
-            deg_pdf = deg.toPandas().sort_values("u")
-            verts = deg_pdf["u"].to_numpy(np.int64)
-            kvec = deg_pdf["k"].to_numpy(np.int64)
-            sc = edges.sparkSession.sparkContext
-            bc_deg = sc.broadcast((verts, kvec))
-            try:
-                row = (
-                    e.coalesce(1)
-                    .mapInPandas(
-                        _louvain_dense_kernel(bc_deg, n_rounds, m2),
-                        schema="comm binary, moves binary",
-                    )
-                    .collect()[0]
+            # dense driver path: ONE parallel Arrow collect of the edge list
+            # (toPandas — partition order, same concatenation the single-task
+            # kernel saw; all sums are exact integers so order is moot
+            # anyway), then degrees by bincount and the identical local-move
+            # loop on the driver — bit-equal to the distributed rounds below
+            # (same positivity/overflow guards, same errors), without the
+            # coalesce(1) single-task scan, the degree groupBy exchange, or
+            # the degree broadcast
+            e_pdf = e.toPandas()
+            s_arr = e_pdf["src"].to_numpy(np.int64)
+            d_arr = e_pdf["dst"].to_numpy(np.int64)
+            w_arr = e_pdf["w"].to_numpy(np.int64)
+            if weight_col is not None and (w_arr <= 0).any():
+                raise ValueError(
+                    f"louvain_local_move: non-positive weights in {weight_col!r} "
+                    "(integer multiplicities required)"
                 )
-            finally:
-                bc_deg.destroy()
-            comm = np.frombuffer(bytes(row["comm"]), dtype=np.int64)
+            verts, inv = np.unique(np.concatenate([s_arr, d_arr]), return_inverse=True)
+            # k(u) = sum of w over incident endpoint slots: a proper edge
+            # contributes w at each endpoint, a loop appears in both the src
+            # and dst slot of its vertex = 2w — exactly the SQL degree table
+            wk = np.concatenate([w_arr, w_arr]).astype(np.float64)
+            kvec = np.bincount(inv, weights=wk, minlength=len(verts)).astype(np.int64)
+            kmax = int(kvec.max()) if len(kvec) else 0
+            if m2 * kmax >= (1 << 62):
+                raise ValueError(
+                    "louvain_local_move: 2m * k_max >= 2^62 would overflow the "
+                    "BIGINT score; re-express the score in DECIMAL(38,0) (see "
+                    "module docstring) for graphs this large"
+                )
+            comm, moves = _louvain_dense_compute(
+                verts, kvec, n_rounds, m2, s_arr, d_arr, w_arr
+            )
             dense_info: dict = {
                 "n_rounds": n_rounds,
-                "moves": [
-                    int(x)
-                    for x in np.frombuffer(bytes(row["moves"]), dtype=np.int64)
-                ],
+                "moves": [int(x) for x in moves],
             }
             out = edges.sparkSession.createDataFrame(
                 pd.DataFrame({"vertex": verts, "comm": verts[comm]})
             ).localCheckpoint(eager=True)
             dense_info["n_communities"] = int(len(np.unique(comm)))
             return out, dense_info
+        if weight_col is not None and e.where(F.col("w") <= 0).limit(1).count():
+            raise ValueError(
+                f"louvain_local_move: non-positive weights in {weight_col!r} "
+                "(integer multiplicities required)"
+            )
+        # persist (not localCheckpoint): the kmax aggregate below is the
+        # materializing job — one setup job instead of two
+        deg = (
+            und.select("u", "w")
+            .unionAll(loops.select(F.col("src").alias("u"), (F.col("w") * 2).alias("w")))
+            .groupBy("u")
+            .agg(F.sum("w").alias("k"))
+        ).persist()
+        scratch.append(deg)
+        kmax = int(deg.agg(F.max("k").alias("kmax")).collect()[0]["kmax"])
+        if m2 * kmax >= (1 << 62):
+            raise ValueError(
+                "louvain_local_move: 2m * k_max >= 2^62 would overflow the "
+                "BIGINT score; re-express the score in DECIMAL(38,0) (see "
+                "module docstring) for graphs this large"
+            )
         state = deg.select("u", F.col("u").alias("comm")).localCheckpoint(
             eager=True
         )

@@ -124,6 +124,39 @@ def _iter_block_rows(batches, idx_dtype):
     return out
 
 
+def _collect_block_rows(blocks: DataFrame, idx_dtype):
+    """Pull (s, d) block rows to the driver.  collect() returns rows in
+    partition order, so the block sequence is identical to what
+    _iter_block_rows sees in a coalesce(1) consumer — the accumulation
+    order (part of the float-exactness contract) is preserved.  Only used
+    under the EDGES_PER_TASK gate, where the payload is bounded at ~8
+    bytes/edge (a few MB)."""
+    import numpy as _np
+
+    return [
+        (
+            _np.frombuffer(bytes(r["s"]), dtype=idx_dtype),
+            _np.frombuffer(bytes(r["d"]), dtype=idx_dtype),
+        )
+        for r in blocks.collect()
+    ]
+
+
+def _collect_encoded_blocks(spark, assigned: DataFrame, bc_verts, idx_dtype):
+    """ONE job: encode + collect, no intermediate checkpoint.  For fused
+    sub-threshold consumers the blocks are read exactly once, so
+    materializing them in the block store first (then re-reading through a
+    second single-task job + state broadcast) was pure fixed overhead —
+    the loop itself runs on the driver over the same block sequence."""
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    df = (
+        assigned.select("bucket", "src", "dst")
+        .repartition(shuffle_n, "bucket")
+        .mapInPandas(_encode_pack_fn(bc_verts, idx_dtype), schema="s binary, d binary")
+    )
+    return _collect_block_rows(df, idx_dtype)
+
+
 def _blocks_rdd(blocks: DataFrame, m: int, edges_per_task: int = EDGES_PER_TASK):
     """Raw-RDD loop input built from an already-checkpointed block DataFrame
     (the multi-task regime of executors that could not know m up front):
@@ -244,17 +277,17 @@ def _pagerank_gas_rdd(
     bc = None
     packed_rdd = None
     blocks = None
-    # SINGLE-TASK FUSION (guide §1.2/§2.4: remove per-pass overhead): when
-    # the pack would coalesce to one scatter task anyway, every local
-    # superstep over the complete edge set IS the global superstep, bit for
-    # bit — identical per-block bincount/accumulation order, identical apply
-    # arithmetic — so the whole loop runs as ONE job consuming the
-    # checkpointed block DataFrame through Arrow (coalesce(1).mapInPandas),
-    # skipping both the per-superstep job+broadcast+collect floor AND the
-    # raw-RDD build's JVM->Python row pickling.  Multi-task packs keep the
-    # per-step raw-RDD jobs (a global gather is fundamentally required
-    # there), and ckpt runs keep them too (boundary states must
-    # materialize).
+    # DRIVER FUSION (guide §1.2/§2.4: remove per-pass overhead): when the
+    # pack would coalesce to one scatter task anyway, every local superstep
+    # over the complete edge set IS the global superstep, bit for bit —
+    # identical per-block bincount/accumulation order, identical apply
+    # arithmetic — so the blocks are collected in one job (a few MB under
+    # the gate) and the whole loop runs on the driver, skipping the
+    # per-superstep job+broadcast+collect floor, the block-store
+    # checkpoint, AND the raw-RDD build's JVM->Python row pickling.
+    # Multi-task packs keep the per-step raw-RDD jobs (a global gather is
+    # fundamentally required there), and ckpt runs keep them too (boundary
+    # states must materialize).
     fused_single_task = (
         ckpt is None
         and max_iter > start_it
@@ -263,58 +296,42 @@ def _pagerank_gas_rdd(
     )
     try:
         if fused_single_task:
-            blocks = _encoded_blocks_df(spark, assigned, bc_verts, idx_dtype)
+            # DRIVER-FUSED loop (r6 second cut): one encode+collect job, then
+            # the whole superstep loop runs on the driver over the identical
+            # block sequence — same per-block bincount order, same apply
+            # arithmetic, bit-for-bit the single-task kernel's results,
+            # without the block-store checkpoint, the coalesce(1) Python
+            # task, or the initial-state broadcast.  Valid exactly where the
+            # single-task fusion was: the complete edge set fits one task's
+            # budget (m <= EDGES_PER_TASK), so the collected payload is a
+            # few MB and every local superstep equals the global superstep.
+            blocks_l = _collect_encoded_blocks(spark, assigned, bc_verts, idx_dtype)
             loop_t0 = _time.monotonic()
             steps = max_iter - start_it
-            bc = sc.broadcast((rank, degv))
-
-            def fused(batches, _bc=bc, _n=nn, _dt=dt, _steps=steps,
-                      _base=base, _damping=damping, _tol=tol):
-                import time as _tt
-
-                blocks_l = _iter_block_rows(batches, _dt)
-                r, dv = _bc.value
-                r = r.copy()
-                times: list[float] = []
-                last_delta = float("nan")
-                converged = False
-                for _ in range(_steps):
-                    t0 = _tt.monotonic()
-                    c = r / dv
-                    g = np.zeros(_n)
-                    for s, d in blocks_l:
-                        p = np.bincount(d, weights=c[s], minlength=_n)
-                        p += np.bincount(s, weights=c[d], minlength=_n)
-                        g += p
-                    new_r = _base + _damping * g
-                    last_delta = float(np.max(np.abs(new_r - r))) if _n else 0.0
-                    r = new_r
-                    times.append(_tt.monotonic() - t0)
-                    if _tol > 0 and last_delta <= _tol:
-                        converged = True
-                        break
-                yield pd.DataFrame(
-                    {
-                        "r": [r.tobytes()],
-                        "t": [np.asarray(times, dtype=np.float64).tobytes()],
-                        "delta": [last_delta],
-                        "conv": [converged],
-                    }
-                )
-
-            row = (
-                blocks.coalesce(1)
-                .mapInPandas(fused, schema="r binary, t binary, delta double, conv boolean")
-                .collect()[0]
-            )
+            r = rank.copy()
+            last_delta = float("nan")
+            converged = False
+            for _ in range(steps):
+                t0 = _time.monotonic()
+                c = r / degv
+                g = np.zeros(nn)
+                for s, d in blocks_l:
+                    p = np.bincount(d, weights=c[s], minlength=nn)
+                    p += np.bincount(s, weights=c[d], minlength=nn)
+                    g += p
+                new_r = base + damping * g
+                last_delta = float(np.max(np.abs(new_r - r))) if nn else 0.0
+                r = new_r
+                step_times.append(_time.monotonic() - t0)
+                if tol > 0 and last_delta <= tol:
+                    converged = True
+                    break
             info["superstep_seconds"] = _time.monotonic() - loop_t0
-            rank = np.frombuffer(bytes(row["r"]), dtype=np.float64).copy()
-            times = np.frombuffer(bytes(row["t"]), dtype=np.float64).tolist()
-            step_times.extend(times)
-            info["iterations"] = start_it + len(times)
-            if bool(row["conv"]):
+            rank = r
+            info["iterations"] = start_it + len(step_times)
+            if converged:
                 info["converged"] = True
-                info["delta"] = float(row["delta"])
+                info["delta"] = last_delta
             return state_df(), info
         packed_rdd = _pack_edge_blocks(spark, assigned, bc_verts, idx_dtype)
         block_t0 = _time.monotonic()
@@ -554,7 +571,11 @@ def pagerank(
     import time as _time
 
     spark = edges.sparkSession
-    deg = degrees_of(edges).localCheckpoint(eager=True)
+    # persist (not localCheckpoint): the n/m aggregate right below is the
+    # materializing job, so the degree table costs ONE job instead of an
+    # eager-checkpoint job plus the aggregate; every later consumer (the
+    # toPandas of the dense path, the jvm static build) reads the cache
+    deg = degrees_of(edges).persist()
     # one job for both n and m (sum of degrees = 2m) — m feeds the packed
     # executor's coalesce decision so the pack materializes in one job
     deg_row = deg.agg(

@@ -22,7 +22,9 @@ def _oriented(edges: DataFrame, orient: str) -> DataFrame:
     if orient == "id":
         # already canonical src<dst; materialized for the same 3-leg reuse
         return edges.select("src", "dst").localCheckpoint(eager=True)
-    deg_ckpt = degrees_of(edges).localCheckpoint(eager=True)
+    # persist (not localCheckpoint): the broadcast build below materializes
+    # the cache — one setup job instead of an eager checkpoint plus the build
+    deg_ckpt = degrees_of(edges).persist()
     deg = F.broadcast(deg_ckpt)
     e = (
         edges.join(deg.withColumnRenamed("vertex", "src").withColumnRenamed("degree", "ds"), "src")

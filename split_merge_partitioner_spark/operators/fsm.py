@@ -731,9 +731,12 @@ def fsm_partition(
     tests/test_kernel_properties.py::test_fast_merge_k2_closed_form)."""
     spark = edges.sparkSession
     n_sub = p * k
-    if deg is None:
-        # materialized: used by the avg-degree agg AND both endpoint joins
-        deg = degrees_of(edges).localCheckpoint(eager=True)
+    own_deg = deg is None
+    if own_deg:
+        # persist (not localCheckpoint): the avg-degree aggregate right below
+        # is the materializing job, so the degree table costs one job instead
+        # of two; both endpoint broadcast joins then read the cache
+        deg = degrees_of(edges).persist()
     avg_deg_row = deg.agg(
         F.avg("degree").alias("a"), F.sum("degree").alias("s")
     ).collect()[0]
@@ -784,6 +787,10 @@ def fsm_partition(
     # applyInPandas) would otherwise be re-planned by every downstream job
     sub_assigned = sub_assigned.localCheckpoint(eager=True)
     e.unpersist()
+    if own_deg:
+        # everything downstream reads sub_assigned only; an internally-built
+        # degree table is scratch from here on
+        release(deg)
 
     # --- merge planning stats: only (k·p)-sized aggregates reach the driver
     # unless the bitmap path is explicitly chosen / small enough ---
